@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query (the reference's most load-bearing view,
+v_latest_prices — reference sql/views.sql:2-8 — transplanted onto the
+events/customer testdata). ``queries``/``oracle_sql`` expose the operator
+inventory of SURVEY.md §2; implementations live in
+``crypto_market_tracker_etl_spark.queries``.
 """
 
 from __future__ import annotations
@@ -12,27 +12,36 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_market_tracker_etl_spark import queries as q
+from crypto_market_tracker_etl_spark.catalog import load_table
+from crypto_market_tracker_etl_spark.operators.latest import latest_per_key
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: latest event per user ⋈ broadcast customer dimension,
+    ordered desc-nulls-last — scan + window + broadcast join + sort, one
+    vertical slice through the engine (SURVEY.md §7.1)."""
+    events = load_table(spark, SMOKE_SF_DIR, "events")
+    customer = load_table(spark, SMOKE_SF_DIR, "customer")
+    latest = latest_per_key(events, ["user_id"], ["ts", "event_id"])
+    return (
+        latest.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal")),
+            latest.user_id == F.col("c_custkey"),
+            "left",
+        )
+        .select("user_id", "ts", "event_type", "value", "c_name", "c_acctbal")
+        .orderBy(F.desc_nulls_last("c_acctbal"), "user_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return q.oracle_sql()

@@ -1,0 +1,73 @@
+"""Percent-change and lag-based change operators.
+
+Re-expresses the reference's ``v_price_change_24h`` view (reference
+``sql/views.sql:10-28``): latest value per key LEFT JOIN value-as-of
+(cutoff), null-guarded pct change rounded to 4 (reference
+``sql/views.sql:23-25``). Plus the idiomatic window alternative ``lag``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .asof import asof_lookup
+from .latest import latest_per_key_agg
+
+
+def pct_change_expr(now: Column, then: Column, scale: int = 4) -> Column:
+    """Null-guarded ``round((now-then)/then*100, scale)`` (reference
+    ``sql/views.sql:23-25``); null when either side is missing or then=0."""
+    return F.when(
+        then.isNotNull() & (then != F.lit(0.0)) & now.isNotNull(),
+        F.round((now - then) / then * F.lit(100.0), scale),
+    )
+
+
+def change_vs_asof(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value: str,
+    cutoff: Column,
+    order: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Latest value per key vs value as-of ``cutoff``, with pct change.
+
+    Both sides are partial-aggregated (max_by) before a small key-level
+    join — at scale this joins |keys| rows, not |fact| rows.
+    """
+    order = list(order or [ts_col])
+    latest = latest_per_key_agg(df, keys, order, [value]).withColumnRenamed(
+        value, f"{value}_now"
+    )
+    asof = asof_lookup(df, keys, ts_col, cutoff, [value]).select(
+        *keys, F.col(value).alias(f"{value}_then")
+    )
+    joined = latest.join(asof, list(keys), "left")
+    return joined.withColumn(
+        "pct_change",
+        pct_change_expr(F.col(f"{value}_now"), F.col(f"{value}_then")),
+    )
+
+
+def lag_change(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str | Column],
+    value: str,
+) -> DataFrame:
+    """Per-row delta and pct change vs the previous row in (keys, order).
+
+    Adds ``prev_value`` / ``delta`` / ``pct_change`` columns; all source
+    columns are preserved.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("prev_value", F.lag(value).over(w))
+        .withColumn("delta", F.col(value) - F.col("prev_value"))
+        .withColumn("pct_change", pct_change_expr(F.col(value), F.col("prev_value")))
+    )

@@ -1,0 +1,220 @@
+"""Deduplication operators for document-scale corpora.
+
+The reference's only dedup is keyed upsert (operators.upsert). A 100 TB
+training-data pipeline needs content dedup; this module provides the ladder:
+
+- ``exact_dedup``           hash-groupBy on a normalized content fingerprint
+- ``minhash_signatures``    word-shingle MinHash (k permutations)
+- ``lsh_candidate_pairs``   banding → bucket join → candidate pairs
+- ``ngram_jaccard``         exact Jaccard on shingle sets, for verification
+- ``simhash``               64→B-bit SimHash via explode + bit-vote groupBy
+- ``simhash_near_dups``     Hamming-distance pairs within a blocking key
+
+Scale notes: every operator is expression-only per row plus at most ONE
+shuffle (groupBy doc key or LSH bucket). The pair-emitting operators require
+a blocking key (LSH band or caller-provided) precisely so the candidate set
+stays near-linear instead of O(n²) — same reason the reference's Postgres
+upsert uses a unique index rather than a table scan.
+
+MinHash permutations are seeded md5 hashes (portable to the DuckDB oracle —
+see functions.hashing); pass ``portable=False`` to use xxhash64 instead
+(~10× cheaper, Spark-only) on real clusters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import fast_long, md5_long
+from ..functions.textstats import normalize_ws
+from .latest import earliest_per_key
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id row per exact (whitespace/case-normalized) content.
+
+    One shuffle on the md5 fingerprint; map-side partial min keeps the
+    shuffle payload at one row per distinct content per partition.
+    """
+    fp = F.md5(normalize_ws(F.col(text_col)))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of normalized text; whole text when shorter
+    than n words (so short docs still get a signature)."""
+    toks = F.split(normalize_ws(text), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    shingled = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, shingled).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_words: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Adds ``shingles`` and ``minhash`` (array of per-permutation minima).
+
+    Permutation i = min over shingles of hash(seed_i ++ shingle). With
+    ``portable=True`` the hash is the md5 hex string itself (lexicographic
+    min; reproducible in any SQL engine); otherwise xxhash64 longs.
+    """
+    shingles = word_shingles(F.col(text_col), shingle_words)
+    out = df.withColumn("shingles", shingles)
+    mins = []
+    for i in range(num_hashes):
+        seed = f"mh{i}:"
+        if portable:
+            hashed = F.transform(
+                F.col("shingles"), lambda s, seed=seed: F.md5(F.concat(F.lit(seed), s))
+            )
+        else:
+            hashed = F.transform(
+                F.col("shingles"),
+                lambda s, seed=seed: F.xxhash64(F.concat(F.lit(seed), s)).cast("string"),
+            )
+        mins.append(F.array_min(hashed))
+    return out.withColumn("minhash", F.array(*mins))
+
+
+def lsh_band_keys(num_hashes: int, band_size: int) -> list[Column]:
+    """Band the ``minhash`` array: key b = md5 of the concatenated rows of
+    band b. Docs sharing ANY band key are candidate near-duplicates."""
+    keys = []
+    for b in range(0, num_hashes, band_size):
+        parts = [F.element_at("minhash", i + 1) for i in range(b, b + band_size)]
+        keys.append(F.md5(F.concat_ws("|", F.lit(f"band{b}"), *parts)))
+    return keys
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    band_size: int = 4,
+    blocking_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    ``blocking_cols`` further partition buckets (e.g. by source) — the
+    standard guard against a hot bucket degenerating to O(n²) pairs.
+    """
+    bands = F.array(*lsh_band_keys(num_hashes, band_size))
+    exploded = sigs.select(
+        F.col(id_col), *[F.col(c) for c in blocking_cols], F.explode(bands).alias("band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    join_cond = [F.col("a.band_key") == F.col("b.band_key")] + [
+        F.col(f"a.{c}") == F.col(f"b.{c}") for c in blocking_cols
+    ]
+    pairs = (
+        a.join(b, join_cond)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs (verification
+    stage of the MinHash pipeline). Broadcast-friendly when pairs ≪ corpus."""
+    s = sigs.select(F.col(id_col), F.col("shingles"))
+    out = (
+        pairs.join(s.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(s.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-doc SimHash: tokens vote ±1 per bit of their integer hash; the
+    sign of each bit's tally becomes that bit of the fingerprint.
+
+    Explode + groupBy(id): one shuffle, 32 partial-aggregated sums. Token
+    hash is the portable md5-fold (oracle-reproducible) or xxhash64.
+    """
+    toks = F.explode(F.split(normalize_ws(F.col(text_col)), " ")).alias("tok")
+    tok_df = df.select(F.col(id_col), toks)
+    h = md5_long(F.col("tok"), seed="simhash:") if portable else fast_long(F.col("tok"), "simhash:")
+    tok_df = tok_df.withColumn("h", h)
+    votes = [
+        F.sum(
+            (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    tallied = tok_df.groupBy(id_col).agg(*votes)
+    sh = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0)) for i in range(bits)),
+        F.lit(0),
+    ).cast("long")
+    return tallied.select(F.col(id_col), sh.alias("simhash"))
+
+
+def simhash_near_dups(
+    hashed: DataFrame,
+    blocking: DataFrame,
+    id_col: str = "doc_id",
+    blocking_col: str = "source",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ threshold inside a blocking partition."""
+    withblk = hashed.join(blocking.select(id_col, blocking_col), id_col)
+    a = withblk.alias("a")
+    b = withblk.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col(f"a.{blocking_col}") == F.col(f"b.{blocking_col}"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,503 @@
+"""Named correctness queries: Spark builder + DuckDB oracle SQL per operator.
+
+This is the executable form of SURVEY.md §2's operator inventory. Each entry
+is ``name -> (spark_builder, oracle_sql | None)`` where the builder takes
+``(spark, sf_dir)`` and the oracle runs on DuckDB over the same parquet.
+
+Determinism conventions (SURVEY.md §5, §7.4):
+- "now()" anchors are the table's max(ts), computed relationally (broadcast
+  1-row aggregate, never a driver collect).
+- every argmin/argmax/first/last is ordered by a total order — (ts,
+  event_id) — so value hashes reproduce.
+- events.ts is TIMESTAMP(NANOS) in parquet: Spark reads ns-as-long and
+  truncates to µs (catalog.load_table); every oracle query wraps events in
+  the ``e`` CTE below, whose CAST applies the identical truncation.
+- double aggregates that sum many rows go through DECIMAL(18,2) so both
+  engines add exactly; single-row double arithmetic is IEEE-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators.change import change_vs_asof, lag_change
+from .operators.latest import latest_per_key, latest_per_key_agg
+from .operators.ohlc import ohlc_daily, ohlc_tumbling
+from .operators.upsert import dedup_keep_latest
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Oracle-side events with Spark-identical µs timestamps.
+E_CTE = (
+    "e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value FROM events)"
+)
+# Deterministic "now": the stream's high-water mark.
+M_CTE = "m AS (SELECT max(ts) AS mx FROM e)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def _with_max_ts(events: DataFrame) -> DataFrame:
+    """Attach the global max(ts) as a column — broadcast of a 1-row agg, the
+    declarative (collect-free) way to anchor relative-time predicates."""
+    mx = events.agg(F.max("ts").alias("max_ts"))
+    return events.crossJoin(F.broadcast(mx))
+
+
+def _dec_sum(col: str) -> F.Column:
+    """Order-independent double sum: exact decimal accumulation, double out."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Reference view / ETL parity queries (SURVEY.md §2.2-§2.9, §7.3)
+# --------------------------------------------------------------------------
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J1] Latest event per user — v_latest_prices' greatest-n-per-group
+    (reference sql/views.sql:5-6) as a single-shuffle window."""
+    ev = _events(spark, sf_dir)
+    return latest_per_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+SQL_LATEST_PER_KEY = f"""
+WITH {E_CTE}
+SELECT user_id, event_id, ts, event_type, value
+FROM e
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J2] Fact ⋈ dimension chain with broadcast dims (reference
+    sql/views.sql:7): revenue rollup orders→customer→nation→region."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+SQL_DIM_JOIN = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A1] Per-key max(ts) (reference sql/views.sql:5)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+
+
+SQL_GROUP_MAX = f"""
+WITH {E_CTE}
+SELECT user_id, max(ts) AS max_ts FROM e GROUP BY user_id
+"""
+
+
+def q_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3] Value at the latest ts ≤ (max_ts − 24h), per user (reference
+    sql/views.sql:13-21) — filter + max_by partial agg, no self-join."""
+    ev = _with_max_ts(_events(spark, sf_dir))
+    cutoff = F.col("max_ts") - F.expr("INTERVAL 24 HOURS")
+    return (
+        ev.filter(F.col("ts") <= cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ts").alias("value_asof"),
+            F.max("ts").alias("ts_asof"),
+        )
+    )
+
+
+SQL_ASOF_LOOKUP = f"""
+WITH {E_CTE}, {M_CTE}
+SELECT user_id, arg_max(value, ts) AS value_asof, max(ts) AS ts_asof
+FROM e, m
+WHERE e.ts <= m.mx - INTERVAL '24 hours'
+GROUP BY user_id
+"""
+
+
+def q_pct_change_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3+J4+C3+C4] v_price_change_24h (reference sql/views.sql:10-28):
+    latest value vs 24h-ago value, left-joined, null-guarded pct change."""
+    ev = _with_max_ts(_events(spark, sf_dir))
+    cutoff = F.col("max_ts") - F.expr("INTERVAL 24 HOURS")
+    out = change_vs_asof(ev, ["user_id"], "ts", "value", cutoff, order=["ts"])
+    return out.select("user_id", "value_now", "value_then", "pct_change")
+
+
+SQL_PCT_CHANGE_24H = f"""
+WITH {E_CTE}, {M_CTE},
+latest AS (
+  SELECT user_id, arg_max(value, ts) AS value_now FROM e GROUP BY user_id
+),
+prior AS (
+  SELECT user_id, arg_max(value, ts) AS value_then
+  FROM e, m WHERE e.ts <= m.mx - INTERVAL '24 hours' GROUP BY user_id
+)
+SELECT l.user_id, l.value_now, a.value_then,
+       CASE WHEN a.value_then IS NOT NULL AND a.value_then <> 0
+                 AND l.value_now IS NOT NULL
+            THEN round((l.value_now - a.value_then) / a.value_then * 100.0, 4)
+       END AS pct_change
+FROM latest l LEFT JOIN prior a USING (user_id)
+"""
+
+
+def q_lag_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5] lag()-based per-row change — the window idiom the reference's
+    self-join views would use in Spark."""
+    ev = _events(spark, sf_dir)
+    out = lag_change(ev, ["user_id"], ["ts", "event_id"], "value")
+    return out.select("user_id", "event_id", "value", "prev_value", "delta", "pct_change")
+
+
+SQL_LAG_CHANGE = f"""
+WITH {E_CTE}
+SELECT user_id, event_id, value,
+       lag(value) OVER w AS prev_value,
+       value - (lag(value) OVER w) AS delta,
+       CASE WHEN (lag(value) OVER w) IS NOT NULL AND (lag(value) OVER w) <> 0
+            THEN round((value - (lag(value) OVER w)) / (lag(value) OVER w) * 100.0, 4)
+       END AS pct_change
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A2] Daily OHLC per user (reference src/etl.py:46-54, corrected to
+    per-row dates + total order) — min_by/max_by partial aggregation."""
+    ev = _events(spark, sf_dir)
+    return ohlc_daily(ev, ["user_id"], "ts", "value", tiebreak=["event_id"])
+
+
+SQL_DAILY_OHLC = f"""
+WITH {E_CTE},
+d AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value FROM e),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rna,
+         row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM d
+)
+SELECT user_id, day,
+       max(CASE WHEN rna = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rnd = 1 THEN value END) AS close,
+       count(*) AS n_obs
+FROM r GROUP BY user_id, day
+"""
+
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A3] Value at max ts / min ts per key (reference src/etl.py:50-53)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", "ts").alias("last_value"),
+        F.min_by("value", "ts").alias("first_value"),
+    )
+
+
+SQL_ARGMAX = f"""
+WITH {E_CTE}
+SELECT user_id, arg_max(value, ts) AS last_value, arg_min(value, ts) AS first_value
+FROM e GROUP BY user_id
+"""
+
+
+def q_sparkline_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F2] Trailing-7-day window of points per key (reference
+    sql/views.sql:37-42), anchored at max(ts)."""
+    ev = _with_max_ts(_events(spark, sf_dir))
+    cutoff = F.col("max_ts") - F.expr("INTERVAL 7 DAYS")
+    return ev.filter(F.col("ts") >= cutoff).select("user_id", "ts", "value")
+
+
+SQL_SPARKLINE_7D = f"""
+WITH {E_CTE}, {M_CTE}
+SELECT user_id, ts, value
+FROM e, m WHERE e.ts >= m.mx - INTERVAL '7 days'
+"""
+
+
+def q_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J6] Aligning parallel series by time key (reference src/etl.py:37-43,
+    where ms-keyed dicts join price/market-cap/volume): daily per-user sums
+    of three event types, left-joined onto the 'view' series."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+
+    def series(kind: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy("user_id", "day")
+            .agg(_dec_sum("value").alias(alias))
+        )
+
+    base = series("view", "view_total")
+    clicks = series("click", "click_total")
+    purchases = series("purchase", "purchase_total")
+    return base.join(clicks, ["user_id", "day"], "left").join(
+        purchases, ["user_id", "day"], "left"
+    )
+
+
+SQL_SERIES_ALIGN = f"""
+WITH {E_CTE},
+d AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, value FROM e),
+v AS (SELECT user_id, day, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS view_total
+      FROM d WHERE event_type = 'view' GROUP BY user_id, day),
+c AS (SELECT user_id, day, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_total
+      FROM d WHERE event_type = 'click' GROUP BY user_id, day),
+p AS (SELECT user_id, day, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total
+      FROM d WHERE event_type = 'purchase' GROUP BY user_id, day)
+SELECT v.user_id, v.day, v.view_total, c.click_total, p.purchase_total
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id AND v.day = c.day
+LEFT JOIN p ON v.user_id = p.user_id AND v.day = p.day
+"""
+
+
+def q_order_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O1] desc NULLS LAST ordering made observable via global top-100
+    (TakeOrderedAndProject — the scalable global top-k). Negative balances
+    are nulled to exercise the null ordering (reference sql/views.sql:8)."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    return (
+        customer.select("c_custkey", bal.alias("acctbal"))
+        .orderBy(F.desc_nulls_last("acctbal"), F.col("c_custkey"))
+        .limit(100)
+    )
+
+
+SQL_ORDER_NULLS_LAST = """
+SELECT c_custkey, CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS acctbal
+FROM customer
+ORDER BY acctbal DESC NULLS LAST, c_custkey
+LIMIT 100
+"""
+
+
+def q_search_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[F5] Case-insensitive substring search over two columns (reference
+    app.py:110-112) — pushdown-friendly contains()."""
+    part = load_table(spark, sf_dir, "part")
+    hit = F.lower(F.col("p_name")).contains("red") | F.lower(F.col("p_type")).contains(
+        "small"
+    )
+    return part.filter(hit).select("p_partkey", "p_name", "p_type")
+
+
+SQL_SEARCH_FILTER = """
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%small%'
+"""
+
+
+def q_coalesce_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C5+J5] Left join + coalesce fill (reference app.py:94-100)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        _dec_sum("o_totalprice").alias("total"),
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+            F.coalesce("total", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+SQL_COALESCE_FILL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       coalesce(cnt, 0) AS n_orders,
+       coalesce(total, 0.0) AS total_spent
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+"""
+
+
+def q_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A4-A6] Dashboard KPI aggregates (reference app.py:120-127): count,
+    distinct count, null-skipping max, mean (exact decimal sum / count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.max("l_extendedprice").alias("max_price"),
+        _dec_sum("l_quantity").alias("sum_qty"),
+        (_dec_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+    )
+
+
+SQL_KPIS = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS n_parts,
+       max(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+"""
+
+
+def q_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C1] epoch-ms → second-precision UTC timestamp (reference
+    src/etl.py:42). Reads the raw ns longs to model API epoch input."""
+    from .session import tune_for_testdata
+
+    tune_for_testdata(spark)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ms = F.expr("ts div 1000000")
+    ts_sec = F.expr(
+        "timestampadd(MICROSECOND, (ts div 1000000) * 1000000 div 1000, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return raw.select(
+        "event_id",
+        ms.alias("epoch_ms"),
+        F.date_trunc("second", ts_sec).alias("ts_second"),
+    )
+
+
+SQL_TS_CONVERT = """
+SELECT event_id,
+       epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms,
+       date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_second
+FROM events
+"""
+
+
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C8] Display formatting 'yyyy-MM-dd HH:mm' (reference app.py:156)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm").alias("ts_minute")
+    )
+
+
+SQL_DATE_FORMAT = f"""
+WITH {E_CTE}
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M') AS ts_minute FROM e
+"""
+
+
+def q_upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S7] ON CONFLICT last-writer-wins as a relational query (reference
+    src/db.py:87-99): collapse (user, hour) to the latest version."""
+    ev = _events(spark, sf_dir).withColumn("hour", F.date_trunc("hour", "ts"))
+    out = dedup_keep_latest(ev, ["user_id", "hour"], ["ts", "event_id"])
+    return out.select("user_id", "hour", "event_id", "value")
+
+
+SQL_UPSERT_KEEP_LATEST = f"""
+WITH {E_CTE},
+h AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value FROM e)
+SELECT user_id, hour, event_id, value
+FROM h
+QUALIFY row_number() OVER (PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.9] Event-time tumbling-window OHLC via F.window — identical
+    semantics in batch and Structured Streaming."""
+    ev = _events(spark, sf_dir)
+    return ohlc_tumbling(ev, ["user_id"], "ts", "value", "1 hour")
+
+
+SQL_TUMBLING_OHLC = f"""
+WITH {E_CTE},
+d AS (SELECT user_id, date_trunc('hour', ts) AS window_start, ts, value FROM e),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, window_start ORDER BY ts) AS rna,
+         row_number() OVER (PARTITION BY user_id, window_start ORDER BY ts DESC) AS rnd
+  FROM d
+)
+SELECT user_id, window_start, window_start + INTERVAL '1 hour' AS window_end,
+       max(CASE WHEN rna = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rnd = 1 THEN value END) AS close,
+       count(*) AS n_obs
+FROM r GROUP BY user_id, window_start
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
+    "dim_join": (q_dim_join, SQL_DIM_JOIN),
+    "group_max": (q_group_max, SQL_GROUP_MAX),
+    "asof_lookup": (q_asof_lookup, SQL_ASOF_LOOKUP),
+    "pct_change_24h": (q_pct_change_24h, SQL_PCT_CHANGE_24H),
+    "lag_change": (q_lag_change, SQL_LAG_CHANGE),
+    "daily_ohlc": (q_daily_ohlc, SQL_DAILY_OHLC),
+    "argmax": (q_argmax, SQL_ARGMAX),
+    "sparkline_7d": (q_sparkline_7d, SQL_SPARKLINE_7D),
+    "series_align": (q_series_align, SQL_SERIES_ALIGN),
+    "order_nulls_last": (q_order_nulls_last, SQL_ORDER_NULLS_LAST),
+    "search_filter": (q_search_filter, SQL_SEARCH_FILTER),
+    "coalesce_fill": (q_coalesce_fill, SQL_COALESCE_FILL),
+    "kpis": (q_kpis, SQL_KPIS),
+    "ts_convert": (q_ts_convert, SQL_TS_CONVERT),
+    "date_format": (q_date_format, SQL_DATE_FORMAT),
+    "upsert_keep_latest": (q_upsert_keep_latest, SQL_UPSERT_KEEP_LATEST),
+    "tumbling_ohlc": (q_tumbling_ohlc, SQL_TUMBLING_OHLC),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

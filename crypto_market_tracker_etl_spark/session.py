@@ -1,0 +1,66 @@
+"""SparkSession factory with defaults tuned for both local tests and scale.
+
+The reference delegates all execution to Postgres (SURVEY.md §4); here the
+equivalent "engine configuration" is a SparkSession whose defaults keep plans
+declarative and scale-safe:
+
+- AQE on (runtime re-plan: skew joins, partition coalescing),
+- UTC session timezone (deterministic timestamp semantics vs the oracle),
+- Arrow for any pandas exchange (vectorized, never row-at-a-time),
+- shuffle partitions sized from the environment (32 locally; on a real
+  cluster this should be ~2-3× total cores or left to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "crypto-market-tracker-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no ns
+        # type, so read as long and convert (see catalog.load_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # MERGE-style writers rewrite only touched partitions.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_testdata(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable configs this engine relies on to a
+    session we did not create (e.g. the verification driver's).
+
+    Safe to call repeatedly; every conf here is session-scoped.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    return spark

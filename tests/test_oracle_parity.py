@@ -1,0 +1,33 @@
+"""Differential test mirroring the driver's t2 gate: every query in
+``__spark_entry__.queries()`` must match its DuckDB oracle on the same
+parquet (row count + schema + order-insensitive values)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR, assert_frames_match
+
+NAMES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    spark_pdf = qfn(spark, SF_DIR).toPandas()
+    if sql is None:
+        assert len(spark_pdf) >= 0  # rows-only check, same as the driver
+        return
+    # Arrow fetch keeps DATE as date32 (datetime.date), matching Spark's
+    # DateType instead of pandas' datetime64 coercion.
+    oracle_pdf = duck.execute(sql).arrow().to_pandas()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5000).collect()
+    assert len(rows) > 0
+    assert df.schema is not None
