@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver collect, no disk) after a shared warmup that triggers JVM/codegen
+spin-up so per-query numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_market_tracker_etl_spark.session import get_session  # noqa: E402
+from crypto_market_tracker_etl_spark import queries as qmod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "latest_per_key",
+    "dim_join",
+    "asof_lookup",
+    "pct_change_24h",
+    "lag_change",
+    "daily_ohlc",
+    "series_align",
+    "upsert_keep_latest",
+    "tumbling_ohlc",
+    "kpis",
+    "dedup_exact",
+    "near_dup_pairs",
+    "simhash",
+    "cosine_topk",
+    "knn_lsh",
+    "text_quality",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = qmod.queries()
+
+    # warmup: spin up codegen/shuffle machinery on a small plan
+    force(registry["kpis"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(registry[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,19 +83,18 @@ def minhash_signatures(
     """
     shingles = word_shingles(F.col(text_col), shingle_words)
     out = df.withColumn("shingles", shingles)
-    mins = []
-    for i in range(num_hashes):
-        seed = f"mh{i}:"
+
+    # NB: the lambda must take exactly ONE parameter — F.transform inspects
+    # arity and would pass the array index as a second argument.
+    def hasher(seed: str):
         if portable:
-            hashed = F.transform(
-                F.col("shingles"), lambda s, seed=seed: F.md5(F.concat(F.lit(seed), s))
-            )
-        else:
-            hashed = F.transform(
-                F.col("shingles"),
-                lambda s, seed=seed: F.xxhash64(F.concat(F.lit(seed), s)).cast("string"),
-            )
-        mins.append(F.array_min(hashed))
+            return lambda s: F.md5(F.concat(F.lit(seed), s))
+        return lambda s: F.xxhash64(F.concat(F.lit(seed), s)).cast("string")
+
+    mins = [
+        F.array_min(F.transform(F.col("shingles"), hasher(f"mh{i}:")))
+        for i in range(num_hashes)
+    ]
     return out.withColumn("minhash", F.array(*mins))
 
 

@@ -495,9 +495,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+def _full_registry() -> dict[str, tuple[QueryFn, str | None]]:
+    from .queries_ext import REGISTRY_EXT
+
+    return {**REGISTRY, **REGISTRY_EXT}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: sql for name, (_, sql) in _full_registry().items() if sql is not None
+    }

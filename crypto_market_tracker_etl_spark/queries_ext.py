@@ -1,0 +1,461 @@
+"""Extension correctness queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md §2.11 / BASELINE.json north star).
+
+Oracle-parity strategy for content hashing: everything reduces to md5 (hex
+output identical in Spark and DuckDB) plus portable arithmetic — see
+functions.hashing. The documents corpus contains no true duplicates, so the
+near-dup queries build a deterministic augmented corpus INSIDE the query
+(each doc unioned with a copy missing its first two words, id+100000);
+both engines construct it identically, making the LSH → Jaccard pipeline's
+output non-trivial and hash-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.hashing import hex_prefix_to_long_sql
+from .functions.textstats import (
+    STOPWORDS,
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    n_bpe_tokens,
+    n_tokens,
+    n_words,
+    normalize_ws,
+    prefix_fingerprint,
+    quality_score,
+    stopword_hits,
+)
+from .operators.dedup import (
+    exact_dedup,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+)
+from .operators.similarity import brute_knn, hyperplanes, rp_lsh_knn
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# Shared oracle fragments ----------------------------------------------------
+
+# whitespace/case-normalized text (matches functions.textstats.normalize_ws)
+SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+# 3-word shingles of the normalized text (matches operators.dedup.word_shingles)
+SQL_SHINGLES = """
+CASE WHEN len(toks) >= 3
+     THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+     ELSE [array_to_string(toks, ' ')]
+END
+"""
+# augmented corpus: original docs + near-dup copies missing the first 2 words
+SQL_AUG = """
+aug AS (
+  SELECT doc_id, source, {norm} AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source,
+         array_to_string(list_slice(regexp_split_to_array({norm}, ' '), 3,
+                                    len(regexp_split_to_array({norm}, ' '))), ' ') AS t
+  FROM documents
+)
+""".format(norm=SQL_NORM)
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents, spread across the cluster: the corpus arrives as one small
+    parquet file (1-2 input splits) but every consumer does per-row hash/
+    regex CPU work, so parallelism must come from an explicit repartition."""
+    from .session import default_parallelism
+
+    return load_table(spark, sf_dir, "documents").repartition(default_parallelism())
+
+
+def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies (first two words dropped, id+100000)."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source", normalize_ws(F.col("text")).alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0))")
+        ).alias("text"),
+    )
+    _ = toks
+    return docs.unionByName(mutated)
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on normalized-text md5, keep the
+    lowest doc_id (single shuffle, map-side partial min)."""
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({SQL_NORM}) AS fingerprint,
+       min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 seeded-md5 permutations over 3-word shingles)
+    banded into 3 LSH keys — the exploded (doc, band_key) index that an
+    at-scale near-dup pass bucket-joins on."""
+    docs = _documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=12)
+    bands = F.array(*lsh_band_keys(num_hashes=12, band_size=4))
+    return sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_key")
+    )
+
+
+def _sql_sig_entries(num_hashes: int) -> str:
+    mins = [
+        f"list_aggregate(list_transform(shingles, s -> md5(concat('mh{i}:', s))), 'min')"
+        for i in range(num_hashes)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+SQL_MINHASH_BANDS = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok),
+sig AS (SELECT doc_id, {_sql_sig_entries(12)} AS minhash FROM sh),
+bands AS (
+  SELECT doc_id, b.band_id,
+         md5(concat_ws('|', concat('band', b.band_id * 4),
+             minhash[b.band_id * 4 + 1], minhash[b.band_id * 4 + 2],
+             minhash[b.band_id * 4 + 3], minhash[b.band_id * 4 + 4])) AS band_key
+  FROM sig, (SELECT unnest(range(0, 3)) AS band_id) b
+)
+SELECT doc_id, CAST(band_id AS INT) AS band_id, band_key FROM bands
+"""
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline on the augmented corpus: MinHash → LSH
+    banding (blocked by source) → candidate pairs → exact shingle Jaccard.
+    Verification-stage Jaccard runs only on candidates (near-linear work).
+
+    Scale notes: the corpus is repartitioned before signature computation
+    (hash work is per-row CPU; small file reads must not serialize it onto
+    2 tasks), and signatures are persisted because both the LSH pair join
+    and the Jaccard verification consume them — at 100 TB this is the
+    'write the signature table once' step.
+    """
+    from .session import default_parallelism
+
+    corpus = _augmented_corpus(spark, sf_dir).repartition(default_parallelism())
+    sigs = minhash_signatures(corpus, num_hashes=12).persist()
+    pairs = lsh_candidate_pairs(
+        sigs, num_hashes=12, band_size=4, blocking_cols=["source"]
+    )
+    return ngram_jaccard(pairs, sigs).filter(F.col("jaccard") >= 0.5)
+
+
+SQL_NEAR_DUP_PAIRS = f"""
+WITH {SQL_AUG},
+tok AS (SELECT doc_id, source, regexp_split_to_array(t, ' ') AS toks FROM aug),
+sh AS (SELECT doc_id, source, {SQL_SHINGLES} AS shingles FROM tok),
+sig AS (SELECT doc_id, source, shingles, {_sql_sig_entries(12)} AS minhash FROM sh),
+bands AS (
+  SELECT doc_id, source,
+         md5(concat_ws('|', concat('band', b.band_id * 4),
+             minhash[b.band_id * 4 + 1], minhash[b.band_id * 4 + 2],
+             minhash[b.band_id * 4 + 3], minhash[b.band_id * 4 + 4])) AS band_key
+  FROM sig, (SELECT unnest(range(0, 3)) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (portable md5-fold token hash; explode +
+    bit-vote groupBy — one shuffle, partial-aggregated sums)."""
+    return simhash(_documents(spark, sf_dir), bits=32)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    hv = hex_prefix_to_long_sql("md5(concat('simhash:', tok))", 12, "duckdb")
+    votes = ", ".join(
+        f"sum(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(bits)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, {hv} AS hv FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM v
+"""
+
+
+SQL_SIMHASH = _sql_simhash(32)
+
+
+# --------------------------------------------------------------------------
+# Similarity search family
+# --------------------------------------------------------------------------
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the query set vec_id % 50 == 0.
+    Queries broadcast; corpus never shuffled; window top-k per query."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return brute_knn(emb, queries, k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 4) AS cosine
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id DESC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors searching only the query's random-
+    hyperplane LSH bucket (IVF-style partition-pruned ANN)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return rp_lsh_knn(emb, queries, k=3, dim=64, num_planes=4)
+
+
+def _sql_knn_lsh(dim: int = 64, num_planes: int = 4) -> str:
+    planes = hyperplanes(dim, num_planes)
+    dots = []
+    for row in planes:
+        lit = "[" + ", ".join(str(x) for x in row) + "]::DOUBLE[]"
+        dots.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(dots)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.v), 4) AS cosine
+  FROM q JOIN b c USING (bucket)
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id DESC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+SQL_KNN_LSH = _sql_knn_lsh()
+
+
+# --------------------------------------------------------------------------
+# Text analysis family
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex words, BPE-ish word-or-punct
+    tokens, average token length (all fold/regexp expressions)."""
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_calc"),
+        n_tokens(t).alias("n_tokens"),
+        n_words(t).alias("n_words"),
+        n_bpe_tokens(t).alias("n_bpe_tokens"),
+        avg_token_len(t).alias("avg_token_len"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z0-9_]+')) AS n_words,
+       len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_tokens,
+       round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+             / len(toks), 4) AS avg_token_len
+FROM t
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language ID (stopword-hit scoring with
+    alphabetical tiebreak, 'und' when nothing matches)."""
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        *[
+            stopword_hits(t, lang).alias(f"sw_{lang}")
+            for lang in sorted(STOPWORDS)
+        ],
+    )
+
+
+def _sql_text_quality() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    sw_cols = ", ".join(f"{expr} AS sw_{lang}" for lang, expr in hits.items())
+    total = " + ".join(f"sw_{lang}" for lang in sorted(STOPWORDS))
+    best = "greatest(" + ", ".join(f"sw_{lang}" for lang in sorted(STOPWORDS)) + ")"
+    pred_cases = " ".join(
+        f"WHEN sw_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+  FROM documents
+),
+s AS (SELECT doc_id, lang, nt, toks, {sw_cols} FROM t),
+g AS (SELECT *, {best} AS best FROM s)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und' {pred_cases} END AS lang_pred,
+       round(
+         (CASE WHEN nt >= 10 AND nt <= 100000 THEN 0.4 ELSE 0.0 END)
+         + least(CAST({total} AS DOUBLE) / nt * 2.0, 0.3)
+         + least(CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 0.3), 4) AS quality,
+       sw_de, sw_en, sw_es, sw_fr
+FROM g
+"""
+
+
+SQL_TEXT_QUALITY = _sql_text_quality()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content md5 + 64-char-prefix md5 (the
+    boilerplate-head blocking key)."""
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        fingerprint(t).alias("content_fp"),
+        prefix_fingerprint(t, 64).alias("prefix_fp"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       md5({SQL_NORM}) AS content_fp,
+       md5(substr({SQL_NORM}, 1, 64)) AS prefix_fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: text encoded to bytes with typed
+    metadata (byte length, content hash) — the schema/partitioning shape
+    image/audio payloads flow through (decoders are stubs, see
+    multimodal.binary)."""
+    docs = _documents(spark, sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.lit("text/plain").alias("mime_type"),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       'text/plain' AS mime_type
+FROM documents
+"""
+
+
+REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
+    "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "binary_meta": (q_binary_meta, SQL_BINARY_META),
+}
