@@ -1,0 +1,123 @@
+"""The reference's two pipeline entry points, Spark-first.
+
+- ``run_incremental`` ≙ ``python -m src.etl`` (reference src/etl.py:21-59):
+  markets snapshot → per-asset trailing-window chart fetch → normalize →
+  upsert assets/prices/daily_metrics.
+- ``run_backfill`` ≙ ``python -m src.backfill`` (reference
+  src/backfill.py:20-34): bounded historical replay, ≤90-day windows.
+
+Differences by design (SURVEY.md §3): fetches run distributed (partitioned
+universe, HTTP inside tasks) instead of a serial driver loop; rows stream
+through DataFrames instead of accumulating in one Python list; daily
+metrics bucket by each row's own UTC date rather than "today in IST"
+(documented divergence, reference src/etl.py:15,47).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.ohlc import ohlc_daily
+from ..operators.upsert import ParquetUpsertSink, dedup_keep_latest, merge_upsert
+from ..sources.config import asset_universe_df
+from ..sources.rest import (
+    Fetcher,
+    fetch_market_charts,
+    fetch_markets,
+    normalize_chart_payloads,
+)
+
+BACKFILL_MAX_DAYS = 90  # CoinGecko hourly cap (reference src/backfill.py:19,24)
+
+
+def build_assets(markets: DataFrame) -> DataFrame:
+    """Markets snapshot → assets dimension rows (reference src/etl.py:26-28)."""
+    return markets.select(
+        "asset_id",
+        "symbol",
+        "name",
+        F.current_timestamp().alias("first_seen_at"),
+    )
+
+
+def build_daily_metrics(prices: DataFrame) -> DataFrame:
+    """Daily OHLC + close-of-day volume/market-cap per asset (reference
+    src/etl.py:46-54): one partial-aggregated groupBy, arg-max for the
+    at-day-end values."""
+    daily = ohlc_daily(prices, ["asset_id"], "ts", "price").withColumnRenamed(
+        "day", "date"
+    )
+    eod = prices.groupBy("asset_id", F.to_date("ts").alias("date")).agg(
+        F.max_by("market_cap", "ts").alias("market_cap"),
+        F.max_by("volume", "ts").alias("volume"),
+    )
+    return daily.join(eod, ["asset_id", "date"]).select(
+        "asset_id",
+        "date",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "market_cap",
+        F.current_timestamp().alias("inserted_at"),
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    assets: list[str],
+    fetcher: Fetcher,
+    prices_sink: ParquetUpsertSink,
+    days: int = 1,
+) -> dict[str, DataFrame]:
+    """One incremental pass; returns the three upsert-ready frames and
+    merges prices into the sink (idempotent keyed MERGE)."""
+    universe = asset_universe_df(spark, assets)
+    markets = fetch_markets(universe, fetcher)
+    charts = fetch_market_charts(universe, fetcher, days=days)
+    prices = normalize_chart_payloads(charts)
+    # batch-internal last-writer-wins before the merge (reference
+    # src/db.py:93-97 semantics)
+    prices = dedup_keep_latest(prices, ["asset_id", "ts"], ["inserted_at"])
+    prices_sink.upsert(prices)
+    return {
+        "assets": build_assets(markets),
+        "prices": prices,
+        "daily_metrics": build_daily_metrics(prices),
+    }
+
+
+def run_backfill(
+    spark: SparkSession,
+    assets: list[str],
+    fetcher: Fetcher,
+    prices_sink: ParquetUpsertSink,
+    days: int = BACKFILL_MAX_DAYS,
+    pacing_s: float = 0.0,
+) -> DataFrame:
+    """Bounded historical replay (reference src/backfill.py:20-34). Rows
+    flow partition→sink without driver accumulation."""
+    days = min(days, BACKFILL_MAX_DAYS)
+    universe = asset_universe_df(spark, assets)
+    charts = fetch_market_charts(universe, fetcher, days=days, pacing_s=pacing_s)
+    prices = normalize_chart_payloads(charts)
+    prices = dedup_keep_latest(prices, ["asset_id", "ts"], ["inserted_at"])
+    prices_sink.upsert(prices)
+    return prices
+
+
+def upsert_assets_dim(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Assets-dimension upsert (reference src/db.py:73-84): the ON CONFLICT
+    clause updates only symbol/name, so the original first_seen_at is
+    preserved — expressed as one partial-aggregated groupBy (max_by on the
+    source tag for attrs, min for the timestamp)."""
+    tagged = old.withColumn("__src", F.lit(0)).unionByName(
+        new.withColumn("__src", F.lit(1))
+    )
+    return tagged.groupBy("asset_id").agg(
+        F.max_by("symbol", "__src").alias("symbol"),
+        F.max_by("name", "__src").alias("name"),
+        F.min("first_seen_at").alias("first_seen_at"),
+    )

@@ -1,0 +1,279 @@
+"""Unit tests for operators without a SQL oracle: generalized as-of join,
+upsert sink, streaming, multimodal plumbing, market-view plans, LSH recall."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_market_tracker_etl_spark.catalog import load_table
+from crypto_market_tracker_etl_spark.operators.asof import asof_join
+from crypto_market_tracker_etl_spark.operators.upsert import (
+    ParquetUpsertSink,
+    merge_upsert,
+)
+from crypto_market_tracker_etl_spark.multimodal.binary import (
+    decode_media,
+    documents_as_media,
+    fake_decoder,
+    frame_sample,
+    real_decoder,
+)
+from crypto_market_tracker_etl_spark.plans.market_views import (
+    v_daily_ohlc,
+    v_latest_prices,
+    v_price_change_24h,
+    v_price_sparkline_7d,
+)
+from tests.conftest import SF_DIR
+
+
+def ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("a", ts(9), 100.0),
+            ("a", ts(11), 110.0),
+            ("b", ts(10), 50.0),
+        ],
+        "key string, qts timestamp, quote double",
+    )
+
+
+def test_asof_join_backward(spark, quotes):
+    probes = spark.createDataFrame(
+        [("a", ts(8)), ("a", ts(9)), ("a", ts(10)), ("a", ts(12)), ("b", ts(10, 30)), ("c", ts(10))],
+        "key string, pts timestamp",
+    )
+    out = {
+        (r["key"], r["pts"]): r["quote_asof"]
+        for r in asof_join(
+            probes, quotes, ["key"], "pts", "qts", ["quote"]
+        ).collect()
+    }
+    assert out[("a", ts(8))] is None  # before first quote
+    assert out[("a", ts(9))] == 100.0  # exact-timestamp quote visible
+    assert out[("a", ts(10))] == 100.0  # most recent prior
+    assert out[("a", ts(12))] == 110.0
+    assert out[("b", ts(10, 30))] == 50.0
+    assert out[("c", ts(10))] is None  # key with no quotes at all
+
+
+def test_asof_join_tolerance(spark, quotes):
+    probes = spark.createDataFrame(
+        [("a", ts(10)), ("a", ts(13))], "key string, pts timestamp"
+    )
+    out = {
+        r["pts"]: r["quote_asof"]
+        for r in asof_join(
+            probes,
+            quotes,
+            ["key"],
+            "pts",
+            "qts",
+            ["quote"],
+            tolerance=F.expr("INTERVAL 90 MINUTES"),
+        ).collect()
+    }
+    assert out[ts(10)] == 100.0  # 1h old, inside tolerance
+    assert out[ts(13)] is None  # 2h old quote, outside tolerance
+
+
+# ------------------------------------------------------------- upsert sink
+
+
+def test_parquet_upsert_sink_partitions(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    sink = ParquetUpsertSink(spark, path, keys=["k", "ts"], ts_col="ts")
+    day1 = dt.datetime(2024, 1, 1, 10)
+    day2 = dt.datetime(2024, 1, 2, 10)
+    first = spark.createDataFrame(
+        [("a", day1, 1.0), ("a", day2, 2.0)], "k string, ts timestamp, v double"
+    )
+    sink.upsert(first)
+    assert sink.read().count() == 2
+
+    # revised value for an existing key + one new key, same day
+    second = spark.createDataFrame(
+        [("a", day2, 20.0), ("b", day2, 5.0)], "k string, ts timestamp, v double"
+    )
+    sink.upsert(second)
+    got = {(r["k"], r["ts"]): r["v"] for r in sink.read().collect()}
+    assert got == {("a", day1): 1.0, ("a", day2): 20.0, ("b", day2): 5.0}
+
+    # dynamic partition overwrite: day1's partition untouched by day2 batch
+    import os
+
+    assert sorted(p for p in os.listdir(path) if p.startswith("dt=")) == [
+        "dt=2024-01-01",
+        "dt=2024-01-02",
+    ]
+
+
+def test_merge_upsert_tie_prefers_new(spark):
+    old = spark.createDataFrame([("k1", 1, "old")], "k string, v int, who string")
+    new = spark.createDataFrame([("k1", 1, "new")], "k string, v int, who string")
+    out = merge_upsert(old, new, ["k"], ["v"]).collect()
+    assert len(out) == 1 and out[0]["who"] == "new"
+
+
+# -------------------------------------------------------------- streaming
+
+
+def test_incremental_upsert_stream_available_now(spark, tmp_path):
+    from crypto_market_tracker_etl_spark.streaming.incremental import (
+        incremental_upsert_stream,
+    )
+
+    src_dir = str(tmp_path / "incoming")
+    batch = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 1), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 1), 9.0),  # same key: latest wins
+            ("b", dt.datetime(2024, 1, 1, 2), 2.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    batch.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    sink = ParquetUpsertSink(spark, str(tmp_path / "out"), keys=["k", "ts"], ts_col="ts")
+    q = incremental_upsert_stream(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {(r["k"], r["ts"]): r["v"] for r in sink.read().collect()}
+    assert got[("b", dt.datetime(2024, 1, 1, 2))] == 2.0
+    assert len(got) == 2  # duplicate key collapsed
+
+
+def test_windowed_ohlc_stream_matches_batch(spark, tmp_path):
+    from crypto_market_tracker_etl_spark.streaming.incremental import (
+        windowed_ohlc_stream,
+    )
+    from crypto_market_tracker_etl_spark.operators.ohlc import ohlc_tumbling
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    # streaming requires LTZ timestamps for watermarks; cast once here
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ev")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_ohlc_stream(stream, ["user_id"], "ts", "value", "1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["window_start"]): (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+        for r in spark.sql("select * from ohlc_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["window_start"]): (r["open"], r["high"], r["low"], r["close"], r["n_obs"])
+        for r in ohlc_tumbling(events, ["user_id"], "ts", "value", "1 day").collect()
+    }
+    assert got == want
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_decode_media_pipeline(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    media = documents_as_media(docs)
+    decoded = decode_media(media, fake_decoder)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    r = rows[0]
+    assert r["n_bytes"] > 0 and 1 <= r["width"] <= 64 and len(r["feature"]) == 8
+    # determinism: same payload → same features
+    again = decode_media(media, fake_decoder).collect()
+    assert {x["media_id"]: x["feature"] for x in again} == {
+        x["media_id"]: x["feature"] for x in rows
+    }
+
+
+def test_real_decoder_is_stub(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(1)
+    with pytest.raises(Exception) as err:
+        decode_media(documents_as_media(docs)).collect()
+    assert "NotImplementedError" in str(err.value) or isinstance(
+        err.value, NotImplementedError
+    )
+
+
+def test_frame_sample_deterministic(spark):
+    docs = documents_as_media(load_table(spark, SF_DIR, "documents"))
+    a = {r["media_id"] for r in frame_sample(docs, 4).collect()}
+    b = {r["media_id"] for r in frame_sample(docs, 4).collect()}
+    assert a == b and 0 < len(a) < docs.count()
+
+
+# ------------------------------------------------------------ market views
+
+
+@pytest.fixture(scope="module")
+def ref_model(spark):
+    """Tiny reference-model fixture: 2 assets, hourly prices over 3 days,
+    nulls in market_cap, a 24h-stale asset."""
+    assets = spark.createDataFrame(
+        [("btc", "btc", "Bitcoin", ts(0)), ("eth", "eth", "Ethereum", ts(0))],
+        "asset_id string, symbol string, name string, first_seen_at timestamp",
+    )
+    rows = []
+    for d in range(3):
+        for h in range(24):
+            t = dt.datetime(2024, 1, 1 + d, h)
+            rows.append(("btc", t, 100.0 + d * 24 + h, 1e9 if h % 2 else None, 1e6))
+            if d < 2:  # eth stops a day early → exercises as-of/null paths
+                rows.append(("eth", t, 50.0 + d * 24 + h, 5e8, None))
+    prices = spark.createDataFrame(
+        rows, "asset_id string, ts timestamp, price double, market_cap double, volume double"
+    )
+    return assets, prices
+
+
+def test_v_latest_prices(spark, ref_model):
+    assets, prices = ref_model
+    rows = v_latest_prices(prices, assets).collect()
+    assert [r["asset_id"] for r in rows] == ["btc", "eth"]  # null mc last
+    btc = rows[0]
+    assert btc["price"] == 100.0 + 2 * 24 + 23 and btc["symbol"] == "btc"
+
+
+def test_v_price_change_24h(spark, ref_model):
+    _, prices = ref_model
+    as_of = F.lit(dt.datetime(2024, 1, 3, 23)).cast("timestamp")
+    out = {r["asset_id"]: r for r in v_price_change_24h(prices, as_of).collect()}
+    # btc: now=171 (d2 h23), 24h-ago point = d1 h23 = 147 → +16.3265%
+    assert out["btc"]["price_now"] == 171.0
+    assert out["btc"]["price_24h"] == 147.0
+    assert out["btc"]["pct_change_24h"] == round((171 - 147) / 147 * 100, 4)
+
+
+def test_v_daily_ohlc_and_sparkline(spark, ref_model):
+    assets, prices = ref_model
+    daily = v_daily_ohlc(prices, assets).collect()
+    btc_d0 = next(
+        r for r in daily if r["asset_id"] == "btc" and str(r["day"]) == "2024-01-01"
+    )
+    assert (btc_d0["open"], btc_d0["high"], btc_d0["low"], btc_d0["close"]) == (
+        100.0,
+        123.0,
+        100.0,
+        123.0,
+    )
+    spark_7d = v_price_sparkline_7d(
+        prices, assets, F.lit(dt.datetime(2024, 1, 3, 23)).cast("timestamp")
+    )
+    assert spark_7d.count() == prices.count()  # everything within 7 days

@@ -1,0 +1,172 @@
+"""Ingestion + ETL pipeline tests with an injected offline fetcher
+(no network in CI — the transport is mockable by design)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from crypto_market_tracker_etl_spark.operators.upsert import ParquetUpsertSink
+from crypto_market_tracker_etl_spark.plans.etl_job import (
+    run_backfill,
+    run_incremental,
+    upsert_assets_dim,
+)
+from crypto_market_tracker_etl_spark.sources.config import (
+    asset_universe_df,
+    parse_asset_list,
+)
+from crypto_market_tracker_etl_spark.sources.rest import (
+    RateLimitError,
+    fetch_market_charts,
+    fetch_markets,
+    fetch_with_retry,
+    normalize_chart_payloads,
+)
+
+ASSETS = ["bitcoin", "ethereum", "solana"]
+BASE_MS = 1_700_000_000_000
+
+
+def make_fake_fetch():
+    """Deterministic CoinGecko-shaped responses.
+
+    Built as a closure (not a module-level function) so cloudpickle
+    serializes it BY VALUE — executors cannot import the tests package.
+    """
+
+    def fake_fetch(url: str) -> str:
+        import json
+
+        if "/coins/markets" in url:
+            ids = url.split("ids=")[1].split("&")[0].split(",")
+            return json.dumps(
+                [
+                    {
+                        "id": cid,
+                        "symbol": cid[:3],
+                        "name": cid.title(),
+                        "price_change_percentage_24h_in_currency": 1.5,
+                        "price_change_percentage_7d_in_currency": None,
+                        "price_change_percentage_30d_in_currency": -2.25,
+                    }
+                    for cid in ids
+                ]
+            )
+        cid = url.split("/coins/")[1].split("/")[0]
+        seed = len(cid)
+        base_ms = 1_700_000_000_000
+        pts = [[base_ms + i * 3_600_000, 100.0 + seed + i] for i in range(24)]
+        mcs = [[base_ms + i * 3_600_000, 1e9 + i] for i in range(24)]
+        # volumes intentionally missing the last point → NULL after the ms join
+        vols = [[base_ms + i * 3_600_000, 5e8 + i] for i in range(23)]
+        return json.dumps({"prices": pts, "market_caps": mcs, "total_volumes": vols})
+
+    return fake_fetch
+
+
+fake_fetch = make_fake_fetch()
+
+
+def test_parse_asset_list():
+    text = "assets:\n  - bitcoin  # the original\n\n  - 'ethereum'\n  - solana\n"
+    assert parse_asset_list(text) == ASSETS
+
+
+def test_fetch_markets_offline(spark):
+    universe = asset_universe_df(spark, ASSETS)
+    rows = fetch_markets(universe, fake_fetch).collect()
+    assert {r["asset_id"] for r in rows} == set(ASSETS)
+    r = next(r for r in rows if r["asset_id"] == "bitcoin")
+    assert r["symbol"] == "bit" and r["price_change_pct_7d"] is None
+
+
+def test_chart_normalization_ms_join(spark):
+    universe = asset_universe_df(spark, ["bitcoin"])
+    charts = fetch_market_charts(universe, fake_fetch)
+    prices = normalize_chart_payloads(charts)
+    rows = prices.orderBy("ts").collect()
+    assert len(rows) == 24
+    assert rows[0]["price"] == 107.0  # 100 + len('bitcoin')
+    assert rows[0]["market_cap"] == 1e9
+    assert rows[-1]["volume"] is None  # missing final volume point → NULL
+    assert rows[0]["ts"].microsecond == 0  # second precision
+    assert rows[0]["source"] == "coingecko"
+
+
+def test_chart_cutoff_trim(spark):
+    universe = asset_universe_df(spark, ["bitcoin"])
+    charts = fetch_market_charts(universe, fake_fetch)
+    cutoff = BASE_MS + 12 * 3_600_000
+    trimmed = normalize_chart_payloads(charts, cutoff_ms=cutoff)
+    assert trimmed.count() == 12
+
+
+def test_retry_backoff_then_success():
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky(url: str) -> str:
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise RateLimitError("429")
+        return "ok"
+
+    assert fetch_with_retry(flaky, "u", sleep=sleeps.append) == "ok"
+    assert calls["n"] == 4
+    assert sleeps == [1.0, 2.0, 4.0]  # exponential 1→30
+
+
+def test_retry_exhausted():
+    def always_429(url: str) -> str:
+        raise RateLimitError("429")
+
+    with pytest.raises(RateLimitError):
+        fetch_with_retry(always_429, "u", sleep=lambda s: None)
+
+
+def test_run_incremental_end_to_end(spark, tmp_path):
+    sink = ParquetUpsertSink(
+        spark, str(tmp_path / "prices"), keys=["asset_id", "ts"], ts_col="ts"
+    )
+    out = run_incremental(spark, ASSETS, fake_fetch, sink, days=1)
+    assert out["assets"].count() == 3
+    assert out["prices"].count() == 72  # 3 assets × 24 hourly points
+    daily = {
+        (r["asset_id"], str(r["date"])): r for r in out["daily_metrics"].collect()
+    }
+    assert len(daily) == 6  # 24 hourly points straddle 2 UTC dates
+    stored = sink.read()
+    assert stored.count() == 72
+    # idempotent re-run: same data upserted again → no duplicates
+    run_incremental(spark, ASSETS, fake_fetch, sink, days=1)
+    assert sink.read().count() == 72
+
+
+def test_run_backfill_caps_days(spark, tmp_path):
+    sink = ParquetUpsertSink(
+        spark, str(tmp_path / "bf"), keys=["asset_id", "ts"], ts_col="ts"
+    )
+    prices = run_backfill(spark, ["bitcoin"], fake_fetch, sink, days=365)
+    assert prices.count() == 24
+
+
+def test_upsert_assets_dim_keeps_first_seen(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    old = spark.createDataFrame(
+        [("bitcoin", "btc", "Bitcoin", t0)],
+        "asset_id string, symbol string, name string, first_seen_at timestamp",
+    )
+    new = spark.createDataFrame(
+        [("bitcoin", "xbt", "Bitcoin!", t1), ("solana", "sol", "Solana", t1)],
+        "asset_id string, symbol string, name string, first_seen_at timestamp",
+    )
+    merged = {r["asset_id"]: r for r in upsert_assets_dim(old, new).collect()}
+    assert len(merged) == 2
+    assert merged["bitcoin"]["symbol"] == "xbt"  # new attrs win
+    assert merged["bitcoin"]["first_seen_at"] == t0  # original timestamp kept
+    assert merged["solana"]["first_seen_at"] == t1
