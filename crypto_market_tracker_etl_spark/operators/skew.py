@@ -1,0 +1,85 @@
+"""Skew-mitigation operators: salted aggregation and salted joins.
+
+AQE's skew-join handling (on by default in session.py) covers sort-merge
+skew splitting at runtime; these operators cover the cases AQE cannot:
+
+- ``salted_aggregate``: two-phase aggregation for hot grouping keys. Phase 1
+  aggregates on (key, salt) — spreading one hot key over N reducers — phase
+  2 combines the N partials. Correct for algebraic aggregates (sum, count,
+  min, max), which is exactly what reduces losslessly.
+- ``salted_join``: equi-join where ONE hot build-side key would overwhelm a
+  reducer and the build side is too large to broadcast. The probe side gets
+  a deterministic salt from a high-entropy column; the build side is
+  replicated across all salt values. Output equals the unsalted join.
+
+Salt fan-out trades build-side duplication (×N) for reducer balance — pick
+N ≈ (hot-key rows / target partition rows), not "as big as possible".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+AggSpec = dict[str, str]  # output name -> "fn(col)" with fn in sum|count|min|max
+
+
+_COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+
+def _parse(spec: str) -> tuple[str, str]:
+    fn, _, col = spec.partition("(")
+    return fn.strip(), col.rstrip(")").strip()
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: AggSpec,
+    salt_buckets: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Two-phase aggregation over (keys + salt) then (keys).
+
+    ``aggs`` maps output column → "fn(col)" with fn ∈ sum/count/min/max.
+    ``salt_on`` seeds the salt (default: spark_partition_id — stable within
+    a run, spreads rows regardless of key distribution).
+    """
+    salt = (
+        F.pmod(F.xxhash64(salt_on if isinstance(salt_on, Column) else F.col(salt_on)), F.lit(salt_buckets))
+        if salt_on is not None
+        else F.spark_partition_id() % salt_buckets
+    )
+    partials = []
+    finals = []
+    for out, spec in aggs.items():
+        fn, col = _parse(spec)
+        partials.append(_PARTIAL[fn](col).alias(f"__p_{out}"))
+        finals.append(_COMBINE[fn](f"__p_{out}").alias(out))
+    phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    salt_col: str | Column,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: probe side salted by ``salt_col``'s hash,
+    build side replicated across every salt value, join on keys + salt.
+
+    Result is row-identical to ``left.join(right, keys, how)``.
+    """
+    keys = list(keys)
+    salt_src = salt_col if isinstance(salt_col, Column) else F.col(salt_col)
+    lsalted = left.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    rrep = right.select("*", salts).withColumn("__salt", F.col("__salt").cast("long"))
+    out = lsalted.join(rrep, [*keys, "__salt"], how)
+    return out.drop("__salt")

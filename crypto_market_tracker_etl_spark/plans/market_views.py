@@ -60,6 +60,28 @@ def v_daily_ohlc(prices: DataFrame, assets: DataFrame) -> DataFrame:
     )
 
 
+def register_market_views(
+    prices: DataFrame, assets: DataFrame, as_of: Column | None = None
+) -> None:
+    """Expose the four views to ``spark.sql`` under the reference's names —
+    the engine's SQL surface (reference consumers query views, not tables).
+
+    ``as_of`` defaults to the stream's max(ts), attached via a broadcast
+    1-row aggregate so nothing is collected driver-side.
+    """
+    anchored = prices
+    if as_of is None:
+        mx = prices.agg(F.max("ts").alias("__max_ts"))
+        anchored = prices.crossJoin(F.broadcast(mx))
+        as_of = F.col("__max_ts")
+    v_latest_prices(prices, assets).createOrReplaceTempView("v_latest_prices")
+    v_price_change_24h(anchored, as_of).createOrReplaceTempView("v_price_change_24h")
+    v_daily_ohlc(prices, assets).createOrReplaceTempView("v_daily_ohlc")
+    v_price_sparkline_7d(anchored, assets, as_of).createOrReplaceTempView(
+        "v_price_sparkline_7d"
+    )
+
+
 def v_price_sparkline_7d(prices: DataFrame, assets: DataFrame, as_of: Column) -> DataFrame:
     """Trailing-7-day price points per asset for sparklines (reference
     ``sql/views.sql:37-42``)."""

@@ -469,6 +469,111 @@ FROM r GROUP BY user_id, window_start
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3 generalized] True per-row backward as-of join (no Spark builtin;
+    implemented as union + conditional last_value over one shuffle — see
+    operators.asof). Each click event looks up the user's most recent
+    purchase value at-or-before it. Oracle: DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", F.col("value").alias("click_value")
+    )
+    quotes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(probes, quotes, ["user_id"], "ts", "ts", ["purchase_value"])
+    return out.select(
+        "user_id", "event_id", "ts", "click_value", "purchase_value_asof"
+    )
+
+
+SQL_ASOF_JOIN = f"""
+WITH {E_CTE},
+probes AS (
+  SELECT user_id, event_id, ts, value AS click_value FROM e WHERE event_type = 'click'
+),
+quotes AS (
+  SELECT user_id, ts, value AS purchase_value FROM e WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.ts, p.click_value,
+       q.purchase_value AS purchase_value_asof
+FROM probes p
+ASOF LEFT JOIN quotes q ON p.user_id = q.user_id AND p.ts >= q.ts
+"""
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.9 generalization] Session windows (4h inactivity gap) per user —
+    built-in F.session_window, identical semantics in batch and streaming.
+    Oracle: gaps-and-islands (lag + cumulative sum)."""
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "4 hours").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum("value").alias("value_sum"),
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH {E_CTE},
+o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - (lag(ts) OVER w) >= INTERVAL '4 hours'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '4 hours' AS session_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM s GROUP BY user_id, sess_id
+"""
+
+
+def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O-topk] Top-3 orders by price per priority class — window-rank
+    top-k (per-partition WindowGroupLimit, no global sort)."""
+    from .operators.latest import top_k_per_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_per_key(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        3,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+SQL_TOPK_PER_KEY = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -492,6 +597,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "date_format": (q_date_format, SQL_DATE_FORMAT),
     "upsert_keep_latest": (q_upsert_keep_latest, SQL_UPSERT_KEEP_LATEST),
     "tumbling_ohlc": (q_tumbling_ohlc, SQL_TUMBLING_OHLC),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "topk_per_key": (q_topk_per_key, SQL_TOPK_PER_KEY),
+    "session_window": (q_session_window, SQL_SESSION_WINDOW),
 }
 
 

@@ -447,6 +447,73 @@ FROM documents
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucket-blocked pairs with
+    rounded cosine ≥ 0.9 on an augmented corpus (each vector unioned with a
+    first-component-negated copy, id+100000 — cosine ≈ 1 − 2·v₀²/‖v‖²).
+
+    The bucket equi-join replaces the all-pairs cross join; recall < 100%
+    by construction (a perturbed copy can land in another bucket) — that is
+    the documented LSH trade, identical in both engines.
+    """
+    from .functions.vector import as_double, cosine
+    from .operators.similarity import bucket_key, hyperplanes
+    from .session import default_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(default_parallelism())
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    perturbed = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("concat(array(-element_at(v, 1)), slice(v, 2, 63))").alias("v"),
+    )
+    aug = base.unionByName(perturbed)
+    planes = hyperplanes(64, 4)
+    b = aug.withColumn("bucket", bucket_key(F.col("v"), planes))
+    a = b.alias("a")
+    c = b.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+def _sql_embedding_near_dup(dim: int = 64, num_planes: int = 4) -> str:
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, num_planes)
+    bits = []
+    for row in planes:
+        lit = "[" + ", ".join(str(x) for x in row) + "]::DOUBLE[]"
+        bits.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)")
+    bucket = " || ".join(bits)
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_concat([-v[1]], v[2:]) AS v FROM base
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM aug)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, c.v), 4) AS cosine
+FROM b a JOIN b c USING (bucket)
+WHERE a.vec_id < c.vec_id
+  AND round(list_cosine_similarity(a.v, c.v), 4) >= 0.9
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
@@ -458,4 +525,5 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "binary_meta": (q_binary_meta, SQL_BINARY_META),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
 }

@@ -1,0 +1,122 @@
+"""Tests for the scale-posture utilities: salted aggregation/join equality,
+partition-pruned layout, and the SQL view surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_market_tracker_etl_spark.catalog import load_table
+from crypto_market_tracker_etl_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+from crypto_market_tracker_etl_spark.plans.market_views import register_market_views
+from crypto_market_tracker_etl_spark.sources.parquet_layout import (
+    read_pruned,
+    write_time_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+def test_salted_aggregate_equals_plain(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {
+        (r["user_id"],): (r["n"], r["mx"], round(r["sm"], 2))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.max("value").alias("mx"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sm"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["n"], r["mx"], round(r["sm"], 2))
+        for r in salted_aggregate(
+            ev.withColumn("value_dec", F.col("value").cast("decimal(18,2)")),
+            ["user_id"],
+            {"n": "count(value)", "mx": "max(value)", "sm": "sum(value_dec)"},
+            salt_buckets=8,
+            salt_on="event_id",
+        )
+        .withColumn("sm", F.col("sm").cast("double"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = {
+        (r["event_id"], r["c_name"])
+        for r in ev.join(cust, "user_id", "inner").collect()
+    }
+    salted = {
+        (r["event_id"], r["c_name"])
+        for r in salted_join(ev, cust, ["user_id"], "event_id", salt_buckets=4).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    out = {
+        (r["k"], r["w"]) for r in salted_join(left, right, ["k"], "v", 4, "left").collect()
+    }
+    assert out == {(1, "x"), (2, None)}
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    path = str(tmp_path / "events_part")
+    write_time_partitioned(ev, path, "ts", sort_keys=["user_id"])
+    pruned = read_pruned(spark, path, "2024-01-10", "2024-01-12")
+    rows = pruned.count()
+    want = ev.filter(
+        (F.to_date("ts") >= "2024-01-10") & (F.to_date("ts") <= "2024-01-12")
+    ).count()
+    assert rows == want and rows > 0
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    # the time predicate prunes directories: scan must not read all partitions
+    import re
+
+    m = re.search(r"Location: InMemoryFileIndex \[(.*)\]", plan)
+    assert m is not None
+
+
+def test_register_market_views_sql_surface(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    prices = ev.select(
+        F.col("user_id").cast("string").alias("asset_id"),
+        "ts",
+        F.col("value").alias("price"),
+        F.col("value").alias("market_cap"),
+        F.col("value").alias("volume"),
+    )
+    assets = (
+        prices.select("asset_id")
+        .distinct()
+        .select(
+            "asset_id",
+            F.upper("asset_id").alias("symbol"),
+            F.concat(F.lit("Asset "), "asset_id").alias("name"),
+        )
+    )
+    register_market_views(prices, assets)
+    latest = spark.sql("SELECT * FROM v_latest_prices")
+    assert latest.count() == assets.count()
+    chg = spark.sql(
+        "SELECT count(*) AS n FROM v_price_change_24h WHERE pct_change_24h IS NOT NULL"
+    ).collect()[0]["n"]
+    assert chg > 0
+    ohlc = spark.sql("SELECT * FROM v_daily_ohlc WHERE high < low").count()
+    assert ohlc == 0
+    spark7 = spark.sql("SELECT min(ts) AS mn FROM v_price_sparkline_7d").collect()[0]
+    assert spark7["mn"] is not None
