@@ -32,12 +32,16 @@ HEADLINE = [
     "series_align",
     "upsert_keep_latest",
     "tumbling_ohlc",
+    "session_window",
+    "asof_join",
+    "topk_per_key",
     "kpis",
     "dedup_exact",
     "near_dup_pairs",
     "simhash",
     "cosine_topk",
     "knn_lsh",
+    "embedding_near_dup",
     "text_quality",
 ]
 
