@@ -68,6 +68,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# Universal-hash permutation constants: perm_i(h) = (A_i·h + B_i) mod P.
+# P is the Mersenne prime 2^31−1; A/B are fixed odd constants < 2^20 so
+# A·(h mod P) stays far below 2^63 (no overflow in either engine).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    return [(2 * i * i + 3 * i + 1, 7 * i + 13) for i in range(1, num_hashes + 1)]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -77,25 +87,35 @@ def minhash_signatures(
 ) -> DataFrame:
     """Adds ``shingles`` and ``minhash`` (array of per-permutation minima).
 
-    Permutation i = min over shingles of hash(seed_i ++ shingle). With
-    ``portable=True`` the hash is the md5 hex string itself (lexicographic
-    min; reproducible in any SQL engine); otherwise xxhash64 longs.
+    Each shingle is hashed ONCE (portable md5-fold, or xxhash64 on the
+    Spark-only fast path); the k permutations are then arithmetic
+    ``(A_i·h + B_i) mod P`` — the classic universal-hash MinHash. At corpus
+    scale this is the difference between 1 and k digest computations per
+    shingle, and it reproduces exactly in any SQL engine (see the oracle
+    generator in queries_ext).
     """
     shingles = word_shingles(F.col(text_col), shingle_words)
     out = df.withColumn("shingles", shingles)
 
-    # NB: the lambda must take exactly ONE parameter — F.transform inspects
-    # arity and would pass the array index as a second argument.
-    def hasher(seed: str):
-        if portable:
-            return lambda s: F.md5(F.concat(F.lit(seed), s))
-        return lambda s: F.xxhash64(F.concat(F.lit(seed), s)).cast("string")
+    # NB: higher-order lambdas must take exactly ONE parameter — F.transform
+    # inspects arity and would pass the array index as a second argument.
+    if portable:
+        base = F.transform(F.col("shingles"), lambda s: md5_long(s) % MINHASH_P)
+    else:
+        base = F.transform(
+            F.col("shingles"),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)),
+        )
+    out = out.withColumn("__h", base)
+
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
 
     mins = [
-        F.array_min(F.transform(F.col("shingles"), hasher(f"mh{i}:")))
-        for i in range(num_hashes)
+        F.array_min(F.transform(F.col("__h"), perm(a, b))).cast("long")
+        for a, b in minhash_perm_constants(num_hashes)
     ]
-    return out.withColumn("minhash", F.array(*mins))
+    return out.withColumn("minhash", F.array(*mins)).drop("__h")
 
 
 def lsh_band_keys(num_hashes: int, band_size: int) -> list[Column]:
@@ -103,7 +123,10 @@ def lsh_band_keys(num_hashes: int, band_size: int) -> list[Column]:
     band b. Docs sharing ANY band key are candidate near-duplicates."""
     keys = []
     for b in range(0, num_hashes, band_size):
-        parts = [F.element_at("minhash", i + 1) for i in range(b, b + band_size)]
+        parts = [
+            F.element_at("minhash", i + 1).cast("string")
+            for i in range(b, b + band_size)
+        ]
         keys.append(F.md5(F.concat_ws("|", F.lit(f"band{b}"), *parts)))
     return keys
 

@@ -5,12 +5,16 @@ per-key ``max(ts)`` subquery (reference ``sql/views.sql:5-6``). That shape
 scans + shuffles the fact table twice. Spark-first replacements, in order of
 preference at scale:
 
-1. ``latest_per_key_agg`` — ``groupBy(keys).agg(max_by(payload, order))``:
-   ONE shuffle carrying at most one row per key per map partition (partial
-   aggregation combines map-side). This is the 100 TB shape.
-2. ``latest_per_key`` — window ``row_number() == 1``: one full-data shuffle,
-   but keeps every source column with no struct packing; fine when the
-   payload is the whole row and per-key cardinality is modest.
+1. ``latest_per_key`` — window ``row_number() == 1``. On Spark 3.5+/4 this
+   plans as ``WindowGroupLimit(Partial)``: a per-map-partition top-1 runs
+   BEFORE the shuffle, so only one row per key per partition moves — and
+   the whole pipeline stays in whole-stage codegen. Measured fastest at
+   every scale (50M rows / 50k keys: ~3 s on local[32]).
+2. ``latest_per_key_agg`` — ``groupBy(keys).agg(max_by(payload, order))``:
+   also one partial-aggregated shuffle, but max_by is an
+   ObjectHashAggregate (JVM object per group, no codegen); prefer it only
+   when the consumer is already aggregate-shaped. session.py raises the
+   128-group sort-fallback threshold that would otherwise cripple it.
 
 Ties: callers must pass an ``order`` that is a total order (e.g. ts then a
 unique id) or results are nondeterministic — same caveat as the reference's

