@@ -40,17 +40,19 @@ def merge_upsert(
     old: DataFrame,
     new: DataFrame,
     keys: Sequence[str],
-    order: Sequence[str | Column],
+    order: Sequence[str | Column] | None = None,
 ) -> DataFrame:
     """MERGE: rows from ``new`` replace same-key rows in ``old``.
 
-    ``__src`` breaks version ties in favor of new rows, reproducing ON
-    CONFLICT DO UPDATE even when the version column is equal.
+    With no ``order`` (the reference's ON CONFLICT DO UPDATE), a new row
+    ALWAYS wins over an old one with the same key. With ``order``, the
+    highest version wins and ``__src`` breaks exact version ties in favor
+    of new rows.
     """
     tagged = old.withColumn("__src", F.lit(0)).unionByName(
         new.withColumn("__src", F.lit(1))
     )
-    return dedup_keep_latest(tagged, keys, [*order, "__src"]).drop("__src")
+    return dedup_keep_latest(tagged, keys, [*(order or []), "__src"]).drop("__src")
 
 
 class ParquetUpsertSink:

@@ -504,6 +504,28 @@ ASOF LEFT JOIN quotes q ON p.user_id = q.user_id AND p.ts >= q.ts
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C11] JSON payload decode (reference app.py:31, etl.py:36-41 consume
+    JSON REST bodies): path extraction + typed parse of events.props, and a
+    per-user exact integer rollup of the extracted field."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    k_str = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        "user_id",
+        k_str.alias("k_str"),
+        k_str.cast("int").alias("k_int"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, user_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+FROM events
+"""
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[§2.9 generalization] Session windows (4h inactivity gap) per user —
     built-in F.session_window, identical semantics in batch and streaming.
@@ -600,6 +622,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "topk_per_key": (q_topk_per_key, SQL_TOPK_PER_KEY),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
 }
 
 

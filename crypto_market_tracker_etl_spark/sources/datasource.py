@@ -24,7 +24,12 @@ from __future__ import annotations
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 PRICES_DDL = (
     "asset_id string, ts timestamp_ntz, price double, market_cap double, "
@@ -88,6 +93,51 @@ class CoinGeckoReader(DataSourceReader):
                 yield (asset_id, ts, price, mc.get(ms), vol.get(ms), "coingecko")
 
 
+class CoinGeckoStreamReader(SimpleDataSourceStreamReader):
+    """Incremental stream form of the source: the offset is the count of
+    hourly points already emitted per asset — each micro-batch delivers the
+    next slice. This is the reference's cron-rerun incremental loop
+    (reference .github/workflows/etl.yml:5-7) as a genuine Structured
+    Streaming source with replayable offsets: ``readBetweenOffsets``
+    regenerates any window deterministically, so checkpoint recovery never
+    duplicates or drops points.
+    """
+
+    def __init__(self, options: dict):
+        if "assets" not in options:
+            raise ValueError("coingecko source requires option 'assets'")
+        self.assets = [a.strip() for a in options["assets"].split(",") if a.strip()]
+        self.days = int(options.get("days", "1"))
+        self.hours_per_batch = int(options.get("hours_per_batch", "6"))
+        self.total_hours = 24 * self.days
+
+    def initialOffset(self) -> dict:
+        return {"hour": 0}
+
+    def _rows(self, start_h: int, end_h: int):
+        import datetime as dt
+
+        for asset_id in self.assets:
+            chart = synthetic_chart(asset_id, self.days)
+            mc = {int(ms): v for ms, v in chart["market_caps"]}
+            vol = {int(ms): v for ms, v in chart["total_volumes"]}
+            for ms, price in chart["prices"][start_h:end_h]:
+                ms = int(ms)
+                ts = dt.datetime.utcfromtimestamp(ms // 1000)
+                yield (asset_id, ts, price, mc.get(ms), vol.get(ms), "coingecko")
+
+    def read(self, start: dict):
+        start_h = start["hour"]
+        end_h = min(start_h + self.hours_per_batch, self.total_hours)
+        # must be a PICKLABLE ITERATOR: the engine pickles it driver→executor
+        # (plain generators fail) and calls next() on it to prove emptiness
+        # when the offset did not advance (plain lists fail).
+        return iter(list(self._rows(start_h, end_h))), {"hour": end_h}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["hour"], end["hour"])))
+
+
 class CoinGeckoDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -98,6 +148,9 @@ class CoinGeckoDataSource(DataSource):
 
     def reader(self, schema) -> CoinGeckoReader:
         return CoinGeckoReader(self.options)
+
+    def simpleStreamReader(self, schema) -> CoinGeckoStreamReader:
+        return CoinGeckoStreamReader(self.options)
 
 
 def register(spark) -> None:

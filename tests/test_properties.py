@@ -1,0 +1,94 @@
+"""Property-based tests (Hypothesis): operators vs pure-Python models on
+randomized small inputs — catches edge cases fixture tests miss (ties,
+empty keys, single-row groups, all-duplicate batches)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crypto_market_tracker_etl_spark.operators.asof import asof_join
+from crypto_market_tracker_etl_spark.operators.upsert import (
+    dedup_keep_latest,
+    merge_upsert,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# small discrete domains maximize collision/tie coverage
+keys = st.sampled_from(["a", "b", "c"])
+ticks = st.integers(min_value=0, max_value=20)
+values = st.integers(min_value=0, max_value=100)
+
+events = st.lists(st.tuples(keys, ticks, values), min_size=0, max_size=25)
+
+
+def to_rows(items):
+    return [(k, BASE + dt.timedelta(hours=t), float(v)) for k, t, v in items]
+
+
+SCHEMA = "k string, ts timestamp, v double"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(probes=events, quotes=events)
+def test_asof_join_matches_python_model(spark, probes, quotes):
+    # model: for each probe, max-ts quote with qts <= pts (ties on qts can't
+    # happen per key: dedupe quotes to latest value per (k, t))
+    qmap: dict[tuple[str, int], float] = {}
+    for k, t, v in quotes:
+        qmap[(k, t)] = max(qmap.get((k, t), -1.0), float(v))
+    dq = [(k, t, v) for (k, t), v in qmap.items()]
+
+    # disjoint placeholder keys so empty-input stand-ins cannot join
+    left = spark.createDataFrame(to_rows(probes) or [("zp", BASE, 0.0)], SCHEMA)
+    right = spark.createDataFrame(to_rows(dq) or [("zq", BASE - dt.timedelta(days=9), -1.0)], SCHEMA)
+    got = {
+        (r["k"], r["ts"]): r["v_asof"]
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+
+    for k, t, _ in probes or [("zz", 0, 0)]:
+        eligible = [(tt, vv) for (kk, tt), vv in qmap.items() if kk == k and tt <= t]
+        want = max(eligible)[1] if eligible else None
+        key = (k, BASE + dt.timedelta(hours=t))
+        if key in got:  # duplicate probe rows collapse to the same answer
+            assert got[key] == want, (k, t, got[key], want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch=events)
+def test_dedup_keep_latest_model(spark, batch):
+    df = spark.createDataFrame(to_rows(batch) or [("zz", BASE, 0.0)], SCHEMA)
+    got = {
+        (r["k"], r["ts"]): r["v"]
+        for r in dedup_keep_latest(df, ["k", "ts"], ["v"]).collect()
+    }
+    want: dict[tuple[str, dt.datetime], float] = {}
+    for k, t, v in batch or [("zz", 0, 0)]:
+        kk = (k, BASE + dt.timedelta(hours=t))
+        want[kk] = max(want.get(kk, -1.0), float(v))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=events, new=events)
+def test_merge_upsert_idempotent(spark, old, new):
+    o = dedup_keep_latest(
+        spark.createDataFrame(to_rows(old) or [("zz", BASE, 0.0)], SCHEMA), ["k", "ts"], ["v"]
+    )
+    n = dedup_keep_latest(
+        spark.createDataFrame(to_rows(new) or [("zz", BASE, 1.0)], SCHEMA), ["k", "ts"], ["v"]
+    )
+    # no version order: ON CONFLICT semantics, new rows always win
+    once = merge_upsert(o, n, ["k", "ts"])
+    twice = merge_upsert(once, n, ["k", "ts"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b  # replaying the same batch changes nothing
+    # new rows always present verbatim
+    got = {(r["k"], r["ts"]): r["v"] for r in once.collect()}
+    for r in n.collect():
+        assert got[(r["k"], r["ts"])] == r["v"]
