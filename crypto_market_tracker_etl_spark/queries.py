@@ -596,6 +596,112 @@ FROM (
 """
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.4 extension] ROLLUP over (returnflag, linestatus) with subtotal
+    and grand-total rows — hierarchical aggregates in one pass (Catalyst
+    Expand), the idiomatic replacement for a union of three groupBys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J6 cousin] Pivot event_type into columns per (user, day) — the
+    wide-format form of series alignment. Pivot values are declared
+    explicitly (no extra distinct-scan pass; deterministic column set)."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    out = (
+        ev.groupBy("user_id", "day")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        "day",
+        F.col("click").alias("n_click"),
+        F.col("view").alias("n_view"),
+        F.col("purchase").alias("n_purchase"),
+        F.col("signup").alias("n_signup"),
+        F.col("error").alias("n_error"),
+    )
+
+
+SQL_PIVOT = f"""
+WITH {E_CTE}
+SELECT user_id, CAST(ts AS DATE) AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM e GROUP BY user_id, CAST(ts AS DATE)
+"""
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.3 extension] Semi/anti joins: per customer, whether any order
+    exists — EXISTS/NOT EXISTS without materializing the join (left_semi ∪
+    left_anti, each a broadcast-able existence probe)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = customer.join(orders, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    without = customer.join(orders, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return with_orders.unionByName(without)
+
+
+SQL_SEMI_ANTI = """
+SELECT c_custkey, TRUE AS has_orders FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, FALSE AS has_orders FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A-extension] Exact interpolated percentiles of order totals per
+    priority (Spark `percentile` ≙ DuckDB `quantile_cont`), rounded for
+    cross-engine float stability."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(o_totalprice, {p})"), 4
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        pct(0.5).alias("p50"),
+        pct(0.9).alias("p90"),
+        pct(0.99).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -623,6 +729,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "topk_per_key": (q_topk_per_key, SQL_TOPK_PER_KEY),
     "session_window": (q_session_window, SQL_SESSION_WINDOW),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "rollup": (q_rollup, SQL_ROLLUP),
+    "pivot": (q_pivot, SQL_PIVOT),
+    "semi_anti": (q_semi_anti, SQL_SEMI_ANTI),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
 }
 
 
