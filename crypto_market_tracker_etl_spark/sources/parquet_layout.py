@@ -43,6 +43,29 @@ def write_time_partitioned(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 16,
+    sort_cols: Sequence[str] = (),
+) -> None:
+    """Persist as a bucketed managed table: rows are hash-distributed into
+    ``num_buckets`` files by ``bucket_cols`` and sorted within each.
+
+    Bucketing is the shuffle-amortization layout: two tables bucketed the
+    same way join WITHOUT either side shuffling (Catalyst recognizes the
+    co-partitioning), and aggregations on the bucket key skip the exchange
+    entirely. At 100 TB this turns the nightly fact-to-fact join from the
+    dominant shuffle into a map-side zip. (Parquet path tables cannot carry
+    bucket metadata; this must be a catalog table, hence saveAsTable.)
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,

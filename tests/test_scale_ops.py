@@ -91,6 +91,31 @@ def test_partitioned_layout_prunes(spark, tmp_path):
     assert m is not None
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    from crypto_market_tracker_etl_spark.sources.parquet_layout import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+        agg = ev.groupBy("user_id").agg(F.count("value").alias("n"))
+        write_bucketed(ev, "ev_bucketed", ["user_id"], 8, sort_cols=["user_id"])
+        write_bucketed(agg, "agg_bucketed", ["user_id"], 8, sort_cols=["user_id"])
+        joined = spark.table("ev_bucketed").join(spark.table("agg_bucketed"), "user_id")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # co-bucketed tables join with ZERO exchanges on either side
+        assert ") Exchange" not in plan, plan
+        # and the result is correct
+        got = joined.count()
+        assert got == ev.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS agg_bucketed")
+
+
 def test_register_market_views_sql_surface(spark):
     ev = load_table(spark, SF_DIR, "events")
     prices = ev.select(
