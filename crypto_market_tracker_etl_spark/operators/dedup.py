@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import fast_long, md5_long
 from ..functions.textstats import normalize_ws
-from .latest import earliest_per_key
 
 
 def exact_dedup(

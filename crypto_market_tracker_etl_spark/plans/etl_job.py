@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ohlc import ohlc_daily
-from ..operators.upsert import ParquetUpsertSink, dedup_keep_latest, merge_upsert
+from ..operators.upsert import ParquetUpsertSink, dedup_keep_latest
 from ..sources.config import asset_universe_df
 from ..sources.rest import (
     Fetcher,

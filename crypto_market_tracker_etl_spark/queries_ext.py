@@ -85,7 +85,6 @@ def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(
         "doc_id", "source", normalize_ws(F.col("text")).alias("text")
     )
-    toks = F.split(F.col("text"), " ")
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         "source",
@@ -93,7 +92,6 @@ def _augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.expr("slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0))")
         ).alias("text"),
     )
-    _ = toks
     return docs.unionByName(mutated)
 
 

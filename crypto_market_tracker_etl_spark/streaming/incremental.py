@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.upsert import ParquetUpsertSink, dedup_keep_latest
+from ..operators.upsert import ParquetUpsertSink
 
 
 def incremental_upsert_stream(
