@@ -533,6 +533,51 @@ WHERE a.vec_id < c.vec_id
 SQL_EMBEDDING_NEAR_DUP = _sql_embedding_near_dup()
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation sampling: keep 60% of 'en' docs, 25% of others, membership a
+    pure content-keyed hash (reproducible across engines/reruns/layouts) —
+    plus the train/val/test split assignment from an independent hash."""
+    from .operators.sampling import split, stratified_sample
+
+    docs = _documents(spark, sf_dir)
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.60}, default_rate=0.25
+    )
+    return split(sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from .operators.sampling import DENOM
+
+    b_sample = hex_prefix_to_long_sql(
+        "md5(concat('sample:', CAST(doc_id AS VARCHAR)))", 12, "duckdb"
+    )
+    b_split = hex_prefix_to_long_sql(
+        "md5(concat('split:', CAST(doc_id AS VARCHAR)))", 12, "duckdb"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ({b_sample}) % {DENOM} AS sb,
+         ({b_split}) % {DENOM} AS pb
+  FROM documents
+)
+SELECT doc_id, lang,
+       -- buckets assigned in sorted split-name order (test, train, val),
+       -- mirroring operators.sampling.split
+       CASE WHEN pb < 1000 THEN 'test'
+            WHEN pb < 9000 THEN 'train'
+            WHEN pb < 10000 THEN 'val' END AS split
+FROM b
+WHERE sb < (CASE WHEN lang = 'en' THEN 6000 ELSE 2500 END)
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
@@ -545,4 +590,5 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "binary_meta": (q_binary_meta, SQL_BINARY_META),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }
