@@ -255,6 +255,45 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: same-source document pairs whose 32-bit
+    fingerprints differ in ≤ 10 bits (Hamming via xor + popcount). Blocked
+    by source so the pair space stays bounded — the SimHash complement to
+    the MinHash-LSH pipeline."""
+    from .operators.dedup import simhash, simhash_near_dups
+
+    docs = _documents(spark, sf_dir)
+    hashed = simhash(docs, bits=32)
+    return simhash_near_dups(
+        hashed, docs, blocking_col="source", max_hamming=10
+    )
+
+
+def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 10) -> str:
+    hv = hex_prefix_to_long_sql("md5(concat('simhash:', tok))", 12, "duckdb")
+    votes = ", ".join(f"sum(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(bits))
+    assemble = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS tok FROM documents
+),
+h AS (SELECT doc_id, {hv} AS hv FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+s AS (SELECT v.doc_id, d.source, CAST({assemble} AS BIGINT) AS simhash
+      FROM v JOIN documents d ON d.doc_id = v.doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the query set vec_id % 50 == 0.
     Queries broadcast; corpus never shuffled; window top-k per query."""
@@ -591,4 +630,5 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "binary_meta": (q_binary_meta, SQL_BINARY_META),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
 }
