@@ -99,8 +99,10 @@ def quality_score(text: Column) -> Column:
         F.lit(0),
     ).cast("double")
     sw_ratio = F.when(nt > 0, sw / nt).otherwise(F.lit(0.0))
+    # diversity over LOWERCASED tokens, consistent with stopword_hits —
+    # case variants of one word are the same vocabulary item
     distinct_ratio = F.when(
-        nt > 0, F.size(F.array_distinct(tokens(text))).cast("double") / nt
+        nt > 0, F.size(F.array_distinct(tokens(F.lower(text)))).cast("double") / nt
     ).otherwise(F.lit(0.0))
     score = (
         F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))

@@ -32,6 +32,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """``cosine`` with per-row precomputed norms: in pair-join plans the
+    norm folds run once per ROW instead of once per CANDIDATE PAIR (3× less
+    fold work on the hot path). Bit-identical to ``cosine`` when the norm
+    columns were produced by ``norm`` — same fold, same division order."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

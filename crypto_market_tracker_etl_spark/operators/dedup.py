@@ -8,7 +8,7 @@ training-data pipeline needs content dedup; this module provides the ladder:
 - ``lsh_candidate_pairs``   banding → bucket join → candidate pairs
 - ``ngram_jaccard``         exact Jaccard on shingle sets, for verification
 - ``simhash``               64→B-bit SimHash via explode + bit-vote groupBy
-- ``simhash_near_dups``     Hamming-distance pairs within a blocking key
+- ``simhash_near_dups``     Hamming pairs via bit-band LSH + verify
 
 Scale notes: every operator is expression-only per row plus at most ONE
 shuffle (groupBy doc key or LSH bucket). The pair-emitting operators require
@@ -215,27 +215,68 @@ def simhash(
     return tallied.select(F.col(id_col), sh.alias("simhash"))
 
 
+def simhash_band_values(sh: Column, bits: int = 32, num_bands: int = 4) -> Column:
+    """Split a ``bits``-wide SimHash into ``num_bands`` contiguous bit bands
+    and return the array of band values — the LSH keys for pair search."""
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.shiftright(sh, b * width).bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(num_bands)
+        ]
+    )
+
+
 def simhash_near_dups(
     hashed: DataFrame,
     blocking: DataFrame,
     id_col: str = "doc_id",
     blocking_col: str = "source",
     max_hamming: int = 16,
+    bits: int = 32,
+    num_bands: int = 4,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ threshold inside a blocking partition."""
+    """Pairs with Hamming(simhash) ≤ threshold, found via LSH banding.
+
+    The fingerprint is split into ``num_bands`` bit-bands; candidate pairs
+    are those colliding on ≥1 (band_id, band_value) bucket — an equi-join,
+    never an all-pairs self-join — and Hamming is verified on candidates
+    only. Same shape as the MinHash pipeline (lsh_candidate_pairs):
+    per-bucket work instead of O(n²) per blocking partition.
+
+    Recall: pigeonhole-guaranteed when Hamming < num_bands (some band must
+    be untouched); probabilistic above that — near-identical fingerprints
+    (the actual near-dups) still collide with high probability. Raise
+    ``num_bands`` for a tighter guarantee at the cost of more candidates.
+    """
     withblk = hashed.join(blocking.select(id_col, blocking_col), id_col)
-    a = withblk.alias("a")
-    b = withblk.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    exploded = withblk.select(
+        F.col(id_col),
+        F.col(blocking_col),
+        F.col("simhash"),
+        F.posexplode(simhash_band_values(F.col("simhash"), bits, num_bands)).alias(
+            "band_id", "band_val"
+        ),
     )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col(f"a.{blocking_col}") == F.col(f"b.{blocking_col}"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            [
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{blocking_col}") == F.col(f"b.{blocking_col}"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

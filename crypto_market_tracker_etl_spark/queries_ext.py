@@ -257,25 +257,28 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: same-source document pairs whose 32-bit
-    fingerprints differ in ≤ 10 bits (Hamming via xor + popcount). Blocked
-    by source so the pair space stays bounded — the SimHash complement to
-    the MinHash-LSH pipeline."""
+    fingerprints differ in ≤ 10 bits. Candidates come from a bit-band LSH
+    equi-join (4×8-bit bands, never an all-pairs self-join); Hamming is
+    verified on candidates only — the SimHash complement to the MinHash-LSH
+    pipeline, with the same near-linear scale shape."""
     from .operators.dedup import simhash, simhash_near_dups
 
     docs = _documents(spark, sf_dir)
     hashed = simhash(docs, bits=32)
     return simhash_near_dups(
-        hashed, docs, blocking_col="source", max_hamming=10
+        hashed, docs, blocking_col="source", max_hamming=10, bits=32, num_bands=4
     )
 
 
-def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 10) -> str:
+def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 10, num_bands: int = 4) -> str:
     hv = hex_prefix_to_long_sql("md5(concat('simhash:', tok))", 12, "duckdb")
     votes = ", ".join(f"sum(((hv >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(bits))
     assemble = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(bits)
     )
+    width = bits // num_bands
+    mask = (1 << width) - 1
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS tok FROM documents
@@ -283,10 +286,17 @@ WITH tok AS (
 h AS (SELECT doc_id, {hv} AS hv FROM tok),
 v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
 s AS (SELECT v.doc_id, d.source, CAST({assemble} AS BIGINT) AS simhash
-      FROM v JOIN documents d ON d.doc_id = v.doc_id)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      FROM v JOIN documents d ON d.doc_id = v.doc_id),
+eb AS (
+  SELECT doc_id, source, simhash, b.band_id,
+         (simhash >> (b.band_id * {width})) & {mask} AS band_val
+  FROM s, (SELECT unnest(range(0, {num_bands})) AS band_id) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM eb a JOIN eb b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val
+ AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
@@ -323,15 +333,32 @@ FROM (
 """
 
 
+ANN_PLANES = 6  # ≈ planes_for_corpus(2000 vecs, target 32) — see SCALE.md
+# Skew guard ONLY: ~4× the expected bucket size (4000 aug vecs / 64 buckets
+# ≈ 62) so it clips degenerate hot buckets, never ordinary ones — capping at
+# the mean bucket size was measured to cost 24 recall points at sf0.1.
+ANN_BUCKET_CAP = 256
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 neighbors searching only the query's random-
-    hyperplane LSH bucket (IVF-style partition-pruned ANN)."""
+    """Approximate top-3 neighbors via random-hyperplane LSH at its scale
+    configuration: 6 planes (64 buckets — derived, not fixed: see
+    planes_for_corpus), Hamming-1 multiprobe for recall, and a
+    deterministic per-bucket candidate cap as the skew guard."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return rp_lsh_knn(emb, queries, k=3, dim=64, num_planes=4)
+    return rp_lsh_knn(
+        emb,
+        queries,
+        k=3,
+        dim=64,
+        num_planes=ANN_PLANES,
+        multiprobe=True,
+        bucket_cap=ANN_BUCKET_CAP,
+    )
 
 
-def _sql_knn_lsh(dim: int = 64, num_planes: int = 4) -> str:
+def _sql_bucket_expr(dim: int, num_planes: int) -> str:
     planes = hyperplanes(dim, num_planes)
     dots = []
     for row in planes:
@@ -339,18 +366,42 @@ def _sql_knn_lsh(dim: int = 64, num_planes: int = 4) -> str:
         dots.append(
             f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)"
         )
-    bucket = " || ".join(dots)
+    return " || ".join(dots)
+
+
+# probe set: p=0 keeps the bucket, p=1..H flips sign bit p (multiprobe)
+def _sql_probe_expand(num_planes: int) -> str:
+    return f"""
+  SELECT * REPLACE (
+    CASE WHEN f.p = 0 THEN bucket
+         ELSE substr(bucket, 1, f.p - 1)
+              || (CASE WHEN substr(bucket, f.p, 1) = '1' THEN '0' ELSE '1' END)
+              || substr(bucket, f.p + 1)
+    END AS bucket)
+  FROM probing, (SELECT CAST(unnest(range(0, {num_planes + 1})) AS INT) AS p) f
+"""
+
+
+def _sql_knn_lsh(
+    dim: int = 64, num_planes: int = ANN_PLANES, cap: int = ANN_BUCKET_CAP
+) -> str:
+    bucket = _sql_bucket_expr(dim, num_planes)
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id % 50 = 0),
+b0 AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+b AS (
+  SELECT vec_id, v, bucket FROM b0
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {cap}
+),
+probing AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b0 WHERE vec_id % 50 = 0),
+qp AS ({_sql_probe_expand(num_planes)}),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.qv, c.v), 4) AS cosine
-  FROM q JOIN b c USING (bucket)
-  WHERE c.vec_id <> q.query_id
+  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qp.qv, c.v), 4) AS cosine
+  FROM qp JOIN b c USING (bucket)
+  WHERE c.vec_id <> qp.query_id
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM (
@@ -444,8 +495,11 @@ SELECT doc_id, lang,
        CASE WHEN best = 0 THEN 'und' {pred_cases} END AS lang_pred,
        round(
          (CASE WHEN nt >= 10 AND nt <= 100000 THEN 0.4 ELSE 0.0 END)
-         + least(CAST({total} AS DOUBLE) / nt * 2.0, 0.3)
-         + least(CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 0.3), 4) AS quality,
+         + (CASE WHEN nt > 0
+                 THEN least(CAST({total} AS DOUBLE) / nt * 2.0, 0.3) ELSE 0.0 END)
+         + (CASE WHEN nt > 0
+                 THEN least(CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 0.3)
+                 ELSE 0.0 END), 4) AS quality,
        sw_de, sw_en, sw_es, sw_fr
 FROM g
 """
@@ -508,49 +562,38 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded cosine ≥ 0.9 on an augmented corpus (each vector unioned with a
     first-component-negated copy, id+100000 — cosine ≈ 1 − 2·v₀²/‖v‖²).
 
-    The bucket equi-join replaces the all-pairs cross join; recall < 100%
-    by construction (a perturbed copy can land in another bucket) — that is
-    the documented LSH trade, identical in both engines.
+    Scale configuration (operators.similarity.embedding_near_dup_pairs):
+    6 planes so the bucket count tracks corpus size instead of fixing the
+    O(n²/buckets) pair space, Hamming-1 multiprobe to recover the recall
+    higher plane counts cost, and a per-bucket cap as the skew guard —
+    identical parameters embedded in the oracle.
     """
-    from .functions.vector import as_double, cosine
-    from .operators.similarity import bucket_key, hyperplanes
+    from .operators.similarity import embedding_near_dup_pairs
     from .session import default_parallelism
 
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         default_parallelism(), "vec_id"
     )
-    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     perturbed = base.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.expr("concat(array(-element_at(v, 1)), slice(v, 2, 63))").alias("v"),
     )
     aug = base.unionByName(perturbed)
-    planes = hyperplanes(64, 4)
-    b = aug.withColumn("bucket", bucket_key(F.col("v"), planes))
-    a = b.alias("a")
-    c = b.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-    return (
-        a.join(c, "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.9)
+    return embedding_near_dup_pairs(
+        aug,
+        dim=64,
+        num_planes=ANN_PLANES,
+        threshold=0.9,
+        multiprobe=True,
+        bucket_cap=ANN_BUCKET_CAP,
     )
 
 
-def _sql_embedding_near_dup(dim: int = 64, num_planes: int = 4) -> str:
-    from .operators.similarity import hyperplanes
-
-    planes = hyperplanes(dim, num_planes)
-    bits = []
-    for row in planes:
-        lit = "[" + ", ".join(str(x) for x in row) + "]::DOUBLE[]"
-        bits.append(f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)")
-    bucket = " || ".join(bits)
+def _sql_embedding_near_dup(
+    dim: int = 64, num_planes: int = ANN_PLANES, cap: int = ANN_BUCKET_CAP
+) -> str:
+    bucket = _sql_bucket_expr(dim, num_planes)
     return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -560,10 +603,16 @@ aug AS (
   UNION ALL
   SELECT vec_id + 100000 AS vec_id, list_concat([-v[1]], v[2:]) AS v FROM base
 ),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM aug)
+b0 AS (SELECT vec_id, v, {bucket} AS bucket FROM aug),
+b AS (
+  SELECT vec_id, v, bucket FROM b0
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {cap}
+),
+probing AS (SELECT vec_id, v, bucket FROM b),
+qp AS ({_sql_probe_expand(num_planes)})
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        round(list_cosine_similarity(a.v, c.v), 4) AS cosine
-FROM b a JOIN b c USING (bucket)
+FROM qp a JOIN b c USING (bucket)
 WHERE a.vec_id < c.vec_id
   AND round(list_cosine_similarity(a.v, c.v), 4) >= 0.9
 """

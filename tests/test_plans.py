@@ -58,6 +58,22 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "CartesianProduct" not in s
 
 
+def test_global_sort_is_range_partitioned(spark):
+    s = plan_of(spark, "global_sort")
+    # unlimited ORDER BY must distribute via range partitioning (sampled
+    # boundaries), not collapse to a single partition or a top-k operator
+    assert "rangepartitioning" in s
+    assert "TakeOrderedAndProject" not in s
+
+
+def test_simhash_pairs_join_on_band_key(spark):
+    s = plan_of(spark, "simhash_pairs")
+    # the pair search must equi-join on the LSH band key, not all-pairs
+    # within bare `source` (the O(n²)-per-block anti-pattern)
+    assert "band_val" in s and "band_id" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
 def test_entry_uses_broadcast_dim(spark):
     df = entrymod.entry(spark)
     jvm = spark._jvm
