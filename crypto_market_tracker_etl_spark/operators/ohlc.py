@@ -64,10 +64,15 @@ def ohlc_tumbling(
     ts_col: str,
     value: str,
     window_duration: str = "1 day",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
-    """OHLC per tumbling event-time window; emits window_start/window_end."""
+    """OHLC per tumbling event-time window; emits window_start/window_end.
+    ``tiebreak`` extends the open/close order to a total order on equal
+    timestamps (same contract as ohlc_daily)."""
     win = F.window(ts_col, window_duration)
-    out = df.groupBy(*keys, win.alias("w")).agg(*_ohlc_aggs(value, F.col(ts_col)))
+    order_cols = [F.col(ts_col), *(F.col(c) for c in tiebreak)]
+    ord_struct = order_cols[0] if len(order_cols) == 1 else F.struct(*order_cols)
+    out = df.groupBy(*keys, win.alias("w")).agg(*_ohlc_aggs(value, ord_struct))
     return out.select(
         *keys,
         F.col("w.start").alias("window_start"),

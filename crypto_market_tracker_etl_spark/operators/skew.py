@@ -74,8 +74,17 @@ def salted_join(
     """Skew-resistant equi-join: probe side salted by ``salt_col``'s hash,
     build side replicated across every salt value, join on keys + salt.
 
-    Result is row-identical to ``left.join(right, keys, how)``.
+    Result is row-identical to ``left.join(right, keys, how)`` for
+    ``how`` ∈ {inner, left}. Other join types are rejected: the build side
+    is replicated ×``salt_buckets``, so right/full joins would emit every
+    unmatched build row once per salt value, and semi/anti joins would
+    probe against replicas — use AQE's skew-join handling for those.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "the replicated build side breaks right/full/semi/anti semantics"
+        )
     keys = list(keys)
     salt_src = salt_col if isinstance(salt_col, Column) else F.col(salt_col)
     lsalted = left.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)))

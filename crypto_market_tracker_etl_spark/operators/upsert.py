@@ -9,15 +9,21 @@ each key* (last-writer-wins), which distributes as:
 - ``merge_upsert``: new ∪ old, keep-latest per key, preferring new rows on
   version ties (the ON CONFLICT update).
 - ``ParquetUpsertSink``: a date-partitioned parquet table with MERGE
-  semantics via dynamic partition overwrite: only partitions containing
-  incoming keys are read + rewritten, so a day's increment touches a day's
-  partitions — not the 100 TB table. (Delta's MERGE INTO is the managed
-  version of exactly this; parquet keeps the repo dependency-free.)
+  semantics: only partitions containing incoming keys are read + rewritten,
+  so a day's increment touches a day's partitions — not the 100 TB table.
+  Writes are staged to a hidden sibling directory and swapped in per
+  partition, so the merge never overwrites the same files it is lazily
+  reading, and a default-configured session cannot clobber untouched
+  partitions. (Delta's MERGE INTO is the managed version of exactly this;
+  parquet keeps the repo dependency-free.) Single-writer by design — the
+  reference's daily cron (``.github/workflows/etl.yml``) is one writer too.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -88,15 +94,44 @@ class ParquetUpsertSink:
     def upsert(self, batch: DataFrame) -> None:
         batch = batch.withColumn("dt", F.to_date(self.ts_col))
         if self._exists():
-            days = [r["dt"] for r in batch.select("dt").distinct().collect()]
-            # touched partitions only: pruned scan, bounded by batch's days
-            old = self.read().filter(F.col("dt").isin(days))
+            # touched partitions only, selected by a broadcast semi-join on
+            # the batch's distinct days: no driver collect, and the 1-row-
+            # per-day build side triggers dynamic partition pruning so the
+            # table scan reads only those dt= directories.
+            touched = F.broadcast(batch.select("dt").distinct())
+            old = self.read().join(touched, "dt", "left_semi")
             merged = merge_upsert(old, batch, self.keys, self.order)
         else:
             merged = dedup_keep_latest(batch, self.keys, self.order)
-        (
-            merged.repartition("dt")
-            .write.mode("overwrite")
-            .partitionBy("dt")
-            .parquet(self.path)
-        )
+        self._stage_and_swap(merged)
+
+    def _stage_and_swap(self, merged: DataFrame) -> None:
+        """Write merged partitions to a hidden staging dir, then swap each
+        ``dt=`` directory into the table.
+
+        Two failure modes this removes vs. a direct ``mode("overwrite")``
+        of the table path: (a) the merge plan lazily READS the very
+        partitions the write would replace — staging materializes the full
+        result before any target file is touched; (b) without
+        ``partitionOverwriteMode=dynamic`` on the session, a static
+        overwrite would DELETE every untouched partition — the swap only
+        ever replaces directories the batch produced. The underscore prefix
+        keeps Spark's parquet reader from listing in-flight staging files.
+        """
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        try:
+            (
+                merged.repartition("dt")
+                .write.mode("overwrite")
+                .partitionBy("dt")
+                .parquet(staging)
+            )
+            for name in os.listdir(staging):
+                if not name.startswith("dt="):
+                    continue  # _SUCCESS and friends
+                target = os.path.join(self.path, name)
+                if os.path.isdir(target):
+                    shutil.rmtree(target)
+                os.replace(os.path.join(staging, name), target)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)

@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.ohlc import ohlc_daily
 from ..operators.upsert import ParquetUpsertSink, dedup_keep_latest
 from ..sources.config import asset_universe_df
 from ..sources.rest import (
@@ -43,25 +42,13 @@ def build_assets(markets: DataFrame) -> DataFrame:
 
 def build_daily_metrics(prices: DataFrame) -> DataFrame:
     """Daily OHLC + close-of-day volume/market-cap per asset (reference
-    src/etl.py:46-54): one partial-aggregated groupBy, arg-max for the
-    at-day-end values."""
-    daily = ohlc_daily(prices, ["asset_id"], "ts", "price").withColumnRenamed(
-        "day", "date"
-    )
-    eod = prices.groupBy("asset_id", F.to_date("ts").alias("date")).agg(
-        F.max_by("market_cap", "ts").alias("market_cap"),
-        F.max_by("volume", "ts").alias("volume"),
-    )
-    return daily.join(eod, ["asset_id", "date"]).select(
-        "asset_id",
-        "date",
-        "open",
-        "high",
-        "low",
-        "close",
-        "volume",
-        "market_cap",
-        F.current_timestamp().alias("inserted_at"),
+    src/etl.py:46-54): the shared daily_metrics_from_ticks aggregation
+    (also consumed by the v_daily_ohlc view) stamped with the upsert
+    timestamp (reference sql/schema.sql:34)."""
+    from .market_views import daily_metrics_from_ticks
+
+    return daily_metrics_from_ticks(prices).withColumn(
+        "inserted_at", F.current_timestamp()
     )
 
 

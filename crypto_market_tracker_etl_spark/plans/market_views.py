@@ -1,5 +1,7 @@
 """The reference's four SQL views (its entire query surface,
-``/root/reference/sql/views.sql:2-42``) re-expressed as DataFrame builders.
+``/root/reference/sql/views.sql:2-42``) re-expressed as DataFrame builders,
+with 1:1 column parity — a dashboard ported from the reference can select
+the same columns from the same view names.
 
 Differences from the reference, on purpose (SURVEY.md §2.5, §4):
 - greatest-n-per-group is a window/max_by, not a self-join on max(ts)
@@ -7,7 +9,9 @@ Differences from the reference, on purpose (SURVEY.md §2.5, §4):
 - the assets dimension is broadcast (it is bounded by the tracked universe);
 - "now()" is an injected ``as_of`` column so results are deterministic and
   replayable — pass ``F.current_timestamp()`` to get the reference's
-  behavior.
+  behavior;
+- daily metrics bucket by each row's own UTC date (documented divergence
+  from the reference's run-day-in-IST stamp, SURVEY.md §3.1).
 
 Every builder returns a lazy DataFrame; Catalyst folds caller-side filters
 (e.g. the dashboard's ``asset_id = X``) into the scans, which is what
@@ -24,44 +28,99 @@ from ..operators.latest import latest_per_key
 from ..operators.ohlc import ohlc_daily
 
 
+def _dim(assets: DataFrame) -> DataFrame:
+    return F.broadcast(assets.select("asset_id", "symbol", "name"))
+
+
 def v_latest_prices(prices: DataFrame, assets: DataFrame) -> DataFrame:
     """Latest price row per asset + dimension columns, richest first
     (reference ``sql/views.sql:2-8``)."""
     latest = latest_per_key(prices, ["asset_id"], ["ts"])
     return (
-        latest.join(F.broadcast(assets.select("asset_id", "symbol", "name")), "asset_id")
+        latest.join(_dim(assets), "asset_id")
         .select("asset_id", "symbol", "name", "price", "market_cap", "volume", "ts")
         .orderBy(F.desc_nulls_last("market_cap"))
     )
 
 
-def v_price_change_24h(prices: DataFrame, as_of: Column) -> DataFrame:
+def v_price_change_24h(
+    prices: DataFrame, assets: DataFrame, as_of: Column
+) -> DataFrame:
     """Per asset: latest price vs price as-of 24h before ``as_of``, with
-    null-guarded pct change (reference ``sql/views.sql:10-28``)."""
+    null-guarded pct change and dimension columns (reference
+    ``sql/views.sql:10-28``)."""
     cutoff = as_of - F.expr("INTERVAL 24 HOURS")
     out = change_vs_asof(prices, ["asset_id"], "ts", "price", cutoff)
-    return out.select(
+    return out.join(_dim(assets), "asset_id").select(
         "asset_id",
+        "symbol",
+        "name",
         F.col("price_now"),
         F.col("price_then").alias("price_24h"),
         F.col("pct_change").alias("pct_change_24h"),
     )
 
 
-def v_daily_ohlc(prices: DataFrame, assets: DataFrame) -> DataFrame:
-    """Daily OHLC per asset joined to the dimension (reference
-    ``sql/views.sql:30-35``), computed from ticks with per-row dates (the
-    corrected ``src/etl.py:46-54`` semantics)."""
-    daily = ohlc_daily(prices, ["asset_id"], "ts", "price")
+def daily_metrics_from_ticks(prices: DataFrame) -> DataFrame:
+    """Daily OHLC + at-day-end market_cap/volume per asset from the tick
+    stream (the relational core of reference ``src/etl.py:46-54``): one
+    partial-aggregated groupBy per branch, arg-max for end-of-day values."""
+    daily = ohlc_daily(prices, ["asset_id"], "ts", "price").withColumnRenamed(
+        "day", "date"
+    )
+    eod = prices.groupBy("asset_id", F.to_date("ts").alias("date")).agg(
+        F.max_by("market_cap", "ts").alias("market_cap"),
+        F.max_by("volume", "ts").alias("volume"),
+    )
+    return daily.join(eod, ["asset_id", "date"]).select(
+        "asset_id", "date", "open", "high", "low", "close", "volume", "market_cap"
+    )
+
+
+def v_daily_ohlc(
+    prices: DataFrame, assets: DataFrame, daily_metrics: DataFrame | None = None
+) -> DataFrame:
+    """Daily OHLC + volume/market_cap joined to the dimension — the full
+    reference column set (reference ``sql/views.sql:30-35`` consumes the
+    ``daily_metrics`` table). Pass a materialized ``daily_metrics`` frame to
+    serve from the aggregate table; otherwise it is derived from ticks."""
+    if daily_metrics is None:
+        daily_metrics = daily_metrics_from_ticks(prices)
     return (
-        daily.join(F.broadcast(assets.select("asset_id", "symbol")), "asset_id")
-        .select("asset_id", "symbol", "day", "open", "high", "low", "close", "n_obs")
-        .orderBy("asset_id", F.desc("day"))
+        daily_metrics.join(_dim(assets), "asset_id")
+        .select(
+            "asset_id",
+            "symbol",
+            "name",
+            "date",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "market_cap",
+        )
+        .orderBy("asset_id", F.desc("date"))
+    )
+
+
+def v_sparkline_7d(prices: DataFrame, assets: DataFrame, as_of: Column) -> DataFrame:
+    """Trailing-7-day price points per asset for sparklines (reference
+    ``sql/views.sql:37-42``)."""
+    cutoff = as_of - F.expr("INTERVAL 7 DAYS")
+    return (
+        prices.filter(F.col("ts") >= cutoff)
+        .join(_dim(assets), "asset_id")
+        .select("asset_id", "symbol", "name", "ts", "price")
+        .orderBy("asset_id", "ts")
     )
 
 
 def register_market_views(
-    prices: DataFrame, assets: DataFrame, as_of: Column | None = None
+    prices: DataFrame,
+    assets: DataFrame,
+    as_of: Column | None = None,
+    daily_metrics: DataFrame | None = None,
 ) -> None:
     """Expose the four views to ``spark.sql`` under the reference's names —
     the engine's SQL surface (reference consumers query views, not tables).
@@ -75,20 +134,8 @@ def register_market_views(
         anchored = prices.crossJoin(F.broadcast(mx))
         as_of = F.col("__max_ts")
     v_latest_prices(prices, assets).createOrReplaceTempView("v_latest_prices")
-    v_price_change_24h(anchored, as_of).createOrReplaceTempView("v_price_change_24h")
-    v_daily_ohlc(prices, assets).createOrReplaceTempView("v_daily_ohlc")
-    v_price_sparkline_7d(anchored, assets, as_of).createOrReplaceTempView(
-        "v_price_sparkline_7d"
+    v_price_change_24h(anchored, assets, as_of).createOrReplaceTempView(
+        "v_price_change_24h"
     )
-
-
-def v_price_sparkline_7d(prices: DataFrame, assets: DataFrame, as_of: Column) -> DataFrame:
-    """Trailing-7-day price points per asset for sparklines (reference
-    ``sql/views.sql:37-42``)."""
-    cutoff = as_of - F.expr("INTERVAL 7 DAYS")
-    return (
-        prices.filter(F.col("ts") >= cutoff)
-        .join(F.broadcast(assets.select("asset_id", "symbol")), "asset_id")
-        .select("asset_id", "symbol", "ts", "price")
-        .orderBy("asset_id", "ts")
-    )
+    v_daily_ohlc(prices, assets, daily_metrics).createOrReplaceTempView("v_daily_ohlc")
+    v_sparkline_7d(anchored, assets, as_of).createOrReplaceTempView("v_sparkline_7d")

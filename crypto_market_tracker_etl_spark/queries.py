@@ -445,18 +445,19 @@ QUALIFY row_number() OVER (PARTITION BY user_id, hour ORDER BY ts DESC, event_id
 
 def q_tumbling_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[§2.9] Event-time tumbling-window OHLC via F.window — identical
-    semantics in batch and Structured Streaming."""
+    semantics in batch and Structured Streaming. Open/close ordered by the
+    total order (ts, event_id) so equal timestamps stay deterministic."""
     ev = _events(spark, sf_dir)
-    return ohlc_tumbling(ev, ["user_id"], "ts", "value", "1 hour")
+    return ohlc_tumbling(ev, ["user_id"], "ts", "value", "1 hour", tiebreak=["event_id"])
 
 
 SQL_TUMBLING_OHLC = f"""
 WITH {E_CTE},
-d AS (SELECT user_id, date_trunc('hour', ts) AS window_start, ts, value FROM e),
+d AS (SELECT user_id, date_trunc('hour', ts) AS window_start, ts, event_id, value FROM e),
 r AS (
   SELECT *,
-         row_number() OVER (PARTITION BY user_id, window_start ORDER BY ts) AS rna,
-         row_number() OVER (PARTITION BY user_id, window_start ORDER BY ts DESC) AS rnd
+         row_number() OVER (PARTITION BY user_id, window_start ORDER BY ts, event_id) AS rna,
+         row_number() OVER (PARTITION BY user_id, window_start ORDER BY ts DESC, event_id DESC) AS rnd
   FROM d
 )
 SELECT user_id, window_start, window_start + INTERVAL '1 hour' AS window_end,
@@ -702,6 +703,161 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_day_in_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C2] IST calendar-day bucketing (reference src/etl.py:15,47 stamps
+    daily rows with the run day in Asia/Kolkata): each UTC instant mapped to
+    its IST date — from_utc_timestamp + to_date, a pure scalar expression."""
+    from .functions.timeutil import day_in_tz
+
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", "ts", day_in_tz(F.col("ts")).alias("ist_day"))
+
+
+SQL_DAY_IN_TZ = f"""
+WITH {E_CTE}
+SELECT event_id, ts,
+       CAST(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Kolkata' AS DATE) AS ist_day
+FROM e
+"""
+
+
+def q_upsert_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[S6] Assets-dimension upsert (reference src/db.py:73-84): ON CONFLICT
+    updates symbol/name but PRESERVES the original first_seen_at, and
+    inserts unseen assets. Old dim = every customer (seen 2024-01-01); the
+    incoming snapshot refreshes even-keyed assets and introduces brand-new
+    ids — the merge keeps old timestamps for survivors, new attrs win."""
+    from .plans.etl_job import upsert_assets_dim
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    old = cust.select(
+        F.col("c_custkey").alias("asset_id"),
+        F.upper("c_name").alias("symbol"),
+        F.col("c_name").alias("name"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("first_seen_at"),
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("asset_id"),
+            F.concat(F.upper("c_name"), F.lit("2")).alias("symbol"),
+            F.concat(F.col("c_name"), F.lit(" v2")).alias("name"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp_ntz").alias("first_seen_at"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("asset_id"),
+                F.upper("c_name").alias("symbol"),
+                F.col("c_name").alias("name"),
+                F.lit("2024-06-01 00:00:00").cast("timestamp_ntz").alias("first_seen_at"),
+            )
+        )
+    )
+    return upsert_assets_dim(old, new)
+
+
+SQL_UPSERT_ASSETS = """
+WITH old AS (
+  SELECT c_custkey AS asset_id, upper(c_name) AS symbol, c_name AS name,
+         TIMESTAMP '2024-01-01 00:00:00' AS first_seen_at, 0 AS src
+  FROM customer
+),
+new AS (
+  SELECT c_custkey AS asset_id, upper(c_name) || '2' AS symbol,
+         c_name || ' v2' AS name,
+         TIMESTAMP '2024-06-01 00:00:00' AS first_seen_at, 1 AS src
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000 AS asset_id, upper(c_name) AS symbol, c_name AS name,
+         TIMESTAMP '2024-06-01 00:00:00' AS first_seen_at, 1 AS src
+  FROM customer WHERE c_custkey % 97 = 0
+),
+u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+SELECT asset_id,
+       arg_max(symbol, src) AS symbol,
+       arg_max(name, src) AS name,
+       min(first_seen_at) AS first_seen_at
+FROM u GROUP BY asset_id
+"""
+
+
+def q_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O1 unlimited] Full-table ORDER BY desc NULLS LAST with no LIMIT —
+    the range-partitioned distributed Sort (sampled range boundaries, every
+    partition sorted, partitions concatenated in order), distinct from the
+    top-k TakeOrderedAndProject path that order_nulls_last exercises.
+    Negative balances nulled so the null ordering is observable."""
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    return customer.select("c_custkey", bal.alias("acctbal")).orderBy(
+        F.desc_nulls_last("acctbal"), F.col("c_custkey")
+    )
+
+
+SQL_GLOBAL_SORT = """
+SELECT c_custkey, CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS acctbal
+FROM customer
+ORDER BY acctbal DESC NULLS LAST, c_custkey
+"""
+
+
+def q_daily_ohlc_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[view surface] The registered v_daily_ohlc SQL view end-to-end
+    (reference sql/views.sql:30-35): events recast as a prices stream with
+    market_cap/volume, register_market_views, then spark.sql over the view —
+    full reference column set (symbol, name, volume, market_cap served from
+    the daily_metrics aggregation, not dropped)."""
+    from .plans.market_views import register_market_views
+
+    ev = _events(spark, sf_dir)
+    prices = ev.select(
+        F.col("user_id").alias("asset_id"),
+        "ts",
+        F.col("value").alias("price"),
+        (F.col("value") * 1000).alias("market_cap"),
+        (F.col("value") * 10).alias("volume"),
+    )
+    assets = prices.select("asset_id").distinct().select(
+        "asset_id",
+        F.concat(F.lit("u"), F.col("asset_id")).alias("symbol"),
+        F.concat(F.lit("user "), F.col("asset_id")).alias("name"),
+    )
+    register_market_views(prices, assets)
+    return spark.sql(
+        "SELECT asset_id, symbol, name, date, open, high, low, close, "
+        "volume, market_cap FROM v_daily_ohlc"
+    )
+
+
+SQL_DAILY_OHLC_VIEW = f"""
+WITH {E_CTE},
+p AS (
+  SELECT user_id AS asset_id, ts, CAST(ts AS DATE) AS date, value AS price,
+         value * 1000 AS market_cap, value * 10 AS volume
+  FROM e
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY asset_id, date ORDER BY ts) AS rna,
+         row_number() OVER (PARTITION BY asset_id, date ORDER BY ts DESC) AS rnd
+  FROM p
+),
+d AS (
+  SELECT asset_id, date,
+         max(CASE WHEN rna = 1 THEN price END) AS open,
+         max(price) AS high,
+         min(price) AS low,
+         max(CASE WHEN rnd = 1 THEN price END) AS close,
+         arg_max(volume, ts) AS volume,
+         arg_max(market_cap, ts) AS market_cap
+  FROM r GROUP BY asset_id, date
+)
+SELECT asset_id, concat('u', asset_id) AS symbol, concat('user ', asset_id) AS name,
+       date, open, high, low, close, volume, market_cap
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -733,6 +889,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pivot": (q_pivot, SQL_PIVOT),
     "semi_anti": (q_semi_anti, SQL_SEMI_ANTI),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "day_in_tz": (q_day_in_tz, SQL_DAY_IN_TZ),
+    "upsert_assets": (q_upsert_assets, SQL_UPSERT_ASSETS),
+    "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
+    "daily_ohlc_view": (q_daily_ohlc_view, SQL_DAILY_OHLC_VIEW),
 }
 
 

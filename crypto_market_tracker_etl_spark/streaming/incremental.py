@@ -58,22 +58,26 @@ def windowed_ohlc_stream(
     value: str,
     window_duration: str = "1 day",
     watermark: str = "1 hour",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Continuously-maintained tumbling OHLC with a late-data watermark.
 
-    first/last are ordered by event time via max_by/min_by so results match
-    the batch ohlc_tumbling operator; the watermark bounds state (windows
-    older than max(event_time) − watermark are finalized and dropped).
+    first/last are ordered by event time (extended to a total order by
+    ``tiebreak``) via max_by/min_by so results match the batch
+    ohlc_tumbling operator; the watermark bounds state (windows older than
+    max(event_time) − watermark are finalized and dropped).
     """
     win = F.window(ts_col, window_duration)
+    order_cols = [F.col(ts_col), *(F.col(c) for c in tiebreak)]
+    order = order_cols[0] if len(order_cols) == 1 else F.struct(*order_cols)
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(*keys, win.alias("w"))
         .agg(
-            F.min_by(value, ts_col).alias("open"),
+            F.min_by(value, order).alias("open"),
             F.max(value).alias("high"),
             F.min(value).alias("low"),
-            F.max_by(value, ts_col).alias("close"),
+            F.max_by(value, order).alias("close"),
             F.count(value).alias("n_obs"),
         )
     )

@@ -32,10 +32,15 @@ def running_stats_stream(
     ts_col: str,
     value: str,
 ) -> DataFrame:
-    """Cumulative per-key stats maintained in state across micro-batches."""
+    """Cumulative per-key stats maintained in state across micro-batches.
+
+    The key output field inherits its type from the input schema (string
+    keys, int keys, … all work); ``ts_col`` may be a timestamp or a plain
+    epoch-number column — both order correctly for last-value tracking.
+    """
     out_schema = T.StructType(
         [
-            T.StructField(key, T.LongType()),
+            T.StructField(key, stream.schema[key].dataType),
             T.StructField("n_total", T.LongType()),
             T.StructField("sum_total", T.DoubleType()),
             T.StructField("min_total", T.DoubleType()),
@@ -63,7 +68,11 @@ def running_stats_stream(
             n, s, mn, mx, last_ms, last_v = 0, 0.0, float("inf"), float("-inf"), -1, None
         for pdf in pdfs:
             vals = pdf[value].astype(float)
-            ms = (pdf[ts_col].astype("int64") // 1_000_000).astype("int64")
+            tcol = pdf[ts_col]
+            if pd.api.types.is_datetime64_any_dtype(tcol):
+                ms = (tcol.astype("int64") // 1_000_000).astype("int64")
+            else:  # already an epoch-number column — use it as the order key
+                ms = tcol.astype("int64")
             n += len(pdf)
             s += float(vals.sum())
             mn = min(mn, float(vals.min()))

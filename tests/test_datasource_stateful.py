@@ -160,6 +160,26 @@ def test_running_stats_stream(spark, tmp_path):
     assert got2[1]["last_value"] == 2.0
 
 
+def test_running_stats_stream_string_key(spark, tmp_path):
+    """Key output type derives from the input schema — string keys work."""
+    from crypto_market_tracker_etl_spark.streaming.stateful import running_stats_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 1), 10.0), ("a", dt.datetime(2024, 1, 1, 2), 4.0)],
+        "asset_id string, ts timestamp, value double",
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("asset_id string, ts timestamp, value double").parquet(src)
+    out = str(tmp_path / "out")
+    _drain_to_parquet(
+        running_stats_stream(stream, "asset_id", "ts", "value"),
+        out,
+        str(tmp_path / "ck"),
+    )
+    got = {r["asset_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got["a"]["n_total"] == 2 and got["a"]["last_value"] == 4.0
+
+
 def test_streaming_dedup_keys(spark, tmp_path):
     from crypto_market_tracker_etl_spark.streaming.stateful import streaming_dedup_keys
 

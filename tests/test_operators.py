@@ -25,7 +25,7 @@ from crypto_market_tracker_etl_spark.plans.market_views import (
     v_daily_ohlc,
     v_latest_prices,
     v_price_change_24h,
-    v_price_sparkline_7d,
+    v_sparkline_7d,
 )
 from tests.conftest import SF_DIR
 
@@ -117,6 +117,74 @@ def test_parquet_upsert_sink_partitions(spark, tmp_path):
         "dt=2024-01-01",
         "dt=2024-01-02",
     ]
+
+
+def test_parquet_upsert_sink_multiday_incremental_sf01(spark, tmp_path):
+    """Multi-day incremental sequence at sf0.1 (~100k rows): three
+    overlapping version-tagged batches merged in order must equal one
+    keep-latest over their union, and a final single-day batch must leave
+    every other day's partition byte-identical (stage-and-swap only
+    replaces touched directories)."""
+    import os
+
+    from crypto_market_tracker_etl_spark.catalog import load_table
+    from crypto_market_tracker_etl_spark.operators.upsert import dedup_keep_latest
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    path = str(tmp_path / "tbl")
+    sink = ParquetUpsertSink(
+        spark, path, keys=["user_id", "ts"], ts_col="ts", order=["version"]
+    )
+    batches = [
+        ev.filter(F.col("event_id") % 3 < 2).withColumn("version", F.lit(1)),
+        ev.filter(F.col("event_id") % 3 > 0)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn("version", F.lit(2)),
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") + 5000.0)
+        .withColumn("version", F.lit(3)),
+    ]
+    for b in batches:
+        sink.upsert(b)
+
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    expected = dedup_keep_latest(
+        union.withColumn("dt", F.to_date("ts")), ["user_id", "ts"], ["version"]
+    )
+    got = sink.read()
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # single-day revision touches exactly one partition directory
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    before = {
+        p: os.path.getmtime(os.path.join(path, p))
+        for p in os.listdir(path)
+        if p.startswith("dt=")
+    }
+    last = (
+        ev.filter(F.to_date("ts") == F.lit(max_day))
+        .withColumn("value", F.col("value") - 7.0)
+        .withColumn("version", F.lit(4))
+    )
+    sink.upsert(last)
+    after = {
+        p: os.path.getmtime(os.path.join(path, p))
+        for p in os.listdir(path)
+        if p.startswith("dt=")
+    }
+    changed = {p for p in before if before[p] != after[p]}
+    assert changed == {f"dt={max_day}"}
+    # and the revision is live
+    revised = sink.read().filter(
+        (F.to_date("ts") == F.lit(max_day)) & (F.col("version") == 4)
+    )
+    assert revised.count() == ev.filter(F.to_date("ts") == F.lit(max_day)).count()
 
 
 def test_merge_upsert_tie_prefers_new(spark):
@@ -252,20 +320,21 @@ def test_v_latest_prices(spark, ref_model):
 
 
 def test_v_price_change_24h(spark, ref_model):
-    _, prices = ref_model
+    assets, prices = ref_model
     as_of = F.lit(dt.datetime(2024, 1, 3, 23)).cast("timestamp")
-    out = {r["asset_id"]: r for r in v_price_change_24h(prices, as_of).collect()}
+    out = {r["asset_id"]: r for r in v_price_change_24h(prices, assets, as_of).collect()}
     # btc: now=171 (d2 h23), 24h-ago point = d1 h23 = 147 → +16.3265%
     assert out["btc"]["price_now"] == 171.0
     assert out["btc"]["price_24h"] == 147.0
     assert out["btc"]["pct_change_24h"] == round((171 - 147) / 147 * 100, 4)
+    assert out["btc"]["name"] == "Bitcoin"  # dim columns (views.sql:23)
 
 
 def test_v_daily_ohlc_and_sparkline(spark, ref_model):
     assets, prices = ref_model
     daily = v_daily_ohlc(prices, assets).collect()
     btc_d0 = next(
-        r for r in daily if r["asset_id"] == "btc" and str(r["day"]) == "2024-01-01"
+        r for r in daily if r["asset_id"] == "btc" and str(r["date"]) == "2024-01-01"
     )
     assert (btc_d0["open"], btc_d0["high"], btc_d0["low"], btc_d0["close"]) == (
         100.0,
@@ -273,7 +342,11 @@ def test_v_daily_ohlc_and_sparkline(spark, ref_model):
         100.0,
         123.0,
     )
-    spark_7d = v_price_sparkline_7d(
+    # daily_metrics columns are served, not dropped (views.sql:31-32):
+    # market_cap at day end = value at max ts with non-null → h23 is odd → 1e9
+    assert btc_d0["name"] == "Bitcoin" and btc_d0["volume"] == 1e6
+    assert btc_d0["market_cap"] == 1e9
+    spark_7d = v_sparkline_7d(
         prices, assets, F.lit(dt.datetime(2024, 1, 3, 23)).cast("timestamp")
     )
     assert spark_7d.count() == prices.count()  # everything within 7 days

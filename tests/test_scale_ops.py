@@ -70,6 +70,16 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert out == {(1, "x"), (2, None)}
 
 
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, ["k"], "v", 4, how)
+
+
 def test_partitioned_layout_prunes(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
     path = str(tmp_path / "events_part")
@@ -143,5 +153,11 @@ def test_register_market_views_sql_surface(spark):
     assert chg > 0
     ohlc = spark.sql("SELECT * FROM v_daily_ohlc WHERE high < low").count()
     assert ohlc == 0
-    spark7 = spark.sql("SELECT min(ts) AS mn FROM v_price_sparkline_7d").collect()[0]
+    # full reference column parity (reference sql/views.sql:30-35): the view
+    # serves name/volume/market_cap from daily_metrics, not just OHLC
+    assert spark.table("v_daily_ohlc").columns == [
+        "asset_id", "symbol", "name", "date",
+        "open", "high", "low", "close", "volume", "market_cap",
+    ]
+    spark7 = spark.sql("SELECT min(ts) AS mn FROM v_sparkline_7d").collect()[0]
     assert spark7["mn"] is not None
