@@ -38,7 +38,9 @@ HEADLINE = [
     "kpis",
     "dedup_exact",
     "near_dup_pairs",
+    "near_dup_pairs_fast",
     "simhash",
+    "simhash_fast",
     "cosine_topk",
     "knn_lsh",
     "embedding_near_dup",

@@ -50,10 +50,30 @@ Decoder = Callable[[bytes], tuple[int, int, list[float]]]
 
 
 def real_decoder(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB: real image decode requires PIL/ffmpeg, not in this container."""
-    raise NotImplementedError(
-        "image/audio codecs unavailable in this environment; "
-        "inject fake_decoder or a real library-backed Decoder"
+    """Image decode via Pillow WHEN AVAILABLE; honest stub otherwise.
+
+    The optional import is inside the function so the module (and every
+    Spark plan built from it) works in codec-free containers; in an
+    environment with Pillow the same pipeline decodes real images with no
+    code change. Feature = 8-bin grayscale histogram, normalized.
+    """
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image/audio codecs unavailable in this environment; "
+            "inject fake_decoder or install Pillow for real decode"
+        ) from exc
+    img = Image.open(BytesIO(payload)).convert("L")  # pragma: no cover
+    hist = img.histogram()  # pragma: no cover
+    bins = [sum(hist[i * 32 : (i + 1) * 32]) for i in range(8)]  # pragma: no cover
+    total = float(sum(bins)) or 1.0  # pragma: no cover
+    return (  # pragma: no cover
+        img.width,
+        img.height,
+        [round(b / total, 6) for b in bins],
     )
 
 

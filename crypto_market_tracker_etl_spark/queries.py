@@ -654,20 +654,20 @@ FROM e GROUP BY user_id, CAST(ts AS DATE)
 
 
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[§2.3 extension] Semi/anti joins: per customer, whether any order
-    exists — EXISTS/NOT EXISTS without materializing the join (left_semi ∪
-    left_anti, each a broadcast-able existence probe)."""
+    """[§2.3 extension] EXISTS/NOT EXISTS per customer in ONE pass: distinct
+    order keys + left join + flag, instead of a left_semi ∪ left_anti pair
+    that scans orders twice. (The dedicated left_semi path is exercised by
+    ParquetUpsertSink's touched-partition probe and the bucketed layouts.)"""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    hit = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("has_orders", F.lit(True))
     )
-    with_orders = customer.join(orders, "c_custkey", "left_semi").select(
-        "c_custkey", F.lit(True).alias("has_orders")
+    return customer.join(hit, "c_custkey", "left").select(
+        "c_custkey", F.coalesce("has_orders", F.lit(False)).alias("has_orders")
     )
-    without = customer.join(orders, "c_custkey", "left_anti").select(
-        "c_custkey", F.lit(False).alias("has_orders")
-    )
-    return with_orders.unionByName(without)
 
 
 SQL_SEMI_ANTI = """

@@ -224,6 +224,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_documents(spark, sf_dir), bits=32)
 
 
+def q_near_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash variant of near_dup_pairs: xxhash64 shingle hashing
+    (JVM-native, ~10× cheaper than the md5-fold the oracle needs). No SQL
+    oracle — DuckDB cannot reproduce xxhash64 — the driver records a
+    rows-only check; benched to quantify the portable-hash tax."""
+    corpus = _augmented_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=12, portable=False).persist()
+    pairs = lsh_candidate_pairs(
+        sigs, num_hashes=12, band_size=4, blocking_cols=["source"]
+    )
+    return ngram_jaccard(pairs, sigs).filter(F.col("jaccard") >= 0.5)
+
+
+def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash variant of simhash (xxhash64 token hash, rows-only
+    check — same reason as near_dup_pairs_fast)."""
+    return simhash(_documents(spark, sf_dir), bits=32, portable=False)
+
+
 def _sql_simhash(bits: int = 32) -> str:
     hv = hex_prefix_to_long_sql("md5(concat('simhash:', tok))", 12, "duckdb")
     votes = ", ".join(
@@ -680,4 +699,6 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "near_dup_pairs_fast": (q_near_dup_pairs_fast, None),
+    "simhash_fast": (q_simhash_fast, None),
 }

@@ -89,7 +89,7 @@ class CoinGeckoReader(DataSourceReader):
             vol = {int(ms): v for ms, v in chart.get("total_volumes", [])}
             for ms, price in chart.get("prices", []):
                 ms = int(ms)
-                ts = dt.datetime.utcfromtimestamp(ms // 1000)
+                ts = dt.datetime.fromtimestamp(ms // 1000, dt.timezone.utc).replace(tzinfo=None)
                 yield (asset_id, ts, price, mc.get(ms), vol.get(ms), "coingecko")
 
 
@@ -123,7 +123,7 @@ class CoinGeckoStreamReader(SimpleDataSourceStreamReader):
             vol = {int(ms): v for ms, v in chart["total_volumes"]}
             for ms, price in chart["prices"][start_h:end_h]:
                 ms = int(ms)
-                ts = dt.datetime.utcfromtimestamp(ms // 1000)
+                ts = dt.datetime.fromtimestamp(ms // 1000, dt.timezone.utc).replace(tzinfo=None)
                 yield (asset_id, ts, price, mc.get(ms), vol.get(ms), "coingecko")
 
     def read(self, start: dict):

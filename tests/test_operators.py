@@ -194,6 +194,31 @@ def test_merge_upsert_tie_prefers_new(spark):
     assert len(out) == 1 and out[0]["who"] == "new"
 
 
+def test_ttl_cache_expires_and_rebuilds(spark):
+    """S11 (reference app.py:33-51): cached view persists within TTL, is
+    rebuilt after expiry, and invalidate releases storage."""
+    from crypto_market_tracker_etl_spark.operators.cache import TTLCache
+
+    clock = {"t": 0.0}
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(10).withColumn("v", F.col("id") * 2)
+
+    cache = TTLCache(ttl_s=60, clock=lambda: clock["t"])
+    a = cache.get("view", build)
+    assert a.count() == 10 and builds["n"] == 1
+    assert a.storageLevel.useMemory  # actually persisted
+    clock["t"] = 30.0
+    assert cache.get("view", build) is a and builds["n"] == 1  # warm hit
+    clock["t"] = 90.0
+    b = cache.get("view", build)
+    assert builds["n"] == 2 and b is not a  # expired → rebuilt
+    cache.invalidate()
+    assert not b.storageLevel.useMemory  # storage released
+
+
 # -------------------------------------------------------------- streaming
 
 
