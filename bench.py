@@ -45,6 +45,9 @@ HEADLINE = [
     "knn_lsh",
     "embedding_near_dup",
     "text_quality",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
 ]
 
 

@@ -105,27 +105,39 @@ class ParquetUpsertSink:
             merged = dedup_keep_latest(batch, self.keys, self.order)
         self._stage_and_swap(merged)
 
+    def compact(self, max_records_per_file: int = 1_000_000) -> None:
+        """Rewrite the table with one writer task per partition, splitting
+        only past ``max_records_per_file`` — the small-file compaction every
+        incremental parquet table needs (each upsert batch leaves its own
+        files; scan-task count grows with batch count, not data size, until
+        compaction folds them). Same stage-and-swap write path as upsert:
+        readers never observe a half-compacted partition."""
+        compacted = (
+            self.read()
+            .repartition("dt")
+            .write.option("maxRecordsPerFile", max_records_per_file)
+        )
+        self._stage_and_swap_writer(compacted)
+
     def _stage_and_swap(self, merged: DataFrame) -> None:
-        """Write merged partitions to a hidden staging dir, then swap each
-        ``dt=`` directory into the table.
+        self._stage_and_swap_writer(merged.repartition("dt").write)
+
+    def _stage_and_swap_writer(self, writer) -> None:
+        """Write partitions to a hidden staging dir, then swap each ``dt=``
+        directory into the table.
 
         Two failure modes this removes vs. a direct ``mode("overwrite")``
-        of the table path: (a) the merge plan lazily READS the very
-        partitions the write would replace — staging materializes the full
-        result before any target file is touched; (b) without
+        of the table path: (a) the plan lazily READS the very partitions
+        the write would replace — staging materializes the full result
+        before any target file is touched; (b) without
         ``partitionOverwriteMode=dynamic`` on the session, a static
         overwrite would DELETE every untouched partition — the swap only
-        ever replaces directories the batch produced. The underscore prefix
+        ever replaces directories the write produced. The underscore prefix
         keeps Spark's parquet reader from listing in-flight staging files.
         """
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         try:
-            (
-                merged.repartition("dt")
-                .write.mode("overwrite")
-                .partitionBy("dt")
-                .parquet(staging)
-            )
+            writer.mode("overwrite").partitionBy("dt").parquet(staging)
             for name in os.listdir(staging):
                 if not name.startswith("dt="):
                     continue  # _SUCCESS and friends

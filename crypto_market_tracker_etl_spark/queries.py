@@ -858,6 +858,319 @@ FROM d
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.4 extension] CUBE over (returnflag, linestatus): all four
+    grouping combinations in one pass (Catalyst Expand → single shuffle),
+    completing the hierarchical-aggregate family next to ROLLUP."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dec_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5 extension] Explicit window FRAME: trailing-7-row moving average
+    of value per user (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW over the
+    total order ts, event_id). The sum runs in DECIMAL so the sliding-frame
+    accumulation order cannot produce float drift between engines."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    mavg = (
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return ev.select(
+        "user_id", "event_id", "value", F.round(mavg, 4).alias("mavg_7")
+    )
+
+
+SQL_MOVING_AVG = f"""
+WITH {E_CTE}
+SELECT user_id, event_id, value,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 4) AS mavg_7
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5 extension] Ranking family: ntile quartiles, dense_rank and
+    cume_dist of order totals per priority class — one window, one shuffle."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+SQL_NTILE_RANK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(dense_rank() OVER w AS INT) AS drank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.3 extension] Interval (theta) join: events matched to value bins
+    via lo <= value < hi against a broadcast bin dimension — the general
+    non-equi join shape (Spark plans BroadcastNestedLoopJoin; the build
+    side is bounded, the stream side never shuffles). Aligned equal-width
+    bins would be a floor() expression; the join form is what irregular
+    interval dimensions (price bands, SLA tiers) need."""
+    ev = _events(spark, sf_dir)
+    bins = F.broadcast(
+        spark.range(10).select(
+            F.col("id").cast("int").alias("bin_id"),
+            (F.col("id") * 50.0).alias("lo"),
+            ((F.col("id") + 1) * 50.0).alias("hi"),
+        )
+    )
+    return (
+        ev.join(bins, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("bin_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum("value").alias("value_sum"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = f"""
+WITH {E_CTE},
+bins AS (
+  SELECT CAST(i AS INT) AS bin_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+  FROM (SELECT unnest(range(0, 10)) AS i)
+)
+SELECT bin_id, lo, hi, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM e JOIN bins ON value >= lo AND value < hi
+GROUP BY bin_id, lo, hi
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.7] INTERSECT / EXCEPT set semantics: segment users by whether
+    they clicked, purchased, or both (distinct-set operators, not joins —
+    Spark rewrites them to aggregate forms; DuckDB runs them natively)."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("segment", F.lit("both"))
+    click_only = clickers.distinct().exceptAll(buyers.distinct()).withColumn(
+        "segment", F.lit("click_only")
+    )
+    buy_only = buyers.distinct().exceptAll(clickers.distinct()).withColumn(
+        "segment", F.lit("purchase_only")
+    )
+    return both.unionByName(click_only).unionByName(buy_only)
+
+
+SQL_SET_OPS = f"""
+WITH {E_CTE},
+c AS (SELECT user_id FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id FROM e WHERE event_type = 'purchase')
+SELECT user_id, 'both' AS segment FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+UNION ALL
+SELECT user_id, 'click_only' AS segment FROM (SELECT DISTINCT * FROM c EXCEPT ALL SELECT DISTINCT * FROM p)
+UNION ALL
+SELECT user_id, 'purchase_only' AS segment FROM (SELECT DISTINCT * FROM p EXCEPT ALL SELECT DISTINCT * FROM c)
+"""
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.9 extension] SLIDING event-time windows (2h duration, 1h slide):
+    each event lands in two overlapping windows — F.window's slide form,
+    identical in batch and streaming. Oracle: each row unnested to its two
+    hourly window starts."""
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy(
+        "user_id", F.window("ts", "2 hours", "1 hour").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum("value").alias("value_sum"),
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        "value_sum",
+    )
+
+
+SQL_SLIDING_WINDOW = f"""
+WITH {E_CTE},
+x AS (
+  SELECT user_id, value,
+         date_trunc('hour', ts) - (o.k * INTERVAL '1 hour') AS window_start
+  FROM e, (SELECT unnest(range(0, 2)) AS k) o
+)
+SELECT user_id, window_start, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM x GROUP BY user_id, window_start
+"""
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[array agg] Per-user set of event types as a SORTED array (collect_set
+    is unordered; sort_array makes it deterministic), emitted as a joined
+    string so the cross-engine comparator sees a scalar."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+SQL_COLLECT_SORTED = f"""
+WITH {E_CTE}
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       count(DISTINCT event_type) AS n_types
+FROM e GROUP BY user_id
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C6/C9 extension] String function battery over part names: case,
+    concat, substring, split-part, padding, length, replace — the
+    formatting layer the dashboard does client-side (reference
+    app.py:63-75), kept engine-side as expressions."""
+    part = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("upper_name"),
+        F.substring(name, 1, 5).alias("head5"),
+        F.split(name, " ").getItem(0).alias("first_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.length(name).alias("name_len"),
+        F.regexp_replace(name, " ", "_").alias("snake"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_name) AS upper_name,
+       substr(p_name, 1, 5) AS head5,
+       split_part(p_name, ' ', 1) AS first_word,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+       length(p_name) AS name_len,
+       replace(p_name, ' ', '_') AS snake
+FROM part
+"""
+
+
+def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[C7/C8 extension] Calendar decomposition: year/quarter/month/day/
+    hour/minute, ISO week and day-of-week, truncations — the full scalar
+    date-function surface (dow normalized to ISO 1=Monday in both engines)."""
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.quarter(ts).alias("q"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.weekofyear(ts).alias("iso_week"),
+        F.expr("weekday(ts) + 1").alias("iso_dow"),
+        F.to_date(F.date_trunc("month", ts)).alias("month_start"),
+        F.last_day(ts).alias("month_end"),
+    )
+
+
+SQL_DATETIME_PARTS = f"""
+WITH {E_CTE}
+SELECT event_id,
+       CAST(year(ts) AS INT) AS y,
+       CAST(quarter(ts) AS INT) AS q,
+       CAST(month(ts) AS INT) AS mo,
+       CAST(day(ts) AS INT) AS d,
+       CAST(hour(ts) AS INT) AS h,
+       CAST(minute(ts) AS INT) AS mi,
+       CAST(weekofyear(ts) AS INT) AS iso_week,
+       CAST(isodow(ts) AS INT) AS iso_dow,
+       CAST(date_trunc('month', ts) AS DATE) AS month_start,
+       CAST(last_day(ts) AS DATE) AS month_end
+FROM e
+"""
+
+
+def q_window_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5 extension] Positional window values over the full partition
+    frame: first/last/nth event value per user (explicit UNBOUNDED frame —
+    last_value over the default frame is the classic silent bug)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+SQL_WINDOW_FRAME_VALUES = f"""
+WITH {E_CTE}
+SELECT user_id, event_id, value,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER w AS last_val,
+       nth_value(value, 2) OVER w AS second_val
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A extension, rows-only] HyperLogLog-family approximate distinct
+    counts per event type. No oracle: Spark's HLL++ and DuckDB's sketch
+    give different estimates by design — the pytest suite bounds the error
+    vs the exact count instead (±5%), and the driver checks rows/schema."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -893,13 +1206,25 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "upsert_assets": (q_upsert_assets, SQL_UPSERT_ASSETS),
     "global_sort": (q_global_sort, SQL_GLOBAL_SORT),
     "daily_ohlc_view": (q_daily_ohlc_view, SQL_DAILY_OHLC_VIEW),
+    "cube": (q_cube, SQL_CUBE),
+    "moving_avg": (q_moving_avg, SQL_MOVING_AVG),
+    "ntile_rank": (q_ntile_rank, SQL_NTILE_RANK),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "sliding_window": (q_sliding_window, SQL_SLIDING_WINDOW),
+    "collect_sorted": (q_collect_sorted, SQL_COLLECT_SORTED),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "datetime_parts": (q_datetime_parts, SQL_DATETIME_PARTS),
+    "window_frame_values": (q_window_frame_values, SQL_WINDOW_FRAME_VALUES),
+    "approx_distinct": (q_approx_distinct, None),
 }
 
 
 def _full_registry() -> dict[str, tuple[QueryFn, str | None]]:
     from .queries_ext import REGISTRY_EXT
+    from .queries_tpch import REGISTRY_TPCH
 
-    return {**REGISTRY, **REGISTRY_EXT}
+    return {**REGISTRY, **REGISTRY_EXT, **REGISTRY_TPCH}
 
 
 def queries() -> dict[str, QueryFn]:

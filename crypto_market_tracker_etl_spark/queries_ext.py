@@ -685,6 +685,78 @@ WHERE sb < (CASE WHEN lang = 'en' THEN 6000 ELSE 2500 END)
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — a first-class training-data curation op. The corpus
+    is clean lowercase prose, so each doc is deterministically augmented
+    with a contact line (email + phone derived from doc_id, identical in
+    both engines), then scrubbed: emails → <EMAIL>, phone numbers →
+    <PHONE>. Pure regexp_replace expressions, zero shuffle."""
+    docs = _documents(spark, sf_dir)
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone_re = r"\+[0-9][0-9-]{6,}[0-9]"
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(contact, F.lit(email_re), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(contact, F.lit(phone_re), 0)).alias("n_phones"),
+        redacted.alias("clean_text"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(contact, '\+[0-9][0-9-]{6,}[0-9]')) AS n_phones,
+       regexp_replace(
+         regexp_replace(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+         '\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text
+FROM aug
+"""
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-20: explode tokens → count (map-side
+    partial aggregation does the combining) → TakeOrderedAndProject. The
+    canonical wordcount shape — at 100 TB the only full-data movement is
+    one count shuffle of (token, partial_count) pairs."""
+    docs = _documents(spark, sf_dir)
+    toks = F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("token")
+    return (
+        docs.select(toks)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("token"))
+        .limit(20)
+    )
+
+
+SQL_TOP_TERMS = f"""
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
@@ -701,4 +773,6 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "near_dup_pairs_fast": (q_near_dup_pairs_fast, None),
     "simhash_fast": (q_simhash_fast, None),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
 }

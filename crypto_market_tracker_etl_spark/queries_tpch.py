@@ -1,0 +1,220 @@
+"""TPC-H-shaped flagship queries over the driver testdata.
+
+The reference's own workload is four single-table views (its Postgres does
+the heavy lifting, reference ``sql/views.sql``); these three classics are
+the standard evidence that the engine's JOIN ORDERING / partial aggregation
+/ top-k machinery composes at warehouse shape: Q1 (wide scan + grouped
+pricing aggregates), Q3 (3-way join + grouped revenue top-k), Q5 (6-way
+snowflake join with two independent dim paths meeting on nation).
+
+Float-parity convention: price/discount/tax are cast to DECIMAL at the
+scan and ALL arithmetic stays in decimal — products and sums are exact, so
+no per-row rounding step exists for engines to disagree on (double
+round(x, 4) at a tie boundary measurably differs between Spark and
+DuckDB). The exact sum is rounded to scale 4 BEFORE the double cast: a
+scale-10 sum carries more significant digits than a double mantissa and
+the engines' decimal→double conversions differ by an ULP, while the
+scale-4 value times 10⁴ stays under 2⁵³ and converts exactly in both.
+Averages divide an exact sum by the count.
+
+Scale posture: every dim side is broadcast; facts never shuffle except for
+the final grouped aggregate (partial map-side first); Q3's top-10 is
+TakeOrderedAndProject, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QueryFn = "Callable[[SparkSession, str], DataFrame]"
+
+
+def _dec_sum4(col) -> F.Column:
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def _dec_sum2(col) -> F.Column:
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+def _one() -> F.Column:
+    # built lazily: F.lit needs an active session
+    return F.lit("1.0000").cast("decimal(5,4)")
+
+
+def _disc_price() -> F.Column:
+    """extendedprice × (1 − discount), exact decimal."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        _one() - F.col("l_discount").cast("decimal(8,4)")
+    )
+
+
+def _charge() -> F.Column:
+    """extendedprice × (1 − discount) × (1 + tax), exact decimal."""
+    return _disc_price() * (_one() + F.col("l_tax").cast("decimal(8,4)"))
+
+
+# SQL twins of the decimal expressions above
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST('1.0000' AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(8,4)))"
+)
+SQL_CHARGE = (
+    f"({SQL_DISC_PRICE})"
+    " * (CAST('1.0000' AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(8,4)))"
+)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary: one lineitem scan, grouped decimal-exact sums.
+
+    Catalyst plan: Project (rounded products) → partial HashAggregate →
+    single Exchange on (rf, ls) → final aggregate. The filter reaches the
+    parquet scan as a pushed predicate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum2(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum2(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(F.sum(_disc_price()), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_charge()), 4).cast("double").alias("sum_charge"),
+            (_dec_sum2(F.col("l_quantity")) / n).alias("avg_qty"),
+            (_dec_sum2(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (_dec_sum4(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(round(SUM({SQL_DISC_PRICE}), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(round(SUM({SQL_CHARGE}), 4) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shipping priority: segment-filtered customer (broadcast) ⋈ orders
+    ⋈ lineitem, grouped revenue, top-10 via TakeOrderedAndProject."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-30").cast("timestamp_ntz")
+    rev = _disc_price()
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(SUM({SQL_DISC_PRICE}), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: snowflake join where the customer and
+    supplier dim paths must meet on the same nation — revenue per nation
+    for one region-year. All dims broadcast; lineitem is the only shuffled
+    input (for the final grouped aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    rev = _disc_price()
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nations_in_region),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       CAST(round(SUM({SQL_DISC_PRICE}), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+REGISTRY_TPCH = {
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+}

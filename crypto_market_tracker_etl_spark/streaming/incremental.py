@@ -51,6 +51,24 @@ def incremental_upsert_stream(
     return writer.start()
 
 
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup with BOUNDED state: emit the first row per key,
+    keeping dedup state only ``watermark`` past the event-time high-water
+    mark (``dropDuplicatesWithinWatermark``). The streaming complement to
+    batch ``exact_dedup``: content keys older than the watermark are
+    forgotten — at 100 TB/day retaining every key forever is not an option,
+    and upstream replays land within the watermark anyway (the reference's
+    re-fetch window is 24 h, reference src/etl.py:35)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_ohlc_stream(
     stream: DataFrame,
     keys: Sequence[str],

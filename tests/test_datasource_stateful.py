@@ -160,6 +160,55 @@ def test_running_stats_stream(spark, tmp_path):
     assert got2[1]["last_value"] == 2.0
 
 
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """First occurrence per key is emitted once; replays inside the
+    watermark are dropped, and state carries across restarts on one
+    checkpoint."""
+    from crypto_market_tracker_etl_spark.streaming.incremental import (
+        dedup_stream_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    _write_stream_batch(
+        spark,
+        src,
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 1.0),
+            (1, dt.datetime(2024, 1, 1, 10), 1.0),  # in-batch dup
+            (2, dt.datetime(2024, 1, 1, 10, 30), 2.0),
+        ],
+    )
+    schema = "user_id long, ts timestamp, value double"
+    out1 = str(tmp_path / "out1")
+    stream = spark.readStream.schema(schema).parquet(src)
+    _drain_to_parquet(
+        dedup_stream_within_watermark(stream, ["user_id"], "ts", "1 hour"),
+        out1,
+        str(tmp_path / "ck"),
+    )
+    got = spark.read.parquet(out1).collect()
+    assert sorted(r["user_id"] for r in got) == [1, 2]
+
+    # replay of key 1 within the watermark + one new key, same checkpoint
+    _write_stream_batch(
+        spark,
+        src,
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 45), 9.0),  # replayed key → dropped
+            (3, dt.datetime(2024, 1, 1, 11), 3.0),
+        ],
+    )
+    out2 = str(tmp_path / "out2")
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    _drain_to_parquet(
+        dedup_stream_within_watermark(stream2, ["user_id"], "ts", "1 hour"),
+        out2,
+        str(tmp_path / "ck"),
+    )
+    got2 = spark.read.parquet(out2).collect()
+    assert sorted(r["user_id"] for r in got2) == [3]
+
+
 def test_running_stats_stream_string_key(spark, tmp_path):
     """Key output type derives from the input schema — string keys work."""
     from crypto_market_tracker_etl_spark.streaming.stateful import running_stats_stream

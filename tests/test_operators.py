@@ -187,11 +187,62 @@ def test_parquet_upsert_sink_multiday_incremental_sf01(spark, tmp_path):
     assert revised.count() == ev.filter(F.to_date("ts") == F.lit(max_day)).count()
 
 
+def test_parquet_upsert_sink_compact(spark, tmp_path):
+    """Compaction folds accumulated per-batch small files into one file per
+    partition (below the record cap) with identical data."""
+    import glob
+    import os
+
+    path = str(tmp_path / "tbl")
+    sink = ParquetUpsertSink(spark, path, keys=["k", "ts"], ts_col="ts", order=["v"])
+    day = dt.datetime(2024, 1, 1, 10)
+    sink.upsert(
+        spark.createDataFrame(
+            [(f"k0-{j}", day, 0.0) for j in range(25)],
+            "k string, ts timestamp, v double",
+        )
+    )
+    part = os.path.join(path, "dt=2024-01-01")
+    for i in range(1, 4):  # simulate many-task writers appending small files
+        spark.createDataFrame(
+            [(f"k{i}-{j}", day, float(i)) for j in range(25)],
+            "k string, ts timestamp, v double",
+        ).coalesce(1).write.mode("append").parquet(part)
+    before = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert before >= 4
+    data_before = sorted((r["k"], r["v"]) for r in sink.read().collect())
+    sink.compact()
+    after = len(glob.glob(os.path.join(part, "*.parquet")))
+    assert after == 1
+    assert sorted((r["k"], r["v"]) for r in sink.read().collect()) == data_before
+
+
 def test_merge_upsert_tie_prefers_new(spark):
     old = spark.createDataFrame([("k1", 1, "old")], "k string, v int, who string")
     new = spark.createDataFrame([("k1", 1, "new")], "k string, v int, who string")
     out = merge_upsert(old, new, ["k"], ["v"]).collect()
     assert len(out) == 1 and out[0]["who"] == "new"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL++) has no cross-engine oracle; bound its
+    error against the exact count instead (default rsd 5%)."""
+    from crypto_market_tracker_etl_spark.queries import q_approx_distinct
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_approx_distinct(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
 
 
 def test_ttl_cache_expires_and_rebuilds(spark):

@@ -74,6 +74,27 @@ def test_simhash_pairs_join_on_band_key(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
 
 
+def test_tpch_q1_pushes_filter_and_prunes(spark):
+    s = plan_of(spark, "tpch_q1")
+    # the shipdate predicate must reach the parquet scan, and the scan must
+    # not read columns the query never touches (e.g. l_orderkey)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+    assert "l_orderkey" not in s.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    s = plan_of(spark, "tpch_q5")
+    # snowflake dims (customer/supplier/nation/region) all broadcast; the
+    # only sort-merge-eligible join is lineitem⋈orders (both fact-sized)
+    assert s.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in s
+
+
+def test_tpch_q3_top_k_not_global_sort(spark):
+    s = plan_of(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in s  # LIMIT 10 must not range-sort
+
+
 def test_entry_uses_broadcast_dim(spark):
     df = entrymod.entry(spark)
     jvm = spark._jvm
