@@ -38,14 +38,14 @@ def hex_prefix_to_long_sql(hash_expr: str, n_hex: int = 12, dialect: str = "duck
 
 
 def md5_long(col: Column, seed: str = "", n_hex: int = 12) -> Column:
-    """Portable integer hash: fold of md5's first ``n_hex`` hex chars."""
+    """Portable integer hash: value of md5's first ``n_hex`` hex chars.
+
+    Spark-side this is a single base-16 ``conv`` (verified bit-identical to
+    the positional substr/instr fold the DuckDB oracle uses — same number,
+    one expression instead of 3·n_hex); n_hex ≤ 15 keeps it under 2⁶³.
+    """
     h = F.md5(F.concat(F.lit(seed), col))
-    acc = F.lit(0).cast("long")
-    for j in range(1, n_hex + 1):
-        weight = F.lit(16 ** (n_hex - j)).cast("long")
-        digit = (F.instr(F.lit(HEX_DIGITS), F.substring(h, j, 1)) - 1).cast("long")
-        acc = acc + digit * weight
-    return acc
+    return F.conv(F.substring(h, 1, n_hex), 16, 10).cast("long")
 
 
 def fast_long(col: Column, seed: str = "") -> Column:

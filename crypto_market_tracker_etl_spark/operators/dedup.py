@@ -215,6 +215,73 @@ def simhash(
     return tallied.select(F.col(id_col), sh.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Duplicate CLUSTERS from a near-dup pair graph: each node labeled with
+    the minimum id reachable from it — the step that turns pairwise matches
+    into keep-one-per-cluster decisions.
+
+    Min-label propagation: every node starts as its own label; each round
+    joins labels across edges and keeps the per-node minimum, converging in
+    ≤ graph-diameter rounds (near-dup components are shallow — duplicates
+    of one document link to each other, so diameter is small; ``max_iter``
+    bounds pathological chains). Each round is one equi-join + one partial
+    aggregated groupBy; labels persist round-to-round so the lineage does
+    not re-expand. The fixpoint check is a 1-row count — the only
+    driver-side step, inherent to iterative convergence (same loop GraphX/
+    GraphFrames run internally).
+
+    Output: (node, component) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_band_values(sh: Column, bits: int = 32, num_bands: int = 4) -> Column:
     """Split a ``bits``-wide SimHash into ``num_bands`` contiguous bit bands
     and return the array of band values — the LSH keys for pair search."""

@@ -1171,6 +1171,48 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decimal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§1.2 type parity] The reference's NUMERIC(20,8) money typing
+    (reference sql/schema.sql:16) exercised end-to-end: values carried as
+    DECIMAL(20,8) through arithmetic, aggregation and banker's-safe
+    rounding — no double anywhere until the final comparison columns."""
+    ev = _events(spark, sf_dir)
+    price = F.col("value").cast("decimal(20,8)")
+    fee = (price * F.lit("0.0025").cast("decimal(6,4)")).cast("decimal(20,8)")
+    return (
+        ev.select("user_id", price.alias("p"), fee.alias("f"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("p").cast("decimal(28,8)").alias("gross"),
+            F.sum("f").cast("decimal(28,8)").alias("fees"),
+            (F.sum("p") - F.sum("f")).cast("decimal(28,8)").alias("net"),
+        )
+        .select(
+            "user_id",
+            F.col("gross").cast("string").alias("gross"),
+            F.col("fees").cast("string").alias("fees"),
+            F.col("net").cast("string").alias("net"),
+        )
+    )
+
+
+SQL_DECIMAL_PIPELINE = f"""
+WITH {E_CTE},
+d AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(20,8)) AS p,
+         CAST(CAST(value AS DECIMAL(20,8)) * CAST('0.0025' AS DECIMAL(6,4))
+              AS DECIMAL(20,8)) AS f
+  FROM e
+)
+SELECT user_id,
+       CAST(CAST(SUM(p) AS DECIMAL(28,8)) AS VARCHAR) AS gross,
+       CAST(CAST(SUM(f) AS DECIMAL(28,8)) AS VARCHAR) AS fees,
+       CAST(CAST(SUM(p) - SUM(f) AS DECIMAL(28,8)) AS VARCHAR) AS net
+FROM d GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1217,6 +1259,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "datetime_parts": (q_datetime_parts, SQL_DATETIME_PARTS),
     "window_frame_values": (q_window_frame_values, SQL_WINDOW_FRAME_VALUES),
     "approx_distinct": (q_approx_distinct, None),
+    "decimal_pipeline": (q_decimal_pipeline, SQL_DECIMAL_PIPELINE),
 }
 
 

@@ -187,8 +187,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(pairs, sigs).filter(F.col("jaccard") >= 0.5)
 
 
-SQL_NEAR_DUP_PAIRS = f"""
-WITH {SQL_AUG},
+_SQL_ND_CTES = f"""{SQL_AUG},
 tok AS (SELECT doc_id, source, regexp_split_to_array(t, ' ') AS toks FROM aug),
 sh AS (SELECT doc_id, source, {SQL_SHINGLES} AS shingles FROM tok),
 hh AS (SELECT doc_id, source, shingles, {_sql_hs_expr()} AS hs FROM sh),
@@ -206,7 +205,9 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_key = b.band_key AND a.source = b.source AND a.doc_id < b.doc_id
-)
+)"""
+
+_SQL_ND_SELECT = """
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
              / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
@@ -215,6 +216,38 @@ JOIN sig sa ON sa.doc_id = id_a
 JOIN sig sb ON sb.doc_id = id_b
 WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.5
+"""
+
+SQL_NEAR_DUP_PAIRS = f"WITH {_SQL_ND_CTES}\n{_SQL_ND_SELECT}"
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair graph → duplicate clusters: the near-dup pipeline's pairs fed
+    through min-label connected components, labeling every involved doc
+    with its cluster representative (the minimum doc_id). A real dedup pass
+    keeps one row per component; the oracle computes the same fixpoint with
+    a recursive CTE."""
+    from .operators.dedup import connected_components
+
+    pairs = q_near_dup_pairs(spark, sf_dir)
+    return connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_ND_CTES},
+p AS ({_SQL_ND_SELECT}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+reach(node, lbl) AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.src AS node, r.lbl FROM e JOIN reach r ON r.node = e.dst
+)
+SELECT node, min(lbl) AS component FROM reach GROUP BY node
 """
 
 
@@ -775,4 +808,5 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_fast": (q_simhash_fast, None),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

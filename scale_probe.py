@@ -6,8 +6,12 @@ with ``spark.range`` (no I/O, pure engine) to show how the operator plans
 behave when rows grow 50×: near-linear time ⇒ the plan has no per-row
 driver work, no quadratic join, no single-reducer choke point. Run:
 
-    python scale_probe.py            # writes SCALE.md
+    python scale_probe.py            # refreshes SCALE.md's probe section
     SCALE_SIZES=1000000,10000000 python scale_probe.py
+    SCALE_PAIRS=1 python scale_probe.py   # banded-vs-all-pairs SimHash probe
+
+The probe only replaces the `<!-- probe:start -->…<!-- probe:end -->`
+block of SCALE.md; hand-written analysis sections below it are preserved.
 """
 
 from __future__ import annotations
@@ -53,6 +57,78 @@ def force(df) -> float:
     return time.perf_counter() - t0
 
 
+def synth_docs(spark, n: int):
+    """Mostly-unique docs with planted near-dup structure: consecutive id
+    pairs share 28 of 30 words (the SCALE.md banding experiment)."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 5).cast("string")).alias("source"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}_"),
+                    ((F.col("id") / 2).cast("long") * 131 + j * 17).cast("string"),
+                )
+                if j < 28
+                else F.concat(F.lit(f"u{j}_"), (F.col("id") * 7 + j).cast("string"))
+                for j in range(30)
+            ],
+        ).alias("text"),
+    ).repartition(32)
+
+
+def probe_simhash_pairs(spark) -> None:
+    """Banded LSH vs all-pairs SimHash pair search (prints; numbers are
+    hand-recorded into SCALE.md's analysis section)."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    def allpairs(hashed, blocking):
+        withblk = hashed.join(blocking.select("doc_id", "source"), "doc_id")
+        a, b = withblk.alias("a"), withblk.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        return (
+            a.join(b, F.col("a.source") == F.col("b.source"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(ham.alias("hamming"))
+            .filter(F.col("hamming") <= 10)
+        )
+
+    for n in (20_000, 50_000, 100_000):
+        docs = synth_docs(spark, n).persist()
+        docs.count()
+        hashed = simhash(docs, bits=32).persist()
+        hashed.count()
+        t_banded = force(simhash_near_dups(hashed, docs, max_hamming=10))
+        t_all = force(allpairs(hashed, docs))
+        print(
+            f"n={n}: banded={t_banded:.1f}s all-pairs={t_all:.1f}s "
+            f"speedup={t_all / t_banded:.1f}x",
+            flush=True,
+        )
+        docs.unpersist()
+        hashed.unpersist()
+
+
+def _splice_probe_section(body: str) -> None:
+    """Replace the marker-delimited probe block of SCALE.md, preserving the
+    hand-written analysis sections outside it."""
+    start, end = "<!-- probe:start -->", "<!-- probe:end -->"
+    block = f"{start}\n{body.rstrip()}\n{end}"
+    try:
+        old = open("SCALE.md").read()
+        pre = old[: old.index(start)]
+        post = old[old.index(end) + len(end):]
+        out = pre + block + post
+    except (FileNotFoundError, ValueError):
+        out = block + "\n"
+    with open("SCALE.md", "w") as fh:
+        fh.write(out)
+
+
 def main() -> None:
     # single-JVM local mode: the driver heap IS executor memory — size it
     # for the 50M-row sweep (must be set before the JVM starts)
@@ -60,6 +136,10 @@ def main() -> None:
         app_name="scale-probe", extra_conf={"spark.driver.memory": "24g"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SCALE_PAIRS"):
+        probe_simhash_pairs(spark)
+        spark.stop()
+        return
     rows = []
     for n in SIZES:
         users = max(1000, n // 1000)
@@ -78,32 +158,32 @@ def main() -> None:
         print(f"n={n}: latest={t_latest:.1f}s ohlc={t_ohlc:.1f}s window={t_window:.1f}s "
               f"dedup={t_dedup:.1f}s asof={t_asof:.1f}s", flush=True)
 
-    with open("SCALE.md", "w") as fh:
-        fh.write(
-            "# SCALE — operator scaling probe (synthetic events, local[32])\n\n"
-            "Wall seconds per operator as rows grow; near-linear growth means the\n"
-            "plan has no driver-side loops, quadratic joins, or single-reducer\n"
-            "choke points. Generated by `python scale_probe.py` (spark.range\n"
-            "synthesis, noop sink — pure engine, no I/O).\n\n"
-            "| rows | keys | latest_per_key | daily_ohlc | hourly_window | dedup_keep_latest | asof_join |\n"
-            "|---|---|---|---|---|---|---|\n"
+    body = (
+        "# SCALE — operator scaling probe (synthetic events, local[32])\n\n"
+        "Wall seconds per operator as rows grow; near-linear growth means the\n"
+        "plan has no driver-side loops, quadratic joins, or single-reducer\n"
+        "choke points. Generated by `python scale_probe.py` (spark.range\n"
+        "synthesis, noop sink — pure engine, no I/O).\n\n"
+        "| rows | keys | latest_per_key | daily_ohlc | hourly_window | dedup_keep_latest | asof_join |\n"
+        "|---|---|---|---|---|---|---|\n"
+    )
+    for n, users, t1, t2, t3, t4, t5 in rows:
+        body += (
+            f"| {n:,} | {users:,} | {t1:.1f}s ({n/t1/1e6:.1f}M rows/s) "
+            f"| {t2:.1f}s | {t3:.1f}s | {t4:.1f}s | {t5:.1f}s |\n"
         )
-        for n, users, t1, t2, t3, t4, t5 in rows:
-            fh.write(
-                f"| {n:,} | {users:,} | {t1:.1f}s ({n/t1/1e6:.1f}M rows/s) "
-                f"| {t2:.1f}s | {t3:.1f}s | {t4:.1f}s | {t5:.1f}s |\n"
-            )
-        fh.write(
-            "\nObservations encoded back into the engine:\n\n"
-            "- window-form latest-per-key (`WindowGroupLimit(Partial)` — see\n"
-            "  `dedup_keep_latest`) scales best: per-partition top-1 before the\n"
-            "  shuffle, fully codegen'd.\n"
-            "- `max_by`/`min_by` forms are ObjectHashAggregate; the default\n"
-            "  128-group sort fallback halved 50M-row OHLC throughput until\n"
-            "  session.py raised `objectHashAggregate.sortBased.fallbackThreshold`.\n"
-            "- the as-of join's single union+window pass stays near-linear.\n"
-        )
-    print("wrote SCALE.md")
+    body += (
+        "\nObservations encoded back into the engine:\n\n"
+        "- window-form latest-per-key (`WindowGroupLimit(Partial)` — see\n"
+        "  `dedup_keep_latest`) scales best: per-partition top-1 before the\n"
+        "  shuffle, fully codegen'd.\n"
+        "- `max_by`/`min_by` forms are ObjectHashAggregate; the default\n"
+        "  128-group sort fallback halved 50M-row OHLC throughput until\n"
+        "  session.py raised `objectHashAggregate.sortBased.fallbackThreshold`.\n"
+        "- the as-of join's single union+window pass stays near-linear.\n"
+    )
+    _splice_probe_section(body)
+    print("updated SCALE.md probe section")
     spark.stop()
 
 

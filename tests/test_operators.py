@@ -224,6 +224,24 @@ def test_merge_upsert_tie_prefers_new(spark):
     assert len(out) == 1 and out[0]["who"] == "new"
 
 
+def test_connected_components_multihop(spark):
+    """Min-label must propagate across chains (diameter > 1), handle
+    disjoint components, and converge before max_iter."""
+    from crypto_market_tracker_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 5-4-3-2-1 (diameter 4), pair (10,11), triangle (20,21,22)
+        [(4, 5), (3, 4), (2, 3), (1, 2), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
 def test_approx_distinct_within_tolerance(spark):
     """approx_count_distinct (HLL++) has no cross-engine oracle; bound its
     error against the exact count instead (default rsd 5%)."""
