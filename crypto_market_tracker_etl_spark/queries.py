@@ -1213,6 +1213,40 @@ FROM d GROUP BY user_id
 """
 
 
+def q_time_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.3/§2.9 bridge] Event-time interval join in batch: every click
+    paired with the same user's purchases in the preceding hour — the exact
+    semantics streaming/incremental.stream_interval_join runs with
+    watermarked state, checked here against the SQL oracle (the
+    batch/stream pair shares one definition of correctness)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("bts"), F.col("value").alias("amount")
+    )
+    cond = (
+        (F.col("bts") >= F.col("cts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("bts") <= F.col("cts"))
+    )
+    return (
+        clicks.join(buys, ["user_id"])
+        .filter(cond)
+        .select("user_id", "click_id", "cts", "bts", "amount")
+    )
+
+
+SQL_TIME_INTERVAL_JOIN = f"""
+WITH {E_CTE},
+c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM e WHERE event_type = 'click'),
+b AS (SELECT user_id, ts AS bts, value AS amount FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, click_id, cts, bts, amount
+FROM c JOIN b ON c.user_id = b.user_id
+WHERE bts >= cts - INTERVAL '1 hour' AND bts <= cts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1260,6 +1294,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_frame_values": (q_window_frame_values, SQL_WINDOW_FRAME_VALUES),
     "approx_distinct": (q_approx_distinct, None),
     "decimal_pipeline": (q_decimal_pipeline, SQL_DECIMAL_PIPELINE),
+    "time_interval_join": (q_time_interval_join, SQL_TIME_INTERVAL_JOIN),
 }
 
 

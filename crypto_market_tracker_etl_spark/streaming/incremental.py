@@ -69,6 +69,45 @@ def dedup_stream_within_watermark(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each left event pairs with right events of
+    the same key whose timestamp falls in ``[left_ts − lookback, left_ts]``
+    (e.g. clicks joined to the purchases that preceded them).
+
+    Both sides carry watermarks and the join condition time-bounds BOTH
+    event times, which is what lets Spark expire buffered state — without
+    the interval bound a stream-stream join must hold every row forever.
+    State per key is bounded by lookback + watermark. Works identically
+    under ``availableNow`` batch-drain and continuous triggers.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias(left_ts),
+        *[F.col(f"l.{c}").alias(c) for c in left.columns if c not in (key, left_ts)],
+        F.col(f"r.{right_ts}").alias(f"right_{right_ts}"),
+        *[
+            F.col(f"r.{c}").alias(f"right_{c}")
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+
+
 def windowed_ohlc_stream(
     stream: DataFrame,
     keys: Sequence[str],

@@ -160,6 +160,50 @@ def test_running_stats_stream(spark, tmp_path):
     assert got2[1]["last_value"] == 2.0
 
 
+def test_stream_interval_join(spark, tmp_path):
+    """Clicks join to same-key purchases within the 1h lookback; outside
+    the interval or other keys produce no pair. Result must equal the
+    identical batch interval join."""
+    from crypto_market_tracker_etl_spark.streaming.incremental import (
+        stream_interval_join,
+    )
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    t = dt.datetime(2024, 1, 1, 12)
+    clicks_rows = [
+        (1, t, 10.0),
+        (2, t, 20.0),  # no purchase for key 2
+        (1, dt.datetime(2024, 1, 1, 14), 30.0),  # purchase too old by then
+    ]
+    buys_rows = [
+        (1, dt.datetime(2024, 1, 1, 11, 30), 100.0),  # within 1h of click@12
+        (3, dt.datetime(2024, 1, 1, 11, 45), 300.0),  # other key
+    ]
+    spark.createDataFrame(clicks_rows, "user_id long, ts timestamp, value double").coalesce(1).write.mode("append").parquet(clicks_dir)
+    spark.createDataFrame(buys_rows, "user_id long, bts timestamp, amount double").coalesce(1).write.mode("append").parquet(buys_dir)
+
+    clicks = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(clicks_dir)
+    buys = spark.readStream.schema("user_id long, bts timestamp, amount double").parquet(buys_dir)
+    joined = stream_interval_join(clicks, buys, "user_id", "ts", "bts", "1 hour")
+    out = str(tmp_path / "out")
+
+    def write(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["user_id"], r["value"], r["right_amount"]) for r in rows] == [
+        (1, 10.0, 100.0)
+    ]
+
+
 def test_dedup_stream_within_watermark(spark, tmp_path):
     """First occurrence per key is emitted once; replays inside the
     watermark are dropped, and state carries across restarts on one
