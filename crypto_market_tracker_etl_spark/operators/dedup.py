@@ -230,10 +230,15 @@ def connected_components(
     ≤ graph-diameter rounds (near-dup components are shallow — duplicates
     of one document link to each other, so diameter is small; ``max_iter``
     bounds pathological chains). Each round is one equi-join + one partial
-    aggregated groupBy; labels persist round-to-round so the lineage does
-    not re-expand. The fixpoint check is a 1-row count — the only
-    driver-side step, inherent to iterative convergence (same loop GraphX/
-    GraphFrames run internally).
+    aggregated groupBy. Labels are ``localCheckpoint``-ed every round:
+    persist alone caches DATA but each round's logical plan would still
+    nest the previous round's twice over — exponential plan growth that
+    OOMs the driver before round 10 (measured) — while checkpointing
+    truncates the lineage to the materialized blocks. (On a real cluster
+    prefer reliable ``checkpoint()``: localCheckpoint ties recovery to
+    executor liveness.) The fixpoint check is a 1-row count — the only
+    driver-side step, inherent to iterative convergence (the same loop
+    GraphX/GraphFrames run internally).
 
     Output: (node, component) for every node appearing in ``pairs``.
     """
@@ -243,13 +248,13 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -265,7 +270,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -274,12 +279,26 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Final dedup step: drop every row whose id appears in ``components``
+    (from connected_components) with a DIFFERENT representative — i.e. keep
+    cluster minima and all unclustered rows. One broadcast-able anti-join
+    against the (small) set of non-representative ids; the corpus itself
+    never shuffles."""
+    losers = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def simhash_band_values(sh: Column, bits: int = 32, num_bands: int = 4) -> Column:
@@ -303,6 +322,7 @@ def simhash_near_dups(
     max_hamming: int = 16,
     bits: int = 32,
     num_bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ threshold, found via LSH banding.
 
@@ -316,7 +336,17 @@ def simhash_near_dups(
     be untouched); probabilistic above that — near-identical fingerprints
     (the actual near-dups) still collide with high probability. Raise
     ``num_bands`` for a tighter guarantee at the cost of more candidates.
+
+    ``bucket_cap`` (deterministic per-(band, value, block) row_number cut)
+    is the hot-bucket guard: a corpus dominated by EXACT duplicates puts
+    every copy in the same buckets and the banded join re-derives the
+    quadratic pair set ×bands (measured OOM at 40k such docs — SCALE.md).
+    The proper fix is exact_dedup BEFORE any near-dup pass; the cap is the
+    seatbelt for data that slips through, trading recall inside degenerate
+    buckets for bounded work.
     """
+    from pyspark.sql import Window
+
     withblk = hashed.join(blocking.select(id_col, blocking_col), id_col)
     exploded = withblk.select(
         F.col(id_col),
@@ -326,6 +356,13 @@ def simhash_near_dups(
             "band_id", "band_val"
         ),
     )
+    if bucket_cap is not None:
+        w = Window.partitionBy("band_id", "band_val", blocking_col).orderBy(id_col)
+        exploded = (
+            exploded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= bucket_cap)
+            .drop("__rn")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

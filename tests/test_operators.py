@@ -242,6 +242,89 @@ def test_connected_components_multihop(spark):
     }
 
 
+def test_simhash_pairs_bucket_cap_bounds_degenerate_corpus(spark):
+    """A duplicate-heavy corpus (one distinct text per 50 docs) explodes
+    the banded pair space; the bucket cap bounds it deterministically."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        F.concat(F.lit("repeated text block number "), (F.col("id") % 10).cast("string")).alias("text"),
+    )
+    hashed = simhash(docs, bits=32)
+    capped = simhash_near_dups(
+        hashed, docs, max_hamming=4, bucket_cap=8
+    ).count()
+    uncapped = simhash_near_dups(hashed, docs, max_hamming=4).count()
+    # uncapped: at least the full quadratic pair set within each clone-set
+    # (plus cross-set pairs whose fingerprints are also close)
+    assert uncapped >= 10 * (50 * 49) // 2
+    assert 0 < capped < uncapped  # the cap bounds degenerate buckets
+
+
+def test_keep_cluster_representatives(spark):
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        connected_components,
+        keep_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    comps = connected_components(pairs)
+    kept = sorted(
+        r["doc_id"] for r in keep_cluster_representatives(docs, comps).collect()
+    )
+    assert kept == [1, 4, 5]  # cluster minima {1,5} + unclustered {4}
+
+
+def test_connected_components_random_model(spark):
+    """Random pair graphs vs a plain-Python union-find (seeded, 30 cases)."""
+    import random
+
+    from crypto_market_tracker_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    for _ in range(6):
+        n_nodes = rng.randint(2, 30)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(rng.randint(1, 40))
+            }
+        )
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {x for e in edges for x in e}
+        expect = {}
+        for x in touched:
+            root = find(x)
+            expect.setdefault(root, []).append(x)
+        want = {
+            x: min(members)
+            for members in expect.values()
+            for x in members
+        }
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"] for r in connected_components(pairs).collect()
+        }
+        assert got == want, (edges, got, want)
+
+
 def test_approx_distinct_within_tolerance(spark):
     """approx_count_distinct (HLL++) has no cross-engine oracle; bound its
     error against the exact count instead (default rsd 5%)."""
