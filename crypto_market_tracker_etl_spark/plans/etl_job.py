@@ -95,6 +95,30 @@ def run_backfill(
     return prices
 
 
+def refresh_daily_metrics(
+    prices_sink: ParquetUpsertSink,
+    daily_sink: ParquetUpsertSink,
+    touched_days: DataFrame,
+) -> None:
+    """Incrementally maintain the daily_metrics aggregate table after a
+    prices upsert (reference src/etl.py:57-59 recomputes and upserts daily
+    rows every cron run — here only the TOUCHED days are recomputed).
+
+    ``touched_days`` is a 1-column ``dt`` frame (e.g. the batch's distinct
+    days). The prices scan is pruned to those partitions via the same
+    broadcast semi-join the sink's merge uses, the daily aggregate is
+    recomputed exactly (not incrementally patched — OHLC open/close are
+    not decomposable under late data), and the result merges into the
+    daily table keyed (asset_id, date). Work per refresh is proportional
+    to the days touched, never the table.
+    """
+    from .market_views import daily_metrics_from_ticks
+
+    pruned = prices_sink.read().join(F.broadcast(touched_days), "dt", "left_semi")
+    daily = daily_metrics_from_ticks(pruned)
+    daily_sink.upsert(daily.withColumn("ts", F.col("date").cast("timestamp")))
+
+
 def upsert_assets_dim(old: DataFrame, new: DataFrame) -> DataFrame:
     """Assets-dimension upsert (reference src/db.py:73-84): the ON CONFLICT
     clause updates only symbol/name, so the original first_seen_at is

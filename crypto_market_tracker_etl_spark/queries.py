@@ -1247,6 +1247,66 @@ WHERE bts >= cts - INTERVAL '1 hour' AND bts <= cts
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[time-series completeness] Daily purchase totals per user with
+    missing days materialized from a generated date spine (sequence +
+    explode) and carried forward (last_value IGNORE NULLS) — the gap-fill
+    every dashboard time series needs before plotting. The spine is
+    generated per key from its own min/max day, so no global calendar scan
+    exists and the row count stays Σ per-key spans."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(_dec_sum("value").alias("total"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "total",
+            F.last("total", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
+
+
+SQL_GAP_FILL = f"""
+WITH {E_CTE},
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                              CAST(mx AS TIMESTAMP),
+                                              INTERVAL '1 day')) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, s.day, d.total,
+       last_value(d.total IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1295,6 +1355,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "approx_distinct": (q_approx_distinct, None),
     "decimal_pipeline": (q_decimal_pipeline, SQL_DECIMAL_PIPELINE),
     "time_interval_join": (q_time_interval_join, SQL_TIME_INTERVAL_JOIN),
+    "gap_fill": (q_gap_fill, SQL_GAP_FILL),
 }
 
 

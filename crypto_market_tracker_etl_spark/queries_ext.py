@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.hashing import hex_prefix_to_long_sql
+from .queries import E_CTE, _events  # oracle/Spark events (µs truncation)
 from .functions.textstats import (
     STOPWORDS,
     avg_token_len,
@@ -790,6 +791,87 @@ LIMIT 20
 """
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the shingle arrays: filter /
+    transform / exists / forall / aggregate — the lambda-expression surface
+    (all JVM-side, codegen'd; the idioms every array-typed pipeline column
+    relies on). Oracle: DuckDB list lambdas."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split(normalize_ws(F.col("text")), " ")
+    long_toks = F.filter(toks, lambda t: F.length(t) > 5)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(long_toks).alias("n_long"),
+        F.exists(toks, lambda t: t == F.lit("the")).cast("int").alias("has_the"),
+        F.forall(toks, lambda t: F.length(t) < 30).cast("int").alias("all_short"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+        ).alias("total_chars"),
+        F.array_join(F.slice(F.array_sort(long_toks), 1, 3), ",").alias("top3_long"),
+    )
+
+
+SQL_ARRAY_FUNCS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+x AS (SELECT doc_id, toks, list_filter(toks, t -> length(t) > 5) AS long_toks FROM t)
+SELECT doc_id,
+       len(toks) AS n_toks,
+       len(long_toks) AS n_long,
+       CAST(list_bool_or(list_transform(toks, t -> t = 'the')) AS INT) AS has_the,
+       CAST(list_bool_and(list_transform(toks, t -> length(t) < 30)) AS INT) AS all_short,
+       CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS INT) AS total_chars,
+       coalesce(array_to_string(list_sort(long_toks)[1:3], ','), '') AS top3_long
+FROM x
+"""
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns (SURVEY §1.2: the reference's ms-keyed dicts):
+    build a map of event_type → exact value sum per user, then probe /
+    inspect it. Maps are compared via sorted entry strings (map iteration
+    order is engine-specific by definition)."""
+    ev = _events(spark, sf_dir)
+    per_type = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("event_type", "total")))
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.size("m").alias("n_types"),
+            F.element_at("m", "click").cast("string").alias("click_total"),
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("types"),
+        )
+    )
+
+
+SQL_MAP_FUNCS = f"""
+WITH {E_CTE},
+per_type AS (
+  SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(18,2))) AS total
+  FROM e GROUP BY user_id, event_type
+),
+m AS (
+  SELECT user_id, map(list(event_type ORDER BY event_type),
+                      list(total ORDER BY event_type)) AS m
+  FROM per_type GROUP BY user_id
+)
+SELECT user_id,
+       CAST(cardinality(m) AS INT) AS n_types,
+       CAST(m['click'][1] AS VARCHAR) AS click_total,
+       array_to_string(list_sort(map_keys(m)), ',') AS types
+FROM m
+"""
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
@@ -809,4 +891,6 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
+    "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
 }

@@ -325,6 +325,33 @@ def test_connected_components_random_model(spark):
         assert got == want, (edges, got, want)
 
 
+def test_moving_avg_matches_pandas_rolling(spark):
+    """Window-frame moving average vs the pandas rolling model."""
+    from crypto_market_tracker_etl_spark.queries import q_moving_avg
+
+    got = (
+        q_moving_avg(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    model = (
+        ev.groupby("user_id")["value"]
+        .rolling(7, min_periods=1)
+        .mean()
+        .round(4)
+        .reset_index(level=0, drop=True)
+    )
+    ev = ev.assign(model=model).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert (got["mavg_7"] - ev["model"]).abs().max() < 1e-9
+
+
 def test_approx_distinct_within_tolerance(spark):
     """approx_count_distinct (HLL++) has no cross-engine oracle; bound its
     error against the exact count instead (default rsd 5%)."""

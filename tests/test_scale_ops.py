@@ -70,6 +70,49 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert out == {(1, "x"), (2, None)}
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The engine's stated skew posture is 'AQE handles sort-merge skew at
+    runtime' — assert it actually does: a 99%-hot-key join must show
+    skew=true splits in the FINAL adaptive plan, not just in the docs."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        # thresholds scaled down to test-sized data; coalescing disabled
+        # because the coalesce pass otherwise merges the small partitions
+        # first and the skew splitter no longer sees a split target
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(50_000).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        # count() over the join so the SAME queryExecution runs to completion
+        # (a write/noop action executes a cloned plan and the original stays
+        # isFinalPlan=false)
+        joined = left.hint("merge").join(right, "k").groupBy().count()
+        assert joined.collect()[0]["count"] > 0
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_salted_join_rejects_replication_unsafe_how(spark):
     import pytest
 

@@ -152,6 +152,51 @@ def test_run_backfill_caps_days(spark, tmp_path):
     assert prices.count() == 24
 
 
+def test_refresh_daily_metrics_incremental(spark, tmp_path):
+    """Daily aggregate table maintained incrementally (touched days only)
+    must equal a full recompute after overlapping multi-day upserts."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_tracker_etl_spark.plans.etl_job import refresh_daily_metrics
+    from crypto_market_tracker_etl_spark.plans.market_views import (
+        daily_metrics_from_ticks,
+    )
+
+    prices_sink = ParquetUpsertSink(
+        spark, str(tmp_path / "prices"), keys=["asset_id", "ts"], ts_col="ts"
+    )
+    daily_sink = ParquetUpsertSink(
+        spark, str(tmp_path / "daily"), keys=["asset_id", "date"], ts_col="ts"
+    )
+    schema = "asset_id string, ts timestamp, price double, market_cap double, volume double"
+    batches = [
+        [("btc", dt.datetime(2024, 1, 1, h), 100.0 + h, 1e9, 1e6) for h in (1, 5)],
+        # day-2 rows + a day-1 revision (late data rewrites day 1's OHLC)
+        [
+            ("btc", dt.datetime(2024, 1, 2, 3), 200.0, 2e9, 2e6),
+            ("btc", dt.datetime(2024, 1, 1, 9), 50.0, 1.5e9, 1e6),
+        ],
+    ]
+    for rows in batches:
+        batch = spark.createDataFrame(rows, schema)
+        prices_sink.upsert(batch)
+        touched = batch.select(F.to_date("ts").alias("dt")).distinct()
+        refresh_daily_metrics(prices_sink, daily_sink, touched)
+
+    got = {
+        (r["asset_id"], str(r["date"])): (r["open"], r["high"], r["low"], r["close"])
+        for r in daily_sink.read().collect()
+    }
+    want = {
+        (r["asset_id"], str(r["date"])): (r["open"], r["high"], r["low"], r["close"])
+        for r in daily_metrics_from_ticks(prices_sink.read()).collect()
+    }
+    assert got == want
+    assert got[("btc", "2024-01-01")] == (101.0, 105.0, 50.0, 50.0)
+
+
 def test_upsert_assets_dim_keeps_first_seen(spark):
     import datetime as dt
 
