@@ -45,6 +45,7 @@ HEADLINE = [
     "simhash_fast",
     "cosine_topk",
     "knn_lsh",
+    "knn_ivf",
     "embedding_near_dup",
     "text_quality",
     "tpch_q1",

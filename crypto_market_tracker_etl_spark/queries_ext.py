@@ -468,6 +468,65 @@ FROM (
 SQL_KNN_LSH = _sql_knn_lsh()
 
 
+IVF_K = 8  # coarse-quantizer size for ~2k vectors (≈ sqrt(n)/5 lists)
+IVF_NPROBE = 2
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: k=8 inverted lists from a deterministic
+    md5-seeded coarse quantizer, each query scores its 2 nearest lists
+    only. Exercises the full index/probe/score path (expression-level
+    assignment → list equi-join → window top-k) bit-reproducibly; the
+    LEARNED-centroid path (train_centroids, parallel-sum means) is
+    covered by pytest invariants instead — see operators/ivf.py."""
+    from .operators.ivf import ivf_knn, seed_centroids
+
+    emb = _embeddings(spark, sf_dir)
+    cents = seed_centroids(emb, IVF_K)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_knn(emb, queries, cents, k=3, nprobe=IVF_NPROBE)
+
+
+def _sql_knn_ivf(k: int = IVF_K, nprobe: int = IVF_NPROBE) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         v AS cv
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+),
+dists AS (
+  SELECT e.vec_id, e.v, s.cid,
+         round(-list_cosine_similarity(e.v, s.cv), 4) AS nd,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(-list_cosine_similarity(e.v, s.cv), 4),
+                                     s.cid) AS rn
+  FROM e, seeds s
+),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, cid AS list_id FROM dists WHERE rn = 1),
+qp AS (SELECT vec_id AS query_id, v AS qv, cid AS list_id
+       FROM dists WHERE vec_id % 50 = 0 AND rn <= {nprobe}),
+scored AS (
+  SELECT qp.query_id, c.neighbor_id,
+         round(list_cosine_similarity(qp.qv, c.cv), 4) AS cosine
+  FROM qp JOIN c USING (list_id)
+  WHERE c.neighbor_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id DESC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+SQL_KNN_IVF = _sql_knn_ivf()
+
+
 # --------------------------------------------------------------------------
 # Text analysis family
 # --------------------------------------------------------------------------
@@ -879,6 +938,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),

@@ -352,6 +352,51 @@ def test_moving_avg_matches_pandas_rolling(spark):
     assert (got["mavg_7"] - ev["model"]).abs().max() < 1e-9
 
 
+def test_ivf_training_descends_and_beats_chance(spark):
+    """Learned-centroid IVF (no bit-exact oracle — parallel double sums):
+    Lloyd's objective must strictly descend from the seeds, and trained
+    nprobe=2 recall vs brute-force top-3 must beat the chance baseline
+    (nprobe/k = 25% of the corpus scanned) with recall monotone in nprobe.
+    The sf0.001 embeddings are near-uniform random — the IVF worst case —
+    so the bounds are deliberately conservative; all inputs deterministic."""
+    from crypto_market_tracker_etl_spark.operators.ivf import (
+        ivf_knn,
+        kmeans_objective,
+        seed_centroids,
+        train_centroids,
+    )
+    from crypto_market_tracker_etl_spark.operators.similarity import brute_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = seed_centroids(emb, 8)
+    trained = train_centroids(emb, 8, iters=3)
+    assert kmeans_objective(emb, trained) < kmeans_objective(emb, seeds) - 0.01
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_knn(emb, q, 3).collect()}
+    recalls = {}
+    for nprobe in (1, 2, 3):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_knn(emb, q, trained, 3, nprobe=nprobe).collect()
+        }
+        recalls[nprobe] = len(exact & got) / len(exact)
+    assert recalls[2] >= 0.3, recalls
+    assert recalls[1] <= recalls[2] <= recalls[3], recalls
+
+
+def test_ivf_index_is_shuffle_free(spark):
+    """List assignment is a pure expression: the index build plan must be
+    a single narrow scan stage — no Exchange anywhere (at 100 TB this is
+    what makes indexing a one-pass write)."""
+    from crypto_market_tracker_etl_spark.operators.ivf import ivf_index, seed_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = seed_centroids(emb, 8)
+    plan = ivf_index(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_approx_distinct_within_tolerance(spark):
     """approx_count_distinct (HLL++) has no cross-engine oracle; bound its
     error against the exact count instead (default rsd 5%)."""
