@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -1307,6 +1307,300 @@ FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[behavioral analytics] Ordered 3-step funnel signup → click →
+    purchase: each step's timestamp is the min event time AT OR AFTER the
+    previous step's. Three conditional min-aggregations chained by
+    user-keyed joins — every shuffle in the cascade hashes on user_id, so
+    one partitioning is reused end-to-end (no re-exchange between steps);
+    per-step filters reach the scan."""
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("steps"),
+        )
+    )
+
+
+SQL_FUNNEL = f"""
+WITH {E_CTE},
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup'
+       GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+SELECT s1.user_id, t1, t2, t3,
+       CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+            AS INT) AS steps
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[behavioral analytics] Weekly cohort retention matrix: users
+    cohorted by the week of their first event; for every (cohort,
+    week-offset) cell, distinct active users and the retention rate vs the
+    cohort's size. First-touch is one user-keyed agg; the activity join
+    reuses that partitioning; cohort sizes are a tiny broadcast."""
+    ev = _events(spark, sf_dir)
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", F.to_date(F.date_trunc("week", "first_ts")).alias("cohort"))
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort",
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    sizes = first.groupBy("cohort").agg(F.countDistinct("user_id").alias("cohort_size"))
+    return act.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("active_users") / F.col("cohort_size"), 4).alias("retention"),
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH {E_CTE},
+first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM e GROUP BY user_id
+),
+act AS (
+  SELECT cohort,
+         CAST(floor(date_diff('day', cohort, CAST(e.ts AS DATE)) / 7.0) AS INT)
+           AS week_offset,
+         count(DISTINCT e.user_id) AS active_users
+  FROM e JOIN first USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, count(DISTINCT user_id) AS cohort_size
+          FROM first GROUP BY cohort)
+SELECT cohort, week_offset, active_users, cohort_size,
+       round(active_users / CAST(cohort_size AS DOUBLE), 4) AS retention
+FROM act JOIN sizes USING (cohort)
+"""
+
+
+def q_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistical aggregates] Per-event-type moment battery: stddev/var,
+    skewness, kurtosis, and the value↔time corr/covariance — one two-phase
+    hash aggregation, all moments accumulated in the same pass. Spark's
+    skewness/kurtosis are population moments; DuckDB's are sample-adjusted
+    (Fisher G1 / excess G2), so the bias-correction factors are applied
+    here to publish the sample-adjusted convention both engines can agree
+    on (verified term-by-term against DuckDB in round 2)."""
+    # NTZ → epoch seconds without touching the session timezone: exact µs
+    # diff from the epoch anchor, then the same /1e6 double division
+    # DuckDB's epoch() performs.
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " / 1e6"
+        ).alias("t"),
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mean_v"),
+        F.stddev_samp("x").alias("sd"),
+        F.var_samp("x").alias("vr"),
+        F.skewness("x").alias("g1"),
+        F.kurtosis("x").alias("g2"),
+        F.corr("x", "t").alias("r"),
+        F.covar_pop("x", "t").alias("cvp"),
+        F.covar_samp("x", "t").alias("cvs"),
+    )
+    n = F.col("n").cast("double")
+    adj_skew = F.col("g1") * F.sqrt(n * (n - 1)) / (n - 2)
+    adj_kurt = ((n + 1) * F.col("g2") + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round("mean_v", 4).alias("mean_v"),
+        F.round("sd", 4).alias("sd"),
+        F.round("vr", 4).alias("vr"),
+        F.round(adj_skew, 4).alias("skew"),
+        F.round(adj_kurt, 4).alias("kurt"),
+        F.round("r", 4).alias("corr_vt"),
+        F.round("cvp", 2).alias("covar_p"),
+        F.round("cvs", 2).alias("covar_s"),
+    )
+
+
+SQL_STATS_BATTERY = f"""
+WITH {E_CTE}
+SELECT event_type,
+       count(*) AS n,
+       round(avg(value), 4) AS mean_v,
+       round(stddev_samp(value), 4) AS sd,
+       round(var_samp(value), 4) AS vr,
+       round(skewness(value), 4) AS skew,
+       round(kurtosis(value), 4) AS kurt,
+       round(corr(value, epoch(ts)), 4) AS corr_vt,
+       round(covar_pop(value, epoch(ts)), 2) AS covar_p,
+       round(covar_samp(value, epoch(ts)), 2) AS covar_s
+FROM e GROUP BY event_type
+"""
+
+
+_PROFILE_COLS = ["event_id", "user_id", "value", "event_type", "props"]
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[data quality] Single-pass column profile of the events table: row
+    count, null count, exact distinct count, min/max per column, long-form
+    (one row per column). The multi-column exact countDistincts compile to
+    ONE Expand-based aggregate — the table is still scanned once; min/max
+    travel through the numeric-canonical DECIMAL(28,6) so both engines
+    print identical strings."""
+    def mm(c: str) -> tuple[F.Column, F.Column]:
+        col = F.col(c)
+        if c in ("event_type", "props"):
+            return F.min(col), F.max(col)
+        canon = col.cast("decimal(28,6)")
+        return (
+            F.min(canon).cast("string"),
+            F.max(canon).cast("string"),
+        )
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        lo, hi = mm(c)
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            lo.alias(f"mn_{c}"),
+            hi.alias(f"mx_{c}"),
+        ]
+    wide = load_table(spark, sf_dir, "events").select(*_PROFILE_COLS).agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_nonnull, n_distinct, min_s, max_s)",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nonnull",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        "n_distinct",
+        "min_s",
+        "max_s",
+    )
+
+
+def _sql_profile_col(c: str) -> str:
+    if c in ("event_type", "props"):
+        mn, mx = f"min({c})", f"max({c})"
+    else:
+        mn = f"CAST(min(CAST({c} AS DECIMAL(28,6))) AS VARCHAR)"
+        mx = f"CAST(max(CAST({c} AS DECIMAL(28,6))) AS VARCHAR)"
+    return f"""
+SELECT '{c}' AS column_name, count(*) AS n_rows, count({c}) AS n_nonnull,
+       count(*) - count({c}) AS n_null, count(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_s, {mx} AS max_s
+FROM events"""
+
+
+SQL_PROFILE = "\nUNION ALL\n".join(_sql_profile_col(c) for c in _PROFILE_COLS)
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[warehouse ETL] Slowly-changing-dimension type 2 history built from
+    the event stream: consecutive same-state events collapse, each state
+    run becomes a version row with [valid_from, valid_to) and an
+    is_current flag. One shuffle on the dimension key; the lag-compress
+    and lead-close windows share the same partitioning (single Exchange,
+    two sorts). Total order within key is (ts, event_id) — deterministic
+    under timestamp ties."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_state", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+        .select("user_id", F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
+    )
+
+
+SQL_SCD2 = f"""
+WITH {E_CTE},
+lagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_state
+  FROM e
+),
+changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM lagged
+  WHERE prev_state IS NULL OR prev_state <> event_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       CAST(lead(valid_from) OVER w IS NULL AS INT) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1356,6 +1650,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decimal_pipeline": (q_decimal_pipeline, SQL_DECIMAL_PIPELINE),
     "time_interval_join": (q_time_interval_join, SQL_TIME_INTERVAL_JOIN),
     "gap_fill": (q_gap_fill, SQL_GAP_FILL),
+    "funnel": (q_funnel, SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "stats_battery": (q_stats_battery, SQL_STATS_BATTERY),
+    "profile": (q_profile, SQL_PROFILE),
+    "scd2": (q_scd2, SQL_SCD2),
 }
 
 

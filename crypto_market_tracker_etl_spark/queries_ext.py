@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -850,6 +850,64 @@ LIMIT 20
 """
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance: top-3 terms per document by tf·ln(N/df).
+
+    Scale shape: one explode shuffle builds the (doc, token) TF table with
+    map-side combining; DF is a second, much smaller shuffle over the TF
+    table (vocabulary cardinality); N is a 1-row broadcast anchor (never a
+    driver collect); the TF⋈DF join broadcasts the vocabulary side (a
+    ~10⁷-term vocab is a few hundred MB — broadcastable; beyond that drop
+    the hint and it becomes a token-keyed shuffle join). Final per-doc
+    top-3 is a WindowGroupLimit rank, not a global sort."""
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("token"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+
+
+SQL_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+       GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                                      / df.df), 4) DESC,
+                                     tf.token) AS rank
+  FROM tf JOIN dfreq df USING (token), n
+) WHERE rank <= 3
+"""
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the shingle arrays: filter /
     transform / exists / forall / aggregate — the lambda-expression surface
@@ -950,6 +1008,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "simhash_fast": (q_simhash_fast, None),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "tfidf": (q_tfidf, SQL_TFIDF),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
