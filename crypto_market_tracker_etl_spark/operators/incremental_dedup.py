@@ -1,0 +1,154 @@
+"""Incremental MinHash signature maintenance.
+
+``lsh_candidate_pairs`` recomputes every signature on every run — fine for
+one-shot curation, wrong for a pipeline ingesting batches into a 100 TB
+corpus. This module persists signatures once and makes each batch pay only
+for what changed:
+
+- **Sign new/changed docs only**: the batch is anti-joined against the
+  store on (doc_id, content_fp), so an unchanged re-delivered document
+  costs one hash + one join probe, not a re-shingling.
+- **Append-only batches, merge-on-read** (the LSM shape): each batch lands
+  in its own ``batch=N`` partition — nothing is rewritten at write time,
+  regardless of corpus size. ``read()`` collapses to the latest signature
+  per doc (one keyed window; at deployment scale, ``compact()``-style
+  folding of old batches amortizes this — same trade ParquetUpsertSink
+  documents).
+- **Incremental pair search**: new-batch band keys (small side, broadcast)
+  equi-join the accumulated band index — emitted pairs are exactly those
+  touching a new doc. Old×old pairs were emitted by earlier runs, so the
+  running union of per-batch outputs equals the from-scratch pair set
+  (asserted in tests). Per-batch cost is O(|batch| + collisions), never
+  O(corpus).
+
+Signature rows stay lean on purpose: (doc_id, content_fp, minhash, bands)
+— no shingle arrays. The Jaccard verify stage re-shingles only the
+candidate docs by joining back to the corpus, which at real duplicate
+rates is orders of magnitude smaller than storing every doc's shingles.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textstats import normalize_ws
+from .dedup import lsh_band_keys, minhash_signatures
+from .latest import latest_per_key
+
+
+class MinHashSignatureStore:
+    """Persisted (doc_id, content_fp, minhash, bands) table with
+    batch-incremental maintenance and incremental banded pair search."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_hashes: int = 12,
+        band_size: int = 4,
+        shingle_words: int = 3,
+        portable: bool = True,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.shingle_words = shingle_words
+        self.portable = portable
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # ------------------------------------------------------------- storage
+
+    def _batches(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(m.group(1))
+            for name in os.listdir(self.path)
+            if (m := re.fullmatch(r"batch=(\d+)", name))
+        )
+
+    def read(self) -> DataFrame:
+        """Latest signature per doc across all batches (later batch wins —
+        a changed document's re-signed row shadows its old one)."""
+        batches = self._batches()
+        if not batches:
+            raise FileNotFoundError(f"no signature batches under {self.path}")
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, f"batch={b}") for b in batches]
+        )
+        return latest_per_key(df, [self.id_col], [F.col("batch")])
+
+    # ------------------------------------------------------------- signing
+
+    def _fingerprinted(self, docs: DataFrame) -> DataFrame:
+        return docs.withColumn(
+            "content_fp", F.md5(normalize_ws(F.col(self.text_col)))
+        )
+
+    def _sign(self, docs: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            docs,
+            text_col=self.text_col,
+            num_hashes=self.num_hashes,
+            shingle_words=self.shingle_words,
+            portable=self.portable,
+        )
+        bands = F.array(*lsh_band_keys(self.num_hashes, self.band_size))
+        return sigs.select(
+            F.col(self.id_col),
+            "content_fp",
+            "minhash",
+            bands.alias("bands"),
+        )
+
+    def upsert_batch(self, docs: DataFrame) -> DataFrame:
+        """Sign the batch's new/changed docs, append them as the next
+        ``batch=N`` partition, and return the newly signed rows (the input
+        to ``incremental_pairs``). Unchanged docs cost one anti-join probe.
+        """
+        incoming = self._fingerprinted(docs)
+        batches = self._batches()
+        if batches:
+            known = self.read().select(self.id_col, "content_fp")
+            todo = incoming.join(known, [self.id_col, "content_fp"], "left_anti")
+        else:
+            todo = incoming
+        seq = (batches[-1] + 1) if batches else 0
+        signed = self._sign(todo)
+        signed.write.mode("errorifexists").parquet(
+            os.path.join(self.path, f"batch={seq}")
+        )
+        return self.spark.read.parquet(os.path.join(self.path, f"batch={seq}"))
+
+    # ------------------------------------------------------ pair search
+
+    def incremental_pairs(self, new_sigs: DataFrame) -> DataFrame:
+        """Candidate pairs (id_a < id_b) that involve ≥1 doc from
+        ``new_sigs``, via band-key equi-join of the (broadcast) new side
+        against the accumulated band index. The union of this output over
+        all batches equals the from-scratch ``lsh_candidate_pairs`` of the
+        full corpus."""
+        idc = self.id_col
+        store = self.read().select(
+            F.col(idc).alias("id_b"), F.explode("bands").alias("band_key")
+        )
+        new = new_sigs.select(
+            F.col(idc).alias("id_a"), F.explode("bands").alias("band_key")
+        )
+        return (
+            store.join(F.broadcast(new), "band_key")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )

@@ -352,6 +352,72 @@ def test_moving_avg_matches_pandas_rolling(spark):
     assert (got["mavg_7"] - ev["model"]).abs().max() < 1e-9
 
 
+def _near_dup_corpus(spark):
+    """documents ∪ near-dup copies (first two words dropped, id+100000) so
+    the LSH pair set is non-empty — the augmented-corpus model from
+    queries_ext."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.expr("slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0))"),
+        ).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def test_minhash_store_incremental_equals_full(spark, tmp_path):
+    """Two incremental batches through the signature store must emit, in
+    union, exactly the from-scratch banded candidate-pair set."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from crypto_market_tracker_etl_spark.operators.incremental_dedup import (
+        MinHashSignatureStore,
+    )
+
+    corpus = _near_dup_corpus(spark)
+    a = corpus.filter(F.col("doc_id") % 2 == 0)
+    b = corpus.filter(F.col("doc_id") % 2 == 1)
+    store = MinHashSignatureStore(spark, str(tmp_path / "sigs"))
+    got = set()
+    for batch in (a, b):
+        new_sigs = store.upsert_batch(batch)
+        got |= {
+            (r.id_a, r.id_b) for r in store.incremental_pairs(new_sigs).collect()
+        }
+    full = lsh_candidate_pairs(minhash_signatures(corpus))
+    want = {(r.id_a, r.id_b) for r in full.collect()}
+    assert want, "augmented corpus must produce candidate pairs"
+    assert got == want
+
+
+def test_minhash_store_signs_only_new_or_changed(spark, tmp_path):
+    """Re-delivering an unchanged batch signs nothing; a changed doc is
+    re-signed and its new signature shadows the old one on read."""
+    from crypto_market_tracker_etl_spark.operators.incremental_dedup import (
+        MinHashSignatureStore,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.count()
+    store = MinHashSignatureStore(spark, str(tmp_path / "sigs"))
+    assert store.upsert_batch(docs).count() == n
+    assert store.upsert_batch(docs).count() == 0  # unchanged → no work
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text")),
+    )
+    resigned = store.upsert_batch(changed)
+    assert resigned.count() == 1
+    assert store.read().count() == n  # latest-per-doc view, no duplicates
+    fp = {r.doc_id: r.content_fp for r in store.read().collect()}
+    assert fp[1] == resigned.collect()[0].content_fp
+
+
 def test_ivf_training_descends_and_beats_chance(spark):
     """Learned-centroid IVF (no bit-exact oracle — parallel double sums):
     Lloyd's objective must strictly descend from the seeds, and trained
