@@ -108,6 +108,64 @@ def stream_interval_join(
     )
 
 
+def stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+    finalize: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream BACKWARD AS-OF join: each left probe is matched with
+    the single LATEST right event of the same key at-or-before it (within
+    ``lookback``) — the streaming twin of ``operators.asof.asof_join``.
+
+    Spark has no native streaming as-of; this composes two chained
+    stateful operators (supported since watermark propagation landed in
+    3.5): the time-bounded interval join buffers candidates with state
+    bounded by lookback + watermark, then a windowed ``max_by`` reduces
+    each probe's candidate set to its as-of row. Probes finalize — and
+    emit exactly once, in append mode — when the watermark passes the end
+    of their ``finalize`` window.
+
+    Inner semantics: a probe with no right event inside its lookback is
+    not emitted (its batch-twin ``_asof`` columns would be null).
+    State/scale: both operators key their state by (key ⊕ window); no
+    unbounded buffering anywhere, identical shape under availableNow
+    drains and continuous triggers.
+    """
+    joined = stream_interval_join(
+        left, right, key, left_ts, right_ts, lookback, watermark
+    )
+    rts = f"right_{right_ts}"
+    # the join output carries TWO watermarked event-time columns; the
+    # downstream aggregation allows exactly one. Re-deriving the right
+    # timestamp through arithmetic drops its event-time metadata while
+    # keeping the value bit-identical.
+    joined = joined.withColumn(rts, F.col(rts) + F.expr("INTERVAL 0 SECONDS"))
+    # same trick for the probe timestamp used as a PLAIN group key: event
+    # time enters the aggregation only through the finalize window.
+    joined = joined.withColumn("__lts", F.col(left_ts) + F.expr("INTERVAL 0 SECONDS"))
+    left_extras = [c for c in left.columns if c not in (key, left_ts)]
+    right_extras = [f"right_{c}" for c in right.columns if c not in (key, right_ts)]
+    payload = F.struct(F.col(rts), *[F.col(c) for c in right_extras])
+    agg = joined.groupBy(
+        F.window(left_ts, finalize).alias("__w"),
+        key,
+        "__lts",
+        *left_extras,
+    ).agg(F.max_by(payload, F.col(rts)).alias("__m"))
+    return agg.select(
+        key,
+        F.col("__lts").alias(left_ts),
+        *left_extras,
+        F.col(f"__m.{rts}").alias(f"asof_{right_ts}"),
+        *[F.col(f"__m.{c}").alias(c) for c in right_extras],
+    )
+
+
 def windowed_ohlc_stream(
     stream: DataFrame,
     keys: Sequence[str],

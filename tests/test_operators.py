@@ -568,6 +568,77 @@ def test_windowed_ohlc_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_asof_join_matches_batch(spark, tmp_path):
+    """Streaming as-of join (interval join + windowed max_by, two chained
+    stateful ops) must equal the batch asof_join restricted to matched
+    probes. Two availableNow drains: the second delivers only a far-future
+    sentinel pair that advances the watermark past every real window, so
+    all real probes are finalized and emitted."""
+    from crypto_market_tracker_etl_spark.streaming.incremental import (
+        stream_asof_join,
+    )
+
+    ev_t = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value", "event_type"
+    )
+    clicks = ev_t.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = ev_t.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    lsrc, rsrc, osink = (str(tmp_path / d) for d in ("l", "r", "out"))
+    clicks.write.mode("overwrite").parquet(lsrc)
+    buys.write.mode("overwrite").parquet(rsrc)
+
+    def drain() -> None:
+        ls = spark.readStream.schema(clicks.schema).parquet(lsrc)
+        rs = spark.readStream.schema(buys.schema).parquet(rsrc)
+        out = stream_asof_join(
+            ls, rs, "user_id", "ts", "ts",
+            lookback="2 days", watermark="1 hour", finalize="1 day",
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(osink)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    far = F.expr("timestamp'2099-01-01 00:00:00'")
+    sent_l = clicks.limit(1).select(F.lit(-1).alias("user_id"), far.alias("ts"))
+    sent_r = buys.limit(1).select(
+        F.lit(-1).alias("user_id"), far.alias("ts"), F.lit(0.0).alias("value")
+    )
+    sent_l.write.mode("append").parquet(lsrc)
+    sent_r.write.mode("append").parquet(rsrc)
+    drain()
+
+    got = {
+        (r["user_id"], r["ts"], r["asof_ts"], r["right_value"])
+        for r in spark.read.parquet(osink).filter(F.col("user_id") >= 0).collect()
+    }
+    # thread the quote timestamp through the batch twin as a value column
+    # so the compare covers WHICH right row matched, not just its value
+    want = {
+        (r["user_id"], r["ts"], r["qts"], r["value_asof"])
+        for r in asof_join(
+            clicks,
+            buys.withColumn("qts", F.col("ts")),
+            ["user_id"], "ts", "ts", ["value", "qts"],
+            tolerance=F.expr("INTERVAL 2 days"),
+        )
+        .filter(F.col("value_asof").isNotNull())
+        .select("user_id", "ts", F.col("qts_asof").alias("qts"), "value_asof")
+        .collect()
+    }
+    assert want, "batch as-of twin must match some probes"
+    assert got == want
+
+
 # -------------------------------------------------------------- multimodal
 
 
