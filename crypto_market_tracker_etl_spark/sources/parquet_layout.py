@@ -66,6 +66,72 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
+    """Attach ``__z``: a Morton (bit-interleaved) key over the numeric
+    ``cols``, each first normalized to a ``2^bits``-bin rank via min/max
+    anchors.
+
+    The anchors are a 1-row broadcast aggregate (the max-ts anchor
+    pattern) — no global sort, no window over the whole table, so the key
+    is computed in a single narrow scan at any size. Min/max binning is
+    coarser than Delta's range-id normalization under heavy skew, but
+    skew-robustness here comes from the later ``repartitionByRange`` on
+    the key (sampled range bounds), which still yields balanced files.
+    """
+    anchors = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(anchors))
+    nbins = 1 << bits
+    binned = []
+    for c in cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        b = F.floor((F.col(c).cast("double") - mn) / span * nbins)
+        binned.append(F.least(F.lit(nbins - 1), F.greatest(F.lit(0), b)))
+    k = len(cols)
+    # disjoint bit positions → plain sum assembles the interleaved key
+    z = sum(
+        (
+            F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), i * k + j
+            )
+            for i in range(bits)
+            for j, b in enumerate(binned)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return out.withColumn("__z", z).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 32,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` clustered on the Z-order curve of ``cols`` — the
+    multi-column generalization of sort-within-files: each file covers a
+    small HYPER-RECTANGLE of the key space instead of a slab of one
+    column, so parquet min/max footer stats prune files for predicates on
+    ANY subset of ``cols`` (a linear sort only prunes its leading column).
+    Same mechanism Delta's OPTIMIZE ZORDER BY applies, expressed as
+    repartitionByRange(__z) + per-file sort; one range shuffle total.
+    """
+    (
+        zorder_key(df, cols, bits)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_pruned(
     spark: SparkSession,
     path: str,
