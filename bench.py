@@ -48,9 +48,12 @@ HEADLINE = [
     "knn_ivf",
     "embedding_near_dup",
     "text_quality",
+    "tfidf",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
 ]
 
 
