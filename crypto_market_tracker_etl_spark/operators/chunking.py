@@ -1,0 +1,57 @@
+"""Document chunking for LLM training/retrieval pipelines.
+
+Splits each document's token stream into fixed-size chunks with overlap —
+the step between raw corpus and training examples (or embedding units).
+Pure Catalyst expressions end-to-end: tokenize once, generate chunk start
+offsets with ``sequence`` (stride = chunk − overlap), ``slice`` each
+window out of the token array, ``posexplode`` to one row per chunk. No
+UDFs, no shuffle — chunking 100 TB is a narrow map stage whose output
+row count is Σ ceil(tokens/stride), and the expression is reproducible in
+ANSI SQL (the ``chunk_docs`` oracle query).
+
+Semantics: starts run 1, 1+stride, … while start ≤ max(n_toks − overlap,
+1) — the final chunk may be short (the tail), but no start is generated
+that would yield a chunk fully inside the previous one. A document
+shorter than one chunk yields exactly one chunk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import normalize_ws
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, chunk): ``doc_id, chunk_id, n_chunk_toks,
+    chunk_text``. ``chunk_id`` is 0-based in document order."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(normalize_ws(F.col(text_col)), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    return (
+        docs.select(F.col(id_col), chunks.alias("__chunks"))
+        .select(
+            id_col,
+            F.posexplode("__chunks").alias("chunk_id", "__c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__c").alias("n_chunk_toks"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )

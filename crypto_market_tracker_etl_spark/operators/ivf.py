@@ -43,6 +43,8 @@ scale path").
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,12 +77,25 @@ def seed_centroids(
 def _neg_cos_entries(vec: Column, centroids: list[list[float]], round_scale: int) -> Column:
     """Array of ``(nd, cid)`` structs, nd = rounded negative cosine to each
     centroid. ``array_min`` of this is the nearest centroid; rounding + cid
-    tiebreak make the argmin order-deterministic across engines."""
+    tiebreak make the argmin order-deterministic across engines.
+
+    Centroid norms are computed HERE in Python (they are plain constants)
+    rather than as fold expressions — Catalyst does not constant-fold
+    higher-order-function folds over literal arrays, so an expression-side
+    ``norm(centroid)`` would re-run k extra 64-element folds per ROW. The
+    float hypot sum matches the fold bit-for-bit (same left-to-right
+    ``x*x`` accumulation in double).
+    """
     vn = norm(vec)
     entries = []
     for cid, c in enumerate(centroids):
         cl = _lit_vec(c)
-        nd = F.round(-cosine_with_norms(vec, cl, vn, norm(cl)), round_scale)
+        cn = 0.0
+        for x in c:
+            cn += float(x) * float(x)
+        nd = F.round(
+            -cosine_with_norms(vec, cl, vn, F.lit(math.sqrt(cn))), round_scale
+        )
         entries.append(F.struct(nd.alias("nd"), F.lit(cid).alias("cid")))
     return F.array(*entries)
 

@@ -1601,6 +1601,105 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[distribution profiling] Fixed 10-bin value histogram per event
+    type. Bin edges come from global min/max broadcast anchors (no
+    collect); binning is a pure expression, so the whole histogram is one
+    scan + one (event_type, bin) partial-aggregated shuffle of ≤ 50
+    groups. Identical double arithmetic on the oracle side keeps boundary
+    values in the same bin."""
+    ev = _events(spark, sf_dir)
+    anchors = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    span = F.when(F.col("mx") > F.col("mn"), F.col("mx") - F.col("mn")).otherwise(
+        F.lit(1.0)
+    )
+    b = F.least(
+        F.lit(9), F.floor((F.col("value") - F.col("mn")) / span * 10)
+    ).cast("int")
+    return (
+        ev.crossJoin(F.broadcast(anchors))
+        .select("event_type", b.alias("bin"), "mn", "mx")
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("mn"), 4).alias("v_min"),
+            F.round(F.first("mx"), 4).alias("v_max"),
+        )
+    )
+
+
+SQL_HISTOGRAM = f"""
+WITH {E_CTE},
+a AS (SELECT min(value) AS mn, max(value) AS mx FROM e)
+SELECT event_type,
+       CAST(least(9, floor((value - mn) / (CASE WHEN mx > mn THEN mx - mn
+                                                ELSE 1.0 END) * 10)) AS INT)
+         AS bin,
+       count(*) AS n,
+       round(any_value(mn), 4) AS v_min,
+       round(any_value(mx), 4) AS v_max
+FROM e, a
+GROUP BY 1, 2
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[reshape] melt the pivoted per-(user, day) counts back to long form
+    with the DataFrame ``unpivot`` relation (the explicit-values inverse
+    of q_pivot; zero-count cells survive the round trip)."""
+    wide = q_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ["user_id", "day"],
+        ["n_click", "n_view", "n_purchase", "n_signup", "n_error"],
+        "event_type",
+        "n",
+    )
+    return long.withColumn("event_type", F.expr("substring(event_type, 3)"))
+
+
+SQL_UNPIVOT = f"""
+WITH {E_CTE},
+base AS (SELECT user_id, CAST(ts AS DATE) AS day FROM e GROUP BY 1, 2),
+t AS (SELECT unnest(['click','view','purchase','signup','error']) AS event_type),
+cnt AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM e GROUP BY 1, 2, 3)
+SELECT b.user_id, b.day, t.event_type, coalesce(cnt.n, 0) AS n
+FROM base b CROSS JOIN t
+LEFT JOIN cnt ON cnt.user_id = b.user_id AND cnt.day = b.day
+             AND cnt.event_type = t.event_type
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multi-granularity agg] Explicit GROUPING SETS ((event_type),
+    (day), ()) — the general form behind rollup/cube, via the
+    DataFrame ``groupingSets`` relation (Spark 4): one Expand + one
+    aggregation pass instead of three scans; ``grouping_id`` disambiguates
+    the all-rows row from genuine NULL keys."""
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        ev.groupingSets(
+            [["event_type"], ["day"], []], "event_type", "day"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value").alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "day", "n", "total", F.col("gid").cast("int").alias("gid"))
+    )
+
+
+SQL_GROUPING_SETS = f"""
+WITH {E_CTE}
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(GROUPING(event_type, CAST(ts AS DATE)) AS INT) AS gid
+FROM e
+GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1655,6 +1754,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stats_battery": (q_stats_battery, SQL_STATS_BATTERY),
     "profile": (q_profile, SQL_PROFILE),
     "scd2": (q_scd2, SQL_SCD2),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
 }
 
 

@@ -989,6 +989,40 @@ FROM m
 """
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM pipeline] Fixed-size overlapping token chunks per document
+    (64/16) — the corpus→training-examples step. Expression-only narrow
+    map (sequence of starts → slice → posexplode), no shuffle; see
+    operators/chunking.py for the scale notes."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _documents(spark, sf_dir), CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+
+
+_CH_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+SQL_CHUNK_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - {CHUNK_OVERLAP}, 1),
+                                {_CH_STRIDE})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST((st - 1) // {_CH_STRIDE} AS INT) AS chunk_id,
+       CAST(len(toks[st : st + {CHUNK_TOKENS - 1}]) AS INT) AS n_chunk_toks,
+       array_to_string(toks[st : st + {CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM s
+"""
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
@@ -1009,6 +1043,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "tfidf": (q_tfidf, SQL_TFIDF),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),

@@ -418,6 +418,38 @@ def test_minhash_store_signs_only_new_or_changed(spark, tmp_path):
     assert fp[1] == resigned.collect()[0].content_fp
 
 
+def test_chunk_documents_invariants(spark):
+    """Chunking must tile the token stream: chunk 0 starts the doc, full
+    chunks are exactly chunk_tokens long, consecutive chunks overlap by
+    exactly `overlap` tokens, the tail reaches the last token, and a
+    short doc yields one whole-doc chunk. Bad params raise."""
+    import pytest as _pytest
+
+    from crypto_market_tracker_etl_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(100))),  # multi-chunk
+        (2, " ".join(f"s{i}" for i in range(64))),   # exactly one chunk
+        (3, "a b c"),                                 # short doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_id)
+
+    assert [r.n_chunk_toks for r in by_doc[1]] == [64, 52]
+    c0, c1 = (r.chunk_text.split(" ") for r in by_doc[1])
+    assert c0[0] == "t0" and c1[-1] == "t99"
+    assert c0[-16:] == c1[:16]  # exact overlap
+    assert [r.n_chunk_toks for r in by_doc[2]] == [64]
+    assert [r.chunk_text for r in by_doc[3]] == ["a b c"]
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=16, overlap=16)
+
+
 def test_ivf_training_descends_and_beats_chance(spark):
     """Learned-centroid IVF (no bit-exact oracle — parallel double sums):
     Lloyd's objective must strictly descend from the seeds, and trained
