@@ -95,6 +95,46 @@ def test_tpch_q3_top_k_not_global_sort(spark):
     assert "TakeOrderedAndProject" in s  # LIMIT 10 must not range-sort
 
 
+def test_tpch_q6_pure_pushed_scan(spark):
+    s = plan_of(spark, "tpch_q6")
+    # every predicate reaches the scan; no join anywhere; the only exchange
+    # is the 1-row final-aggregate gather
+    assert "PushedFilters: [IsNotNull" in s
+    assert "GreaterThanOrEqual(l_shipdate" in s and "LessThan(l_quantity,24.0)" in s
+    assert "Join" not in s
+
+
+def test_chunk_docs_no_shuffle(spark):
+    s = plan_of(spark, "chunk_docs")
+    # chunking is a narrow map: the only exchange allowed is the explicit
+    # CPU-spreading input repartition (REPARTITION_BY_NUM), never a
+    # key/range shuffle introduced by the chunk computation itself
+    part_lines = [l for l in s.splitlines() if "partitioning(" in l]
+    assert all("REPARTITION_BY_NUM" in l for l in part_lines), part_lines
+    assert "rangepartitioning" not in s
+    assert "Generate" in s
+
+
+def test_tfidf_broadcasts_vocabulary(spark):
+    s = plan_of(spark, "tfidf")
+    # DF (vocabulary) side and the 1-row N anchor must broadcast; the only
+    # SMJ-eligible join would re-shuffle the TF table — not allowed
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "WindowGroupLimit" in s  # per-doc top-3 is rank-limited, not sorted
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    s = plan_of(spark, "funnel")
+    # every exchange in the cascade hashes on user_id — no other
+    # partitioning scheme may appear (that would mean a re-shuffle between
+    # funnel steps)
+    import re
+
+    hashes = re.findall(r"hashpartitioning\((\w+)", s)
+    assert hashes and all(h.startswith("user_id") for h in hashes), hashes
+
+
 def test_entry_uses_broadcast_dim(spark):
     df = entrymod.entry(spark)
     jvm = spark._jvm
