@@ -113,6 +113,58 @@ def probe_simhash_pairs(spark) -> None:
         hashed.unpersist()
 
 
+def synth_long_docs(spark, n: int, words: int = 200):
+    """Docs long enough to chunk (~200 words)."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}_"), ((F.col("id") * 131 + j * 17) % 9973).cast("string"))
+                for j in range(words)
+            ],
+        ).alias("text"),
+    ).repartition(32)
+
+
+def synth_vectors(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random embeddings in [-1, 1]^dim."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64("id", F.lit(j)), F.lit(2000)) / 1000.0 - 1.0)
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    ).repartition(32)
+
+
+def probe_ext_ops(spark) -> None:
+    """Round-2 extension operators at generated scale: chunking (narrow
+    map) and IVF index assignment (k fold-expressions per row). Prints
+    rows/sec; numbers are hand-recorded into SCALE.md's analysis."""
+    from crypto_market_tracker_etl_spark.operators.chunking import chunk_documents
+    from crypto_market_tracker_etl_spark.operators.ivf import (
+        ivf_index,
+        seed_centroids,
+    )
+
+    for n in (1_000_000, 5_000_000):
+        docs = synth_long_docs(spark, n).persist()
+        docs.count()
+        t = force(chunk_documents(docs, 64, 16))
+        print(f"chunk n={n}: {t:.1f}s ({n / t / 1e6:.2f}M docs/s)", flush=True)
+        docs.unpersist()
+    for n in (1_000_000, 5_000_000):
+        vecs = synth_vectors(spark, n).persist()
+        vecs.count()
+        cents = seed_centroids(vecs, 8)
+        t = force(ivf_index(vecs, cents))
+        print(f"ivf_index n={n}: {t:.1f}s ({n / t / 1e6:.2f}M vecs/s)", flush=True)
+        vecs.unpersist()
+
+
 def _splice_probe_section(body: str) -> None:
     """Replace the marker-delimited probe block of SCALE.md, preserving the
     hand-written analysis sections outside it."""
@@ -138,6 +190,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if os.environ.get("SCALE_PAIRS"):
         probe_simhash_pairs(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_EXT"):
+        probe_ext_ops(spark)
         spark.stop()
         return
     rows = []
