@@ -989,6 +989,87 @@ FROM m
 """
 
 
+def q_text_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Two repetition/diversity signals per document:
+    character Shannon entropy (degenerate/boilerplate text scores low) and
+    the top-trigram ratio (most frequent 3-gram's share of all 3-grams —
+    the standard repetition filter). Both reduce to per-doc partial
+    aggregations: entropy via the ln(N) − Σ n·ln(n)/N identity (no
+    per-class probability column needed), trigrams counted WITH
+    multiplicity (unlike the dedup shingles, which are distinct sets).
+    Two (doc, term) shuffles co-partitioned on doc_id."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", normalize_ws(F.col("text")).alias("t")
+    )
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")).alias("ch"),
+    )
+    ent = (
+        chars.groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"), 4
+            ).alias("char_entropy")
+        )
+    )
+    # tokens projected to a column: an inline split referenced inside the
+    # transform lambda would re-evaluate per trigram (no CSE across
+    # lambda boundaries — see operators/chunking.py)
+    tok_df = docs.select("doc_id", "t", F.split(F.col("t"), " ").alias("toks"))
+    tris = F.when(
+        F.size(F.col("toks")) >= 3,
+        F.expr(
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+        ),
+    ).otherwise(F.array(F.col("t")))
+    rep = (
+        tok_df.select("doc_id", F.explode(tris).alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("n") / F.sum("n"), 4).alias("top_trigram_ratio"))
+    )
+    return ent.join(rep, "doc_id")
+
+
+SQL_TEXT_REDUNDANCY = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+ch AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(t) + 1),
+                                       i -> substr(t, i, 1))) AS ch
+  FROM d
+),
+cc AS (SELECT doc_id, ch, count(*) AS n FROM ch GROUP BY 1, 2),
+ent AS (
+  SELECT doc_id, round(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 4)
+           AS char_entropy
+  FROM cc GROUP BY doc_id
+),
+tr AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(regexp_split_to_array(t, ' ')) >= 3
+                THEN list_transform(range(1, len(regexp_split_to_array(t, ' ')) - 1),
+                     i -> concat_ws(' ', regexp_split_to_array(t, ' ')[i],
+                                    regexp_split_to_array(t, ' ')[i+1],
+                                    regexp_split_to_array(t, ' ')[i+2]))
+                ELSE [t] END) AS tri
+  FROM d
+),
+tc AS (SELECT doc_id, tri, count(*) AS n FROM tr GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id, round(MAX(n) / CAST(SUM(n) AS DOUBLE), 4)
+           AS top_trigram_ratio
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, char_entropy, top_trigram_ratio
+FROM ent JOIN rep USING (doc_id)
+"""
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
 
 
@@ -1044,6 +1125,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "tfidf": (q_tfidf, SQL_TFIDF),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "text_redundancy": (q_text_redundancy, SQL_TEXT_REDUNDANCY),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
