@@ -1070,6 +1070,64 @@ FROM ent JOIN rep USING (doc_id)
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[storage scale] Symmetric int8 quantization of the embedding
+    column: per-vector scale, code checksum (proves the 64 codes match
+    bit-for-bit without comparing arrays), and reconstruction error
+    bounds. Pure expression scan — quantizing a 100 TB embedding table is
+    one narrow rewrite producing ¼ the bytes; see functions/vector.py for
+    why floor() is the engine-portable conversion."""
+    from .functions.vector import as_double, dequantize, quantize_int8, quantize_scale
+
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("scale", quantize_scale(F.col("v")))
+    emb = emb.withColumn("codes", quantize_int8(F.col("v"), F.col("scale")))
+    err = F.zip_with(
+        F.col("v"), dequantize(F.col("codes"), F.col("scale")), lambda x, y: F.abs(x - y)
+    )
+    return emb.select(
+        "vec_id",
+        F.round("scale", 4).alias("scale_r"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, q: a + q).alias(
+            "code_sum"
+        ),
+        F.round(F.array_max(err), 4).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 4
+        ).alias("mean_abs_err"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_max(list_transform(v, x -> abs(x))) ELSE 1.0 END AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale * 127) AS INT)) AS codes
+  FROM s
+),
+d AS (
+  SELECT vec_id, v, scale, codes,
+         list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - codes[i] / 127.0 * scale)) AS err
+  FROM q
+)
+SELECT vec_id,
+       round(scale, 4) AS scale_r,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       round(list_max(err), 4) AS max_abs_err,
+       round(list_sum(err) / len(v), 4) AS mean_abs_err
+FROM d
+"""
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
 
 
@@ -1126,6 +1184,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "tfidf": (q_tfidf, SQL_TFIDF),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "text_redundancy": (q_text_redundancy, SQL_TEXT_REDUNDANCY),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),

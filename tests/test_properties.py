@@ -92,3 +92,33 @@ def test_merge_upsert_idempotent(spark, old, new):
     got = {(r["k"], r["ts"]): r["v"] for r in once.collect()}
     for r in n.collect():
         assert got[(r["k"], r["ts"])] == r["v"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_toks=st.integers(min_value=1, max_value=200),
+    chunk=st.integers(min_value=2, max_value=40),
+    data=st.data(),
+)
+def test_chunk_documents_tiles_exactly(spark, n_toks, chunk, data):
+    """Property: chunks reconstruct the document exactly — chunk 0 starts
+    it, each later chunk overlaps its predecessor by exactly `overlap`
+    tokens, the concatenation of the non-overlapped suffixes is the
+    original token stream, and every chunk except the tail is full."""
+    from crypto_market_tracker_etl_spark.operators.chunking import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    toks = [f"t{i}" for i in range(n_toks)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id int, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk, overlap).collect(), key=lambda r: r.chunk_id
+    )
+    pieces = [r.chunk_text.split(" ") for r in rows]
+    assert pieces[0][0] == toks[0]
+    rebuilt = list(pieces[0])
+    for prev, cur in zip(pieces, pieces[1:]):
+        assert prev[-overlap:] == cur[:overlap] or overlap == 0
+        rebuilt.extend(cur[overlap:])
+    assert rebuilt == toks
+    for p in pieces[:-1]:
+        assert len(p) == chunk
