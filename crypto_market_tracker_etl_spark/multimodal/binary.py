@@ -128,6 +128,43 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_binary(
+    media: DataFrame, chunk_bytes: int = 96, id_col: str = "media_id"
+) -> DataFrame:
+    """Fixed-size byte shards of opaque payloads — the binary twin of
+    operators/chunking.py (media → bounded training shards / upload
+    parts). Pure expressions: sequence of offsets → binary substring →
+    posexplode; blobs never reach Python and never shuffle. Emits the
+    shard as base64 text (engine-portable equality; decode is one
+    ``unbase64`` away) plus its byte count.
+
+    ``chunk_bytes`` must be a multiple of 3: base64 concatenates across
+    3-byte-aligned boundaries, which is what lets the DuckDB oracle
+    reproduce per-shard encodings by slicing the whole payload's base64
+    (this DuckDB build has no BLOB substring).
+    """
+    if chunk_bytes % 3 != 0 or chunk_bytes <= 0:
+        raise ValueError("chunk_bytes must be a positive multiple of 3")
+    # replace(): Spark's base64 is the MIME encoder (CRLF every 76 chars);
+    # strip to the canonical unchunked form every other encoder emits
+    shards = F.expr(
+        f"transform(sequence(1, greatest(length(payload), 1), {chunk_bytes}), "
+        f"s -> struct(replace(base64(substring(payload, s, {chunk_bytes})), "
+        f"'\\r\\n', '') AS b64, "
+        f"greatest(least({chunk_bytes}, length(payload) - s + 1), 0) AS nb))"
+    )
+    return (
+        media.select(F.col(id_col), shards.alias("__sh"))
+        .select(id_col, F.posexplode("__sh").alias("chunk_id", "__s"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("__s.nb").alias("n_bytes"),
+            F.col("__s.b64").alias("chunk_b64"),
+        )
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int, id_col: str = "media_id") -> DataFrame:
     """Deterministic 1-in-N sampling by id hash — the 'sample frames from
     video' pattern without data movement (no shuffle, prunes early)."""

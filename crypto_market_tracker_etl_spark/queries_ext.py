@@ -1128,6 +1128,36 @@ FROM d
 """
 
 
+def q_binary_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] 96-byte shards of opaque payloads (documents' UTF-8
+    bytes standing in for media blobs): expression-only binary substring
+    + posexplode, blobs never in Python, never shuffled. Oracle trick:
+    96 ≡ 0 (mod 3) makes each shard's base64 a slice of the whole
+    payload's base64."""
+    from .multimodal.binary import chunk_binary, documents_as_media
+
+    return chunk_binary(documents_as_media(_documents(spark, sf_dir)), 96)
+
+
+SQL_BINARY_CHUNKS = """
+WITH m AS (
+  SELECT doc_id AS media_id, encode(text) AS payload, to_base64(encode(text)) AS b64
+  FROM documents
+),
+s AS (
+  SELECT media_id, payload, b64,
+         unnest(generate_series(1, greatest(octet_length(payload), 1), 96)) AS off
+  FROM m
+)
+SELECT media_id,
+       CAST((off - 1) // 96 AS INT) AS chunk_id,
+       CAST(greatest(least(96, octet_length(payload) - off + 1), 0) AS INT)
+         AS n_bytes,
+       substring(b64, CAST((off - 1) // 3 * 4 + 1 AS INT), 128) AS chunk_b64
+FROM s
+"""
+
+
 CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
 
 
@@ -1185,6 +1215,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "text_redundancy": (q_text_redundancy, SQL_TEXT_REDUNDANCY),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),

@@ -483,6 +483,47 @@ def test_ivf_training_descends_and_beats_chance(spark):
     assert recalls[1] <= recalls[2] <= recalls[3], recalls
 
 
+def test_quantized_vectors_bound_error_and_preserve_neighbors(spark):
+    """Int8 quantization invariants: per-element reconstruction error is
+    bounded by one code unit (scale/127 — floor error), and brute-force
+    top-3 over DEQUANTIZED vectors largely agrees with full precision
+    (random near-orthogonal vectors are the hardest case: neighbor gaps
+    are tiny, so the bound is deliberately loose)."""
+    from crypto_market_tracker_etl_spark.functions.vector import (
+        as_double,
+        dequantize,
+        quantize_int8,
+        quantize_scale,
+    )
+    from crypto_market_tracker_etl_spark.operators.similarity import brute_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.withColumn("scale", quantize_scale(F.col("v")))
+    q = q.withColumn("codes", quantize_int8(F.col("v"), F.col("scale")))
+    worst = q.select(
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                dequantize(F.col("codes"), F.col("scale")),
+                lambda x, y: F.abs(x - y) - F.col("scale") / 127.0,
+            )
+        ).alias("excess")
+    ).agg(F.max("excess").alias("m")).collect()[0]["m"]
+    assert worst <= 1e-12, worst
+
+    deq = q.select("vec_id", dequantize(F.col("codes"), F.col("scale")).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in brute_knn(
+        emb.select("vec_id", F.col("v").alias("embedding")), queries, 3).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in brute_knn(deq, queries, 3).collect()}
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.5, overlap
+
+
 def test_ivf_index_is_shuffle_free(spark):
     """List assignment is a pure expression: the index build plan must be
     a single narrow scan stage — no Exchange anywhere (at 100 TB this is
