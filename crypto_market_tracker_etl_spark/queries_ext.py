@@ -252,6 +252,63 @@ SELECT node, min(lbl) AS component FROM reach GROUP BY node
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation decision: near-dup pairs → connected
+    components → ONE representative per cluster, chosen by a quality
+    criterion (here: longest normalized text, the classic keep-the-
+    fullest-copy rule; tie → lowest doc_id) instead of the arbitrary
+    minimum id. One max_by per component after a broadcast-able join of
+    the (small) component labels against doc stats — the corpus itself
+    never reshuffles."""
+    from .operators.dedup import connected_components
+
+    pairs = q_near_dup_pairs(spark, sf_dir)
+    comps = connected_components(pairs)
+    stats = _augmented_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), F.length("text").alias("len")
+    )
+    return (
+        comps.join(stats, "node")
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                F.col("node"), F.struct(F.col("len"), (-F.col("node")).alias("nn"))
+            ).alias("kept_doc"),
+            F.max("len").cast("int").alias("kept_len"),
+            F.count(F.lit(1)).cast("int").alias("cluster_size"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_SQL_ND_CTES},
+p AS ({_SQL_ND_SELECT}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+reach(node, lbl) AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.src AS node, r.lbl FROM e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+stats AS (SELECT doc_id AS node, length(t) AS len FROM aug),
+ranked AS (
+  SELECT component, node, len,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY len DESC, node ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS csize
+  FROM comp JOIN stats USING (node)
+)
+SELECT component, node AS kept_doc, CAST(len AS INT) AS kept_len,
+       CAST(csize AS INT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (portable md5-fold token hash; explode +
     bit-vote groupBy — one shuffle, partial-aggregated sums)."""
@@ -1216,6 +1273,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "text_redundancy": (q_text_redundancy, SQL_TEXT_REDUNDANCY),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
