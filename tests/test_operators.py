@@ -536,6 +536,45 @@ def test_ivf_index_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_approx_percentile_within_tolerance(spark):
+    """approx_percentile (GK sketch) is the scale path for quantiles —
+    mergeable, bounded memory, one pass — with no cross-engine oracle
+    (sketch internals differ). Bound it against the exact percentile:
+    with accuracy A, rank error ≤ n/A."""
+    ev = load_table(spark, SF_DIR, "events")
+    acc = 100
+    got = ev.agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.9], acc).alias("ap"),
+        F.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("ex"),
+        F.count("value").alias("n"),
+    ).collect()[0]
+    values = sorted(r["value"] for r in ev.select("value").collect())
+    n = got["n"]
+    for q, approx in zip((0.25, 0.5, 0.9), got["ap"]):
+        # rank of the approximate answer must be within n/acc of target
+        import bisect
+
+        rank = bisect.bisect_left(values, approx)
+        assert abs(rank - q * n) <= n / acc + 1, (q, approx, rank, q * n)
+
+
+def test_freq_items_contains_true_heavy_hitters(spark):
+    """freqItems (misra-gries style) at support s must return a superset
+    of the items with true frequency > s — the one guarantee the sketch
+    makes; the complement (no false negatives) is what heavy-hitter
+    detection at 100 TB relies on."""
+    ev = load_table(spark, SF_DIR, "events")
+    support = 0.15
+    found = set(ev.freqItems(["event_type"], support).collect()[0][0])
+    n = ev.count()
+    true_heavy = {
+        r["event_type"]
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] > support * n
+    }
+    assert true_heavy <= found, (true_heavy, found)
+
+
 def test_approx_distinct_within_tolerance(spark):
     """approx_count_distinct (HLL++) has no cross-engine oracle; bound its
     error against the exact count instead (default rsd 5%)."""
