@@ -1601,6 +1601,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[frequency analysis] Exact heavy hitters: (user_id, event_type)
+    pairs whose frequency exceeds 0.1% of the stream — one partial-agg'd
+    count shuffle + a broadcast 1-row total anchor. The exact twin of the
+    freqItems sketch (test_freq_items_contains_true_heavy_hitters); at
+    100 TB run the sketch first, then this filter-verified count on the
+    sketch's candidate set."""
+    ev = _events(spark, sf_dir)
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("n_total") * 0.001)
+        .select(
+            "user_id",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH {E_CTE},
+t AS (SELECT count(*) AS n_total FROM e)
+SELECT user_id, event_type, count(*) AS n,
+       round(count(*) / CAST(any_value(t.n_total) AS DOUBLE), 6) AS share
+FROM e, t
+GROUP BY user_id, event_type
+HAVING count(*) > any_value(t.n_total) * 0.001
+"""
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[distribution profiling] Fixed 10-bin value histogram per event
     type. Bin edges come from global min/max broadcast anchors (no
@@ -1754,6 +1788,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stats_battery": (q_stats_battery, SQL_STATS_BATTERY),
     "profile": (q_profile, SQL_PROFILE),
     "scd2": (q_scd2, SQL_SCD2),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),

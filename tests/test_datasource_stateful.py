@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -322,3 +323,63 @@ def test_streaming_dedup_keys(spark, tmp_path):
         else 0
     )
     assert n2 == 0
+
+
+def test_running_stats_transform_with_state(spark, tmp_path):
+    """Same running-stats operator on the Spark-4 transformWithState
+    engine (named ValueState slots in RocksDB): state carries across a
+    checkpointed restart and the final cumulative rows equal the batch
+    aggregate. The API mandates RocksDBStateStoreProvider, and its state
+    protocol needs google.protobuf — absent in this container, so the
+    test self-skips there (the operator is the documented forward path
+    for real clusters)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    from crypto_market_tracker_etl_spark.streaming.stateful_v2 import (
+        running_stats_tws,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        schema = "user_id long, ts timestamp, value double"
+        _write_stream_batch(
+            spark,
+            src,
+            [
+                (1, dt.datetime(2024, 1, 1, 1), 10.0),
+                (1, dt.datetime(2024, 1, 1, 2), 30.0),
+                (2, dt.datetime(2024, 1, 1, 1), 5.0),
+            ],
+        )
+        out1 = str(tmp_path / "out1")
+        stream = spark.readStream.schema(schema).parquet(src)
+        _drain_to_parquet(
+            running_stats_tws(stream), out1, str(tmp_path / "ck")
+        )
+        got = {r["user_id"]: r for r in spark.read.parquet(out1).collect()}
+        assert got[1]["n"] == 2 and got[1]["total"] == 40.0
+        assert got[1]["vmin"] == 10.0 and got[1]["vmax"] == 30.0
+        assert got[2]["n"] == 1
+
+        _write_stream_batch(spark, src, [(1, dt.datetime(2024, 1, 1, 3), 2.0)])
+        out2 = str(tmp_path / "out2")
+        stream2 = spark.readStream.schema(schema).parquet(src)
+        _drain_to_parquet(
+            running_stats_tws(stream2), out2, str(tmp_path / "ck")
+        )
+        got2 = {r["user_id"]: r for r in spark.read.parquet(out2).collect()}
+        assert got2[1]["n"] == 3 and got2[1]["total"] == 42.0
+        assert got2[1]["vmin"] == 2.0 and got2[1]["vmax"] == 30.0
+    finally:
+        if saved is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, saved)
