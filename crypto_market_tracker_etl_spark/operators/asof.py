@@ -90,3 +90,91 @@ def asof_join(
             )
         filled = filled.drop("__quote_ts")
     return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """``asof_join`` generalized to pandas-merge_asof's direction surface:
+
+    - ``backward``: latest right row at-or-before the probe (the default
+      everywhere else in this repo);
+    - ``forward``: earliest right row at-or-after the probe — implemented
+      as BACKWARD OVER REVERSED TIME (both timestamps negated), so it
+      inherits the same single-shuffle union + running-last plan rather
+      than a second implementation;
+    - ``nearest``: both passes, then per probe keep the closer match
+      (ties → the backward one, matching pandas). Two shuffles on the
+      same keys instead of one — still no range explosion.
+
+    Timestamps are negated as epoch µs longs (exact; no double rounding —
+    the cast is monotonic, so ordering is preserved in any session tz).
+    Probe rows must be unique (the standard as-of contract); duplicate
+    probes would cross-multiply in the ``nearest`` recombination join.
+    Output adds ``<v>_asof`` columns plus ``<right_ts>_asof`` (the matched
+    quote time, null when no match exists in the given direction).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
+    left_ts_type = left.schema[left_ts].dataType.simpleString()
+
+    def negated(df: DataFrame, ts: str) -> DataFrame:
+        return df.withColumn(ts, -F.unix_micros(F.col(ts).cast("timestamp")))
+
+    def run(backward: bool, sfx: str) -> DataFrame:
+        r = right.select(*keys, right_ts, *value_cols).withColumn(
+            f"__qts{sfx}", F.col(right_ts)
+        )
+        if backward:
+            return asof_join(
+                left, r, keys, left_ts, right_ts,
+                [*value_cols, f"__qts{sfx}"], suffix=sfx,
+            )
+        ln = negated(left, left_ts)
+        rn = negated(r, right_ts)
+        out = asof_join(
+            ln, rn, keys, left_ts, right_ts,
+            [*value_cols, f"__qts{sfx}"], suffix=sfx,
+        )
+        # restore the probe timestamp; the matched quote ts rode along
+        # un-negated inside __qts
+        return out.withColumn(
+            left_ts, F.timestamp_micros(-F.col(left_ts)).cast(left_ts_type)
+        )
+
+    if direction == "backward":
+        out = run(True, suffix)
+        return out.withColumnRenamed(f"__qts{suffix}{suffix}", f"{right_ts}{suffix}")
+    if direction == "forward":
+        out = run(False, suffix)
+        return out.withColumnRenamed(f"__qts{suffix}{suffix}", f"{right_ts}{suffix}")
+    b = run(True, "_b")
+    f = run(False, "_f")
+    join_cols = [*keys, left_ts, *[c for c in left.columns if c not in (*keys, left_ts)]]
+    both = b.join(f, join_cols)
+    lts = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    db = lts - F.unix_micros(F.col("__qts_b_b").cast("timestamp"))
+    df_ = F.unix_micros(F.col("__qts_f_f").cast("timestamp")) - lts
+    take_b = F.col("__qts_f_f").isNull() | (
+        F.col("__qts_b_b").isNotNull() & (db <= df_)
+    )
+    sel = [F.col(c) for c in join_cols]
+    for v in value_cols:
+        sel.append(
+            F.when(take_b, F.col(f"{v}_b")).otherwise(F.col(f"{v}_f")).alias(
+                f"{v}{suffix}"
+            )
+        )
+    sel.append(
+        F.when(take_b, F.col("__qts_b_b"))
+        .otherwise(F.col("__qts_f_f"))
+        .alias(f"{right_ts}{suffix}")
+    )
+    return both.select(*sel)

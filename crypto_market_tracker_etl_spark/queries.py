@@ -1601,6 +1601,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3 generalization] FORWARD as-of: each click matched with the
+    EARLIEST purchase at-or-after it per user — backward as-of over
+    reversed time (operators/asof.py::asof_join_directional), same
+    single-shuffle union + running-last plan. The DuckDB oracle mirrors
+    the reversal: its ASOF JOIN is backward-only, so it runs on negated
+    epoch-µs timestamps."""
+    from .operators.asof import asof_join_directional
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_directional(
+        clicks, buys, ["user_id"], "ts", "ts", ["value"], direction="forward"
+    )
+
+
+SQL_ASOF_FORWARD = f"""
+WITH {E_CTE},
+c AS (SELECT user_id, ts, -epoch_us(ts) AS nts FROM e WHERE event_type = 'click'),
+b AS (SELECT user_id, ts AS qts, value, -epoch_us(ts) AS nts
+      FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.ts, b.value AS value_asof, b.qts AS ts_asof
+FROM c ASOF LEFT JOIN b ON c.user_id = b.user_id AND c.nts >= b.nts
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[frequency analysis] Exact heavy hitters: (user_id, event_type)
     pairs whose frequency exceeds 0.1% of the stream — one partial-agg'd
@@ -1788,6 +1817,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stats_battery": (q_stats_battery, SQL_STATS_BATTERY),
     "profile": (q_profile, SQL_PROFILE),
     "scd2": (q_scd2, SQL_SCD2),
+    "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "unpivot": (q_unpivot, SQL_UNPIVOT),

@@ -34,6 +34,40 @@ def ts(h: int, m: int = 0) -> dt.datetime:
     return dt.datetime(2024, 1, 1, h, m)
 
 
+def test_asof_join_directional_matches_pandas(spark):
+    """forward/nearest as-of vs the pandas merge_asof model on the
+    events data: clicks probed against purchases per user."""
+    import pandas as pd
+
+    from crypto_market_tracker_etl_spark.operators.asof import asof_join_directional
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    lp = clicks.toPandas().sort_values("ts")
+    rp = buys.toPandas().sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            (r.user_id, r.ts): r.value_asof
+            for r in asof_join_directional(
+                clicks, buys, ["user_id"], "ts", "ts", ["value"],
+                direction=direction,
+            ).collect()
+        }
+        model = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction=direction
+        )
+        want = {
+            (r.user_id, r.ts): (None if pd.isna(r.value) else r.value)
+            for r in model.itertuples()
+        }
+        assert got == want, direction
+
+
 # ---------------------------------------------------------------- as-of join
 
 
