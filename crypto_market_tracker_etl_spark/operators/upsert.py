@@ -61,6 +61,42 @@ def merge_upsert(
     return dedup_keep_latest(tagged, keys, [*(order or []), "__src"]).drop("__src")
 
 
+def merge_upsert_with_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str | Column] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """MERGE plus a change feed: ``(merged, changes)`` where ``changes``
+    is one row per batch key that actually changed the table —
+    ``action ∈ {insert, update}`` with the winning row's columns. No-op
+    re-deliveries (same key, identical non-key values) are filtered out,
+    which is what makes a downstream incremental consumer (cache
+    invalidation, daily-aggregate refresh, CDC export) idempotent under
+    the reference's overlapping re-fetch windows.
+
+    One extra keyed join against ``old`` beyond plain ``merge_upsert`` —
+    same key partitioning, null-safe struct comparison for the diff.
+    """
+    keys = list(keys)
+    non_keys = [c for c in new.columns if c not in keys]
+    batch = dedup_keep_latest(new, keys, order or [F.lit(0)])
+    prev = old.select(*keys, F.struct(*non_keys).alias("__old"))
+    diffed = batch.join(prev, keys, "left")
+    new_struct = F.struct(*non_keys)
+    action = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(~new_struct.eqNullSafe(F.col("__old")), F.lit("update"))
+        .otherwise(F.lit("noop"))
+    )
+    changes = (
+        diffed.withColumn("action", action)
+        .filter(F.col("action") != "noop")
+        .drop("__old")
+    )
+    return merge_upsert(old, batch, keys, order), changes
+
+
 class ParquetUpsertSink:
     """Date-partitioned parquet table with keyed-upsert writes.
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .functions.hashing import hex_prefix_to_long_sql
 from .operators.change import change_vs_asof, lag_change
 from .operators.latest import latest_per_key, latest_per_key_agg
 from .operators.ohlc import ohlc_daily, ohlc_tumbling
@@ -1601,6 +1602,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[data validation] Order-insensitive table checksum: every row is
+    canonicalized to one delimited string, hashed with the portable
+    md5-prefix hash, and the hashes are SUMMED (exact DECIMAL(38,0) — no
+    bigint overflow, no ordering sensitivity) alongside the row count.
+    One scan, partial-aggregated; comparing two clusters' 100 TB copies
+    costs two scans and exchanges 2 numbers. Null-safe: coalesce to a
+    sentinel the delimiter cannot produce."""
+    from .functions.hashing import md5_long
+
+    ev = _events(spark, sf_dir)
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("event_id").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.col("user_id").cast("string"),
+        F.coalesce(F.col("event_type"), F.lit("\x00")),
+        F.col("value").cast("decimal(18,2)").cast("string"),
+    )
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(md5_long(canon).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("checksum"),
+    )
+
+
+SQL_TABLE_CHECKSUM = f"""
+WITH {E_CTE},
+canon AS (
+  SELECT concat_ws(chr(31),
+                   CAST(event_id AS VARCHAR),
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                   CAST(user_id AS VARCHAR),
+                   coalesce(event_type, chr(0)),
+                   CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)) AS c
+  FROM e
+)
+SELECT count(*) AS n_rows,
+       CAST(SUM(CAST({hex_prefix_to_long_sql("md5(c)", 12, "duckdb")}
+                     AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM canon
+"""
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[J3 generalization] FORWARD as-of: each click matched with the
     EARLIEST purchase at-or-after it per user — backward as-of over
@@ -1818,6 +1864,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile": (q_profile, SQL_PROFILE),
     "scd2": (q_scd2, SQL_SCD2),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
+    "table_checksum": (q_table_checksum, SQL_TABLE_CHECKSUM),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "unpivot": (q_unpivot, SQL_UNPIVOT),

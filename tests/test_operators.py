@@ -251,6 +251,29 @@ def test_parquet_upsert_sink_compact(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in sink.read().collect()) == data_before
 
 
+def test_merge_upsert_with_changes_actions(spark):
+    """Change feed: inserts for new keys, updates for value changes,
+    NOTHING for identical re-deliveries; merged output matches plain
+    merge_upsert."""
+    from crypto_market_tracker_etl_spark.operators.upsert import (
+        merge_upsert_with_changes,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0)], "k string, ver int, v double"
+    )
+    new = spark.createDataFrame(
+        [("b", 2, 25.0), ("c", 1, 30.0), ("a", 1, 10.0)],
+        "k string, ver int, v double",
+    )
+    merged, changes = merge_upsert_with_changes(old, new, ["k"], ["ver"])
+    acts = {r["k"]: r["action"] for r in changes.collect()}
+    assert acts == {"b": "update", "c": "insert"}  # 'a' unchanged → absent
+    got = {(r["k"], r["ver"], r["v"]) for r in merged.collect()}
+    want = {(r["k"], r["ver"], r["v"]) for r in merge_upsert(old, new, ["k"], ["ver"]).collect()}
+    assert got == want == {("a", 1, 10.0), ("b", 2, 25.0), ("c", 1, 30.0)}
+
+
 def test_merge_upsert_tie_prefers_new(spark):
     old = spark.createDataFrame([("k1", 1, "old")], "k string, v int, who string")
     new = spark.createDataFrame([("k1", 1, "new")], "k string, v int, who string")
