@@ -1602,6 +1602,77 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[anomaly detection] Per-event-type z-score outliers (|z| > 3):
+    two-pass shape — tiny per-type moment table broadcast back onto the
+    stream, z computed as a scan expression. The broadcast keeps the
+    second pass shuffle-free; at 100 TB the moments table is k rows."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .filter(F.abs("z") > 3)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
+    )
+
+
+SQL_OUTLIERS = f"""
+WITH {E_CTE},
+s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM e GROUP BY event_type)
+SELECT event_id, event_type, value,
+       round((value - mu) / sigma, 4) AS z
+FROM e JOIN s USING (event_type)
+WHERE abs((value - mu) / sigma) > 3
+"""
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[market analytics] Time-weighted average price per user — the
+    market-data statistic the reference's hourly series implies (a tick's
+    value holds until the next tick): Σ value·Δt / Σ Δt with Δt from a
+    lead window in exact µs, last tick weightless. One window + one
+    aggregation, both on user_id (single Exchange reused)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # pure-NTZ µs difference (timestampdiff) — session-timezone-free
+    weighted = ev.withColumn("__next", F.lead("ts").over(w)).select(
+        "user_id",
+        "value",
+        F.expr("CAST(timestampdiff(MICROSECOND, ts, __next) AS DOUBLE)").alias("dt"),
+    )
+    return (
+        weighted.filter(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+SQL_TWAP = f"""
+WITH {E_CTE},
+d AS (
+  SELECT user_id, value,
+         CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts) AS DOUBLE) AS dt
+  FROM e
+)
+SELECT user_id,
+       round(SUM(value * dt) / SUM(dt), 4) AS twap,
+       count(*) AS n_intervals
+FROM d WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[data validation] Order-insensitive table checksum: every row is
     canonicalized to one delimited string, hashed with the portable
@@ -1865,6 +1936,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scd2": (q_scd2, SQL_SCD2),
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "table_checksum": (q_table_checksum, SQL_TABLE_CHECKSUM),
+    "outliers": (q_outliers, SQL_OUTLIERS),
+    "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
