@@ -141,6 +141,32 @@ class ParquetUpsertSink:
             merged = dedup_keep_latest(batch, self.keys, self.order)
         self._stage_and_swap(merged)
 
+    def upsert_with_changes(self, batch: DataFrame) -> DataFrame:
+        """``upsert`` that also returns the CDC rows (insert/update per
+        key, no-op re-deliveries absent) — the input a downstream
+        incremental consumer needs (e.g. ``refresh_daily_metrics`` on
+        exactly the days whose data actually changed, instead of every
+        day the batch mentions).
+
+        The change feed diffs against the PRE-swap table, so it is
+        materialized (localCheckpoint) before the write replaces the
+        files its plan reads — the same lazy-read hazard stage-and-swap
+        exists to prevent, solved the same way.
+        """
+        batch = batch.withColumn("dt", F.to_date(self.ts_col))
+        if self._exists():
+            touched = F.broadcast(batch.select("dt").distinct())
+            old = self.read().join(touched, "dt", "left_semi")
+            merged, changes = merge_upsert_with_changes(
+                old, batch, self.keys, self.order
+            )
+        else:
+            merged = dedup_keep_latest(batch, self.keys, self.order)
+            changes = merged.withColumn("action", F.lit("insert"))
+        changes = changes.localCheckpoint(eager=True)
+        self._stage_and_swap(merged)
+        return changes
+
     def compact(self, max_records_per_file: int = 1_000_000) -> None:
         """Rewrite the table with one writer task per partition, splitting
         only past ``max_records_per_file`` — the small-file compaction every

@@ -197,6 +197,59 @@ def test_refresh_daily_metrics_incremental(spark, tmp_path):
     assert got[("btc", "2024-01-01")] == (101.0, 105.0, 50.0, 50.0)
 
 
+def test_upsert_with_changes_feeds_refresh_minimally(spark, tmp_path):
+    """CDC-driven incremental maintenance: re-delivering one unchanged day
+    alongside one revised day must produce changes ONLY for the revised
+    day, so the daily-aggregate refresh recomputes one partition, not
+    every day the batch mentioned — and the refreshed table still equals
+    a full recompute."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_tracker_etl_spark.plans.etl_job import refresh_daily_metrics
+    from crypto_market_tracker_etl_spark.plans.market_views import (
+        daily_metrics_from_ticks,
+    )
+
+    prices_sink = ParquetUpsertSink(
+        spark, str(tmp_path / "prices"), keys=["asset_id", "ts"], ts_col="ts"
+    )
+    daily_sink = ParquetUpsertSink(
+        spark, str(tmp_path / "daily"), keys=["asset_id", "date"], ts_col="ts"
+    )
+    schema = "asset_id string, ts timestamp, price double, market_cap double, volume double"
+    day1 = ("btc", dt.datetime(2024, 1, 1, 1), 100.0, 1e9, 1e6)
+    day2 = ("btc", dt.datetime(2024, 1, 2, 1), 200.0, 2e9, 2e6)
+    first = spark.createDataFrame([day1, day2], schema)
+    changes1 = prices_sink.upsert_with_changes(first)
+    assert {r["action"] for r in changes1.collect()} == {"insert"}
+    refresh_daily_metrics(
+        prices_sink, daily_sink, changes1.select("dt").distinct()
+    )
+
+    # replay day1 unchanged + revise day2
+    second = spark.createDataFrame(
+        [day1, ("btc", dt.datetime(2024, 1, 2, 1), 210.0, 2e9, 2e6)], schema
+    )
+    changes2 = prices_sink.upsert_with_changes(second)
+    ch = changes2.collect()
+    assert {str(r["dt"]) for r in ch} == {"2024-01-02"}  # day1 replay is a no-op
+    assert {r["action"] for r in ch} == {"update"}
+    refresh_daily_metrics(
+        prices_sink, daily_sink, changes2.select("dt").distinct()
+    )
+    got = {
+        (r["asset_id"], str(r["date"])): r["close"]
+        for r in daily_sink.read().collect()
+    }
+    want = {
+        (r["asset_id"], str(r["date"])): r["close"]
+        for r in daily_metrics_from_ticks(prices_sink.read()).collect()
+    }
+    assert got == want and got[("btc", "2024-01-02")] == 210.0
+
+
 def test_upsert_assets_dim_keeps_first_seen(spark):
     import datetime as dt
 
