@@ -1602,6 +1602,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[record linkage] Fuzzy entity matching: pairs of DISTINCT part
+    names within Levenshtein distance 4, candidates blocked on the first
+    token (never an all-pairs join — the same blocking discipline as
+    every pair operator here). The distinct-first step is the cardinality
+    collapse that makes name-vocabulary matching tractable at any row
+    count: pairs scale with vocabulary², not rows²."""
+    p = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    p = p.withColumn("blk", F.split("p_name", " ")[0])
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.p_name") < F.col("b.p_name"),
+            ],
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein("a.p_name", "b.p_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+    )
+
+
+SQL_FUZZY_MATCH = """
+WITH p AS (
+  SELECT DISTINCT p_name FROM part
+),
+blk AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM p)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+"""
+
+
 def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[anomaly detection] Per-event-type z-score outliers (|z| > 3):
     two-pass shape — tiny per-type moment table broadcast back onto the
@@ -1937,6 +1976,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
     "table_checksum": (q_table_checksum, SQL_TABLE_CHECKSUM),
     "outliers": (q_outliers, SQL_OUTLIERS),
+    "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
