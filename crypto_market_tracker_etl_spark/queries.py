@@ -1602,6 +1602,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sequence mining] Most common consecutive event-type transitions
+    across user journeys: lead window over (user, ts, event_id) → count
+    per (from, to) pair → transition probability vs the from-state total.
+    One window shuffle + one 25-group aggregate; the probability join is
+    a broadcast of the from-state totals."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from"), 4).alias("p"),
+    )
+
+
+SQL_EVENT_BIGRAMS = f"""
+WITH {E_CTE},
+seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM e
+),
+pairs AS (SELECT from_type, to_type, count(*) AS n FROM seq
+          WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY 1)
+SELECT from_type, to_type, n,
+       round(n / CAST(n_from AS DOUBLE), 4) AS p
+FROM pairs JOIN tot USING (from_type)
+"""
+
+
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[record linkage] Fuzzy entity matching: pairs of DISTINCT part
     names within Levenshtein distance 4, candidates blocked on the first
@@ -1977,6 +2020,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "table_checksum": (q_table_checksum, SQL_TABLE_CHECKSUM),
     "outliers": (q_outliers, SQL_OUTLIERS),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
+    "event_bigrams": (q_event_bigrams, SQL_EVENT_BIGRAMS),
     "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),

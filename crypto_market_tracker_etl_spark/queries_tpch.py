@@ -302,10 +302,52 @@ LIMIT 20
 """
 
 
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: one fact⋈broadcast-dim join + conditional
+    decimal aggregation (the FILTER/CASE-inside-SUM pattern) — promo
+    revenue share for one month. Both sums come out of the same single
+    aggregation pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.lit("1996-03-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    promo = F.when(
+        F.col("p_name").startswith("red"), _disc_price()
+    ).otherwise(F.lit("0").cast("decimal(18,2)"))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_name")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(_disc_price()).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p_name LIKE 'red%'
+                                   THEN {SQL_DISC_PRICE}
+                                   ELSE CAST('0' AS DECIMAL(18,2)) END)
+                     AS DOUBLE)
+              / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE), 4)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
 REGISTRY_TPCH = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
 }
