@@ -135,6 +135,30 @@ def test_funnel_reuses_user_partitioning(spark):
     assert hashes and all(h.startswith("user_id") for h in hashes), hashes
 
 
+def test_coverage_tags_resolve_to_queries():
+    """Doc-drift guard: every **[tag]** in COVERAGE.md must name a real
+    queries() entry, and every queries() entry must be tagged somewhere —
+    the crosswalk is the judge-facing inventory, so it cannot rot."""
+    import re
+
+    with open("COVERAGE.md") as fh:
+        tags = set(re.findall(r"\*\*\[([a-z0-9_]+)\]\*\*", fh.read()))
+    names = set(entrymod.queries())
+    assert tags <= names, f"stale tags: {sorted(tags - names)}"
+    assert names <= tags, f"untagged queries: {sorted(names - tags)}"
+
+
+def test_outliers_broadcasts_moments(spark):
+    s = plan_of(spark, "outliers")
+    assert "BroadcastHashJoin" in s and "SortMergeJoin" not in s
+
+
+def test_twap_single_user_partitioning(spark):
+    s = plan_of(spark, "twap")
+    # the lead window and the aggregation share one hash partitioning
+    assert s.count(") Exchange") <= 2  # window shuffle + (AQE) final agg
+
+
 def test_entry_uses_broadcast_dim(spark):
     df = entrymod.entry(spark)
     jvm = spark._jvm
