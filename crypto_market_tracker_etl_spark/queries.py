@@ -1602,6 +1602,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[engagement analytics] DAU, trailing-7-day WAU, and stickiness
+    (DAU/WAU) per day. The key scale move happens FIRST: events collapse
+    to the day-grain activity set (user, day) — ≤ users×days rows, tiny
+    next to the event stream — and the 7-day lookback is a bounded range
+    join on that compacted set, so the distinct-users-over-sliding-window
+    problem never touches raw events twice."""
+    ev = _events(spark, sf_dir)
+    activity = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = activity.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    spine = dau.select("day")
+    wau = (
+        spine.join(
+            activity.select(F.col("day").alias("aday"), "user_id"),
+            (F.col("aday") <= F.col("day"))
+            & (F.col("aday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau", F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness")
+        )
+    )
+
+
+SQL_DAU_WAU = f"""
+WITH {E_CTE},
+activity AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM e),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM activity GROUP BY day),
+wau AS (
+  SELECT d.day, count(DISTINCT a.user_id) AS wau
+  FROM (SELECT day FROM dau) d
+  JOIN activity a ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+)
+SELECT day, dau, wau, round(dau / CAST(wau AS DOUBLE), 4) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
 def q_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[sequence mining] Most common consecutive event-type transitions
     across user journeys: lead window over (user, ts, event_id) → count
@@ -2021,6 +2064,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "outliers": (q_outliers, SQL_OUTLIERS),
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "event_bigrams": (q_event_bigrams, SQL_EVENT_BIGRAMS),
+    "dau_wau": (q_dau_wau, SQL_DAU_WAU),
     "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
