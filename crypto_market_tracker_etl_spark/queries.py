@@ -1602,6 +1602,98 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[ledger analytics] Exact running balance per user: cumulative
+    DECIMAL sum of purchase values in event order (rows UNBOUNDED
+    PRECEDING → CURRENT). Decimal accumulation makes the running value
+    order-exact — a double cumsum would drift differently per engine —
+    and the window shares the single user_id shuffle."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("string")
+            .alias("balance"),
+        )
+    )
+
+
+SQL_RUNNING_BALANCE = f"""
+WITH {E_CTE}
+SELECT user_id, event_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+         AS balance
+FROM e WHERE event_type = 'purchase'
+"""
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[set analytics] Pairwise Jaccard overlap of event-type audiences:
+    events collapse to the (type, user) membership set first, then one
+    user-keyed self-join counts intersections and union sizes come from
+    inclusion-exclusion against broadcast per-type totals — no set
+    materialization, no user×user cross join."""
+    ev = _events(spark, sf_dir)
+    aud = ev.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+    a, b = aud.alias("a"), aud.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_AUDIENCE_OVERLAP = f"""
+WITH {E_CTE},
+aud AS (SELECT DISTINCT event_type, user_id FROM e),
+sizes AS (SELECT event_type, count(DISTINCT user_id) AS n FROM aud GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM aud a JOIN aud b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       round(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
 def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[engagement analytics] DAU, trailing-7-day WAU, and stickiness
     (DAU/WAU) per day. The key scale move happens FIRST: events collapse
@@ -2065,6 +2157,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fuzzy_match": (q_fuzzy_match, SQL_FUZZY_MATCH),
     "event_bigrams": (q_event_bigrams, SQL_EVENT_BIGRAMS),
     "dau_wau": (q_dau_wau, SQL_DAU_WAU),
+    "running_balance": (q_running_balance, SQL_RUNNING_BALANCE),
+    "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
     "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
