@@ -1602,6 +1602,76 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[market-basket analysis] Co-occurrence lift of item pairs within
+    orders: lift(a,b) = P(a∧b) / (P(a)·P(b)) over order baskets. The
+    order-keyed self-join is bounded by basket size (≈4 items/order —
+    pairs grow with Σ|basket|², never |orders|²); item marginals are a
+    broadcast. Items are the part-name noun (second token), deduped per
+    order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ")[1].alias("item")
+    )
+    basket = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "item")
+        .distinct()
+    )
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )  # 1-row broadcast anchor, never a driver count
+    marg = basket.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    ma = F.broadcast(marg.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a")))
+    mb = F.broadcast(marg.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b")))
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_orders").cast("double"))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_BASKET_LIFT = """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, string_split(p_name, ' ')[2] AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+marg AS (SELECT item, count(*) AS n_item FROM basket GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+  FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey
+  WHERE a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 20
+)
+SELECT item_a, item_b, n_both,
+       round(n_both * CAST(n.n_orders AS DOUBLE) / (ma.n_item * mb.n_item), 4)
+         AS lift
+FROM pairs, n
+JOIN marg ma ON ma.item = item_a
+JOIN marg mb ON mb.item = item_b
+"""
+
+
 def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[ledger analytics] Exact running balance per user: cumulative
     DECIMAL sum of purchase values in event order (rows UNBOUNDED
@@ -2159,6 +2229,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dau_wau": (q_dau_wau, SQL_DAU_WAU),
     "running_balance": (q_running_balance, SQL_RUNNING_BALANCE),
     "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
+    "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
