@@ -167,6 +167,24 @@ class ParquetUpsertSink:
         self._stage_and_swap(merged)
         return changes
 
+    def expire(self, before_date: str) -> list[str]:
+        """Retention: drop whole partitions strictly older than
+        ``before_date`` (ISO day). Partition-dir removal only — no file
+        rewrite, no scan of surviving data, which is the entire point of
+        date-partitioned retention at 100 TB (deleting a year of history
+        is a directory unlink per day, not a table rewrite). Returns the
+        removed partition names."""
+        removed = []
+        if not os.path.isdir(self.path):
+            return removed
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("dt="):
+                continue
+            if name[len("dt="):] < before_date:
+                shutil.rmtree(os.path.join(self.path, name))
+                removed.append(name)
+        return removed
+
     def compact(self, max_records_per_file: int = 1_000_000) -> None:
         """Rewrite the table with one writer task per partition, splitting
         only past ``max_records_per_file`` — the small-file compaction every

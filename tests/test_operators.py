@@ -221,6 +221,25 @@ def test_parquet_upsert_sink_multiday_incremental_sf01(spark, tmp_path):
     assert revised.count() == ev.filter(F.to_date("ts") == F.lit(max_day)).count()
 
 
+def test_parquet_upsert_sink_expire_drops_old_partitions(spark, tmp_path):
+    """Retention removes exactly the partitions before the cutoff and
+    leaves surviving data untouched (no rewrite)."""
+    sink = ParquetUpsertSink(
+        spark, str(tmp_path / "t"), keys=["asset_id", "ts"], ts_col="ts"
+    )
+    rows = [
+        ("btc", dt.datetime(2024, 1, d, 1), float(d)) for d in (1, 2, 3, 4)
+    ]
+    sink.upsert(
+        spark.createDataFrame(rows, "asset_id string, ts timestamp, price double")
+    )
+    removed = sink.expire("2024-01-03")
+    assert removed == ["dt=2024-01-01", "dt=2024-01-02"]
+    left = {str(r["dt"]) for r in sink.read().select("dt").distinct().collect()}
+    assert left == {"2024-01-03", "2024-01-04"}
+    assert sink.expire("2024-01-03") == []  # idempotent
+
+
 def test_parquet_upsert_sink_compact(spark, tmp_path):
     """Compaction folds accumulated per-batch small files into one file per
     partition (below the record cap) with identical data."""
