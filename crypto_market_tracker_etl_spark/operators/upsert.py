@@ -53,10 +53,12 @@ def merge_upsert(
     With no ``order`` (the reference's ON CONFLICT DO UPDATE), a new row
     ALWAYS wins over an old one with the same key. With ``order``, the
     highest version wins and ``__src`` breaks exact version ties in favor
-    of new rows.
+    of new rows. Columns present on only one side (additive schema
+    evolution) surface as null on the other — pairs with the sink's
+    mergeSchema read.
     """
     tagged = old.withColumn("__src", F.lit(0)).unionByName(
-        new.withColumn("__src", F.lit(1))
+        new.withColumn("__src", F.lit(1)), allowMissingColumns=True
     )
     return dedup_keep_latest(tagged, keys, [*(order or []), "__src"]).drop("__src")
 
@@ -125,7 +127,9 @@ class ParquetUpsertSink:
         )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: partitions written before a column existed read as
+        # null for it — additive schema evolution without any rewrite
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def upsert(self, batch: DataFrame) -> None:
         batch = batch.withColumn("dt", F.to_date(self.ts_col))

@@ -221,6 +221,31 @@ def test_parquet_upsert_sink_multiday_incremental_sf01(spark, tmp_path):
     assert revised.count() == ev.filter(F.to_date("ts") == F.lit(max_day)).count()
 
 
+def test_parquet_upsert_sink_additive_schema_evolution(spark, tmp_path):
+    """A batch introducing a NEW column merges cleanly: old rows read as
+    null for it, new rows carry it, nothing is rewritten except the
+    touched partitions — additive evolution with zero migration."""
+    sink = ParquetUpsertSink(
+        spark, str(tmp_path / "t"), keys=["asset_id", "ts"], ts_col="ts"
+    )
+    sink.upsert(
+        spark.createDataFrame(
+            [("btc", dt.datetime(2024, 1, 1, 1), 100.0)],
+            "asset_id string, ts timestamp, price double",
+        )
+    )
+    sink.upsert(
+        spark.createDataFrame(
+            [("btc", dt.datetime(2024, 1, 2, 1), 200.0, 9.5)],
+            "asset_id string, ts timestamp, price double, spread double",
+        )
+    )
+    rows = {str(r["dt"]): r for r in sink.read().collect()}
+    assert rows["2024-01-01"]["spread"] is None
+    assert rows["2024-01-02"]["spread"] == 9.5
+    assert rows["2024-01-01"]["price"] == 100.0
+
+
 def test_parquet_upsert_sink_expire_drops_old_partitions(spark, tmp_path):
     """Retention removes exactly the partitions before the cutoff and
     leaves surviving data untouched (no rewrite)."""
