@@ -197,6 +197,40 @@ def test_refresh_daily_metrics_incremental(spark, tmp_path):
     assert got[("btc", "2024-01-01")] == (101.0, 105.0, 50.0, 50.0)
 
 
+def test_observe_quality_zero_extra_pass(spark, tmp_path):
+    """Observation metrics ride the WRITE job itself (no second scan):
+    after one action the gate sees row count / nulls / ranges matching a
+    direct computation, and the null-budget gate raises past budget."""
+    import pytest
+
+    from crypto_market_tracker_etl_spark.catalog import load_table
+    from crypto_market_tracker_etl_spark.plans.quality import (
+        assert_quality,
+        observe_quality,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    observed, obs = observe_quality(
+        ev, numeric_cols=["value"], required_cols=["event_type", "props"]
+    )
+    from pyspark.sql import functions as SF
+
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))  # ONE action
+    got = dict(obs.get)
+    n = ev.count()
+    assert got["n_rows"] == n
+    assert got["n_null_event_type"] == ev.filter("event_type IS NULL").count()
+    assert got["min_value"] == ev.agg(SF.min("value")).collect()[0][0]
+    # gate passes for a column with no nulls, raises for one with many
+    assert_quality(obs, 0.0, ["event_type"])
+    if got["n_null_props"] > 0:
+        with pytest.raises(ValueError, match="props"):
+            assert_quality(obs, 0.0, ["props"])
+
+
 def test_upsert_with_changes_feeds_refresh_minimally(spark, tmp_path):
     """CDC-driven incremental maintenance: re-delivering one unchanged day
     alongside one revised day must produce changes ONLY for the revised
