@@ -92,3 +92,37 @@ def salted_join(
     rrep = right.select("*", salts).withColumn("__salt", F.col("__salt").cast("long"))
     out = lsalted.join(rrep, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def null_tolerant_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the null hot-partition eliminated.
+
+    Null join keys can never match, yet a plain shuffle join still hashes
+    every null-keyed row to partition hash(null) — on sparse foreign keys
+    that is THE skew bucket (one reducer receives all of them to produce
+    nothing). Here null-keyed left rows bypass the join entirely: they are
+    filtered before the shuffle and, for outer semantics, unioned back
+    null-extended afterward. Row-identical to ``left.join(right, keys,
+    how)`` for inner/left (asserted in tests); fully-null-keyed data never
+    moves.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("null_tolerant_join supports how in {'inner','left'}")
+    any_null = None
+    for k in keys:
+        c = F.col(k).isNull()
+        any_null = c if any_null is None else (any_null | c)
+    matchable = left.filter(~any_null)
+    joined = matchable.join(right, list(keys), how)
+    if how == "inner":
+        return joined
+    nulls = left.filter(any_null)
+    for c in joined.columns:
+        if c not in nulls.columns:
+            nulls = nulls.withColumn(c, F.lit(None).cast(joined.schema[c].dataType))
+    return joined.unionByName(nulls.select(*joined.columns))

@@ -377,3 +377,24 @@ def test_register_market_views_sql_surface(spark):
     ]
     spark7 = spark.sql("SELECT min(ts) AS mn FROM v_sparkline_7d").collect()[0]
     assert spark7["mn"] is not None
+
+
+def test_null_tolerant_join_equals_plain(spark):
+    """Null-keyed rows bypass the shuffle but the result is row-identical
+    to the plain join for inner and left semantics."""
+    from crypto_market_tracker_etl_spark.operators.skew import null_tolerant_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c"), (None, "d")], "k int, v string"
+    )
+    right = spark.createDataFrame([(1, "x"), (3, "y")], "k int, w string")
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, null_tolerant_join(left, right, ["k"], how).collect())
+        , key=str)
+        want = sorted(map(tuple, left.join(right, ["k"], how).collect()), key=str)
+        assert got == want, how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        null_tolerant_join(left, right, ["k"], "full")
