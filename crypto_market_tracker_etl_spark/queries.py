@@ -1602,6 +1602,58 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[gaps-and-islands] Sessionization as pure windows (the portable
+    twin of F.session_window, already oracle-checked as [session_window]):
+    a session starts where the gap from the previous event exceeds 30
+    minutes; island id = running count of session starts. Per session:
+    bounds, size, and a converted flag. Both windows and the final
+    aggregate share the user_id partitioning."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact µs gap via timestampdiff: NTZ-safe and integer on both engines
+    # (SECOND-granularity diffs truncate differently than DuckDB's epoch)
+    withprev = ev.withColumn("__prev", F.lag("ts").over(w))
+    gap_start = (
+        F.expr("timestampdiff(MICROSECOND, __prev, ts)") > 1_800_000_000
+    ).cast("int")
+    sess = withprev.withColumn("new_sess", F.coalesce(gap_start, F.lit(1))).withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+
+
+SQL_SESSION_ISLANDS = f"""
+WITH {E_CTE},
+g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 OR
+                   lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+         AS converted
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[market-basket analysis] Co-occurrence lift of item pairs within
     orders: lift(a,b) = P(a∧b) / (P(a)·P(b)) over order baskets. The
@@ -2230,6 +2282,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "running_balance": (q_running_balance, SQL_RUNNING_BALANCE),
     "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
+    "session_islands": (q_session_islands, SQL_SESSION_ISLANDS),
     "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),
