@@ -343,6 +343,73 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-01'
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking, adapted to the trimmed lineitem (no
+    commit/receipt dates generated): the EXISTS predicate becomes 'has a
+    returned line' (l_returnflag = 'R'). The SHAPE is the point and is
+    unchanged — EXISTS decorrelates to a LEFT SEMI join (the semi join
+    itself deduplicates the line side, no distinct pass), then a 5-group
+    count."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 dual conditional counts, adapted to the trimmed lineitem (no
+    shipmode/commit/receipt columns): group by l_linestatus over a
+    ship-year window; high/low split by order priority. Same shape —
+    fact⋈fact equi-join + both CASE-counts in ONE aggregation pass."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(F.lit(1) - high).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
 REGISTRY_TPCH = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
@@ -350,4 +417,6 @@ REGISTRY_TPCH = {
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
 }
