@@ -135,6 +135,20 @@ def test_funnel_reuses_user_partitioning(spark):
     assert hashes and all(h.startswith("user_id") for h in hashes), hashes
 
 
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    s = plan_of(spark, "tpch_q4")
+    # EXISTS must decorrelate to LeftSemi — never a distinct + inner join
+    assert "LeftSemi" in s
+    assert "HashAggregate" in s
+
+
+def test_tpch_q12_single_agg_pass(spark):
+    s = plan_of(spark, "tpch_q12")
+    # both conditional counts ride ONE aggregation (no union of two aggs)
+    assert s.count("Union") == 0
+    assert "partial_sum" in s or "HashAggregate" in s
+
+
 def test_coverage_tags_resolve_to_queries():
     """Doc-drift guard: every **[tag]** in COVERAGE.md must name a real
     queries() entry, and every queries() entry must be tagged somewhere —
