@@ -1602,6 +1602,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 """
 
 
+def q_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[pipeline quality] Out-of-orderness profile per user: how many
+    events arrive with an ARRIVAL ORDER (event_id) behind the event-time
+    order, and the worst displacement in µs — running-max window vs
+    event time, exact µs. This is the statistic that sizes streaming
+    watermarks (the engine's watermark defaults should cover the p99
+    displacement)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_max = F.max("ts").over(w)
+    lagged = ev.withColumn("__mx", run_max).withColumn(
+        "late_us",
+        F.expr("greatest(timestampdiff(MICROSECOND, ts, __mx), 0)"),
+    )
+    return lagged.groupBy("user_id").agg(
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        F.max("late_us").alias("max_late_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_LATE_ARRIVALS = f"""
+WITH {E_CTE},
+r AS (
+  SELECT user_id,
+         greatest(epoch_us(max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                         ROWS UNBOUNDED PRECEDING))
+                  - epoch_us(ts), 0) AS late_us
+  FROM e
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       max(late_us) AS max_late_us,
+       count(*) AS n_events
+FROM r GROUP BY user_id
+"""
+
+
 def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[gaps-and-islands] Sessionization as pure windows (the portable
     twin of F.session_window, already oracle-checked as [session_window]):
@@ -2283,6 +2325,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "audience_overlap": (q_audience_overlap, SQL_AUDIENCE_OVERLAP),
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "session_islands": (q_session_islands, SQL_SESSION_ISLANDS),
+    "late_arrivals": (q_late_arrivals, SQL_LATE_ARRIVALS),
     "twap": (q_twap, SQL_TWAP),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "histogram": (q_histogram, SQL_HISTOGRAM),

@@ -149,6 +149,16 @@ def test_tpch_q12_single_agg_pass(spark):
     assert "partial_sum" in s or "HashAggregate" in s
 
 
+def test_bench_headline_names_resolve():
+    """bench.py's HEADLINE list must reference real queries() entries —
+    a renamed query would otherwise break the driver's bench run."""
+    import bench
+
+    names = set(entrymod.queries())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, missing
+
+
 def test_coverage_tags_resolve_to_queries():
     """Doc-drift guard: every **[tag]** in COVERAGE.md must name a real
     queries() entry, and every queries() entry must be tagged somewhere —
