@@ -54,6 +54,9 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q18",
 ]
 
 

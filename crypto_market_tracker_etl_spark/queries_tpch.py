@@ -410,6 +410,382 @@ GROUP BY l_linestatus
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping between two nations: the double-dimension-path
+    join — the SAME nation dim is applied twice (once through supplier,
+    once through customer) and the pair filter is the cross of both paths.
+    lineitem⋈orders is the only shuffle; supplier/customer/nation all
+    broadcast. Revenue per (supp_nation, cust_nation, ship-year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(round(SUM({SQL_DISC_PRICE}), 4) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one nation's slice of ECONOMY-part revenue
+    sold into ASIA, per order-year — conditional numerator over a total
+    denominator out of ONE aggregation pass. Five dims broadcast; the
+    lineitem⋈orders equi-join is the only shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    asia_nations = (
+        nation.join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _disc_price()
+    target = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit("0").cast("decimal(18,2)")
+    )
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"),
+              "left_semi")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_TPCH_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {SQL_DISC_PRICE}
+                           ELSE CAST('0' AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: the two-level aggregate —
+    left join keeps order-less customers (c_count 0), first group-by
+    custkey, second by the count itself. Both aggs are partial-first; the
+    customer⋈orders join shuffles on custkey once."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: revenue per supplier for one quarter, keep the
+    max — the scalar-subquery-on-an-aggregate shape. The max is a 1-row
+    aggregate joined back by broadcast (no second scan of lineitem, no
+    window over the whole agg). Ties all surface, as in the spec.
+
+    Revenue is rounded from the exact decimal sum BEFORE the max/equality
+    so both engines compare identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01").cast("timestamp_ntz")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey, CAST(round(SUM({SQL_DISC_PRICE}), 4) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the correlated-average shape —
+    each line compares against 20% of ITS part's mean quantity. The
+    correlated subquery decorrelates to a per-part aggregate joined back.
+    Brand parts are broadcast FIRST so the per-part aggregate only runs
+    over the brand's lines, then re-joined by broadcast (part-bounded, so
+    the fact table never shuffles).
+
+    Cross-engine exactness: `qty < 0.2 * avg(qty)` is evaluated as
+    `qty * cnt * 10 < sum(qty) * 2` in decimal — no double division on
+    the comparison boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = F.broadcast(
+        part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    )
+    lines = li.join(brand, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pp_sum"),
+        F.count(F.lit(1)).alias("pp_cnt"),
+    )
+    small = (
+        F.col("l_quantity").cast("decimal(18,2)") * F.col("pp_cnt") * F.lit(10)
+        < F.col("pp_sum") * F.lit(2)
+    )
+    return (
+        lines.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        .filter(small)
+        .agg(
+            (
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 4)
+                .cast("double") / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH brand_lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'),
+per_part AS (
+  SELECT l_partkey AS pp_key,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pp_sum,
+         count(*) AS pp_cnt
+  FROM brand_lines GROUP BY 1)
+SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE)
+         / 7.0 AS avg_yearly
+FROM brand_lines JOIN per_part ON l_partkey = pp_key
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * pp_cnt * 10 < pp_sum * 2
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: HAVING-on-a-grouped-sum feeding a
+    top-k. One lineitem scan computes per-order quantity; the >300 filter
+    shrinks it to a sliver that broadcasts into orders (no second
+    lineitem scan, unlike the textbook double-scan plan); customer
+    broadcasts; top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum2(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300.0)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300.0
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under disjunctive predicates (adapted: the
+    testdata part has no container/shipmode, so the three arms pair brand
+    + size band + quantity band). The point of the shape: an OR of
+    conjunctions across BOTH join sides still pushes the per-side
+    envelopes (brand set to the part scan, quantity range to lineitem)
+    and evaluates the residual disjunction post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    parts = part.filter(
+        F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+    ).select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        li.filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#11", 5, 1, 11) | arm("Brand#22", 10, 10, 20)
+            | arm("Brand#33", 15, 20, 30)
+        )
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT CAST(round(SUM({SQL_DISC_PRICE}), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 dormant high-balance customers (adapted: the testdata has no
+    phone column and every customer has SOME order, so the cohort is
+    'above-average balance, no order in the trailing ~20 months', grouped
+    by market segment instead of country code). Shape preserved: scalar
+    aggregate subquery + NOT EXISTS anti join + grouped count/sum.
+
+    Cross-engine exactness: `bal > avg(positive bals)` is evaluated as
+    `bal * cnt > sum` in decimal — no double division on the boundary."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("pos_sum"), F.count(F.lit(1)).alias("pos_cnt")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(pos))
+        .filter(bal * F.col("pos_cnt") > F.col("pos_sum"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum, count(*) AS pos_cnt
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos_cnt > pos_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 REGISTRY_TPCH = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
@@ -419,4 +795,12 @@ REGISTRY_TPCH = {
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
 }

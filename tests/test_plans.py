@@ -149,6 +149,76 @@ def test_tpch_q12_single_agg_pass(spark):
     assert "partial_sum" in s or "HashAggregate" in s
 
 
+def test_tpch_q7_broadcasts_both_nation_paths(spark):
+    s = plan_of(spark, "tpch_q7")
+    # supplier/customer/nation(×2) all broadcast; the only shuffle-eligible
+    # join is lineitem⋈orders; the nation-pair OR never degenerates into a
+    # cartesian/nested-loop join
+    assert s.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_tpch_q8_semi_join_region_membership(spark):
+    s = plan_of(spark, "tpch_q8")
+    # ASIA membership is a LeftSemi (no customer row duplication), all dims
+    # broadcast, and both the conditional numerator and the denominator ride
+    # one aggregation pass
+    assert "LeftSemi" in s
+    assert s.count("Union") == 0
+    assert "SortMergeJoin" not in s
+
+
+def test_tpch_q13_left_join_survives(spark):
+    s = plan_of(spark, "tpch_q13")
+    # zero-order customers must be kept: the outer join cannot be rewritten
+    # to inner by a null-filter pushdown bug
+    assert "LeftOuter" in s or "RightOuter" in s
+    assert "CartesianProduct" not in s
+
+
+def test_tpch_q15_max_is_broadcast_scalar(spark):
+    s = plan_of(spark, "tpch_q15")
+    # the max-revenue anchor joins back as a broadcast (1-row build side),
+    # never a window over the whole aggregate or a sort
+    assert "SortMergeJoin" not in s and "Window" not in s
+    assert s.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q17_fact_never_sort_merge_joined(spark):
+    s = plan_of(spark, "tpch_q17")
+    # brand parts and the per-part moments both broadcast; the only
+    # exchange partitions the brand-bounded slice for its aggregate
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_tpch_q18_single_lineitem_scan_topk(spark):
+    s = plan_of(spark, "tpch_q18")
+    # the >300 sliver broadcasts into orders — lineitem is scanned ONCE
+    # (formatted output lists each scan twice: node list + details)
+    assert s.count("Scan parquet") == 6  # lineitem + orders + customer
+    assert "TakeOrderedAndProject" in s  # LIMIT 100 must not range-sort
+    assert "SortMergeJoin" not in s
+
+
+def test_tpch_q19_pushes_quantity_envelope(spark):
+    s = plan_of(spark, "tpch_q19")
+    # the OR-of-conjunctions must still push the per-side envelope
+    # (quantity 1..30) into the lineitem scan as a pushed filter
+    pushed = s.split("PushedFilters")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed
+    assert "LessThanOrEqual(l_quantity,30.0)" in pushed
+    assert "SortMergeJoin" not in s
+
+
+def test_tpch_q22_anti_join_cohort(spark):
+    s = plan_of(spark, "tpch_q22")
+    # NOT EXISTS decorrelates to LeftAnti; the positive-balance moments are
+    # a broadcast 1-row build side, never a per-row subquery
+    assert "LeftAnti" in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s
+
+
 def test_bench_headline_names_resolve():
     """bench.py's HEADLINE list must reference real queries() entries —
     a renamed query would otherwise break the driver's bench run."""
