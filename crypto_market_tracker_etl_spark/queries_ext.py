@@ -1249,7 +1249,46 @@ FROM s
 """
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-format metadata extraction WITHOUT a codec: real PNG/GIF
+    header parsing (magic-byte dispatch, big-endian PNG dims, little-endian
+    GIF dims) as pure JVM expressions — the metadata-backfill slice of
+    image decode that needs no Python and no image library.
+
+    Payloads are genuine PNG/GIF header bytes synthesized per doc (even
+    doc_id → PNG, odd → GIF) so the parser runs on real container layouts;
+    the oracle knows the synthesis formula and checks the parse
+    analytically — a differential test of the parser itself."""
+    from .multimodal.binary import image_meta, synth_gif, synth_png
+
+    docs = _documents(spark, sf_dir)
+    w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
+    h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
+    payload = F.when(F.col("doc_id") % 2 == 0, synth_png(w, h)).otherwise(
+        synth_gif(w, h)
+    )
+    meta = image_meta(payload)
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        meta.getField("mime_type").alias("mime_type"),
+        meta.getField("width").alias("width"),
+        meta.getField("height").alias("height"),
+    )
+
+
+SQL_IMAGE_META = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 13 END AS INT) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS mime_type,
+       CAST(100 + doc_id % 800 AS INT) AS width,
+       CAST(100 + (doc_id * 7) % 800 AS INT) AS height
+FROM documents
+"""
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
+    "image_meta": (q_image_meta, SQL_IMAGE_META),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP_PAIRS),

@@ -879,6 +879,59 @@ def test_real_decoder_is_stub(spark):
     )
 
 
+def test_image_meta_parses_real_headers(spark):
+    """The expression parser must decode genuine container bytes — a real
+    161×81 PNG header (as any PNG encoder writes it), a real GIF89a
+    header, and an unknown format (graceful NULLs, never an error)."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import image_meta
+
+    real_png = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000a1000000510806000000"
+    )
+    real_gif = b"GIF89a" + bytes([0x40, 0x01, 0xF0, 0x00]) + b"\xf7\x00\x00"
+    junk = b"\x00\x01\x02not an image"
+    df = spark.createDataFrame(
+        [(1, real_png), (2, real_gif), (3, junk)], "id long, payload binary"
+    )
+    got = {
+        r["id"]: (r["m"]["mime_type"], r["m"]["width"], r["m"]["height"])
+        for r in df.select("id", image_meta(F.col("payload")).alias("m")).collect()
+    }
+    assert got[1] == ("image/png", 161, 81)
+    assert got[2] == ("image/gif", 320, 240)  # 0x0140 LE, 0x00F0 LE
+    assert got[3] == ("application/octet-stream", None, None)
+
+
+def test_synth_headers_roundtrip(spark):
+    """synth_png/synth_gif emit bytes the parser reads back exactly —
+    including the endianness flip between the two formats."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_gif,
+        synth_png,
+    )
+
+    df = spark.range(1, 50).select(
+        "id",
+        image_meta(
+            synth_png((F.col("id") * 37 % 4096).cast("int") + 1,
+                      (F.col("id") * 11 % 4096).cast("int") + 1)
+        ).alias("p"),
+        image_meta(
+            synth_gif((F.col("id") * 37 % 4096).cast("int") + 1,
+                      (F.col("id") * 11 % 4096).cast("int") + 1)
+        ).alias("g"),
+    )
+    for r in df.collect():
+        w, h = r["id"] * 37 % 4096 + 1, r["id"] * 11 % 4096 + 1
+        assert (r["p"]["mime_type"], r["p"]["width"], r["p"]["height"]) == (
+            "image/png", w, h,
+        )
+        assert (r["g"]["mime_type"], r["g"]["width"], r["g"]["height"]) == (
+            "image/gif", w, h,
+        )
+
+
 def test_frame_sample_deterministic(spark):
     docs = documents_as_media(load_table(spark, SF_DIR, "documents"))
     a = {r["media_id"] for r in frame_sample(docs, 4).collect()}

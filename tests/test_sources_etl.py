@@ -302,3 +302,67 @@ def test_upsert_assets_dim_keeps_first_seen(spark):
     assert merged["bitcoin"]["symbol"] == "xbt"  # new attrs win
     assert merged["bitcoin"]["first_seen_at"] == t0  # original timestamp kept
     assert merged["solana"]["first_seen_at"] == t1
+
+
+# ---------------------------------------------------------------- file sources
+
+
+def test_read_csv_quarantines_malformed(spark, tmp_path):
+    from crypto_market_tracker_etl_spark.sources.files import (
+        quarantine,
+        read_csv,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "asset_id,price,ts\n"
+        "bitcoin,42000.5,2024-01-01T00:00:00\n"
+        "ethereum,not_a_number,2024-01-01T00:00:00\n"  # torn numeric
+        "solana,95.25,2024-01-02T12:30:00\n"
+    )
+    df = read_csv(
+        spark, str(p), "asset_id string, price double, ts timestamp"
+    )
+    clean, bad = quarantine(df)
+    rows = {r["asset_id"]: r["price"] for r in clean.collect()}
+    assert rows == {"bitcoin": 42000.5, "solana": 95.25}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 1 and "not_a_number" in bad_lines[0]
+
+
+def test_read_csv_strict_raises(spark, tmp_path):
+    from crypto_market_tracker_etl_spark.sources.files import read_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text("asset_id,price\nbitcoin,oops\n")
+    with pytest.raises(Exception):
+        read_csv(
+            spark, str(p), "asset_id string, price double", strict=True
+        ).collect()
+
+
+def test_read_jsonl_explicit_schema_and_quarantine(spark, tmp_path):
+    from crypto_market_tracker_etl_spark.sources.files import (
+        quarantine,
+        read_jsonl,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"asset_id": "bitcoin", "price": 42000.5}\n'
+        "{torn json line\n"
+        '{"asset_id": "solana", "price": 95.25, "extra": "ignored"}\n'
+    )
+    df = read_jsonl(spark, str(p), "asset_id string, price double")
+    clean, bad = quarantine(df)
+    rows = {r["asset_id"]: r["price"] for r in clean.collect()}
+    assert rows == {"bitcoin": 42000.5, "solana": 95.25}
+    assert clean.columns == ["asset_id", "price"]  # corrupt col dropped
+    assert bad.count() == 1
+
+
+def test_quarantine_requires_permissive(spark):
+    from crypto_market_tracker_etl_spark.sources.files import quarantine
+
+    with pytest.raises(ValueError):
+        quarantine(spark.range(3))
