@@ -71,3 +71,41 @@ def lag_change(
         .withColumn("delta", F.col(value) - F.col("prev_value"))
         .withColumn("pct_change", pct_change_expr(F.col(value), F.col("prev_value")))
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    ``s_i = alpha*x_i + (1-alpha)*s_{i-1}``, seeded with the first value.
+
+    EWMA is inherently sequential — no window frame expresses it — but the
+    per-key FOLD does: collect the key's values in total order, then
+    ``aggregate`` left-to-right. One shuffle (the groupBy), JVM-side
+    throughout, state is one double per key. Scale bound: a key's history
+    must fit in a row (~millions of doubles); beyond that, or for the full
+    per-row EWMA *series*, the shape is applyInPandasWithState over an
+    ordered stream, not a bigger array.
+
+    The closed form (sum of alpha*(1-alpha)^k terms) is deliberately NOT
+    used: pow() evaluation order differs across engines/LLVM builds, while
+    the fold performs the identical IEEE multiply-add sequence everywhere
+    — results are bit-reproducible, not just approximately equal.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+    ordered = F.sort_array(
+        F.collect_list(F.struct(*order_cols, value_col))
+    )
+    vals = F.transform(ordered, lambda s: s.getField(value_col))
+    folded = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(beta) * acc,
+    )
+    return df.groupBy(*key_cols).agg(folded.alias("ewma"))

@@ -2261,11 +2261,35 @@ GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
 """
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.5 extension] Per-user EWMA of event value (alpha=0.25) over the
+    total order (ts, event_id) — the sequential-recurrence operator no
+    window frame expresses, done as a per-key sorted fold (see
+    operators/change.py::ewma_last). Values match DuckDB's list_reduce
+    bit-for-bit because both engines run the identical multiply-add
+    sequence; no rounding is applied."""
+    from .operators.change import ewma_last
+
+    ev = _events(spark, sf_dir)
+    return ewma_last(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.25)
+
+
+SQL_EWMA = f"""
+WITH {E_CTE}
+SELECT user_id,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+FROM e
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "ewma": (q_ewma, SQL_EWMA),
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "dim_join": (q_dim_join, SQL_DIM_JOIN),
     "group_max": (q_group_max, SQL_GROUP_MAX),

@@ -1002,3 +1002,49 @@ def test_v_daily_ohlc_and_sparkline(spark, ref_model):
         prices, assets, F.lit(dt.datetime(2024, 1, 3, 23)).cast("timestamp")
     )
     assert spark_7d.count() == prices.count()  # everything within 7 days
+
+
+# ------------------------------------------------------------------- ewma
+
+
+def test_ewma_last_hand_computed(spark):
+    from crypto_market_tracker_etl_spark.operators.change import ewma_last
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)],
+        "k string, seq int, v double",
+    )
+    got = {
+        r["k"]: r["ewma"]
+        for r in ewma_last(df, ["k"], ["seq"], "v", alpha=0.25).collect()
+    }
+    # a: 10 → .25*20+.75*10 = 12.5 → .25*30+.75*12.5 = 16.875
+    assert got["a"] == 16.875
+    assert got["b"] == 5.0  # single element: seed only
+
+
+def test_ewma_last_order_matters(spark):
+    from crypto_market_tracker_etl_spark.operators.change import ewma_last
+
+    df = spark.createDataFrame(
+        [("a", 2, 20.0), ("a", 1, 10.0)], "k string, seq int, v double"
+    )
+    rev = spark.createDataFrame(
+        [("a", 1, 20.0), ("a", 2, 10.0)], "k string, seq int, v double"
+    )
+    # input row order must not matter (sort key does): both frames hold the
+    # sequence 10-then-20 vs 20-then-10 by seq, regardless of insert order
+    fwd = ewma_last(df, ["k"], ["seq"], "v").collect()[0]["ewma"]
+    bwd = ewma_last(rev, ["k"], ["seq"], "v").collect()[0]["ewma"]
+    assert fwd == 12.5  # seed 10, then 0.25*20 + 0.75*10
+    assert bwd == 17.5  # seed 20, then 0.25*10 + 0.75*20
+
+
+def test_ewma_alpha_validated(spark):
+    from crypto_market_tracker_etl_spark.operators.change import ewma_last
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, seq int, v double")
+    with pytest.raises(ValueError):
+        ewma_last(df, ["k"], ["seq"], "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma_last(df, ["k"], ["seq"], "v", alpha=1.5)
