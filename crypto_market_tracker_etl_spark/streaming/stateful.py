@@ -101,6 +101,81 @@ def running_stats_stream(
     )
 
 
+def ewma_stream(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key EWMA maintained across micro-batches — the unbounded-history
+    complement of ``operators/change.py::ewma_last`` (which needs a key's
+    whole history in one row). State is two numbers per key (last event-ms,
+    current EWMA); each batch folds its rows in (ts, arrival) order on top
+    of the carried value, so a key's history never re-materializes.
+
+    Ordering contract: EWMA is order-sensitive, and a stateful fold cannot
+    retro-insert a row that arrives after later rows were folded. Rows
+    older than the state's high-water mark are still folded (total-value
+    continuity beats dropping data) but mark the emitted row
+    ``saw_late=true`` so downstream can quantify disorder — the upstream
+    fix is a watermark+sort stage, the standard streaming trade."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out_schema = T.StructType(
+        [
+            T.StructField(key, stream.schema[key].dataType),
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("n_total", T.LongType()),
+            T.StructField("saw_late", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ms", T.LongType()),
+            T.StructField("ewma", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    beta = 1.0 - alpha
+
+    def update(
+        key_tuple: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ms, ewma, n = state.get
+        else:
+            last_ms, ewma, n = -1, None, 0
+        saw_late = False
+        for pdf in pdfs:
+            tcol = pdf[ts_col]
+            if pd.api.types.is_datetime64_any_dtype(tcol):
+                ms = (tcol.astype("int64") // 1_000_000).astype("int64")
+            else:
+                ms = tcol.astype("int64")
+            order = ms.sort_values(kind="stable").index
+            for idx in order:
+                t, x = int(ms.loc[idx]), float(pdf[value].loc[idx])
+                if t < last_ms:
+                    saw_late = True
+                ewma = x if ewma is None else alpha * x + beta * ewma
+                last_ms = max(last_ms, t)
+                n += 1
+        state.update((last_ms, ewma, n))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "ewma": [ewma],
+                "n_total": [n],
+                "saw_late": [saw_late],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup_keys(
     stream: DataFrame,
     keys: Sequence[str],

@@ -383,3 +383,71 @@ def test_running_stats_transform_with_state(spark, tmp_path):
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, saved)
+
+
+def test_ewma_stream_matches_batch_fold(spark, tmp_path):
+    """Streaming EWMA across two drains (state carried through the
+    checkpoint) must equal the batch sorted-fold over the full history —
+    exact float equality, both run the same multiply-add sequence."""
+    from crypto_market_tracker_etl_spark.operators.change import ewma_last
+    from crypto_market_tracker_etl_spark.streaming.stateful import ewma_stream
+
+    src = str(tmp_path / "src")
+    rows1 = [
+        (1, dt.datetime(2024, 1, 1, 1), 10.0),
+        (1, dt.datetime(2024, 1, 1, 2), 30.0),
+        (2, dt.datetime(2024, 1, 1, 1), 5.0),
+    ]
+    _write_stream_batch(spark, src, rows1)
+    schema = "user_id long, ts timestamp, value double"
+    out1 = str(tmp_path / "out1")
+    stream = spark.readStream.schema(schema).parquet(src)
+    _drain_to_parquet(
+        ewma_stream(stream, "user_id", "ts", "value"), out1, str(tmp_path / "ck")
+    )
+    got1 = {r["user_id"]: r for r in spark.read.parquet(out1).collect()}
+    assert got1[1]["ewma"] == 0.25 * 30.0 + 0.75 * 10.0  # 15.0
+    assert got1[2]["ewma"] == 5.0 and not got1[2]["saw_late"]
+
+    # drain 2: state must continue the fold, not restart it
+    rows2 = [(1, dt.datetime(2024, 1, 1, 3), 2.0)]
+    _write_stream_batch(spark, src, rows2)
+    out2 = str(tmp_path / "out2")
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    _drain_to_parquet(
+        ewma_stream(stream2, "user_id", "ts", "value"), out2, str(tmp_path / "ck")
+    )
+    got2 = {r["user_id"]: r for r in spark.read.parquet(out2).collect()}
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {
+        r["user_id"]: r["ewma"]
+        for r in ewma_last(batch, ["user_id"], ["ts"], "value").collect()
+    }
+    assert got2[1]["ewma"] == want[1] and got2[1]["n_total"] == 3
+    assert not got2[1]["saw_late"]
+
+
+def test_ewma_stream_flags_late_rows(spark, tmp_path):
+    from crypto_market_tracker_etl_spark.streaming.stateful import ewma_stream
+
+    src = str(tmp_path / "src")
+    _write_stream_batch(spark, src, [(1, dt.datetime(2024, 1, 1, 5), 10.0)])
+    schema = "user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    _drain_to_parquet(
+        ewma_stream(stream, "user_id", "ts", "value"),
+        str(tmp_path / "o1"),
+        str(tmp_path / "ck"),
+    )
+    # batch 2 delivers a row OLDER than the folded high-water mark
+    _write_stream_batch(spark, src, [(1, dt.datetime(2024, 1, 1, 1), 99.0)])
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    _drain_to_parquet(
+        ewma_stream(stream2, "user_id", "ts", "value"),
+        str(tmp_path / "o2"),
+        str(tmp_path / "ck"),
+    )
+    got = spark.read.parquet(str(tmp_path / "o2")).collect()[0]
+    assert got["saw_late"] is True
+    assert got["ewma"] == 0.25 * 99.0 + 0.75 * 10.0  # still folded, flagged
