@@ -2261,6 +2261,44 @@ GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
 """
 
 
+def q_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.4 extension] EXACT distinct users per event type via mergeable
+    bitmap state — the scale pattern for repeated distinct-count questions.
+
+    Three levels, each partial-aggregatable: (1) per (type, day, bucket)
+    bitmaps from the raw scan — this is the layer a real pipeline PERSISTS;
+    (2) OR-merge across days — reruns/rollups touch only bitmaps, never
+    raw data again, and any date window is the same OR; (3) popcount+sum.
+    Unlike HLL sketches the result is exact (bit per user), so the oracle
+    is a plain COUNT(DISTINCT). State cost: ≤4096 bytes per bucket of 32k
+    user-id space, proportional to actual id density."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.bitmap_or_agg(F.col("bm")).alias("bm")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )
+
+
+SQL_DISTINCT_BITMAP = f"""
+WITH {E_CTE}
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM e
+GROUP BY event_type
+"""
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[§2.5 extension] Per-user EWMA of event value (alpha=0.25) over the
     total order (ts, event_id) — the sequential-recurrence operator no
@@ -2290,6 +2328,7 @@ GROUP BY user_id
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ewma": (q_ewma, SQL_EWMA),
+    "distinct_bitmap": (q_distinct_bitmap, SQL_DISTINCT_BITMAP),
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
     "dim_join": (q_dim_join, SQL_DIM_JOIN),
     "group_max": (q_group_max, SQL_GROUP_MAX),

@@ -1048,3 +1048,41 @@ def test_ewma_alpha_validated(spark):
         ewma_last(df, ["k"], ["seq"], "v", alpha=0.0)
     with pytest.raises(ValueError):
         ewma_last(df, ["k"], ["seq"], "v", alpha=1.5)
+
+
+def test_sketch_state_merges_without_rescan(spark):
+    """The scale property behind [distinct_bitmap]: per-partition sketch
+    state merged later must equal the single-pass answer — bitmaps exactly,
+    HLL sketches to the same estimate (same algorithm, deterministic)."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    direct = (
+        ev.groupBy(F.bitmap_bucket_number("user_id").alias("b"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()[0]["n"]
+    )
+    # split by day, merge bitmaps, never touching rows again
+    per_day = ev.groupBy(
+        "day", F.bitmap_bucket_number("user_id").alias("b")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    merged = (
+        per_day.groupBy("b")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = ev.select("user_id").distinct().count()
+    assert direct == merged == exact
+
+    hll_full = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).collect()[0]["n"]
+    hll_merged = (
+        ev.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert hll_full == hll_merged  # same sketch state either route
