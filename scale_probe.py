@@ -165,6 +165,54 @@ def probe_ext_ops(spark) -> None:
         vecs.unpersist()
 
 
+def probe_session2_ops(spark) -> None:
+    """Session-2 additions at generated scale: the EWMA fold (array
+    build + fold per key), bitmap-distinct vs plain count(distinct), and
+    image-header parsing throughput. Prints; numbers are hand-recorded
+    into SCALE.md's analysis."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_gif,
+        synth_png,
+    )
+    from crypto_market_tracker_etl_spark.operators.change import ewma_last
+
+    for n in (1_000_000, 10_000_000, 50_000_000):
+        users = max(1000, n // 1000)
+        ev = synth_events(spark, n, users).persist()
+        ev.count()
+        t = force(ewma_last(ev, ["user_id"], ["ts", "event_id"], "value"))
+        print(f"ewma n={n} keys={users}: {t:.1f}s ({n/t/1e6:.1f}M rows/s)",
+              flush=True)
+        grp = ev.withColumn("g", F.col("event_id") % 50)
+        tb = force(
+            grp.groupBy("g", F.bitmap_bucket_number("user_id").alias("b"))
+            .agg(F.bitmap_construct_agg(
+                F.bitmap_bit_position("user_id")).alias("bm"))
+            .groupBy("g")
+            .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        )
+        tc = force(grp.groupBy("g").agg(
+            F.countDistinct("user_id").alias("n_users")))
+        print(f"distinct n={n}: bitmap={tb:.1f}s countDistinct={tc:.1f}s",
+              flush=True)
+        ev.unpersist()
+    for n in (1_000_000, 10_000_000):
+        w = (F.pmod(F.xxhash64("id"), F.lit(4000)) + 1).cast("int")
+        h = (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(4000)) + 1).cast("int")
+        payloads = spark.range(n).select(
+            "id",
+            F.when(F.col("id") % 2 == 0, synth_png(w, h))
+            .otherwise(synth_gif(w, h))
+            .alias("payload"),
+        ).repartition(32).persist()
+        payloads.count()
+        t = force(payloads.select("id", image_meta(F.col("payload")).alias("m")))
+        print(f"image_meta n={n}: {t:.1f}s ({n/t/1e6:.1f}M payloads/s)",
+              flush=True)
+        payloads.unpersist()
+
+
 def _splice_probe_section(body: str) -> None:
     """Replace the marker-delimited probe block of SCALE.md, preserving the
     hand-written analysis sections outside it."""
@@ -194,6 +242,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_EXT"):
         probe_ext_ops(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_S2"):
+        probe_session2_ops(spark)
         spark.stop()
         return
     rows = []
