@@ -786,6 +786,424 @@ GROUP BY c_mktsegment
 """
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (adapted: the testdata has no partsupp
+    table, so the part↔supplier cost relation is DERIVED from lineitem —
+    ``ps_supplycost`` := min extendedprice a supplier ever charged for the
+    part). Shape preserved end-to-end: region-filtered supplier dim path,
+    a correlated-min subquery over the cost relation (decorrelated to a
+    per-part window min), equality on the minimum, multi-key ordered
+    top-100.
+
+    Scale posture: the part sliver (size 10–20 AND type=LARGE, ~1/27 of
+    part) and the EUROPE supplier dim broadcast into the fact scan FIRST,
+    so the per-(part,supplier) aggregate only runs over the sliver's
+    lines. The window min reuses the grouped output (one Exchange for the
+    groupBy, one for the partkey window — both on sliver-sized data).
+    Cost equality compares exact decimals, never doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    part_f = part.filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    eu = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        li.join(F.broadcast(part_f.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "ps_supplycost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("ps_supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+part_f AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'),
+ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part_f)
+    AND l_suppkey IN (SELECT s_suppkey FROM eu)
+  GROUP BY 1, 2),
+best AS (
+  SELECT *, MIN(ps_supplycost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM ps)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+FROM best
+JOIN part_f ON l_partkey = p_partkey
+JOIN eu ON l_suppkey = s_suppkey
+WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit by nation and year (adapted: no partsupp ⇒
+    no ps_supplycost term, so profit := Σ extendedprice×(1−discount); the
+    p_name LIKE filter, the 4-way dim fan-in on the fact scan, and the
+    (nation, year) grouped rollup are the shape being exercised).
+
+    Scale posture: part sliver and supplier⋈nation broadcast into the
+    lineitem scan; the orders join is the one genuinely big⋈big edge and
+    shuffles on orderkey exactly once; the grouped agg is partial-first.
+    Decimal-exact profit, rounded to scale 4 before the double cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    part_f = part.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    sn = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_disc_price()), 4).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(round(SUM({SQL_DISC_PRICE}), 4) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (adapted: part "value" held by one region's
+    suppliers is derived from lineitem revenue instead of
+    ps_supplycost×ps_availqty; the original's single-nation slice is a
+    region slice so the cohort survives the smallest test SF). Shape
+    preserved: grouped per-part value, HAVING against a scalar-subquery
+    fraction of the cohort total.
+
+    Scale posture: ONE fact aggregation; the cohort total is re-derived
+    from the per-part sums (sliver-sized second agg, broadcast back) — the
+    textbook plan's second full fact scan never happens. The threshold
+    `value > total/1000` compares `value*1000 > total` in exact decimal —
+    no double division on the HAVING boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    nat_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(_disc_price()).alias("value_dec"))
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * F.lit(1000) > F.col("total_dec"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("value_dec"), 4).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH per_part AS (
+  SELECT l_partkey AS ps_partkey, SUM({SQL_DISC_PRICE}) AS value_dec
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+  GROUP BY 1),
+total AS (SELECT SUM(value_dec) AS total_dec FROM per_part)
+SELECT ps_partkey, CAST(round(value_dec, 4) AS DOUBLE) AS value
+FROM per_part, total
+WHERE value_dec * 1000 > total_dec
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier count by part attributes (adapted: the part↔supplier
+    relation is the DISTINCT (partkey, suppkey) pairs observed in
+    lineitem; the "customer complaint" supplier exclusion keys on negative
+    account balance since the testdata has no comment column). Shape
+    preserved: NOT-IN supplier exclusion, attribute-sliced parts, grouped
+    COUNT(DISTINCT suppkey), multi-key ordered output.
+
+    Scale posture: the pair-distinct is the only fact shuffle; part
+    attributes and the (tiny) excluded-supplier list broadcast; the
+    count-distinct rides the same keys partial-first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    part_f = part.filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+        AND p_size IN (1,2,3,4,5,6,7,8)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion (adapted: with no ps_availqty, a
+    supplier "has excess stock" of a part when it shipped MORE THAN HALF
+    of that part's 1997 volume — same nested aggregate-vs-aggregate
+    comparison, same semi-join chain up to the supplier dim; the original
+    nation filter becomes a region filter on the dim path).
+
+    Scale posture: the name-sliced part sliver broadcasts into a
+    year-pruned fact scan; per-(part,supplier) quantities window-roll to
+    the part total (no second scan); the qualifying supplier ids collapse
+    to a sliver that broadcast-semi-joins the supplier dim. The "more
+    than half" test compares `2×supp_qty > total_qty` in exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    part_f = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    qty97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = qty97.withColumn("tot_qty", F.sum("supp_qty").over(w)).filter(
+        F.col("supp_qty") * F.lit(2) > F.col("tot_qty")
+    )
+    supp_ids = dominant.select("l_suppkey").distinct()
+    eu_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    return (
+        supplier.join(
+            F.broadcast(supp_ids), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(eu_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH qty97 AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2),
+dominant AS (
+  SELECT l_suppkey
+  FROM (SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey) AS tot_qty
+        FROM qty97)
+  WHERE supp_qty * 2 > tot_qty)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting (adapted: with no
+    commit/receipt dates, a line is LATE when it shipped more than 30
+    days after the order date). The original's EXISTS (another supplier
+    on the order) + NOT EXISTS (another LATE supplier) pair is evaluated
+    in ONE pass: per-(order, supplier) lateness flags window-roll to
+    per-order supplier/late-supplier counts, and blame lands on the
+    supplier that is late on a multi-supplier order where nobody else is.
+
+    Scale posture: the status-F orders project to (orderkey, orderdate)
+    and join the fact on orderkey — the one big⋈big shuffle; the
+    double-EXISTS collapses into the window over the already-grouped
+    sliver; supplier broadcasts at the end. No self-joins of lineitem
+    (the textbook plan scans it three times; this scans it once)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    of = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late_flag = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    ).cast("int")
+    per_supp = (
+        li.join(of, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+blamed AS (
+  SELECT l_suppkey
+  FROM (SELECT *,
+               count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+               SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+        FROM per_supp)
+  WHERE is_late = 1 AND n_supp > 1 AND n_late = 1)
+SELECT s_name, count(*) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 REGISTRY_TPCH = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
@@ -803,4 +1221,10 @@ REGISTRY_TPCH = {
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
 }
