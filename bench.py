@@ -49,6 +49,9 @@ HEADLINE = [
     "embedding_near_dup",
     "text_quality",
     "tfidf",
+    "pagerank",
+    "weighted_sample",
+    "cluster_profile",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",

@@ -6,11 +6,13 @@ Reference data model (assets / prices / daily_metrics — see
 write path (operators.upsert) and ingestion (sources.rest) share one schema
 source of truth. Testdata tables (TESTDATA.md) are loaded from parquet.
 
-A nuance this module owns: ``events.parquet`` stores TIMESTAMP(NANOS), which
-Spark's Parquet reader rejects outright. We read it with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (scan-level, pushdown-safe) and
-convert ns→µs with integer division — the same truncation DuckDB applies when
-casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up exactly.
+A nuance this module owns: the driver has shipped ``events.parquet`` with two
+``ts`` encodings across rounds — TIMESTAMP(NANOS) (which Spark's Parquet
+reader rejects outright) and native µs timestamp. For the nanos case we read
+with ``spark.sql.legacy.parquet.nanosAsLong=true`` (scan-level,
+pushdown-safe) and convert ns→µs with integer division — the same truncation
+DuckDB applies casting TIMESTAMP_NS to TIMESTAMP — so oracle comparisons line
+up exactly either way. ``load_table`` branches on the observed dtype.
 """
 
 from __future__ import annotations

@@ -1,0 +1,110 @@
+"""Graph analytics over edge lists as iterated joins (Pregel-as-join).
+
+The reference repo has no graph surface; this module is part of the
+LLM-data-pipeline extension tier (SURVEY.md §2.11) — curation pipelines
+rank documents/entities by link structure (near-dup graphs, co-order /
+co-occurrence graphs, citation graphs) and PageRank is the canonical
+scoring pass over them.
+
+Scale shape:
+
+- ``co_occurrence_edges`` builds the item-item graph with a self-join on
+  the GROUP key. Per-group fanout is quadratic in group size, so the
+  caller bounds it (orders have ≤ ~7 line items; for unbounded groups cap
+  with a per-group top-N first). The pair space then aggregates with
+  map-side partial combine — one shuffle on the pair key.
+- ``pagerank`` is the standard power iteration expressed as DataFrame
+  joins: each iteration joins the rank vector (node-keyed) to the edge
+  list (src-keyed) and re-aggregates on dst. Two shuffles per iteration.
+  At cluster scale, pre-partition the edge list by ``src`` ONCE
+  (``edges.repartition(N, src)`` + persist, or a bucketed table) — the
+  rank vector is re-shuffled to match each round, but the (much larger)
+  edge list never moves again. Iteration count is a bounded constant, so
+  the whole pass is O(iters) scans — no driver-side loop over rows, no
+  collect of anything row-shaped.
+- Dangling nodes (no out-edges) leak their mass, the common simplification
+  when the graph is symmetric-by-construction (co-occurrence graphs are).
+  Callers with genuinely directed graphs should add a dangling-mass
+  redistribution term per iteration (one 1-row aggregate, broadcast back).
+
+Determinism: all arithmetic is +,*,/ on doubles (correctly rounded per
+IEEE-754, engine-identical); only aggregation ORDER varies across engines,
+so final ranks agree to ~1 ulp and round(·, 8) is oracle-stable. The
+``pagerank`` query's DuckDB oracle unrolls the same iterations as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_occurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Symmetric item-item co-occurrence edges: one edge (src, dst, w) per
+    ordered pair of DISTINCT items sharing a group, w = number of shared
+    groups. Both directions are emitted, so the graph has no dangling
+    nodes and out-degree equals in-degree."""
+    li = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("src"), F.col("b.item").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "w",
+) -> DataFrame:
+    """Weighted PageRank after ``iterations`` power steps; returns
+    (node, rank). Nodes are the union of src and dst values; initial rank
+    is uniform 1/N. ``weight=None`` treats every edge as weight 1."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    out = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N as a broadcast 1-row aggregate (the max-ts anchor pattern) — the
+    # plan stays fully lazy, nothing row-shaped reaches the driver.
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    contrib_edges = e.join(out, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
+    )
+    for _ in range(iterations):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

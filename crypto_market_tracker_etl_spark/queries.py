@@ -388,20 +388,29 @@ FROM lineitem
 
 def q_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[C1] epoch-ms → second-precision UTC timestamp (reference
-    src/etl.py:42). Reads the raw ns longs to model API epoch input."""
+    src/etl.py:42). Reads the raw parquet to model API epoch input; robust
+    to either encoding of events.ts (TIMESTAMP(NANOS)-as-long or native µs
+    timestamp), since the driver has shipped both."""
     from .session import tune_for_testdata
 
     tune_for_testdata(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ms = F.expr("ts div 1000000")
-    ts_sec = F.expr(
-        "timestampadd(MICROSECOND, (ts div 1000000) * 1000000 div 1000, "
-        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-    )
-    return raw.select(
+    if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as long
+        ms = F.expr("ts div 1000000")
+    else:  # native µs timestamp; session tz is UTC so the cast is identity
+        ms = F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+    # ts_second is derived FROM the epoch-ms value (that's the C1 semantics:
+    # the API hands us epoch ms, we materialize a second-precision timestamp).
+    return raw.select("event_id", ms.alias("epoch_ms")).select(
         "event_id",
-        ms.alias("epoch_ms"),
-        F.date_trunc("second", ts_sec).alias("ts_second"),
+        "epoch_ms",
+        F.date_trunc(
+            "second",
+            F.expr(
+                "timestampadd(MICROSECOND, epoch_ms * 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        ).alias("ts_second"),
     )
 
 
@@ -966,7 +975,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RANGE_JOIN = f"""
 WITH {E_CTE},
 bins AS (
-  SELECT CAST(i AS INT) AS bin_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+  SELECT CAST(i AS INT) AS bin_id,
+         CAST(i * 50.0 AS DOUBLE) AS lo,
+         CAST((i + 1) * 50.0 AS DOUBLE) AS hi
   FROM (SELECT unnest(range(0, 10)) AS i)
 )
 SELECT bin_id, lo, hi, count(*) AS n_events,
@@ -1687,7 +1698,7 @@ s AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
@@ -2399,9 +2410,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 
 def _full_registry() -> dict[str, tuple[QueryFn, str | None]]:
     from .queries_ext import REGISTRY_EXT
+    from .queries_ext2 import REGISTRY_EXT2
     from .queries_tpch import REGISTRY_TPCH
 
-    return {**REGISTRY, **REGISTRY_EXT, **REGISTRY_TPCH}
+    return {**REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT2, **REGISTRY_TPCH}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,270 @@
+"""Extension queries, wave 2: graph scoring, weighted curation sampling,
+robust statistics, and cluster profiling.
+
+Same contract as queries_ext: every entry ships a Spark DataFrame builder
+and (where expressible) a DuckDB oracle over the identical parquet tables.
+Cross-engine float policy: only +,-,*,/ (correctly rounded per IEEE-754,
+bit-identical everywhere) feed comparisons/ranking; aggregation-order-
+dependent sums are rounded at the output boundary only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.hashing import hex_prefix_to_long_sql, md5_long
+from .queries import QueryFn
+from .queries_ext import _documents, _embeddings
+
+# --------------------------------------------------------------------------
+# PageRank over the part co-order graph
+# --------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph extension] Weighted PageRank (3 power steps, d=0.85) over the
+    part co-order graph: parts sharing an order are linked, edge weight =
+    number of shared orders. The graph is symmetric by construction (no
+    dangling mass); per-order fanout is bounded by order size, so the edge
+    build is linear-ish in lineitem. See operators/graph.py for the
+    Pregel-as-join scale notes. Oracle: the same 3 iterations unrolled as
+    DuckDB CTEs; ranks agree to ~1 ulp, rounded to 8."""
+    from .operators.graph import co_occurrence_edges, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    ranks = pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING)
+    return ranks.select(
+        F.col("node").alias("part_key"), F.round("rank", 8).alias("rank")
+    )
+
+
+def _sql_pagerank(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
+    base = f"{1.0 - damping}"
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""c{i} AS (
+  SELECT ce.dst, sum({prev}.rank * ce.share) AS contrib
+  FROM ce JOIN {prev} ON ce.src = {prev}.node GROUP BY ce.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         {base} / nn.n + {damping} * coalesce(c{i}.contrib, 0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.dst
+)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+),
+edges AS (
+  SELECT a.item AS src, b.item AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+ce AS (SELECT e.src, e.dst, e.w / o.out_w AS share
+       FROM edges e JOIN outw o ON e.src = o.src),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+{",".join(steps)}
+SELECT node AS part_key, round(rank, 8) AS rank FROM {prev}
+"""
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling (curation)
+# --------------------------------------------------------------------------
+
+WS_K = 200
+WS_SEED = "wsample:"
+_TWO48 = float(1 << 48)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation extension] Hash-priority weighted sample: keep the K docs
+    with the smallest u/weight, u = (md5_48(doc_id)+1)/2^48 ∈ (0,1],
+    weight = n_chars. Selection probability increases with weight, is a
+    pure function of the key (rerun/backfill-stable, engine-portable), and
+    the plan is a TakeOrderedAndProject — no global sort, no shuffle of
+    the unselected mass. All arithmetic is division on exactly-
+    representable integers, so priorities are bit-identical across
+    engines (no transcendentals; the statistically-exact Efraimidis-
+    Spirtakis exponential variant needs ln(), which is NOT correctly-
+    rounded-portable — use it on the non-oracle fast path only)."""
+    docs = _documents(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = (md5_long(F.col("doc_id").cast("string"), seed=WS_SEED) + 1) / F.lit(_TWO48)
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            (u / F.col("n_chars").cast("double")).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(WS_K)
+    )
+
+
+_WS_HASH = hex_prefix_to_long_sql(
+    f"md5(concat('{WS_SEED}', CAST(doc_id AS VARCHAR)))", 12, "duckdb"
+)
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars,
+       (CAST({_WS_HASH} + 1 AS DOUBLE) / {_TWO48!r})
+         / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority, doc_id
+LIMIT {WS_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Robust statistics: winsorized mean + MAD outliers
+# --------------------------------------------------------------------------
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[robust-stats extension] Per-segment winsorized mean (clamp at
+    p05/p95) and MAD-based outlier count (|0.6745·(x−med)/MAD| > 3.5) over
+    customer balances. Three passes over a DIMENSION table (percentiles →
+    MAD → final agg), each a tiny per-group aggregate broadcast back — at
+    fact scale swap `percentile` for `approx_percentile` to fuse passes.
+    Cross-engine exactness: quantiles are rounded to 4dp FIRST, then every
+    downstream comparison/clamp uses the rounded values, so clamp and
+    outlier decisions are bit-identical in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    pct = lambda c, p: F.round(F.expr(f"percentile({c}, {p})"), 4)  # noqa: E731
+    s1 = cust.groupBy("c_mktsegment").agg(
+        pct("c_acctbal", 0.05).alias("p05"),
+        pct("c_acctbal", 0.95).alias("p95"),
+        pct("c_acctbal", 0.5).alias("med"),
+    )
+    with_med = cust.join(F.broadcast(s1), "c_mktsegment")
+    s2 = with_med.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(abs(c_acctbal - med), 0.5)"), 4).alias("mad")
+    )
+    x = F.col("c_acctbal")
+    z = F.lit(0.6745) * (x - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(s2), "c_mktsegment")
+        .groupBy("c_mktsegment", "p05", "p95", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.least(F.greatest(x, F.col("p05")), F.col("p95"))), 2)
+            .alias("winsor_mean"),
+            F.sum(
+                F.when((F.col("mad") > 0) & (F.abs(z) > 3.5), 1).otherwise(0)
+            ).alias("outlier_cnt"),
+        )
+        .select("c_mktsegment", "n", "p05", "p95", "mad", "winsor_mean", "outlier_cnt")
+    )
+
+
+SQL_ROBUST_STATS = """
+WITH s1 AS (
+  SELECT c_mktsegment,
+         round(quantile_cont(c_acctbal, 0.05), 4) AS p05,
+         round(quantile_cont(c_acctbal, 0.95), 4) AS p95,
+         round(quantile_cont(c_acctbal, 0.5), 4) AS med
+  FROM customer GROUP BY c_mktsegment
+),
+s2 AS (
+  SELECT c.c_mktsegment,
+         round(quantile_cont(abs(c_acctbal - s1.med), 0.5), 4) AS mad
+  FROM customer c JOIN s1 USING (c_mktsegment) GROUP BY c.c_mktsegment
+)
+SELECT c.c_mktsegment,
+       count(*) AS n, p05, p95, mad,
+       round(avg(least(greatest(c_acctbal, p05), p95)), 2) AS winsor_mean,
+       CAST(count(*) FILTER (
+         WHERE mad > 0 AND abs(0.6745 * (c_acctbal - med) / mad) > 3.5
+       ) AS BIGINT) AS outlier_cnt
+FROM customer c JOIN s1 USING (c_mktsegment) JOIN s2 USING (c_mktsegment)
+GROUP BY c.c_mktsegment, p05, p95, med, mad
+"""
+
+
+# --------------------------------------------------------------------------
+# K-means cluster profile (seeded coarse quantizer)
+# --------------------------------------------------------------------------
+
+CP_K = 8
+
+
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[clustering extension] Per-cluster corpus profile under the
+    deterministic md5-seeded k=8 coarse quantizer (operators/ivf.py):
+    member count and cohesion stats (cosine to the assigned centroid).
+    Assignment is a pure Catalyst expression — zero joins/shuffles before
+    the k-row aggregate — exactly the shape that partitions 100 TB of
+    vectors in one narrow scan. The LEARNED-centroid path is pytest-
+    verified (parallel-sum means are order-nondeterministic by design)."""
+    from .operators.ivf import _neg_cos_entries, seed_centroids
+    from .functions.vector import as_double
+
+    emb = _embeddings(spark, sf_dir)
+    cents = seed_centroids(emb, CP_K)
+    best = F.array_min(_neg_cos_entries(as_double(F.col("embedding")), cents, 4))
+    return (
+        emb.select(
+            best["cid"].alias("cluster_id"), (-best["nd"]).alias("cos")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cos"), 3).alias("avg_cos"),
+            F.round(F.min("cos"), 4).alias("min_cos"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
+    )
+
+
+SQL_CLUSTER_PROFILE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         v AS cv
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {CP_K}
+),
+dists AS (
+  SELECT e.vec_id, s.cid,
+         round(-list_cosine_similarity(e.v, s.cv), 4) AS nd,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(-list_cosine_similarity(e.v, s.cv), 4),
+                                     s.cid) AS rn
+  FROM e, seeds s
+)
+SELECT CAST(cid AS INT) AS cluster_id,
+       count(*) AS n_members,
+       round(avg(-nd), 3) AS avg_cos,
+       round(min(-nd), 4) AS min_cos,
+       round(max(-nd), 4) AS max_cos
+FROM dists WHERE rn = 1
+GROUP BY cid
+"""
+
+
+REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
+    "cluster_profile": (q_cluster_profile, SQL_CLUSTER_PROFILE),
+}

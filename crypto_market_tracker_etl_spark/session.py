@@ -46,8 +46,9 @@ def get_session(
         # ~100 B/group/task — 1M groups ≈ 100 MB per task, fine for multi-GB
         # executors.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
-        # testdata events.parquet carries TIMESTAMP(NANOS); Spark has no ns
-        # type, so read as long and convert (see catalog.load_events).
+        # some testdata rounds ship events.parquet as TIMESTAMP(NANOS); Spark
+        # has no ns type, so read as long and convert (see catalog.load_table;
+        # harmless when the file is already µs).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # MERGE-style writers rewrite only touched partitions.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

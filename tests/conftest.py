@@ -63,6 +63,27 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs {len(oracle_pdf)}"
     )
+    # Decimal guard: DuckDB silently widens sum(int)→HUGEINT and decimal
+    # literal math→DECIMAL, which arrow hands back as Decimal objects. The
+    # elementwise compare below treats Decimal('7') == 7 as equal, but a
+    # hash-of-values driver gate may not — require the oracle SQL to cast
+    # to the Spark-matching type at the output boundary.
+    import decimal
+
+    for c in oracle_pdf.columns:
+        col = oracle_pdf[c]
+        if (
+            col.dtype == object
+            and c in spark_pdf.columns
+            and spark_pdf[c].dtype != object  # both-Decimal (DecimalType) is fine
+            and len(col.dropna())
+            and isinstance(col.dropna().iloc[0], decimal.Decimal)
+        ):
+            raise AssertionError(
+                f"{name}: oracle column {c!r} is Decimal-typed but Spark's is "
+                f"{spark_pdf[c].dtype} — add a CAST (DOUBLE/BIGINT) at the "
+                "oracle output boundary"
+            )
     s = normalize(spark_pdf)
     o = normalize(oracle_pdf)
     mismatched = (s != o) & ~(s.isna() & o.isna())

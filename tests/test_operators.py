@@ -1086,3 +1086,65 @@ def test_sketch_state_merges_without_rescan(spark):
         .collect()[0]["n"]
     )
     assert hll_full == hll_merged  # same sketch state either route
+
+
+# --- graph: co-occurrence edges + PageRank (operators/graph.py) ---
+
+
+def test_co_occurrence_edges_hand_case(spark):
+    from crypto_market_tracker_etl_spark.operators.graph import co_occurrence_edges
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (3, "c")],
+        ["g", "item"],
+    )
+    edges = {
+        (r.src, r.dst): r.w for r in co_occurrence_edges(df, "g", "item").collect()
+    }
+    # duplicate (1,"b") collapses; "c" shares no group → no edges
+    assert edges == {("a", "b"): 2.0, ("b", "a"): 2.0}
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a vertex-transitive graph (ring), the stationary distribution is
+    uniform, so every power step must preserve exactly 1/N per node."""
+    from crypto_market_tracker_etl_spark.operators.graph import pagerank
+
+    n = 4
+    ring = [(i, (i + 1) % n, 1.0) for i in range(n)]
+    edges = spark.createDataFrame(
+        ring + [(d, s, w) for s, d, w in ring], ["src", "dst", "w"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert len(ranks) == n
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-12
+
+
+def test_pagerank_mass_conserved_and_hub_dominates(spark):
+    """Symmetric star: total rank mass stays 1 (no dangling leak on a
+    symmetric graph) and the hub outranks the identically-ranked leaves."""
+    from crypto_market_tracker_etl_spark.operators.graph import pagerank
+
+    star = [(0, i, 1.0) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(
+        star + [(d, s, w) for s, d, w in star], ["src", "dst", "w"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    leaf_ranks = [ranks[i] for i in (1, 2, 3)]
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
+    assert ranks[0] > leaf_ranks[0]
+
+
+def test_pagerank_unweighted_default(spark):
+    """weight=None treats every edge as 1; on an asymmetric-degree graph it
+    must differ from a weighted run that skews the same topology."""
+    from crypto_market_tracker_etl_spark.operators.graph import pagerank
+
+    topo = [(0, 1, 9.0), (1, 0, 9.0), (1, 2, 1.0), (2, 1, 1.0)]
+    edges = spark.createDataFrame(topo, ["src", "dst", "w"])
+    unw = {r.node: r.rank for r in pagerank(edges, 3, weight=None).collect()}
+    wtd = {r.node: r.rank for r in pagerank(edges, 3).collect()}
+    assert abs(sum(unw.values()) - 1.0) < 1e-9
+    assert unw[0] != pytest.approx(wtd[0], abs=1e-9)

@@ -261,3 +261,25 @@ def test_entry_uses_broadcast_dim(spark):
     )
     assert "BroadcastHashJoin" in s
     assert "TakeOrderedAndProject" in s or "Sort" in s
+
+
+def test_pagerank_no_cartesian(spark):
+    s = plan_of(spark, "pagerank")
+    # rank⋈edges each iteration is an equi-join on src; the only
+    # nested-loop join allowed is the broadcast 1-row N anchor
+    assert "CartesianProduct" not in s
+
+
+def test_weighted_sample_is_top_k_not_global_sort(spark):
+    s = plan_of(spark, "weighted_sample")
+    # K smallest priorities must be a partial top-k, never a range sort of
+    # the whole corpus
+    assert "TakeOrderedAndProject" in s
+    assert "rangepartitioning" not in s
+
+
+def test_cluster_profile_assignment_is_shuffle_free(spark):
+    s = plan_of(spark, "cluster_profile")
+    # centroid assignment is a pure expression: the only exchange allowed
+    # is the final k-row aggregate (plus the seed-pick top-k machinery)
+    assert "CartesianProduct" not in s and "SortMergeJoin" not in s
