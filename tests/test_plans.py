@@ -264,7 +264,22 @@ def test_entry_uses_broadcast_dim(spark):
 
 
 def test_pagerank_no_cartesian(spark):
-    s = plan_of(spark, "pagerank")
+    # persist=False keeps the full lineage inspectable (the registry query
+    # eagerly checkpoints, which would collapse the plan to a cache scan)
+    from crypto_market_tracker_etl_spark.catalog import load_table
+    from crypto_market_tracker_etl_spark.operators.graph import (
+        co_occurrence_edges,
+        pagerank,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = pagerank(
+        co_occurrence_edges(li, "l_orderkey", "l_partkey"), persist=False
+    )
+    jvm = spark._jvm
+    s = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
     # rank⋈edges each iteration is an equi-join on src; the only
     # nested-loop join allowed is the broadcast 1-row N anchor
     assert "CartesianProduct" not in s
