@@ -213,6 +213,49 @@ def probe_session2_ops(spark) -> None:
         payloads.unpersist()
 
 
+def probe_graph(spark) -> None:
+    """Graph operators at generated scale: co-occurrence edge build
+    (bounded-fanout self-join), 3-step PageRank over the result, and
+    min-label connected components over a sparse pair graph. Prints;
+    numbers are hand-recorded into SCALE.md's analysis."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        connected_components,
+    )
+    from crypto_market_tracker_etl_spark.operators.graph import (
+        co_occurrence_edges,
+        pagerank,
+    )
+
+    for n in (2_000_000, 10_000_000):
+        # groups of 5 items drawn from an n/10 item domain — lineitem-like:
+        # bounded per-group fanout (5·4=20 directed pairs/group), sparse graph
+        li = (
+            spark.range(n)
+            .select(
+                (F.col("id") / 5).cast("long").alias("g"),
+                F.pmod(F.xxhash64("id"), F.lit(n // 10)).alias("item"),
+            )
+            .persist()
+        )
+        li.count()
+        edges = co_occurrence_edges(li, "g", "item")
+        t_e = force(edges)
+        t_pr = force(pagerank(edges, iterations=3))
+        print(
+            f"graph n={n}: edge build {t_e:.1f}s, edges+pagerank3 {t_pr:.1f}s",
+            flush=True,
+        )
+        li.unpersist()
+    for n in (1_000_000, 5_000_000):
+        # near-dup-shaped pair graph: chains of length ≤3 (diameter ≤3)
+        pairs = spark.range(n).select(
+            (F.col("id") - F.pmod(F.col("id"), F.lit(3))).alias("id_a"),
+            F.col("id").alias("id_b"),
+        ).filter(F.col("id_a") != F.col("id_b"))
+        t_cc = force(connected_components(pairs))
+        print(f"cc pairs={n}: {t_cc:.1f}s", flush=True)
+
+
 def _splice_probe_section(body: str) -> None:
     """Replace the marker-delimited probe block of SCALE.md, preserving the
     hand-written analysis sections outside it."""
@@ -246,6 +289,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_S2"):
         probe_session2_ops(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_GRAPH"):
+        probe_graph(spark)
         spark.stop()
         return
     rows = []
