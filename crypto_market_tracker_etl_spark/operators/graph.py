@@ -67,25 +67,33 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = "w",
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Weighted PageRank after ``iterations`` power steps; returns
     (node, rank). Nodes are the union of src and dst values; initial rank
     is uniform 1/N. ``weight=None`` treats every edge as weight 1.
 
-    Caching policy (measured at sf0.1, 3 iterations, ~1.9M-edge co-order
-    graph): the loop-invariant edge build appears ``iterations`` times in
-    the lazy plan, but AQE's runtime exchange reuse dedupes the identical
-    subtrees within the single action, so the lazy default is FASTER
-    single-shot (6.4 s) than eagerly caching the edge list (9.9 s — the
-    cache write of millions of edge rows costs more than it saves).
-    ``persist=True`` switches to eager mode — persist the edge list and
-    node set, run the loop, ``localCheckpoint`` the (node-count-sized)
-    result, unpersist both (nothing cached outlives the call) — which
-    pays off only when the returned ranks feed MULTIPLE downstream
-    actions, or with iteration counts high enough that re-aggregation
-    dominates (runtime reuse still re-runs each iteration's join chain).
-    """
+    Caching policy — MEASURED, with a crossover (scale_probe.py
+    SCALE_GRAPH, local[32]; 3 iterations):
+
+    ======== ========== ========= ==========
+    edges    nodes      lazy      eager
+    ======== ========== ========= ==========
+    1.9M     20k        6.4 s     9.9 s
+    8M       200k       73.3 s    18.0 s
+    40M      1M         181.3 s   41.6 s
+    ======== ========== ========= ==========
+
+    Eager (the default): persist the share-normalized edge list and node
+    set, run the loop, ``localCheckpoint`` the node-count-sized result,
+    unpersist both — nothing cached outlives the call. This is the
+    scale-correct shape: each iteration re-joins cached edges instead of
+    re-running the edge build (whose cost the lazy plan pays roughly once
+    per iteration once graphs outgrow the broadcast/reuse-friendly small
+    regime — AQE exchange reuse does NOT reliably dedupe the repeated
+    subtrees at these sizes). ``persist=False`` keeps the operator fully
+    lazy — measurably better only for small graphs (≲ low-single-digit
+    millions of edges) and required for static plan inspection."""
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")

@@ -240,19 +240,26 @@ def probe_graph(spark) -> None:
         li.count()
         edges = co_occurrence_edges(li, "g", "item")
         t_e = force(edges)
-        t_pr = force(pagerank(edges, iterations=3))
+        t_lazy = force(pagerank(edges, iterations=3))
+        t0 = time.perf_counter()
+        force(pagerank(edges, iterations=3, persist=True))  # eager inside
+        t_eager = time.perf_counter() - t0
         print(
-            f"graph n={n}: edge build {t_e:.1f}s, edges+pagerank3 {t_pr:.1f}s",
+            f"graph n={n}: edge build {t_e:.1f}s, "
+            f"pagerank3 lazy {t_lazy:.1f}s eager {t_eager:.1f}s",
             flush=True,
         )
         li.unpersist()
     for n in (1_000_000, 5_000_000):
-        # near-dup-shaped pair graph: chains of length ≤3 (diameter ≤3)
+        # near-dup-shaped pair graph: chains of length ≤3 (diameter ≤3);
+        # connected_components checkpoints eagerly, so time the whole call
         pairs = spark.range(n).select(
             (F.col("id") - F.pmod(F.col("id"), F.lit(3))).alias("id_a"),
             F.col("id").alias("id_b"),
         ).filter(F.col("id_a") != F.col("id_b"))
-        t_cc = force(connected_components(pairs))
+        t0 = time.perf_counter()
+        force(connected_components(pairs))
+        t_cc = time.perf_counter() - t0
         print(f"cc pairs={n}: {t_cc:.1f}s", flush=True)
 
 
