@@ -86,6 +86,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # stop FIRST: the JVM occasionally writes warnings (e.g. GCLocker) to
+    # stdout, and an interleaved line after the JSON would break the
+    # driver's one-JSON-line contract. After stop() nothing else prints.
+    spark.stop()
     print(
         json.dumps(
             {
@@ -95,9 +99,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -262,9 +262,123 @@ GROUP BY cid
 """
 
 
+# --------------------------------------------------------------------------
+# Distribution drift report (training-data monitoring)
+# --------------------------------------------------------------------------
+
+
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[drift extension] Distribution drift between the first and second
+    time-half of the stream, per event type: 10-bin value histograms →
+    total-variation distance (½·Σ|p−q|) and symmetrized chi-square
+    (Σ(p−q)²/(p+q)). The drift metrics every training-data refresh should
+    gate on — and deliberately log-free (no PSI/KL): only +,-,*,/ and
+    abs feed the numbers, so they are bit-identical across engines,
+    unlike ln() whose last-ulp varies by libm. Per-bin terms are rounded
+    then DECIMAL-summed (order-independent exact accumulation), cast to
+    double only at the output boundary.
+
+    Scale shape: two broadcast 1-row anchors (value range, time
+    midpoint), binning and period assignment are pure expressions, one
+    (event_type, bin) partial-agg shuffle of ≤ type·10 groups, then a
+    broadcast join of per-type totals. One scan of the fact, no window,
+    no collect."""
+    from .queries import _events
+
+    ev = _events(spark, sf_dir)
+    anchors = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    span = F.when(F.col("mx") > F.col("mn"), F.col("mx") - F.col("mn")).otherwise(
+        F.lit(1.0)
+    )
+    b = F.least(F.lit(9), F.floor((F.col("value") - F.col("mn")) / span * 10)).cast(
+        "int"
+    )
+    in_a = F.expr(
+        "timestampdiff(MICROSECOND, t0, ts) <= timestampdiff(MICROSECOND, t0, t1) div 2"
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(anchors))
+        .select("event_type", b.alias("bin"), in_a.alias("in_a"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    p = F.when(F.col("ta") > 0, F.col("n_a") / F.col("ta")).otherwise(F.lit(0.0))
+    q = F.when(F.col("tb") > 0, F.col("n_b") / F.col("tb")).otherwise(F.lit(0.0))
+    tvd_term = F.round(F.abs(p - q), 8).cast("decimal(18,8)")
+    chi_term = F.round((p - q) * (p - q) / (p + q), 8).cast("decimal(18,8)")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.first("ta").alias("total_a"),
+            F.first("tb").alias("total_b"),
+            F.round(F.sum(tvd_term).cast("double") * 0.5, 6).alias("tvd"),
+            F.round(F.sum(chi_term).cast("double"), 6).alias("chi2"),
+        )
+    )
+
+
+SQL_DRIFT_REPORT = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+a AS (
+  SELECT min(value) AS mn, max(value) AS mx, min(ts) AS t0, max(ts) AS t1
+  FROM e
+),
+c AS (
+  SELECT event_type,
+         CAST(least(9, floor((value - mn) / (CASE WHEN mx > mn THEN mx - mn
+                                                  ELSE 1.0 END) * 10)) AS INT)
+           AS bin,
+         CAST(SUM(CASE WHEN date_diff('microsecond', t0, ts)
+                            <= date_diff('microsecond', t0, t1) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN date_diff('microsecond', t0, ts)
+                            <= date_diff('microsecond', t0, t1) // 2
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM e, a GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, CAST(sum(n_a) AS BIGINT) AS ta,
+         CAST(sum(n_b) AS BIGINT) AS tb
+  FROM c GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type, ta, tb,
+         CASE WHEN ta > 0 THEN CAST(n_a AS DOUBLE) / ta ELSE 0.0 END AS p,
+         CASE WHEN tb > 0 THEN CAST(n_b AS DOUBLE) / tb ELSE 0.0 END AS q
+  FROM c JOIN t USING (event_type)
+)
+SELECT event_type,
+       count(*) AS n_bins,
+       any_value(ta) AS total_a,
+       any_value(tb) AS total_b,
+       round(CAST(SUM(CAST(round(abs(p - q), 8) AS DECIMAL(18,8))) AS DOUBLE)
+             * 0.5, 6) AS tvd,
+       round(CAST(SUM(CAST(round((p - q) * (p - q) / (p + q), 8)
+                           AS DECIMAL(18,8))) AS DOUBLE), 6) AS chi2
+FROM terms
+GROUP BY event_type
+"""
+
+
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
     "cluster_profile": (q_cluster_profile, SQL_CLUSTER_PROFILE),
+    "drift_report": (q_drift_report, SQL_DRIFT_REPORT),
 }
