@@ -38,7 +38,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    ranks = pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING)
+    # persist=False: the sf-scale co-order graph (1.9M edges at sf0.1) sits
+    # below the measured eager-caching crossover — see the table in
+    # operators/graph.py::pagerank and SCALE.md. Results are identical
+    # either way; at production graph sizes use the (eager) default.
+    ranks = pagerank(edges, iterations=PR_ITERS, damping=PR_DAMPING, persist=False)
     return ranks.select(
         F.col("node").alias("part_key"), F.round("rank", 8).alias("rank")
     )
