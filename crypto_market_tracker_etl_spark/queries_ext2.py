@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .functions.hashing import hex_prefix_to_long_sql, md5_long
 from .queries import QueryFn
-from .queries_ext import _documents, _embeddings
+from .queries_ext import _documents, _embeddings, q_cosine_topk, q_knn_lsh
 
 # --------------------------------------------------------------------------
 # PageRank over the part co-order graph
@@ -267,6 +267,120 @@ GROUP BY cid
 
 
 # --------------------------------------------------------------------------
+# Stratified weighted sampling (per-source quota)
+# --------------------------------------------------------------------------
+
+WSS_K = 50
+
+
+def q_weighted_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation extension] Per-source weighted sample: the hash-priority
+    construction of [weighted_sample], with an independent top-K drawn
+    from EACH source (the per-domain quota every corpus mix spec needs).
+    Plan: WindowGroupLimit pushes a partial per-partition top-K below the
+    single source-keyed shuffle — the unselected mass never moves, same
+    as latest_per_key. Selection stays a pure function of doc_id, so
+    quotas are rerun- and backfill-stable."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = (md5_long(F.col("doc_id").cast("string"), seed=WS_SEED) + 1) / F.lit(_TWO48)
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            (u / F.col("n_chars").cast("double")).alias("priority"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WSS_K)
+        .select("source", "doc_id", "n_chars", "priority", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_WEIGHTED_SAMPLE_STRATIFIED = f"""
+SELECT source, doc_id, n_chars, priority, CAST(rk AS INT) AS rk
+FROM (
+  SELECT source, doc_id, n_chars,
+         (CAST({_WS_HASH} + 1 AS DOUBLE) / {_TWO48!r})
+           / CAST(n_chars AS DOUBLE) AS priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (CAST({_WS_HASH} + 1 AS DOUBLE) / {_TWO48!r})
+                                     / CAST(n_chars AS DOUBLE), doc_id) AS rk
+  FROM documents
+  WHERE n_chars > 0
+)
+WHERE rk <= {WSS_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval)
+# --------------------------------------------------------------------------
+
+RRF_K = 60  # the standard smoothing constant (Cormack et al.)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[retrieval extension] Reciprocal-rank fusion of two retrievers over
+    the same query set: exact brute-force cosine top-5 ([cosine_topk]) and
+    hyperplane-LSH approximate top-3 ([knn_lsh]). RRF score =
+    Σ 1/(60+rank) over the retrievers that returned the item — rank-only
+    fusion, so incomparable scores (cosine vs anything lexical) never mix;
+    the arithmetic is one exact-rounded division per retriever plus one
+    addition, bit-identical across engines. Plan: both retriever outputs
+    are query-set-bounded (≤ k·|Q| rows), so the full outer join and the
+    per-query re-rank are sliver-sized regardless of corpus scale."""
+    a = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_a")
+    )
+    b = q_knn_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_b")
+    )
+    f = a.join(b, ["query_id", "neighbor_id"], "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_a")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_b")), F.lit(0.0))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "neighbor_id")
+    return (
+        f.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("rrf", 8).alias("rrf"),
+            "fused_rank",
+        )
+    )
+
+
+def _sql_rrf_fusion() -> str:
+    from .queries_ext import SQL_COSINE_TOPK, SQL_KNN_LSH
+
+    return f"""
+WITH a AS ({SQL_COSINE_TOPK}),
+b AS ({SQL_KNN_LSH}),
+f AS (
+  SELECT query_id, neighbor_id,
+         coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + a.rank), 0.0)
+           + coalesce(CAST(1.0 AS DOUBLE) / ({RRF_K} + b.rank), 0.0) AS rrf
+  FROM a FULL JOIN b USING (query_id, neighbor_id)
+)
+SELECT query_id, neighbor_id, round(rrf, 8) AS rrf, CAST(fr AS INT) AS fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id) AS fr
+  FROM f
+)
+WHERE fr <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Distribution drift report (training-data monitoring)
 # --------------------------------------------------------------------------
 
@@ -385,4 +499,9 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
     "cluster_profile": (q_cluster_profile, SQL_CLUSTER_PROFILE),
     "drift_report": (q_drift_report, SQL_DRIFT_REPORT),
+    "weighted_sample_stratified": (
+        q_weighted_sample_stratified,
+        SQL_WEIGHTED_SAMPLE_STRATIFIED,
+    ),
+    "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
 }
