@@ -51,7 +51,10 @@ HEADLINE = [
     "tfidf",
     "pagerank",
     "weighted_sample",
+    "weighted_sample_stratified",
     "cluster_profile",
+    "drift_report",
+    "rrf_fusion",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",

@@ -1148,3 +1148,37 @@ def test_pagerank_unweighted_default(spark):
     wtd = {r.node: r.rank for r in pagerank(edges, 3).collect()}
     assert abs(sum(unw.values()) - 1.0) < 1e-9
     assert unw[0] != pytest.approx(wtd[0], abs=1e-9)
+
+
+def test_drift_report_zero_on_identical_halves(spark, tmp_path):
+    """A stream whose two time-halves have identical per-type value
+    distributions must report tvd=0 and chi2=0 for every type."""
+    import pandas as pd
+
+    from crypto_market_tracker_etl_spark.queries_ext2 import q_drift_report
+
+    rows = []
+    eid = 0
+    for half_start in ("2024-01-01", "2024-01-02"):
+        base = pd.Timestamp(half_start)
+        for i in range(200):
+            rows.append(
+                (
+                    eid,
+                    base + pd.Timedelta(minutes=i),
+                    i % 7,
+                    "click" if i % 2 == 0 else "view",
+                    float(i % 50),
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+    out = q_drift_report(spark, str(tmp_path)).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.tvd == 0.0 and r.chi2 == 0.0, r

@@ -298,3 +298,23 @@ def test_cluster_profile_assignment_is_shuffle_free(spark):
     # centroid assignment is a pure expression: the only exchange allowed
     # is the final k-row aggregate (plus the seed-pick top-k machinery)
     assert "CartesianProduct" not in s and "SortMergeJoin" not in s
+
+
+def test_weighted_sample_stratified_partial_topk(spark):
+    s = plan_of(spark, "weighted_sample_stratified")
+    # per-source quota must push a partial top-K below the source shuffle
+    assert "WindowGroupLimit" in s
+    assert "rangepartitioning" not in s
+
+
+def test_drift_report_single_fact_scan_shape(spark):
+    s = plan_of(spark, "drift_report")
+    # anchors broadcast; the histogram shuffle is the only wide move of
+    # fact-derived rows — never a sort-merge join or cartesian pair-up
+    assert "CartesianProduct" not in s and "SortMergeJoin" not in s
+
+
+def test_rrf_fusion_no_corpus_shuffle(spark):
+    s = plan_of(spark, "rrf_fusion")
+    # both retrievers broadcast their query sets; fusion re-ranks slivers
+    assert "CartesianProduct" not in s
