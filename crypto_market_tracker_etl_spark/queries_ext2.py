@@ -428,24 +428,9 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
         )
     )
-    tot = counts.groupBy("event_type").agg(
-        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
-    )
-    p = F.when(F.col("ta") > 0, F.col("n_a") / F.col("ta")).otherwise(F.lit(0.0))
-    q = F.when(F.col("tb") > 0, F.col("n_b") / F.col("tb")).otherwise(F.lit(0.0))
-    tvd_term = F.round(F.abs(p - q), 8).cast("decimal(18,8)")
-    chi_term = F.round((p - q) * (p - q) / (p + q), 8).cast("decimal(18,8)")
-    return (
-        counts.join(F.broadcast(tot), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_bins"),
-            F.first("ta").alias("total_a"),
-            F.first("tb").alias("total_b"),
-            F.round(F.sum(tvd_term).cast("double") * 0.5, 6).alias("tvd"),
-            F.round(F.sum(chi_term).cast("double"), 6).alias("chi2"),
-        )
-    )
+    from .operators.drift import drift_metrics_from_counts
+
+    return drift_metrics_from_counts(counts, ["event_type"])
 
 
 SQL_DRIFT_REPORT = """

@@ -211,3 +211,87 @@ def streaming_dedup_keys(
     return stream.groupBy(*keys).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.ProcessingTimeTimeout
     )
+
+
+def histogram_drift_counts_stream(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    boundary_ms: int,
+) -> DataFrame:
+    """Streaming twin of ``operators/drift.py::fixed_bin_histogram_drift``,
+    split at the counts layer: per-key state is 2·n_bins longs (reference
+    and current period bin counts, caller-fixed edges and boundary), and
+    each micro-batch emits the CUMULATIVE (key, bin, n_a, n_b) snapshot of
+    every non-empty bin. Drift metrics are NOT computed here — feed the
+    final snapshot to ``drift_metrics_from_counts`` so batch and stream
+    share one metric definition (equal by construction; pandas-side
+    rounding semantics never touch the numbers).
+
+    Binning matches the batch expression bit-for-bit: the same
+    floor((v−lo)/(hi−lo)·n) double arithmetic, clamped to the edge bins.
+    State is bounded by construction (2·n_bins longs per key) — no TTL
+    needed."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    out_schema = T.StructType(
+        [
+            T.StructField(key, stream.schema[key].dataType),
+            T.StructField("bin", T.IntegerType()),
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ca", T.ArrayType(T.LongType())),
+            T.StructField("cb", T.ArrayType(T.LongType())),
+        ]
+    )
+    span = float(hi - lo)
+
+    def update(
+        key_tuple: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            ca, cb = (list(v) for v in state.get)
+        else:
+            ca, cb = [0] * n_bins, [0] * n_bins
+        for pdf in pdfs:
+            v = pdf[value].to_numpy(dtype="float64")
+            # same IEEE ops as the Catalyst expression: sub, div, mul, floor
+            bins = np.floor((v - lo) / span * n_bins)
+            bins = np.clip(bins, 0, n_bins - 1).astype("int64")
+            tcol = pdf[ts_col]
+            if pd.api.types.is_datetime64_any_dtype(tcol):
+                ms = (tcol.astype("int64") // 1_000_000).to_numpy()
+            else:
+                ms = tcol.astype("int64").to_numpy()
+            in_a = ms <= boundary_ms
+            for b, a_side in zip(bins, in_a):
+                if a_side:
+                    ca[b] += 1
+                else:
+                    cb[b] += 1
+        state.update((ca, cb))
+        nz = [i for i in range(n_bins) if ca[i] or cb[i]]
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(nz),
+                "bin": pd.array(nz, dtype="int32"),
+                "n_a": pd.array([ca[i] for i in nz], dtype="int64"),
+                "n_b": pd.array([cb[i] for i in nz], dtype="int64"),
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

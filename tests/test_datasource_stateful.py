@@ -451,3 +451,73 @@ def test_ewma_stream_flags_late_rows(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "o2")).collect()[0]
     assert got["saw_late"] is True
     assert got["ewma"] == 0.25 * 99.0 + 0.75 * 10.0  # still folded, flagged
+
+
+def test_histogram_drift_stream_equals_batch(spark, tmp_path):
+    """The streaming drift counts, fed through the SAME metric aggregation
+    as the batch operator, must equal the batch result exactly — including
+    across multiple micro-batches with carried state."""
+    import datetime as dt
+
+    from crypto_market_tracker_etl_spark.operators.drift import (
+        drift_metrics_from_counts,
+        fixed_bin_histogram_drift,
+    )
+    from crypto_market_tracker_etl_spark.streaming.stateful import (
+        histogram_drift_counts_stream,
+    )
+
+    boundary = dt.datetime(2024, 1, 2)
+    rows = []
+    for i in range(400):
+        rows.append(
+            (
+                "click" if i % 2 == 0 else "view",
+                dt.datetime(2024, 1, 1) + dt.timedelta(minutes=7 * i),
+                float((i * 37) % 250) - 20.0,  # includes out-of-range values
+            )
+        )
+    schema = "event_type string, ts timestamp, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = {
+        r.event_type: r
+        for r in fixed_bin_histogram_drift(
+            batch_df, ["event_type"], "ts", "value", 0.0, 200.0, 10, boundary
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    # two files → maxFilesPerTrigger=1 forces two micro-batches (state carry)
+    spark.createDataFrame(rows[:250], schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows[250:], schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    # session tz is UTC, so the naive boundary is a UTC wall time — anchor
+    # the epoch-ms conversion there, not at the host's local tz
+    boundary_ms = int(
+        boundary.replace(tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    out = str(tmp_path / "out")
+    _drain_to_parquet(
+        histogram_drift_counts_stream(
+            stream, "event_type", "ts", "value", 0.0, 200.0, 10, boundary_ms
+        ),
+        out,
+        str(tmp_path / "ck"),
+    )
+    # counts are cumulative snapshots: the final state per (key, bin) is the max
+    final_counts = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "bin")
+        .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
+    )
+    got = {
+        r.event_type: r
+        for r in drift_metrics_from_counts(final_counts, ["event_type"]).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        e, g = expected[k], got[k]
+        assert (g.n_bins, g.total_a, g.total_b) == (e.n_bins, e.total_a, e.total_b), k
+        assert g.tvd == e.tvd and g.chi2 == e.chi2, (k, g, e)
