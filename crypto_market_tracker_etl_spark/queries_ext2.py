@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .functions.hashing import hex_prefix_to_long_sql, md5_long
 from .queries import QueryFn
-from .queries_ext import _documents, _embeddings, q_cosine_topk, q_knn_lsh
+from .queries_ext import (
+    SQL_NORM,
+    SQL_SHINGLES,
+    _documents,
+    _embeddings,
+    q_cosine_topk,
+    q_knn_lsh,
+)
 
 # --------------------------------------------------------------------------
 # PageRank over the part co-order graph
@@ -381,6 +388,129 @@ WHERE fr <= 5
 
 
 # --------------------------------------------------------------------------
+# Benchmark contamination (train ∩ eval n-gram overlap)
+# --------------------------------------------------------------------------
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation extension] Train/eval contamination scan: training docs
+    sharing ≥2 distinct 3-word shingles with any doc of the (deterministic
+    doc_id % 97 == 0) eval set are flagged with the overlapping eval doc
+    and the shared-shingle count. This is the decontamination pass every
+    benchmark-honest pretraining corpus needs.
+
+    Scale shape: eval-side shingles are a sliver (|eval| ≪ corpus) and
+    BROADCAST into the exploded train shingle stream — the corpus is
+    never shuffled; the only exchange aggregates the matched (train,
+    eval) pairs. At a 100 TB corpus with a large eval suite, swap the
+    broadcast for a shuffle join on the shingle hash — same plan shape,
+    both sides exploded once."""
+    from .operators.dedup import word_shingles
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    ev = (
+        ex.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+    return (
+        ex.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+sh AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+ev AS (SELECT doc_id AS eval_id, shingle FROM ex WHERE doc_id % 97 = 0)
+SELECT ex.doc_id AS train_id, ev.eval_id,
+       count(DISTINCT ex.shingle) AS n_shared
+FROM ex JOIN ev USING (shingle)
+WHERE ex.doc_id % 97 <> 0
+GROUP BY 1, 2
+HAVING count(DISTINCT ex.shingle) >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (chunks → fixed-capacity training sequences)
+# --------------------------------------------------------------------------
+
+PACK_CAP = 512  # tokens per pack
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation extension] Pack documents into fixed-capacity training
+    sequences: within each source (the packing stratum), docs are laid
+    out in deterministic doc_id order and assigned pack_id =
+    floor(cumulative_tokens_before / capacity) — streaming first-fit in
+    fixed order, the SQL-expressible packing discipline (exact greedy
+    with per-pack remainder resets is inherently sequential; this form
+    over-fills a pack by at most one document at each boundary, the
+    standard trade for a one-window-pass plan). Output is the per-pack
+    manifest: size, token load, utilization.
+
+    Scale shape: one shuffle (window partition by source) + the pack
+    aggregate on the same key prefix. A skewed mega-source is sub-sharded
+    by salting the stratum before the window — same plan, bounded
+    per-task state."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir).select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_CAP).cast("int"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.round(F.sum("n_tok") / F.lit(float(PACK_CAP)), 4).alias("fill"),
+        )
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, n_tok,
+         CAST(floor((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {PACK_CAP}) AS INT) AS pack_id
+  FROM d
+)
+SELECT source, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       round(CAST(sum(n_tok) AS DOUBLE) / {float(PACK_CAP)!r}, 4) AS fill
+FROM p
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Distribution drift report (training-data monitoring)
 # --------------------------------------------------------------------------
 
@@ -489,4 +619,6 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
         SQL_WEIGHTED_SAMPLE_STRATIFIED,
     ),
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
 }

@@ -318,3 +318,23 @@ def test_rrf_fusion_no_corpus_shuffle(spark):
     s = plan_of(spark, "rrf_fusion")
     # both retrievers broadcast their query sets; fusion re-ranks slivers
     assert "CartesianProduct" not in s
+
+
+def test_contamination_corpus_never_shuffles_for_join(spark):
+    s = plan_of(spark, "contamination")
+    # the eval shingle sliver broadcasts; a SortMergeJoin would mean the
+    # whole exploded corpus reshuffled on the shingle key
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_sequence_packing_single_window_pass(spark):
+    s = plan_of(spark, "sequence_packing")
+    # pack assignment and the pack aggregate share the source partitioning:
+    # exactly one exchange of fact-derived rows (plus the documented
+    # CPU-spreading input repartition)
+    import re
+
+    parts = set(re.findall(r"hashpartitioning\((\w+)", s))
+    assert parts <= {"source", "doc_id"}, parts
+    assert "rangepartitioning" not in s
