@@ -55,6 +55,8 @@ HEADLINE = [
     "cluster_profile",
     "drift_report",
     "rrf_fusion",
+    "contamination",
+    "sequence_packing",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
