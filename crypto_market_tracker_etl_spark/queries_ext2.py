@@ -404,12 +404,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffled; the only exchange aggregates the matched (train,
     eval) pairs. At a 100 TB corpus with a large eval suite, swap the
     broadcast for a shuffle join on the shingle hash — same plan shape,
-    both sides exploded once."""
+    both sides exploded once. The shingle table is persisted before the
+    explode: both join branches consume it, and materializing the arrays
+    keeps the shingle expression out of the Generate (Catalyst collapses
+    projections into explode's child — even through a repartition — and
+    re-evaluates the expression per emitted row: measured 20× on this
+    corpus; same reason near_dup_pairs persists its signatures)."""
     from .operators.dedup import word_shingles
 
     docs = _documents(spark, sf_dir).select(
         "doc_id", word_shingles(F.col("text")).alias("sh")
-    )
+    ).persist()
     ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
     ev = (
         ex.filter(F.col("doc_id") % 97 == 0)
