@@ -1058,9 +1058,17 @@ def q_text_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).select(
         "doc_id", normalize_ws(F.col("text")).alias("t")
     )
+    # split('') is the codegen-friendly char array (the transform/substring
+    # form re-evaluates O(len) work per exploded row — quadratic on long
+    # docs; see the contamination shingle note). The length guard also
+    # avoids sequence(1, 0)'s DESCENDING two-element surprise on empty text.
     chars = docs.select(
         "doc_id",
-        F.explode(F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")).alias("ch"),
+        F.explode(
+            F.when(F.length("t") > 0, F.split("t", "")).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("ch"),
     )
     ent = (
         chars.groupBy("doc_id", "ch")
