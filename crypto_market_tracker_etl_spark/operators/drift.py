@@ -48,10 +48,17 @@ def fixed_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
 def drift_metrics_from_counts(
     counts: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
-    """(keys…, n_a, n_b) per bin → (keys…, n_bins, total_a, total_b, tvd,
-    chi2). The single source of the metric arithmetic — the batch query,
-    the fixed-bin batch twin, and the streaming snapshot all route through
-    here, so "equal by construction" is literal."""
+    """(keys…, bin, n_a, n_b) per bin → (keys…, n_bins, total_a, total_b,
+    tvd, chi2, ks). The single source of the metric arithmetic — the batch
+    query, the fixed-bin batch twin, and the streaming snapshot all route
+    through here, so "equal by construction" is literal.
+
+    KS (max |CDF_a − CDF_b|) needs cumulative sums in bin order: a window
+    over the same keys partitioning (no extra shuffle — ≤ n_bins rows per
+    key) with a FIXED accumulation order, so the double sums are
+    bit-identical across engines despite being unrounded."""
+    from pyspark.sql import Window
+
     keys = list(keys)
     tot = counts.groupBy(keys).agg(
         F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
@@ -60,8 +67,15 @@ def drift_metrics_from_counts(
     q = F.when(F.col("tb") > 0, F.col("n_b") / F.col("tb")).otherwise(F.lit(0.0))
     tvd_term = F.round(F.abs(p - q), 8).cast("decimal(18,8)")
     chi_term = F.round((p - q) * (p - q) / (p + q), 8).cast("decimal(18,8)")
+    w = (
+        Window.partitionBy(keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ks_term = F.abs(F.sum(p.alias("p")).over(w) - F.sum(q.alias("q")).over(w))
     return (
         counts.join(F.broadcast(tot), keys)
+        .withColumn("ks_term", ks_term)
         .groupBy(keys)
         .agg(
             F.count(F.lit(1)).alias("n_bins"),
@@ -69,6 +83,7 @@ def drift_metrics_from_counts(
             F.first("tb").alias("total_b"),
             F.round(F.sum(tvd_term).cast("double") * 0.5, 6).alias("tvd"),
             F.round(F.sum(chi_term).cast("double"), 6).alias("chi2"),
+            F.round(F.max("ks_term"), 6).alias("ks"),
         )
     )
 

@@ -595,10 +595,18 @@ t AS (
   FROM c GROUP BY 1
 ),
 terms AS (
-  SELECT c.event_type, ta, tb,
+  SELECT c.event_type, c.bin, ta, tb,
          CASE WHEN ta > 0 THEN CAST(n_a AS DOUBLE) / ta ELSE 0.0 END AS p,
          CASE WHEN tb > 0 THEN CAST(n_b AS DOUBLE) / tb ELSE 0.0 END AS q
   FROM c JOIN t USING (event_type)
+),
+terms2 AS (
+  SELECT *,
+         abs(SUM(p) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING)
+             - SUM(q) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING)) AS ks_term
+  FROM terms
 )
 SELECT event_type,
        count(*) AS n_bins,
@@ -607,8 +615,9 @@ SELECT event_type,
        round(CAST(SUM(CAST(round(abs(p - q), 8) AS DECIMAL(18,8))) AS DOUBLE)
              * 0.5, 6) AS tvd,
        round(CAST(SUM(CAST(round((p - q) * (p - q) / (p + q), 8)
-                           AS DECIMAL(18,8))) AS DOUBLE), 6) AS chi2
-FROM terms
+                           AS DECIMAL(18,8))) AS DOUBLE), 6) AS chi2,
+       round(max(ks_term), 6) AS ks
+FROM terms2
 GROUP BY event_type
 """
 

@@ -520,4 +520,61 @@ def test_histogram_drift_stream_equals_batch(spark, tmp_path):
     for k in expected:
         e, g = expected[k], got[k]
         assert (g.n_bins, g.total_a, g.total_b) == (e.n_bins, e.total_a, e.total_b), k
-        assert g.tvd == e.tvd and g.chi2 == e.chi2, (k, g, e)
+        assert g.tvd == e.tvd and g.chi2 == e.chi2 and g.ks == e.ks, (k, g, e)
+
+
+def test_stream_static_contamination_join(spark, tmp_path):
+    """Streaming decontamination: incoming documents join a STATIC
+    broadcast eval-shingle table (Spark's stream-static join — no state
+    store needed; the static side is re-broadcast per micro-batch).
+    Matches the batch contamination semantics on the same rows."""
+    from crypto_market_tracker_etl_spark.operators.dedup import word_shingles
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        (3, "the quick brown fox jumps over a sleeping cat"),
+        (4, "completely unrelated text with no overlap at all here"),
+    ]
+    eval_docs = [(100, "the quick brown fox leaps over the lazy dog")]
+    ev_static = (
+        spark.createDataFrame(eval_docs, "doc_id long, text string")
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(word_shingles(F.col("text"))).alias("shingle"),
+        )
+    )
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(docs[:2], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(docs[2:], "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        .join(F.broadcast(ev_static), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = str(tmp_path / "cont_out")
+    (
+        stream.writeStream.outputMode("complete")
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("cont")
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.n_shared
+        for r in spark.sql("select * from cont").collect()
+    }
+    # docs 1 and 3 share shingles with the eval doc; 2 and 4 do not
+    assert set(k[0] for k in got) == {1, 3}
+    assert got[(1, 100)] >= 2  # shares several trigrams
+    assert (4, 100) not in got

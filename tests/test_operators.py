@@ -1181,4 +1181,4 @@ def test_drift_report_zero_on_identical_halves(spark, tmp_path):
     out = q_drift_report(spark, str(tmp_path)).collect()
     assert len(out) == 2
     for r in out:
-        assert r.tvd == 0.0 and r.chi2 == 0.0, r
+        assert r.tvd == 0.0 and r.chi2 == 0.0 and r.ks == 0.0, r
