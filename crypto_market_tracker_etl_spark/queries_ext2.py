@@ -622,6 +622,44 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4.1 SQL surface)
+# --------------------------------------------------------------------------
+
+_RECURSIVE_BFS_SQL = """
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+e AS (
+  SELECT a.item AS src, b.item AS dst
+  FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
+  GROUP BY 1, 2
+),
+seed AS (SELECT min(item) AS node FROM li),
+walk(node, hop) AS (
+  SELECT node, 0 AS hop FROM seed
+  UNION ALL
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 2
+)
+SELECT node AS part_key, CAST(min(hop) AS INT) AS hop
+FROM walk GROUP BY node
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[SQL surface] WITH RECURSIVE (Spark ≥ 4.1): 2-hop BFS over the part
+    co-order graph from the minimum part key, reporting each reachable
+    part's minimum hop distance. The SAME ANSI text runs on both engines —
+    the oracle is literally this query.
+
+    Scale notes: recursion uses UNION ALL (cycle-safe only because the
+    hop bound caps expansion; frontier size ≈ degreeʰ — for unbounded
+    reachability use operators/dedup.py::connected_components, whose
+    per-round dedup + lineage checkpointing is the scale-correct shape;
+    this query exercises the SQL recursion surface itself)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_BFS_SQL)
+
+
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -635,4 +673,5 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "recursive_cte": (q_recursive_cte, _RECURSIVE_BFS_SQL),
 }
