@@ -74,7 +74,13 @@ def force(df) -> None:
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_session(app_name="bench")
+    # -Xlog:disable: the JVM's unified logging writes to STDOUT (observed:
+    # GCLocker allocation warnings, sometimes after spark.stop()), and any
+    # such line breaks the driver's one-JSON-line stdout contract.
+    spark = get_session(
+        app_name="bench",
+        extra_conf={"spark.driver.extraJavaOptions": "-Xlog:disable"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = qmod.queries()
 
