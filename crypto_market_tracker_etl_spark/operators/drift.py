@@ -36,13 +36,21 @@ from pyspark.sql import functions as F
 def fixed_bin(value: Column, lo: float, hi: float, n_bins: int) -> Column:
     """Clamped fixed-width bin id in [0, n_bins): floor((v−lo)/(hi−lo)·n).
     Out-of-range values land in the edge bins (monitoring wants them
-    counted, not dropped)."""
+    counted, not dropped). NULL and NaN values land in a dedicated NULL
+    bin — the explicit missing-data policy shared with the streaming twin.
+    Both cases need explicit mapping: floor(NaN) would clamp into bin 0,
+    and so would NULL, because least/greatest SKIP null arguments rather
+    than propagate them (greatest(0, NULL) = 0)."""
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     if n_bins < 2:
         raise ValueError(f"need n_bins >= 2, got {n_bins}")
-    raw = F.floor((value - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins)
-    return F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    v = value.cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_bins)
+    clamped = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    return F.when(
+        v.isNull() | F.isnan(v), F.lit(None).cast("int")
+    ).otherwise(clamped)
 
 
 def drift_metrics_from_counts(
@@ -54,9 +62,12 @@ def drift_metrics_from_counts(
     through here, so "equal by construction" is literal.
 
     KS (max |CDF_a − CDF_b|) needs cumulative sums in bin order: a window
-    over the same keys partitioning (no extra shuffle — ≤ n_bins rows per
-    key) with a FIXED accumulation order, so the double sums are
-    bit-identical across engines despite being unrounded."""
+    partitioned by keys with a FIXED accumulation order, so the double
+    sums are bit-identical across engines despite being unrounded. The
+    window does cost one extra exchange (upstream counts are
+    hash-partitioned on (keys, bin), the window re-partitions on keys
+    alone) — but it moves only the ≤ |keys|·n_bins counts sliver, not the
+    input, so it is noise at any scale."""
     from pyspark.sql import Window
 
     keys = list(keys)
@@ -101,12 +112,16 @@ def fixed_bin_histogram_drift(
     """Batch drift with CALLER-FIXED bins and period boundary — the form a
     monitoring job uses (edges from the training snapshot's spec, not from
     the incoming data) and the exact batch twin of the streaming operator.
-    Rows with ts ≤ boundary are the reference period."""
+    Rows with ts ≤ boundary (full µs precision) are the reference period.
+    Missing-data policy, mirrored in the streaming twin: NULL/NaN values
+    count in a dedicated NULL bin; NULL-ts rows are dropped (they belong
+    to no period)."""
     keys = list(keys)
     b = fixed_bin(F.col(value), lo, hi, n_bins)
     in_a = F.col(ts_col) <= F.lit(boundary)
     counts = (
-        df.select(*keys, b.alias("bin"), in_a.alias("in_a"))
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*keys, b.alias("bin"), in_a.alias("in_a"))
         .groupBy(*keys, "bin")
         .agg(
             F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),

@@ -409,7 +409,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the shingle expression out of the Generate (Catalyst collapses
     projections into explode's child — even through a repartition — and
     re-evaluates the expression per emitted row: measured 20× on this
-    corpus; same reason near_dup_pairs persists its signatures)."""
+    corpus; same reason near_dup_pairs persists its signatures).
+
+    The shingle cache is scoped to THIS call: the (small) flagged-pairs
+    result is materialized eagerly via localCheckpoint, then the shingle
+    table is unpersisted before returning — Spark's CacheManager holds
+    persisted plans until explicit unpersist, so returning lazily would
+    leak one cached shingle copy per invocation into the session (it
+    showed up as storage-memory pressure across bench runs)."""
     from .operators.dedup import word_shingles
 
     docs = _documents(spark, sf_dir).select(
@@ -420,13 +427,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.filter(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("eval_id"), "shingle")
     )
-    return (
+    flagged = (
         ex.filter(F.col("doc_id") % 97 != 0)
         .join(F.broadcast(ev), "shingle")
         .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
         .agg(F.count_distinct("shingle").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+    try:
+        return flagged.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
 
 
 SQL_CONTAMINATION = f"""

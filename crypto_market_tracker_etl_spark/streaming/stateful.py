@@ -221,25 +221,39 @@ def histogram_drift_counts_stream(
     lo: float,
     hi: float,
     n_bins: int,
-    boundary_ms: int,
+    boundary: "dt.datetime",
 ) -> DataFrame:
     """Streaming twin of ``operators/drift.py::fixed_bin_histogram_drift``,
-    split at the counts layer: per-key state is 2·n_bins longs (reference
-    and current period bin counts, caller-fixed edges and boundary), and
-    each micro-batch emits the CUMULATIVE (key, bin, n_a, n_b) snapshot of
-    every non-empty bin. Drift metrics are NOT computed here — feed the
-    final snapshot to ``drift_metrics_from_counts`` so batch and stream
-    share one metric definition (equal by construction; pandas-side
-    rounding semantics never touch the numbers).
+    split at the counts layer: per-key state is 2·(n_bins+1) longs
+    (reference and current period counts per bin plus one NULL-bin slot,
+    caller-fixed edges and boundary), and each micro-batch emits the
+    CUMULATIVE (key, bin, n_a, n_b) snapshot of every non-empty bin.
+    Drift metrics are NOT computed here — feed the final snapshot to
+    ``drift_metrics_from_counts`` so batch and stream share one metric
+    definition (equal by construction; pandas-side rounding semantics
+    never touch the numbers).
 
     Binning matches the batch expression bit-for-bit: the same
     floor((v−lo)/(hi−lo)·n) double arithmetic, clamped to the edge bins.
-    State is bounded by construction (2·n_bins longs per key) — no TTL
-    needed."""
+    Missing-data policy (mirrored in the batch twin): NULL/NaN values
+    count in the NULL bin (emitted with bin IS NULL); NULL-ts rows are
+    dropped. ``boundary`` is a NAIVE session-timezone wall time — the same
+    value the batch twin passes to ``F.lit`` — and period assignment
+    compares at full microsecond precision on both sides (Spark timestamps
+    are µs; truncating to ms would misclassify ts in (boundary,
+    boundary+1ms]). State is bounded by construction — no TTL needed."""
+    import datetime as dt
+
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     if n_bins < 2:
         raise ValueError(f"need n_bins >= 2, got {n_bins}")
+    if not isinstance(boundary, dt.datetime) or boundary.tzinfo is not None:
+        raise ValueError(
+            "boundary must be a naive session-timezone wall-clock datetime "
+            "(the same value the batch twin compares via F.lit)"
+        )
+    boundary_us = pd.Timestamp(boundary).value // 1_000
     out_schema = T.StructType(
         [
             T.StructField(key, stream.schema[key].dataType),
@@ -261,32 +275,36 @@ def histogram_drift_counts_stream(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # slot n_bins is the NULL bin (NULL/NaN values)
         if state.exists:
             ca, cb = (list(v) for v in state.get)
         else:
-            ca, cb = [0] * n_bins, [0] * n_bins
+            ca, cb = [0] * (n_bins + 1), [0] * (n_bins + 1)
         for pdf in pdfs:
-            v = pdf[value].to_numpy(dtype="float64")
+            tcol = pdf[ts_col]
+            # NULL-ts rows belong to no period — drop, as the batch twin does
+            m_ts = tcol.notna().to_numpy()
+            v = pdf[value].to_numpy(dtype="float64")[m_ts]
+            us = (tcol[m_ts].astype("int64") // 1_000).to_numpy()
+            in_a = us <= boundary_us
             # same IEEE ops as the Catalyst expression: sub, div, mul, floor
             bins = np.floor((v - lo) / span * n_bins)
-            bins = np.clip(bins, 0, n_bins - 1).astype("int64")
-            tcol = pdf[ts_col]
-            if pd.api.types.is_datetime64_any_dtype(tcol):
-                ms = (tcol.astype("int64") // 1_000_000).to_numpy()
-            else:
-                ms = tcol.astype("int64").to_numpy()
-            in_a = ms <= boundary_ms
+            bins = np.clip(bins, 0, n_bins - 1)
+            bins[np.isnan(v)] = n_bins  # NULL bin, before the int cast
+            bins = bins.astype("int64")
             for b, a_side in zip(bins, in_a):
                 if a_side:
                     ca[b] += 1
                 else:
                     cb[b] += 1
         state.update((ca, cb))
-        nz = [i for i in range(n_bins) if ca[i] or cb[i]]
+        nz = [i for i in range(n_bins + 1) if ca[i] or cb[i]]
         yield pd.DataFrame(
             {
                 key: [key_tuple[0]] * len(nz),
-                "bin": pd.array(nz, dtype="int32"),
+                "bin": pd.array(
+                    [i if i < n_bins else None for i in nz], dtype="Int32"
+                ),
                 "n_a": pd.array([ca[i] for i in nz], dtype="int64"),
                 "n_b": pd.array([cb[i] for i in nz], dtype="int64"),
             }

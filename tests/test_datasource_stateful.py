@@ -477,6 +477,16 @@ def test_histogram_drift_stream_equals_batch(spark, tmp_path):
                 float((i * 37) % 250) - 20.0,  # includes out-of-range values
             )
         )
+    # missing-data policy + boundary precision probes (mirrored batch/stream):
+    rows += [
+        ("click", dt.datetime(2024, 1, 1, 5), None),  # NULL value → NULL bin
+        ("view", dt.datetime(2024, 1, 3), float("nan")),  # NaN → NULL bin
+        ("click", None, 50.0),  # NULL ts → dropped from both periods
+        # 500µs past the boundary: current period at µs precision, but
+        # reference period under ms-truncated comparison (the regression)
+        ("view", boundary + dt.timedelta(microseconds=500), 50.0),
+        ("click", boundary, 50.0),  # exactly ON the boundary → reference
+    ]
     schema = "event_type string, ts timestamp, value double"
     batch_df = spark.createDataFrame(rows, schema)
     expected = {
@@ -493,15 +503,10 @@ def test_histogram_drift_stream_equals_batch(spark, tmp_path):
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
-    # session tz is UTC, so the naive boundary is a UTC wall time — anchor
-    # the epoch-ms conversion there, not at the host's local tz
-    boundary_ms = int(
-        boundary.replace(tzinfo=dt.timezone.utc).timestamp() * 1000
-    )
     out = str(tmp_path / "out")
     _drain_to_parquet(
         histogram_drift_counts_stream(
-            stream, "event_type", "ts", "value", 0.0, 200.0, 10, boundary_ms
+            stream, "event_type", "ts", "value", 0.0, 200.0, 10, boundary
         ),
         out,
         str(tmp_path / "ck"),

