@@ -5,9 +5,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop-format write (full computation,
 no driver collect, no disk) after a shared warmup that triggers JVM/codegen
-spin-up. Each query runs twice and reports the MINIMUM — the steady-state
-plan execution time, insulated from GC pauses and co-tenant load spikes
-(observed single-run variance on this box is ±30%).
+spin-up. Each query runs three times and reports the MINIMUM — the
+steady-state plan execution time, insulated from GC pauses and co-tenant
+load spikes (observed single-run variance on this box is ±30%) — plus the
+per-query spread ((max−min)/min, "spread_pct") so the ledger can tell a
+real regression from box noise.
+
+Iterative queries (pagerank: 3 power steps over a 1.9 M-edge graph) are
+carved out of the headline total into a separate "iterative" section —
+one 5 s query inside a 31 s total would otherwise mask smaller single-pass
+regressions. The headline "value" covers single-pass queries only; compare
+"iterative" rows separately (BENCH_BASELINE.md keeps both histories).
 """
 
 from __future__ import annotations
@@ -49,7 +57,6 @@ HEADLINE = [
     "embedding_near_dup",
     "text_quality",
     "tfidf",
-    "pagerank",
     "weighted_sample",
     "weighted_sample_stratified",
     "cluster_profile",
@@ -67,9 +74,32 @@ HEADLINE = [
     "tpch_q18",
 ]
 
+# multi-pass/iterative queries: timed identically but totalled separately so
+# the headline total stays sensitive to single-pass regressions
+ITERATIVE = [
+    "pagerank",
+]
+
+RUNS = 3  # min-of-3 protocol (BENCH_BASELINE.md)
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def time_query(spark, registry, name) -> tuple[float, float]:
+    """(min_sec, spread_pct) over RUNS runs. The reported time is the min
+    of ALL runs; spread_pct is (max−min)/min over the WARM runs only (run 1
+    pays plan compilation — including it would swamp the noise signal the
+    ledger uses to tell a real regression from box variance)."""
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        force(registry[name](spark, SF_DIR))
+        samples.append(time.perf_counter() - t0)
+    warm = samples[1:]
+    spread = (max(warm) - min(warm)) / min(warm) * 100
+    return round(min(samples), 3), round(spread, 1)
 
 
 def main() -> None:
@@ -88,13 +118,12 @@ def main() -> None:
     force(registry["kpis"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            force(registry[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name], spreads[name] = time_query(spark, registry, name)
+    iterative: dict[str, float] = {}
+    for name in ITERATIVE:
+        iterative[name], spreads[name] = time_query(spark, registry, name)
 
     total = round(sum(timings.values()), 3)
     # stop FIRST: the JVM occasionally writes warnings (e.g. GCLocker) to
@@ -108,6 +137,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "iterative": iterative,
+                "iterative_total": round(sum(iterative.values()), 3),
+                "spread_pct": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

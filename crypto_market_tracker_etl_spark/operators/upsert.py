@@ -105,6 +105,30 @@ class ParquetUpsertSink:
     Layout: ``path/dt=YYYY-MM-DD/*.parquet``. ``upsert(batch)`` rewrites only
     the partitions the batch touches (partition pruning on read + dynamic
     partition overwrite on write).
+
+    **Concurrency contract — SINGLE WRITER.** The reference's Postgres
+    ``INSERT .. ON CONFLICT`` (``src/db.py:87-99``) is transactional:
+    concurrent writers serialize, neither loses the other's rows. This sink
+    deliberately is not — plain parquet has no commit log to coordinate
+    through. What stage-and-swap does and does not give:
+
+    - *Per-partition atomicity for readers*: each ``dt=`` directory is
+      swapped with ``os.replace``, so a reader lists either the old or the
+      new complete directory, never in-flight files. A reader scanning
+      MULTIPLE partitions mid-swap can still observe partition A new +
+      partition B old (no cross-partition snapshot).
+    - *Last-swap-wins for concurrent writers*: two upserts that both read
+      the pre-state and then swap will each install a complete, well-formed
+      partition, but the second swap replaces the first — the first
+      writer's rows are silently lost (the classic lost-update anomaly;
+      ``test_upsert_sink_concurrent_writers_last_swap_wins`` pins this
+      down). Run one writer at a time — matching the reference's actual
+      topology, a single daily cron (``.github/workflows/etl.yml``).
+    - *Wanting true multi-writer MERGE* means a table format with a
+      transaction log — Delta or Iceberg ``MERGE INTO`` (not bundled here;
+      this repo stays dependency-free). ``merge_upsert`` is the exact
+      logical plan a Delta MERGE would run, so the migration is the write
+      call, not the merge logic.
     """
 
     def __init__(

@@ -36,6 +36,16 @@ def get_session(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # local-mode JVM heap: pyspark launches the gateway JVM with
+        # spark.driver.memory, which otherwise defaults to 1g — with 32
+        # executor threads sharing one heap that OOMs under iterative
+        # workloads (observed: pagerank during a min-of-3 bench sweep).
+        # Only effective at JVM launch; a getOrCreate against an existing
+        # JVM ignores it, which is why tune_for_testdata doesn't set it.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -153,6 +153,51 @@ def test_parquet_upsert_sink_partitions(spark, tmp_path):
     ]
 
 
+def test_upsert_sink_concurrent_writers_last_swap_wins(spark, tmp_path):
+    """The sink's documented single-writer contract, pinned down: two
+    writers that each merge against the same pre-swap state both install
+    complete, well-formed partitions, but the second swap replaces the
+    first — writer 1's new key is silently lost (the lost-update anomaly a
+    transaction-log format like Delta/Iceberg would prevent). Untouched
+    partitions survive both swaps. See the ParquetUpsertSink docstring."""
+    import os
+
+    from crypto_market_tracker_etl_spark.operators.upsert import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    sink = ParquetUpsertSink(spark, path, keys=["k"], ts_col="ts", order=["ver"])
+    day1 = dt.datetime(2024, 1, 1, 10)
+    day2 = dt.datetime(2024, 1, 2, 10)
+    schema = "k string, ts timestamp, ver int, v double"
+    sink.upsert(
+        spark.createDataFrame([("a", day1, 1, 1.0), ("b", day2, 1, 2.0)], schema)
+    )
+
+    # both writers snapshot the table BEFORE either commits (checkpoint
+    # emulates a read that started pre-swap; the real sink's lazy read is
+    # exactly why interleaving is unsafe)
+    old_snap = sink.read().localCheckpoint(eager=True)
+
+    def writer_merge(batch):
+        batch = batch.withColumn("dt", F.to_date("ts"))
+        touched = F.broadcast(batch.select("dt").distinct())
+        old = old_snap.join(touched, "dt", "left_semi")
+        return merge_upsert(old, batch, ["k"], ["ver"])
+
+    m1 = writer_merge(spark.createDataFrame([("c", day2, 2, 30.0)], schema))
+    m2 = writer_merge(spark.createDataFrame([("d", day2, 2, 40.0)], schema))
+    sink._stage_and_swap(m1)  # writer 1 commits
+    sink._stage_and_swap(m2)  # writer 2 commits second: last swap wins
+
+    got = {r["k"]: r["v"] for r in sink.read().collect()}
+    # well-formed table, but writer 1's key "c" is gone — lost update
+    assert got == {"a": 1.0, "b": 2.0, "d": 40.0}
+    assert sorted(p for p in os.listdir(path) if p.startswith("dt=")) == [
+        "dt=2024-01-01",
+        "dt=2024-01-02",
+    ]
+
+
 def test_parquet_upsert_sink_multiday_incremental_sf01(spark, tmp_path):
     """Multi-day incremental sequence at sf0.1 (~100k rows): three
     overlapping version-tagged batches merged in order must equal one
