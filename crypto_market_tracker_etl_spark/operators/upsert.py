@@ -125,10 +125,14 @@ class ParquetUpsertSink:
       down). Run one writer at a time — matching the reference's actual
       topology, a single daily cron (``.github/workflows/etl.yml``).
     - *Wanting true multi-writer MERGE* means a table format with a
-      transaction log — Delta or Iceberg ``MERGE INTO`` (not bundled here;
-      this repo stays dependency-free). ``merge_upsert`` is the exact
-      logical plan a Delta MERGE would run, so the migration is the write
-      call, not the merge logic.
+      transaction log. ``operators/txn_sink.py::ManifestParquetSink``
+      provides exactly that in-repo (immutable data + atomic manifest CAS,
+      the Iceberg/Delta design on plain parquet): lost-update-free
+      concurrent upserts, cross-partition snapshot reads, time travel.
+      Both sinks run the same ``merge_upsert`` logical plan — choosing is
+      a write-path decision, not a merge-logic one. Prefer THIS sink when
+      there is provably one writer (it is simpler and has no manifest to
+      vacuum); prefer the manifest sink whenever writers can overlap.
     """
 
     def __init__(

@@ -31,3 +31,20 @@ def test_entry_smoke(spark):
     rows = df.limit(5000).collect()
     assert len(rows) > 0
     assert df.schema is not None
+
+
+def test_attestation_order_matches_registry():
+    """ATTESTATION_ORDER (the driver-window rotation schedule, see
+    ATTESTATION.md) must stay a permutation of the registry: a typo'd or
+    stale name would silently push the real query to the back of the
+    driver's 50-query correctness window."""
+    from crypto_market_tracker_etl_spark.queries import (
+        ATTESTATION_ORDER,
+        _full_registry,
+    )
+
+    assert len(ATTESTATION_ORDER) == len(set(ATTESTATION_ORDER)), "duplicates"
+    assert set(ATTESTATION_ORDER) == set(_full_registry()), (
+        set(ATTESTATION_ORDER) ^ set(_full_registry())
+    )
+    assert list(_full_registry()) == ATTESTATION_ORDER

@@ -1,0 +1,143 @@
+"""ManifestParquetSink: the transactional (optimistic-concurrency) upgrade
+of ParquetUpsertSink. These tests pin down exactly the guarantees the
+stage-and-swap sink's contract test shows it lacking: no lost updates
+between concurrent writers, and cross-partition snapshot reads."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_market_tracker_etl_spark.operators.txn_sink import (
+    CommitConflictError,
+    ManifestParquetSink,
+)
+
+SCHEMA = "k string, ts timestamp, ver int, v double"
+DAY1 = dt.datetime(2024, 1, 1, 10)
+DAY2 = dt.datetime(2024, 1, 2, 10)
+
+
+def make_sink(spark, tmp_path) -> ManifestParquetSink:
+    return ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+
+
+def table(sink) -> dict[str, float]:
+    return {r["k"]: r["v"] for r in sink.read().collect()}
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    sink = make_sink(spark, tmp_path)
+    v1 = sink.upsert(
+        spark.createDataFrame([("a", DAY1, 1, 1.0), ("b", DAY2, 1, 2.0)], SCHEMA)
+    )
+    assert v1 == 1 and table(sink) == {"a": 1.0, "b": 2.0}
+    # revise one key (higher ver wins), add one — only day2's partition moves
+    v2 = sink.upsert(
+        spark.createDataFrame([("b", DAY2, 2, 20.0), ("c", DAY2, 1, 3.0)], SCHEMA)
+    )
+    assert v2 == 2 and table(sink) == {"a": 1.0, "b": 20.0, "c": 3.0}
+    # stale version never wins, even delivered later
+    sink.upsert(spark.createDataFrame([("b", DAY2, 1, 999.0)], SCHEMA))
+    assert table(sink)["b"] == 20.0
+
+
+def test_snapshot_read_and_time_travel(spark, tmp_path):
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    snap1 = sink.read(version=1)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 2, 2.0), ("b", DAY2, 1, 5.0)], SCHEMA))
+    # the v1 snapshot still reads its original, immutable data dirs
+    assert {r["k"]: r["v"] for r in snap1.collect()} == {"a": 1.0}
+    assert {r["k"]: r["v"] for r in sink.read(version=1).collect()} == {"a": 1.0}
+    assert table(sink) == {"a": 2.0, "b": 5.0}
+    # manifest-level pruning: days= selects partitions before listing files
+    assert {r["k"] for r in sink.read(days=["2024-01-02"]).collect()} == {"b"}
+
+
+def test_cas_rejects_stale_writer_and_retry_preserves_both(spark, tmp_path):
+    """The lost-update anomaly from the swap sink's contract test, replayed
+    against the manifest protocol: the stale writer's CAS FAILS instead of
+    silently clobbering, and its retry (the public upsert path) lands both
+    writers' rows."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("b", DAY2, 1, 2.0)], SCHEMA))
+    base = sink.current_version()
+    stale_manifest = dict(sink._load_manifest(base))
+    # another writer commits first
+    sink.upsert(spark.createDataFrame([("c", DAY2, 2, 30.0)], SCHEMA))
+    # the stale writer's CAS against the old base must fail...
+    assert sink._try_commit(base, stale_manifest) is False
+    # ...and its public-path retry merges against the WINNER's snapshot
+    sink.upsert(spark.createDataFrame([("d", DAY2, 2, 40.0)], SCHEMA))
+    assert table(sink) == {"b": 2.0, "c": 30.0, "d": 40.0}
+
+
+def test_concurrent_writers_all_survive(spark, tmp_path):
+    """Four writers racing on the same partition: every commit must land
+    (optimistic retries), no update lost — the property the plain parquet
+    swap sink cannot give."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("seed", DAY2, 1, 0.0)], SCHEMA))
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            sink.upsert(
+                spark.createDataFrame([(f"w{i}", DAY2, 1, float(i))], SCHEMA)
+            )
+        except Exception as e:  # pragma: no cover - surfaced via assert below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert table(sink) == {"seed": 0.0, "w0": 0.0, "w1": 1.0, "w2": 2.0, "w3": 3.0}
+    assert sink.current_version() == 5  # seed + 4 serialized commits
+
+
+def test_vacuum_reclaims_orphans_and_old_versions(spark, tmp_path):
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    sink.upsert(spark.createDataFrame([("a", DAY1, 2, 2.0)], SCHEMA))
+    # fabricate an orphan from a lost CAS race (data written, never committed)
+    orphan = os.path.join(sink._data_dir, "deadbeef")
+    os.makedirs(orphan)
+    removed = sink.vacuum(keep_versions=1)
+    assert "deadbeef" in removed
+    assert table(sink) == {"a": 2.0}  # current snapshot untouched
+    with pytest.raises(FileNotFoundError):
+        sink.read(version=1)  # time travel beyond retention is gone
+
+
+def test_compact_folds_files_and_preserves_table(spark, tmp_path):
+    sink = make_sink(spark, tmp_path)
+    for i in range(4):  # four commits → four data dirs feeding day2
+        sink.upsert(spark.createDataFrame([(f"k{i}", DAY2, 1, float(i))], SCHEMA))
+    before = table(sink)
+    v = sink.compact()
+    assert v == 5 and table(sink) == before
+    # the whole snapshot now lives in ONE commit dir
+    manifest = sink._load_manifest(sink.current_version())
+    assert len({p.split(os.sep)[1] for p in manifest.values()}) == 1
+    sink.vacuum(keep_versions=1)
+    assert table(sink) == before
+
+
+def test_conflict_exhaustion_raises(spark, tmp_path, monkeypatch):
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    monkeypatch.setattr(sink, "_try_commit", lambda *a, **k: False)
+    with pytest.raises(CommitConflictError):
+        sink.upsert(
+            spark.createDataFrame([("b", DAY1, 1, 2.0)], SCHEMA), max_retries=2
+        )
