@@ -2205,15 +2205,20 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect); binning is a pure expression, so the whole histogram is one
     scan + one (event_type, bin) partial-aggregated shuffle of ≤ 50
     groups. Identical double arithmetic on the oracle side keeps boundary
-    values in the same bin."""
+    values in the same bin. NULL/NaN values land in a dedicated NULL bin
+    (explicitly: least/greatest SKIP nulls, so least(9, NULL) would
+    otherwise silently count them in the top bin); NaN is masked out of
+    the min/max anchors so one NaN cannot poison every bin id."""
     ev = _events(spark, sf_dir)
-    anchors = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    v = F.col("value").cast("double")
+    vclean = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
+    anchors = ev.agg(F.min(vclean).alias("mn"), F.max(vclean).alias("mx"))
     span = F.when(F.col("mx") > F.col("mn"), F.col("mx") - F.col("mn")).otherwise(
         F.lit(1.0)
     )
-    b = F.least(
-        F.lit(9), F.floor((F.col("value") - F.col("mn")) / span * 10)
-    ).cast("int")
+    b = F.when(vclean.isNull(), F.lit(None).cast("int")).otherwise(
+        F.least(F.lit(9), F.floor((vclean - F.col("mn")) / span * 10)).cast("int")
+    )
     return (
         ev.crossJoin(F.broadcast(anchors))
         .select("event_type", b.alias("bin"), "mn", "mx")
@@ -2228,15 +2233,22 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HISTOGRAM = f"""
 WITH {E_CTE},
-a AS (SELECT min(value) AS mn, max(value) AS mx FROM e)
+e2 AS (
+  SELECT event_type,
+         CASE WHEN isnan(CAST(value AS DOUBLE)) THEN NULL ELSE value END AS value
+  FROM e
+),
+a AS (SELECT min(value) AS mn, max(value) AS mx FROM e2)
 SELECT event_type,
-       CAST(least(9, floor((value - mn) / (CASE WHEN mx > mn THEN mx - mn
-                                                ELSE 1.0 END) * 10)) AS INT)
-         AS bin,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE CAST(least(9, floor((value - mn) /
+                                     (CASE WHEN mx > mn THEN mx - mn
+                                           ELSE 1.0 END) * 10)) AS INT)
+       END AS bin,
        count(*) AS n,
        round(any_value(mn), 4) AS v_min,
        round(any_value(mx), 4) AS v_max
-FROM e, a
+FROM e2, a
 GROUP BY 1, 2
 """
 

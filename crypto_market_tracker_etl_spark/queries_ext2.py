@@ -176,8 +176,17 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "p05", "p95", "med", "mad")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg(F.least(F.greatest(x, F.col("p05")), F.col("p95"))), 2)
-            .alias("winsor_mean"),
+            # explicit NULL guard: least/greatest SKIP nulls, so a NULL
+            # balance would otherwise clamp to p05 instead of being
+            # excluded from the (null-skipping) mean
+            F.round(
+                F.avg(
+                    F.when(x.isNull(), F.lit(None)).otherwise(
+                        F.least(F.greatest(x, F.col("p05")), F.col("p95"))
+                    )
+                ),
+                2,
+            ).alias("winsor_mean"),
             F.sum(
                 F.when((F.col("mad") > 0) & (F.abs(z) > 3.5), 1).otherwise(0)
             ).alias("outlier_cnt"),
@@ -201,7 +210,9 @@ s2 AS (
 )
 SELECT c.c_mktsegment,
        count(*) AS n, p05, p95, mad,
-       round(avg(least(greatest(c_acctbal, p05), p95)), 2) AS winsor_mean,
+       round(avg(CASE WHEN c_acctbal IS NULL THEN NULL
+                      ELSE least(greatest(c_acctbal, p05), p95) END), 2)
+         AS winsor_mean,
        CAST(count(*) FILTER (
          WHERE mad > 0 AND abs(0.6745 * (c_acctbal - med) / mad) > 3.5
        ) AS BIGINT) AS outlier_cnt
@@ -416,7 +427,23 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is unpersisted before returning — Spark's CacheManager holds
     persisted plans until explicit unpersist, so returning lazily would
     leak one cached shingle copy per invocation into the session (it
-    showed up as storage-memory pressure across bench runs)."""
+    showed up as storage-memory pressure across bench runs). The lazy
+    plan itself lives in ``contamination_flagged`` so the plan-shape
+    regression test can still inspect it pre-checkpoint."""
+    flagged, docs = contamination_flagged(spark, sf_dir)
+    try:
+        return flagged.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
+
+
+def contamination_flagged(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy contamination plan: returns (flagged_pairs, docs) where
+    ``docs`` is the persisted shingle table BOTH join branches consume —
+    the caller must unpersist it once ``flagged_pairs`` is materialized
+    (q_contamination does; so must any other consumer)."""
     from .operators.dedup import word_shingles
 
     docs = _documents(spark, sf_dir).select(
@@ -434,10 +461,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("shingle").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
-    try:
-        return flagged.localCheckpoint(eager=True)
-    finally:
-        docs.unpersist()
+    return flagged, docs
 
 
 SQL_CONTAMINATION = f"""
@@ -546,21 +570,31 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint), binning and period assignment are pure expressions, one
     (event_type, bin) partial-agg shuffle of ≤ type·10 groups, then a
     broadcast join of per-type totals. One scan of the fact, no window,
-    no collect."""
+    no collect.
+
+    Missing-data policy (same as operators/drift.py::fixed_bin): NULL/NaN
+    values count in a dedicated NULL bin — without the explicit mapping,
+    least(9, NULL) = 9 because least/greatest SKIP null arguments, so
+    NULLs would silently inflate the top bin — and NULL-ts rows are
+    dropped (they belong to no period). NaN is also masked out of the
+    min/max anchors: one NaN value would otherwise poison mx (NaN sorts
+    greatest) and with it every bin id."""
     from .queries import _events
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    v = F.col("value").cast("double")
+    vclean = F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(v)
     anchors = ev.agg(
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
+        F.min(vclean).alias("mn"),
+        F.max(vclean).alias("mx"),
         F.min("ts").alias("t0"),
         F.max("ts").alias("t1"),
     )
     span = F.when(F.col("mx") > F.col("mn"), F.col("mx") - F.col("mn")).otherwise(
         F.lit(1.0)
     )
-    b = F.least(F.lit(9), F.floor((F.col("value") - F.col("mn")) / span * 10)).cast(
-        "int"
+    b = F.when(vclean.isNull(), F.lit(None).cast("int")).otherwise(
+        F.least(F.lit(9), F.floor((vclean - F.col("mn")) / span * 10)).cast("int")
     )
     in_a = F.expr(
         "timestampdiff(MICROSECOND, t0, ts) <= timestampdiff(MICROSECOND, t0, t1) div 2"
@@ -581,7 +615,10 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DRIFT_REPORT = """
 WITH e AS (
-  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+         -- NULL/NaN → NULL (dedicated NULL bin); NULL-ts rows dropped
+         CASE WHEN isnan(CAST(value AS DOUBLE)) THEN NULL ELSE value END AS value
+  FROM events WHERE ts IS NOT NULL
 ),
 a AS (
   SELECT min(value) AS mn, max(value) AS mx, min(ts) AS t0, max(ts) AS t1
@@ -589,9 +626,11 @@ a AS (
 ),
 c AS (
   SELECT event_type,
-         CAST(least(9, floor((value - mn) / (CASE WHEN mx > mn THEN mx - mn
-                                                  ELSE 1.0 END) * 10)) AS INT)
-           AS bin,
+         CASE WHEN value IS NULL THEN NULL
+              ELSE CAST(least(9, floor((value - mn) /
+                                       (CASE WHEN mx > mn THEN mx - mn
+                                             ELSE 1.0 END) * 10)) AS INT)
+         END AS bin,
          CAST(SUM(CASE WHEN date_diff('microsecond', t0, ts)
                             <= date_diff('microsecond', t0, t1) // 2
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -612,10 +651,12 @@ terms AS (
   FROM c JOIN t USING (event_type)
 ),
 terms2 AS (
+  -- NULLS FIRST pins DuckDB's cumulative order to Spark's window default,
+  -- so the KS accumulation visits the NULL bin in the same position
   SELECT *,
-         abs(SUM(p) OVER (PARTITION BY event_type ORDER BY bin
+         abs(SUM(p) OVER (PARTITION BY event_type ORDER BY bin NULLS FIRST
                           ROWS UNBOUNDED PRECEDING)
-             - SUM(q) OVER (PARTITION BY event_type ORDER BY bin
+             - SUM(q) OVER (PARTITION BY event_type ORDER BY bin NULLS FIRST
                             ROWS UNBOUNDED PRECEDING)) AS ks_term
   FROM terms
 )

@@ -741,6 +741,47 @@ def test_approx_distinct_within_tolerance(spark):
         assert r["within_tolerance"] is True, r
 
 
+def test_drift_report_null_policy_cross_engine(spark, tmp_path):
+    """drift_report's missing-data policy on data the shipped testdata
+    cannot exercise: NULL and NaN values must land in a dedicated NULL bin
+    (not silently clamp into bin 9 via null-skipping least()), NULL-ts rows
+    must be dropped, and Spark and DuckDB must still agree bit-for-bit —
+    including the KS cumulative order over the NULL bin."""
+    import duckdb
+
+    from crypto_market_tracker_etl_spark.queries_ext2 import (
+        SQL_DRIFT_REPORT,
+        q_drift_report,
+    )
+    from tests.conftest import assert_frames_match
+
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i % 7,
+             "click" if i % 2 == 0 else "view", float(i % 50))
+        )
+    rows += [
+        (900, dt.datetime(2024, 1, 2), 1, "click", None),
+        (901, dt.datetime(2024, 1, 9), 1, "click", None),
+        (902, dt.datetime(2024, 1, 3), 2, "view", float("nan")),
+        (903, None, 3, "view", 10.0),  # dropped: no period
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    pq = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(pq)
+
+    got = q_drift_report(spark, str(tmp_path)).toPandas()
+    # the NULL bin exists: 11 bins for click (2 null values), 11 for view (NaN)
+    n_bins = {r["event_type"]: r["n_bins"] for _, r in got.iterrows()}
+    assert n_bins == {"click": 11, "view": 11}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    oracle = con.execute(SQL_DRIFT_REPORT).arrow().to_pandas()
+    assert_frames_match(got, oracle, "drift_report_nulls")
+
+
 def test_ttl_cache_expires_and_rebuilds(spark):
     """S11 (reference app.py:33-51): cached view persists within TTL, is
     rebuilt after expiry, and invalidate releases storage."""

@@ -321,7 +321,18 @@ def test_rrf_fusion_no_corpus_shuffle(spark):
 
 
 def test_contamination_corpus_never_shuffles_for_join(spark):
-    s = plan_of(spark, "contamination")
+    # the registered query returns a checkpointed result (cache scoping),
+    # so inspect the LAZY plan builder it wraps
+    from crypto_market_tracker_etl_spark.queries_ext2 import contamination_flagged
+
+    flagged, docs = contamination_flagged(spark, SF_DIR)
+    try:
+        jvm = spark._jvm
+        s = flagged._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        docs.unpersist()
     # the eval shingle sliver broadcasts; a SortMergeJoin would mean the
     # whole exploded corpus reshuffled on the shingle key
     assert "BroadcastHashJoin" in s
