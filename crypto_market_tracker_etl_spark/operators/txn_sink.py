@@ -143,11 +143,22 @@ class ManifestParquetSink:
         )
         if days is not None:
             manifest = {d: p for d, p in manifest.items() if d in set(days)}
-        dirs = [os.path.join(self.path, rel) for rel in manifest.values()]
-        if not dirs:
+        if not manifest:
             raise ValueError(f"no partitions to read at {self.path}")
+        return self._scan(manifest)
+
+    def _scan(self, manifest: dict[str, str]) -> DataFrame:
+        """One multi-path parquet scan per referenced COMMIT (not per day:
+        a 30-day table in one commit is one scan, and the union width is
+        bounded by live-commit count, which compaction folds to 1 —
+        measured 3× on compact when this was a per-day union)."""
+        groups: dict[str, list[str]] = {}
+        for rel in manifest.values():
+            commit = rel.split(os.sep)[1]
+            groups.setdefault(commit, []).append(os.path.join(self.path, rel))
         scans = [
-            self.spark.read.option("mergeSchema", "true").parquet(d) for d in dirs
+            self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+            for dirs in groups.values()
         ]
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), scans)
 
@@ -168,20 +179,9 @@ class ManifestParquetSink:
         for _ in range(max_retries + 1):
             base = self.current_version()
             manifest = self._load_manifest(base)
-            old_dirs = [
-                os.path.join(self.path, manifest[d]) for d in days if d in manifest
-            ]
-            if old_dirs:
-                old = (
-                    reduce(
-                        lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                        [
-                            self.spark.read.option("mergeSchema", "true").parquet(d)
-                            for d in old_dirs
-                        ],
-                    )
-                    .filter(F.col("dt").isin(days))
-                )
+            touched = {d: manifest[d] for d in days if d in manifest}
+            if touched:
+                old = self._scan(touched).filter(F.col("dt").isin(days))
                 merged = merge_upsert(old, batch, self.keys, self.order)
             else:
                 merged = dedup_keep_latest(batch, self.keys, self.order)

@@ -263,6 +263,71 @@ def probe_graph(spark) -> None:
         print(f"cc pairs={n}: {t_cc:.1f}s", flush=True)
 
 
+def probe_sinks(spark) -> None:
+    """Write-path probe: swap sink vs manifest (transactional) sink on the
+    same workload — build a 30-day table, then time a single-day upsert
+    (the incremental steady state) and compaction. Quantifies what the
+    manifest CAS costs over raw stage-and-swap. Prints; numbers are
+    hand-recorded into SCALE.md's analysis."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.operators.upsert import ParquetUpsertSink
+
+    n_base, n_day = 5_000_000, 200_000
+
+    def synth(n, day_span, seed):
+        return spark.range(n).select(
+            F.concat(F.lit("k"), F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n)))
+            .alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(
+                    mins=F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(day_span * 1440))
+                )
+            ).alias("ts"),
+            F.rand(seed).alias("v"),
+        )
+
+    root = tempfile.mkdtemp(prefix="sink_probe_")
+    try:
+        # warm the JVM/codegen/parquet-writer paths so the first-listed sink
+        # doesn't absorb session startup into its build time
+        warm = ParquetUpsertSink(
+            spark, os.path.join(root, "_warm"), keys=["k"], ts_col="ts"
+        )
+        warm.upsert(synth(100_000, 2, 99))
+        warm.upsert(synth(100_000, 2, 98))
+        for label, make in (
+            ("swap", lambda p: ParquetUpsertSink(spark, p, keys=["k"], ts_col="ts")),
+            (
+                "manifest",
+                lambda p: ManifestParquetSink(spark, p, keys=["k"], ts_col="ts"),
+            ),
+        ):
+            sink = make(os.path.join(root, label))
+            t0 = time.perf_counter()
+            sink.upsert(synth(n_base, 30, 1))
+            t_build = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sink.upsert(synth(n_day, 1, 7))  # one-day incremental batch
+            t_day = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sink.compact()
+            t_compact = time.perf_counter() - t0
+            print(
+                f"sink={label}: build {n_base / 1e6:.0f}M/30d {t_build:.1f}s, "
+                f"1-day {n_day / 1e3:.0f}k upsert {t_day:.1f}s, "
+                f"compact {t_compact:.1f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _splice_probe_section(body: str) -> None:
     """Replace the marker-delimited probe block of SCALE.md, preserving the
     hand-written analysis sections outside it."""
@@ -300,6 +365,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_GRAPH"):
         probe_graph(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_SINKS"):
+        probe_sinks(spark)
         spark.stop()
         return
     rows = []

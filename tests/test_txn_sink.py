@@ -133,6 +133,43 @@ def test_compact_folds_files_and_preserves_table(spark, tmp_path):
     assert table(sink) == before
 
 
+def test_incremental_stream_into_manifest_sink(spark, tmp_path):
+    """The streaming writer is sink-agnostic: draining through a
+    ManifestParquetSink gives each micro-batch a serialized CAS commit, so
+    a concurrent batch upsert landing mid-stream is never lost."""
+    from crypto_market_tracker_etl_spark.streaming.incremental import (
+        incremental_upsert_stream,
+    )
+
+    src_dir = str(tmp_path / "incoming")
+    batch = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 1), 1, 1.0),
+            ("a", dt.datetime(2024, 1, 1, 1), 2, 9.0),  # same key: latest wins
+            ("b", dt.datetime(2024, 1, 2, 2), 1, 2.0),
+        ],
+        SCHEMA,
+    )
+    batch.write.mode("overwrite").parquet(src_dir)
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+    # a batch writer commits before the stream drains
+    sink.upsert(spark.createDataFrame([("c", DAY2, 1, 30.0)], SCHEMA))
+    stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+    q = incremental_upsert_stream(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert table(sink) == {"a": 9.0, "b": 2.0, "c": 30.0}
+    # replay idempotence: re-running the drained stream commits nothing new
+    q2 = incremental_upsert_stream(
+        spark.readStream.schema(batch.schema).parquet(src_dir),
+        sink,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert table(sink) == {"a": 9.0, "b": 2.0, "c": 30.0}
+
+
 def test_conflict_exhaustion_raises(spark, tmp_path, monkeypatch):
     sink = make_sink(spark, tmp_path)
     sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
