@@ -118,12 +118,23 @@ class ManifestParquetSink:
             return json.load(f)["partitions"]
 
     def _try_commit(self, base_version: int, partitions: dict[str, str]) -> bool:
-        """CAS: install ``partitions`` as v{base+1} iff still unclaimed."""
+        """CAS: install ``partitions`` as v{base+1} iff still unclaimed.
+        The temp manifest is fsync'd BEFORE the link and the manifest dir
+        after it: link(2) is metadata-only, so without the fsync a crash
+        could surface a committed v{N}.json with empty/partial bytes
+        (delayed allocation) — a bricked table."""
         tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump({"version": base_version + 1, "partitions": partitions}, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
             os.link(tmp, os.path.join(self._manifest_dir, f"v{base_version + 1}.json"))
+            dir_fd = os.open(self._manifest_dir, os.O_RDONLY)
+            try:
+                os.fsync(dir_fd)
+            finally:
+                os.close(dir_fd)
             return True
         except FileExistsError:
             return False  # another writer committed base+1 first — retry
@@ -176,12 +187,24 @@ class ManifestParquetSink:
         # batch once; each retry re-joins it against a fresh snapshot
         batch = batch.localCheckpoint(eager=True)
         days = [r["dt"] for r in batch.select("dt").distinct().collect()]
+        if None in days:
+            # a date-partitioned MERGE table needs a date per row: a NULL
+            # day would land under Hive's default-partition name while the
+            # touched-days lookup keys by None — the existing NULL
+            # partition would silently be repointed without merging (a
+            # lost update). Reject loudly instead.
+            raise ValueError(
+                f"batch contains NULL {self.ts_col} rows; a NULL day cannot "
+                "be merged by partition — filter or repair them upstream"
+            )
         for _ in range(max_retries + 1):
             base = self.current_version()
             manifest = self._load_manifest(base)
             touched = {d: manifest[d] for d in days if d in manifest}
             if touched:
-                old = self._scan(touched).filter(F.col("dt").isin(days))
+                # no dt filter needed: each manifest entry is one day's
+                # leaf dir, so _scan(touched) reads exactly these days
+                old = self._scan(touched)
                 merged = merge_upsert(old, batch, self.keys, self.order)
             else:
                 merged = dedup_keep_latest(batch, self.keys, self.order)
@@ -242,13 +265,28 @@ class ManifestParquetSink:
 
     # --------------------------------------------------------------- vacuum
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and every
         data dir no surviving manifest references (orphans from lost CAS
-        races included). Never touches the current snapshot. Returns the
-        removed data-dir names."""
-        import shutil
+        races included). Never touches the current snapshot.
 
+        ``min_age_seconds`` is the in-flight-writer guard (the same reason
+        Delta's VACUUM has a retention threshold): a concurrent upsert
+        writes its data dir BEFORE its CAS, so an unreferenced dir younger
+        than the threshold may belong to a writer about to commit —
+        deleting it would corrupt the table the moment that commit lands.
+        Only dirs older than the threshold are reclaimed; keep it above
+        the longest plausible write+commit duration. Returns the removed
+        data-dir names."""
+        import shutil
+        import time
+
+        if keep_versions < 1:
+            # keep_versions=0 would unlink the CURRENT manifest and then
+            # reclaim every data dir — the whole table
+            raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
         current = self.current_version()
         cutoff = max(current - keep_versions + 1, 1)
         for name in os.listdir(self._manifest_dir):
@@ -259,8 +297,10 @@ class ManifestParquetSink:
             for rel in self._load_manifest(v).values():
                 live.add(rel.split(os.sep)[1])  # data/<commit-id>/…
         removed = []
+        now = time.time()
         for name in os.listdir(self._data_dir):
-            if name not in live:
-                shutil.rmtree(os.path.join(self._data_dir, name))
+            full = os.path.join(self._data_dir, name)
+            if name not in live and now - os.path.getmtime(full) >= min_age_seconds:
+                shutil.rmtree(full)
                 removed.append(name)
         return removed

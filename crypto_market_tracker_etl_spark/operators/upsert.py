@@ -104,7 +104,11 @@ class ParquetUpsertSink:
 
     Layout: ``path/dt=YYYY-MM-DD/*.parquet``. ``upsert(batch)`` rewrites only
     the partitions the batch touches (partition pruning on read + dynamic
-    partition overwrite on write).
+    partition overwrite on write). Rows with a NULL ``ts_col`` have no day:
+    they land under Hive's default-partition dir, and because NULL never
+    equi-joins, a later NULL-ts batch replaces that dir WITHOUT merging it
+    — same keyed contract as everywhere else: feed date-valid rows (the
+    transactional sink rejects NULL-ts batches outright).
 
     **Concurrency contract — SINGLE WRITER.** The reference's Postgres
     ``INSERT .. ON CONFLICT`` (``src/db.py:87-99``) is transactional:

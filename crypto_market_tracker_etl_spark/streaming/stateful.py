@@ -282,6 +282,14 @@ def histogram_drift_counts_stream(
             ca, cb = [0] * (n_bins + 1), [0] * (n_bins + 1)
         for pdf in pdfs:
             tcol = pdf[ts_col]
+            if not pd.api.types.is_datetime64_any_dtype(tcol):
+                # the old boundary_ms API accepted epoch-ms integer ts
+                # columns; silently running int64 ms through the ns→µs
+                # division would misclassify every row, so fail loudly
+                raise TypeError(
+                    f"{ts_col} must be a timestamp column, got {tcol.dtype}; "
+                    "cast epoch values to timestamp before streaming"
+                )
             # NULL-ts rows belong to no period — drop, as the batch twin does
             m_ts = tcol.notna().to_numpy()
             v = pdf[value].to_numpy(dtype="float64")[m_ts]
