@@ -122,3 +122,72 @@ def test_chunk_documents_tiles_exactly(spark, n_toks, chunk, data):
     assert rebuilt == toks
     for p in pieces[:-1]:
         assert len(p) == chunk
+
+
+# --------------------------------------------------------------- txn sink
+
+sink_batches = st.lists(
+    st.lists(
+        st.tuples(keys, st.integers(min_value=0, max_value=5)),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=sink_batches)
+def test_manifest_sink_matches_python_model(spark, batches):
+    """Model-based check of the transactional sink: any sequence of upsert
+    batches must leave the table equal to a dict folded with the same
+    keep-highest-version (ties prefer newer batch) semantics — and stay
+    equal through compact + vacuum. Keys map to fixed days so the same key
+    never straddles partitions (the sinks' documented contract).
+    Value is a function of (key, ver), so within-batch version ties are
+    value-identical and the model stays deterministic."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+
+    model: dict[str, int] = {}
+    root = tempfile.mkdtemp(prefix="prop_sink_")
+    try:
+        sink = ManifestParquetSink(
+            spark, root, keys=["k"], ts_col="ts", order=["ver"]
+        )
+        for batch in batches:
+            rows = [
+                (
+                    k,
+                    BASE + dt.timedelta(days=ord(k) - ord("a")),
+                    ver,
+                    float(ver * 10 + ord(k)),
+                )
+                for k, ver in batch
+            ]
+            sink.upsert(
+                spark.createDataFrame(
+                    rows, "k string, ts timestamp, ver int, v double"
+                )
+            )
+            for k, ver in batch:
+                if k not in model or ver >= model[k]:
+                    model[k] = ver
+
+        def observed():
+            return {
+                r["k"]: (r["ver"], r["v"]) for r in sink.read().collect()
+            }
+
+        want = {k: (ver, float(ver * 10 + ord(k))) for k, ver in model.items()}
+        assert observed() == want
+        sink.compact()
+        sink.vacuum(keep_versions=1, min_age_seconds=0)
+        assert observed() == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
