@@ -782,6 +782,41 @@ def test_drift_report_null_policy_cross_engine(spark, tmp_path):
     assert_frames_match(got, oracle, "drift_report_nulls")
 
 
+def test_histogram_null_policy_cross_engine(spark, tmp_path):
+    """q_histogram's NULL-bin policy on data the shipped testdata cannot
+    exercise: NULL/NaN values in the NULL bin (not silently clamped into
+    bin 9 by null-skipping least()), NaN masked from the min/max anchors,
+    Spark and DuckDB bit-for-bit."""
+    import duckdb
+
+    from crypto_market_tracker_etl_spark.queries import SQL_HISTOGRAM, q_histogram
+    from tests.conftest import assert_frames_match
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i % 5,
+         "click" if i % 2 == 0 else "view", float(i % 40))
+        for i in range(120)
+    ]
+    rows += [
+        (900, dt.datetime(2024, 1, 2), 1, "click", None),
+        (901, dt.datetime(2024, 1, 3), 2, "view", float("nan")),
+        # without anchor masking this NaN would have poisoned mx for ALL rows
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    pq = str(tmp_path / "events.parquet")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(pq)
+
+    got = q_histogram(spark, str(tmp_path)).toPandas()
+    null_bins = got[got["bin"].isna()]
+    assert set(null_bins["event_type"]) == {"click", "view"}
+    assert float(got["v_max"].max()) == 39.0  # NaN kept out of the anchors
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    oracle = con.execute(SQL_HISTOGRAM).arrow().to_pandas()
+    assert_frames_match(got, oracle, "histogram_nulls")
+
+
 def test_ttl_cache_expires_and_rebuilds(spark):
     """S11 (reference app.py:33-51): cached view persists within TTL, is
     rebuilt after expiry, and invalidate releases storage."""
