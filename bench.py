@@ -54,9 +54,12 @@ HEADLINE = [
     "cosine_topk",
     "knn_lsh",
     "knn_ivf",
+    "knn_pq",
     "embedding_near_dup",
     "text_quality",
     "tfidf",
+    "hash_split",
+    "domain_mix",
     "weighted_sample",
     "weighted_sample_stratified",
     "cluster_profile",

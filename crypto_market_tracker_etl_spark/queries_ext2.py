@@ -712,6 +712,156 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_BFS_SQL)
 
 
+# --------------------------------------------------------------------------
+# Training-data assembly: deterministic splits and domain mixing
+# --------------------------------------------------------------------------
+
+SPLIT_SEED = "split:"
+MIX_SEED = "mix:"
+_TWO24 = 1 << 24
+# round(0.8·2^24) / round(0.9·2^24): 80/10/10 split boundaries on the
+# 24-bit key space.
+_SPLIT_TRAIN = 13421773
+_SPLIT_VALID = 15099494
+
+
+def _h24(col, seed: str):
+    """24-bit portable document key: md5's first 6 hex chars as BIGINT.
+    24 bits bound the integer cross-products below far inside BIGINT range
+    (h·n_docs < 2^24·n_docs overflows only past ~5·10^14 docs per group)."""
+    return md5_long(col.cast("string"), seed=seed, n_hex=6)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[training-data] Deterministic 80/10/10 train/valid/test assignment:
+    split = bucket of a seeded 24-bit md5 key of doc_id. A pure function of
+    the key — stable under reruns, backfills, and repartitioning, and new
+    documents land in splits at the target rates without reshuffling old
+    ones (the property random()-based splits lack). Integer compares only:
+    bit-identical in any engine. Scale: one narrow scan + a 3-group agg;
+    as a writer this is a partitionBy('split') on the same expression."""
+    docs = _documents(spark, sf_dir)
+    h = _h24(F.col("doc_id"), SPLIT_SEED)
+    split = (
+        F.when(h < _SPLIT_TRAIN, "train")
+        .when(h < _SPLIT_VALID, "valid")
+        .otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_SPLIT_HASH = hex_prefix_to_long_sql(
+    f"md5(concat('{SPLIT_SEED}', CAST(doc_id AS VARCHAR)))", 6, "duckdb"
+)
+
+SQL_HASH_SPLIT = f"""
+SELECT CASE WHEN {_SPLIT_HASH} < {_SPLIT_TRAIN} THEN 'train'
+            WHEN {_SPLIT_HASH} < {_SPLIT_VALID} THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+MIX_ALPHA_NOTE = "temperature 0.5 == sqrt"  # see q_domain_mix docstring
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[training-data] Temperature-weighted domain mixing (α=0.5): per
+    source, sampling weight ∝ n_docs^α — the standard rebalancing that
+    upsamples small domains relative to their share (multilingual/domain
+    mixture literature's temperature sampling). Emits the mixture schedule
+    (weight, quota for a half-corpus budget) AND enforces it with a
+    deterministic hash-sample whose accept test is pure integer arithmetic
+    (h·n_docs < quota·2^24), so realized counts are engine-exact.
+
+    Determinism: sqrt is IEEE-correctly-rounded (portable); the weight
+    normalizer folds the per-source terms in source order (sorted-list
+    reduce on both engines) instead of a parallel SUM, so weights are
+    bit-identical before the one output rounding. Scale: two narrow scans
+    + one broadcast of a |sources|-row schedule; the fold anchor is a
+    1-row aggregate."""
+    docs = _documents(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wr = counts.withColumn("w_raw", F.sqrt(F.col("n_docs").cast("double")))
+    anchor = wr.groupBy().agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "w_raw"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.w_raw,
+        ).alias("w_sum"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    mix = (
+        wr.crossJoin(F.broadcast(anchor))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("weight"),
+            F.round(
+                F.round(F.col("w_raw") / F.col("w_sum"), 6)
+                * F.expr("n_total DIV 2").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+        # eager checkpoint of the |sources|-row schedule: it feeds BOTH the
+        # selection scan and the output join — without it Spark recomputes
+        # the whole counts subtree (an extra corpus scan) per consumer
+        .localCheckpoint()
+    )
+    h = _h24(F.col("doc_id"), MIX_SEED)
+    sel = (
+        docs.join(F.broadcast(mix.select("source", "n_docs", "quota")), "source")
+        .filter(h * F.col("n_docs") < F.col("quota") * F.lit(_TWO24))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_selected"))
+    )
+    return mix.join(F.broadcast(sel), "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "quota",
+        F.coalesce(F.col("n_selected"), F.lit(0).cast("long")).alias("n_selected"),
+    )
+
+
+_MIX_HASH = hex_prefix_to_long_sql(
+    f"md5(concat('{MIX_SEED}', CAST(doc_id AS VARCHAR)))", 6, "duckdb"
+)
+
+SQL_DOMAIN_MIX = f"""
+WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+wr AS (SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw FROM counts),
+anchor AS (
+  SELECT list_reduce(list(w_raw ORDER BY source), (a, b) -> a + b) AS w_sum,
+         CAST(SUM(n_docs) AS BIGINT) AS n_total
+  FROM wr
+),
+mix AS (
+  SELECT source, n_docs, round(w_raw / w_sum, 6) AS weight,
+         CAST(round(round(w_raw / w_sum, 6)
+                    * CAST(n_total // 2 AS DOUBLE)) AS BIGINT) AS quota
+  FROM wr, anchor
+),
+sel AS (
+  SELECT d.source, count(*) AS n_selected
+  FROM documents d JOIN mix m USING (source)
+  WHERE {_MIX_HASH} * m.n_docs < m.quota * {_TWO24}
+  GROUP BY d.source
+)
+SELECT m.source, m.n_docs, m.weight, m.quota,
+       CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected
+FROM mix m LEFT JOIN sel s USING (source)
+"""
+
+
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -726,4 +876,6 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "recursive_cte": (q_recursive_cte, _RECURSIVE_BFS_SQL),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
 }

@@ -349,3 +349,33 @@ def test_sequence_packing_single_window_pass(spark):
     parts = set(re.findall(r"hashpartitioning\((\w+)", s))
     assert parts <= {"source", "doc_id"}, parts
     assert "rangepartitioning" not in s
+
+
+def test_knn_pq_adc_no_corpus_shuffle(spark):
+    s = plan_of(spark, "knn_pq")
+    # ADC stage: coded corpus ⨯ broadcast(query tables) — the corpus side
+    # must never shuffle (BNLJ on the self-exclusion predicate), and the
+    # re-rank stage must broadcast the bounded candidate/query lists into
+    # hash joins, not sort-merge the corpus
+    assert "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+    # both top-k passes (shortlist + final) push a map-side partial limit
+    assert s.count("WindowGroupLimit") >= 2
+
+
+def test_hash_split_single_pass(spark):
+    s = plan_of(spark, "hash_split")
+    # one scan, one partial-agged 3-group aggregate: exactly the shuffles
+    # of a groupBy (plus the documented CPU-spreading input repartition)
+    assert "SortMergeJoin" not in s and "Join" not in s
+    assert "partial_sum" in s or "partial_count" in s or "HashAggregate" in s
+
+
+def test_domain_mix_schedule_is_broadcast(spark):
+    s = plan_of(spark, "domain_mix")
+    # the |sources|-row mixing schedule broadcasts into the selection scan;
+    # the corpus must never sort-merge against it
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
