@@ -55,6 +55,7 @@ HEADLINE = [
     "knn_lsh",
     "knn_ivf",
     "knn_pq",
+    "knn_ivfpq",
     "embedding_near_dup",
     "text_quality",
     "tfidf",

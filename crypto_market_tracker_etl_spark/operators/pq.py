@@ -12,9 +12,11 @@ computation), never against the raw vectors.
 
 Scale shape (the 100 TB story):
 
-- **Encoding is a pure Catalyst expression**: per subspace an ``array_min``
-  over ``ks`` ``(distance, sid)`` structs — one narrow scan writes the
-  ``codes`` column; no joins, no shuffles, whole-stage codegen end to end.
+- **Encoding is one narrow scan, no joins, no shuffles** — by default an
+  Arrow-batched numpy kernel (see ``pq_encode``: Spark evaluates
+  higher-order functions interpreted, so the pure-Catalyst reference path,
+  kept as ``vectorized=False``, is ~1000× slower per row and exists for
+  oracle-semantics documentation and the bit-equivalence pytest).
 - **ADC is table lookup, not arithmetic**: each query precomputes an
   ``m × ks`` table of subspace distances (a few KB). The scored relation is
   ``codes ⨯ broadcast(queries+tables)`` where the per-pair cost is ``m``
@@ -48,6 +50,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double
+from .ivf import np_coarse_nd as _np_coarse_nd
+from .ivf import np_matrix as _np_matrix
 from .ivf import seed_centroids
 
 # Integer quantization scale for squared subspace distances. 10⁴ keeps
@@ -110,12 +114,6 @@ def _sub_slice(vec: Column, sub: int, dsub: int) -> Column:
     return F.slice(vec, sub * dsub + 1, dsub)
 
 
-def _np_matrix(emb: pd.Series) -> np.ndarray:
-    if len(emb) == 0:
-        return np.empty((0, 0), dtype=np.float64)
-    return np.array([np.asarray(v, dtype=np.float64) for v in emb])
-
-
 def _np_sub_dists_int(V: np.ndarray, sub: int, codebook: list[list[float]]) -> np.ndarray:
     """(n × ks) integer-quantized squared subspace distances in numpy —
     the vectorized twin of ``_sub_dists``, bit-identical by construction:
@@ -159,6 +157,51 @@ def _tables_udf(codebooks: Codebooks):
             [_np_sub_dists_int(V, s, codebooks[s]) for s in range(m)], axis=1
         )  # n × m × ks
         return pd.Series([t.tolist() for t in tbl])
+
+    return _f
+
+
+def _coded_corpus_udf(codebooks: Codebooks, centroids: list[list[float]]):
+    """One Arrow pass over the corpus: PQ codes + coarse list assignment.
+    Fusing them matters — each was individually cheap in numpy but the
+    interpreted expression twins cost seconds per scan, and one UDF means
+    one scan, one Python round-trip."""
+    m = len(codebooks)
+
+    @F.pandas_udf("struct<codes: array<int>, list_id: int>")
+    def _f(emb: pd.Series) -> pd.DataFrame:
+        V = _np_matrix(emb)
+        if V.shape[0] == 0:
+            return pd.DataFrame({"codes": [], "list_id": []})
+        codes = np.empty((V.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            codes[:, s] = _np_sub_dists_int(V, s, codebooks[s]).argmin(1)
+        lid = _np_coarse_nd(V, centroids).argmin(1).astype(np.int32)
+        return pd.DataFrame({"codes": list(codes), "list_id": lid})
+
+    return _f
+
+
+def _probed_queries_udf(
+    codebooks: Codebooks, centroids: list[list[float]], nprobe: int
+):
+    """One Arrow pass over the query set: ADC tables + nprobe probe list,
+    nearest list first (stable argsort ≡ the (nd, cid) struct sort)."""
+    m = len(codebooks)
+
+    @F.pandas_udf("struct<qtbl: array<array<bigint>>, probes: array<int>>")
+    def _f(emb: pd.Series) -> pd.DataFrame:
+        V = _np_matrix(emb)
+        if V.shape[0] == 0:
+            return pd.DataFrame({"qtbl": [], "probes": []})
+        tbl = np.stack(
+            [_np_sub_dists_int(V, s, codebooks[s]) for s in range(m)], axis=1
+        )
+        nd = _np_coarse_nd(V, centroids)
+        probes = np.argsort(nd, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.DataFrame(
+            {"qtbl": [t.tolist() for t in tbl], "probes": list(probes)}
+        )
 
     return _f
 
@@ -232,6 +275,57 @@ def query_distance_tables(
     return queries.select(F.col(id_col).alias("query_id"), tbl.alias("qtbl"))
 
 
+def _adc_col() -> Column:
+    """Per-pair ADC score: m table lookups summed via a zip_with fold —
+    exact BIGINT arithmetic over ``codes`` and the broadcast ``qtbl``."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("qtbl"), lambda c, row: F.element_at(row, c + 1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _topk(scored: DataFrame, order_col: str, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(order_col).asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Re-score a bounded (query_id, neighbor_id) shortlist with exact
+    integer-quantized distances: broadcast the shortlist into one more
+    corpus scan (point lookups by id — never a corpus shuffle), broadcast
+    the query vectors, fold, final windowed top-k."""
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    exact = (
+        cvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist_int_cols(F.col("qv"), F.col("cv")).alias("sqdist"),
+        )
+    )
+    return _topk(exact, "sqdist", k)
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -271,44 +365,81 @@ def pq_adc_topk(
     pairs = coded.join(
         F.broadcast(qt), F.col("neighbor_id") != F.col("query_id"), "inner"
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("qtbl"), lambda c, row: F.element_at(row, c + 1)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = pairs.select("query_id", "neighbor_id", adc.alias("adc"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc()
-    )
+    scored = pairs.select("query_id", "neighbor_id", _adc_col().alias("adc"))
     if rerank is None:
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
+        return _topk(scored, "adc", k)
+    cand = _topk(scored, "adc", rerank).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    k: int = 3,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the two prunings composed — the canonical billion-scale ANN
+    index (FAISS ``IVFx,PQy``). The coarse quantizer (operators/ivf.py)
+    bounds WHICH codes each query scans (its ``nprobe`` inverted lists);
+    PQ bounds the cost PER code (m table lookups). Work per query is
+    Σ_probed |list| ADC lookups instead of n, and the codes scan reads
+    m·log2(ks)/8 bytes per vector instead of 4·dim.
+
+    Plan: one narrow scan encodes codes AND assigns list ids (both
+    expression/Arrow-level, no shuffle — at deployment scale this frame is
+    written once partitioned by ``list_id`` and probing prunes
+    partitions), one broadcast equi-join on ``list_id`` against the
+    nprobe-exploded queries carrying their ADC tables, windowed top-R,
+    exact re-rank of the shortlist.
+
+    Codes quantize the RAW vectors (not the list residuals): residual
+    encoding (classic IVFADC) would also be oracle-expressible — the
+    residual is vector minus a literal-indexed centroid — but roughly
+    doubles the oracle SQL for a quality gain that only shows on strongly
+    clustered corpora; documented trade, not taken."""
+    if vectorized:
+        coded = corpus.withColumn(
+            "__e", _coded_corpus_udf(codebooks, centroids)(F.col(vec_col))
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__e.codes").alias("codes"),
+            F.col("__e.list_id").alias("list_id"),
         )
-    cand = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    cvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    exact = (
-        cvec.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            _sq_dist_int_cols(F.col("qv"), F.col("cv")).alias("sqdist"),
+        qjoined = queries.withColumn(
+            "__q", _probed_queries_udf(codebooks, centroids, nprobe)(F.col(vec_col))
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col("__q.qtbl").alias("qtbl"),
+            F.explode(F.col("__q.probes")).alias("list_id"),
         )
+    else:
+        from .ivf import assign_list, probe_lists
+
+        v = as_double(F.col(vec_col))
+        coded = pq_encode(
+            corpus, codebooks, vec_col=vec_col, vectorized=False
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            assign_list(v, centroids).alias("list_id"),
+        )
+        qt = query_distance_tables(
+            queries, codebooks, id_col=id_col, vec_col=vec_col, vectorized=False
+        )
+        qp = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_lists(v, centroids, nprobe)).alias("list_id"),
+        )
+        qjoined = qt.join(qp, "query_id")
+    pairs = coded.join(F.broadcast(qjoined), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("sqdist").asc(), F.col("neighbor_id").asc()
-    )
-    return exact.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    scored = pairs.select("query_id", "neighbor_id", _adc_col().alias("adc"))
+    cand = _topk(scored, "adc", rerank).select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)

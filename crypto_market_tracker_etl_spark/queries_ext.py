@@ -690,6 +690,117 @@ WHERE rank <= 3
 SQL_KNN_PQ = _sql_knn_pq()
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed top-3: the coarse quantizer (8 md5-seeded lists,
+    nprobe=2) bounds WHICH codes each query scans; PQ (8×16 codebooks)
+    bounds the cost PER code; the ADC top-50 shortlist is re-ranked
+    exactly. One narrow scan builds codes + list assignment together.
+    Coarse seeds are the first 8 of PQ's 16 md5-ordered seed rows, so the
+    oracle derives both quantizers from ONE seeds CTE. See
+    operators/pq.py::ivf_pq_topk."""
+    from .operators.ivf import seed_centroids
+    from .operators.pq import ivf_pq_topk, seed_codebooks
+
+    emb = _embeddings(spark, sf_dir)
+    cents = seed_centroids(emb, IVF_K)
+    cbs = seed_codebooks(emb, ks=PQ_KS, m=PQ_M)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_pq_topk(
+        emb, queries, cents, cbs, k=3, nprobe=IVF_NPROBE, rerank=PQ_RERANK
+    )
+
+
+def _sql_knn_ivfpq(
+    kc: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    ks: int = PQ_KS,
+    m: int = PQ_M,
+    dsub: int = 8,
+    rerank: int = PQ_RERANK,
+) -> str:
+    from .operators.pq import DIST_SCALE
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS sid,
+         v
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ks}
+),
+coarse AS (SELECT sid AS cid, v AS cv FROM seeds WHERE sid < {kc}),
+cd AS (
+  SELECT e.vec_id, c.cid,
+         round(-list_cosine_similarity(e.v, c.cv), 4) AS nd
+  FROM e, coarse c
+),
+cr AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY nd, cid) AS rn FROM cd),
+cassign AS (SELECT vec_id, cid AS list_id FROM cr WHERE rn = 1),
+cprobe AS (SELECT vec_id AS query_id, cid AS list_id
+           FROM cr WHERE rn <= {nprobe} AND vec_id % 50 = 0),
+cb AS (
+  SELECT t.s AS sub, sd.sid,
+         list_slice(sd.v, t.s * {dsub} + 1, t.s * {dsub} + {dsub}) AS cv
+  FROM range({m}) t(s), seeds sd
+),
+dists AS (
+  SELECT e.vec_id, cb.sub, cb.sid,
+         CAST(round({DIST_SCALE} * list_reduce(
+              list_transform(
+                list_zip(list_slice(e.v, cb.sub * {dsub} + 1,
+                                    cb.sub * {dsub} + {dsub}), cb.cv),
+                z -> (z[1] - z[2]) * (z[1] - z[2])),
+              (a, b) -> a + b)) AS BIGINT) AS d
+  FROM e, cb
+),
+codes AS (
+  SELECT vec_id, sub, sid AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, sid) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+qt AS (SELECT vec_id AS query_id, sub, sid, d FROM dists WHERE vec_id % 50 = 0),
+adc AS (
+  SELECT qt.query_id, c.vec_id AS neighbor_id, CAST(SUM(qt.d) AS BIGINT) AS adc
+  FROM codes c
+  JOIN cassign a ON a.vec_id = c.vec_id
+  JOIN cprobe p ON p.list_id = a.list_id
+  JOIN qt ON qt.query_id = p.query_id AND qt.sub = c.sub AND qt.sid = c.code
+  WHERE c.vec_id <> qt.query_id
+  GROUP BY qt.query_id, c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rn
+        FROM adc)
+  WHERE rn <= {rerank}
+),
+rr AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(round({DIST_SCALE} * list_reduce(
+              list_transform(list_zip(q.v, n.v),
+                             z -> (z[1] - z[2]) * (z[1] - z[2])),
+              (a, b) -> a + b)) AS BIGINT) AS sqdist
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sqdist, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sqdist, neighbor_id) AS rank
+      FROM rr)
+WHERE rank <= 3
+"""
+
+
+SQL_KNN_IVFPQ = _sql_knn_ivfpq()
+
+
 # --------------------------------------------------------------------------
 # Text analysis family
 # --------------------------------------------------------------------------
@@ -1411,6 +1522,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
+    "knn_ivfpq": (q_knn_ivfpq, SQL_KNN_IVFPQ),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),

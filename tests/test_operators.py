@@ -1400,3 +1400,85 @@ def test_pq_vectorized_encode_matches_expression(spark):
     assert rows(pq_adc_topk(emb, q, cbs, k=3, rerank=50, vectorized=False)) == rows(
         pq_adc_topk(emb, q, cbs, k=3, rerank=50, vectorized=True)
     )
+
+
+def test_ivfpq_subset_of_probed_lists(spark):
+    """IVF-PQ candidates must respect the coarse pruning: every reported
+    neighbor's assigned list is one of its query's nprobe probed lists,
+    and the result ranking must agree with exact re-scoring of those
+    candidates (the IVF-PQ contract: prune, never mis-rank survivors)."""
+    from pyspark.sql import functions as _F
+
+    from crypto_market_tracker_etl_spark.operators.ivf import (
+        assign_list,
+        probe_lists,
+        seed_centroids,
+    )
+    from crypto_market_tracker_etl_spark.operators.pq import (
+        ivf_pq_topk,
+        seed_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = seed_centroids(emb, 8)
+    cbs = seed_codebooks(emb, ks=16, m=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    got = ivf_pq_topk(emb, q, cents, cbs, k=3, nprobe=2, rerank=50).collect()
+    assert got, "no neighbors returned"
+
+    v = _F.col("embedding").cast("array<double>")
+    assigned = {
+        r.vec_id: r.lid
+        for r in emb.select("vec_id", assign_list(v, cents).alias("lid")).collect()
+    }
+    probed = {
+        r.vec_id: set(r.ls)
+        for r in q.select("vec_id", probe_lists(v, cents, 2).alias("ls")).collect()
+    }
+    for r in got:
+        assert assigned[r.neighbor_id] in probed[r.query_id], r
+    # ranks are contiguous from 1 per query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_ivfpq_vectorized_matches_expression(spark):
+    """The fused Arrow kernel (codes + coarse assignment + probes in one
+    pass) must produce the IDENTICAL end-to-end result as the pure-
+    expression reference path — including the sign-aware HALF_UP rounding
+    of the quantized negative cosines feeding the coarse argmin."""
+    from crypto_market_tracker_etl_spark.operators.ivf import seed_centroids
+    from crypto_market_tracker_etl_spark.operators.pq import (
+        ivf_pq_topk,
+        seed_codebooks,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = seed_centroids(emb, 8)
+    cbs = seed_codebooks(emb, ks=16, m=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(
+        ivf_pq_topk(emb, q, cents, cbs, k=3, nprobe=2, rerank=50, vectorized=False)
+    ) == rows(
+        ivf_pq_topk(emb, q, cents, cbs, k=3, nprobe=2, rerank=50, vectorized=True)
+    )
+
+
+def test_ivf_vectorized_matches_expression(spark):
+    """ivf_knn's Arrow-vectorized assignment/probing must equal the
+    expression reference path end to end (cosines, ranks, everything)."""
+    from crypto_market_tracker_etl_spark.operators.ivf import (
+        ivf_knn,
+        seed_centroids,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = seed_centroids(emb, 8)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(ivf_knn(emb, q, cents, 3, nprobe=2, vectorized=False)) == rows(
+        ivf_knn(emb, q, cents, 3, nprobe=2, vectorized=True)
+    )

@@ -379,3 +379,12 @@ def test_domain_mix_schedule_is_broadcast(spark):
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_knn_ivfpq_list_join_no_corpus_shuffle(spark):
+    s = plan_of(spark, "knn_ivfpq")
+    # candidate generation is a broadcast equi-join on list_id: the coded
+    # corpus must never sort-merge or cartesian against the probed queries
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
