@@ -326,6 +326,202 @@ def _exact_rerank(
     return _topk(exact, "sqdist", k)
 
 
+def seed_residual_codebooks(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    ks: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Codebooks:
+    """Codebooks over COARSE RESIDUALS (v − its assigned centroid) — the
+    IVFADC design (Jégou et al. §IV). Raw-vector codes cannot resolve
+    intra-cluster structure: on a clustered corpus every member of a list
+    quantizes to near-identical codes and ADC degenerates to chance within
+    the list (measured recall@3 0.06 on the clustered scale probe);
+    encoding the residual spends the codebook's 4 bits per subspace on
+    exactly the within-list variation. Driver-side: coarse-assign ks seed
+    vectors with the bit-identical numpy kernel, subtract, slice.
+
+    Seed rows are md5-order positions [k_coarse, k_coarse+ks): the FIRST
+    k_coarse rows ARE the coarse centroids, so their residuals are
+    identically zero — seeding from them yields degenerate all-zero
+    codebooks and chance-level ADC (found by the scale probe: recall@3
+    0.01, worse than raw-vector codes)."""
+    offset = len(centroids)
+    seeds = seed_centroids(corpus, offset + ks, id_col=id_col, vec_col=vec_col)[
+        offset:
+    ]
+    V = np.array(seeds, dtype=np.float64)
+    dim = V.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    lids = _np_coarse_nd(V, centroids).argmin(1)
+    R = V - np.asarray(centroids, dtype=np.float64)[lids]
+    dsub = dim // m
+    return [
+        [list(map(float, r[j * dsub : (j + 1) * dsub])) for r in R]
+        for j in range(m)
+    ]
+
+
+def _collect_query_arrays(queries: DataFrame, id_col: str, vec_col: str):
+    """Bounded driver collect of the query set (ids ascending) — the same
+    anchor pattern as centroid seeding; |Q| is bounded by contract."""
+    rows = queries.select(
+        F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("v")
+    ).collect()
+    qids = np.array([r.q for r in rows], dtype=np.int64)
+    Qv = np.array([np.asarray(r.v, dtype=np.float64) for r in rows])
+    order = np.argsort(qids)
+    return qids[order], Qv[order]
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    k: int = 3,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Convenience wrapper: residual IVF-PQ (IVFADC) on the arrow scan —
+    pass codebooks built by ``seed_residual_codebooks``."""
+    return ivf_pq_topk(
+        corpus, queries, centroids, codebooks, k=k, nprobe=nprobe,
+        rerank=rerank, id_col=id_col, vec_col=vec_col,
+        scan="arrow", residual=True,
+    )
+
+
+def _adc_scan(
+    corpus: DataFrame,
+    qids: np.ndarray,
+    Qv: np.ndarray,
+    codebooks: Codebooks,
+    shortlist: int,
+    centroids: list[list[float]] | None = None,
+    nprobe: int | None = None,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The fused ADC scan — the FAISS-style kernel and the shape that
+    actually survives 100 TB. One ``mapInPandas`` pass over the corpus:
+    encode the batch, (optionally) coarse-assign it and drop rows outside
+    each query's probed lists, score ALL queries at once via int64 table
+    gathers, and emit only each query's per-partition top-``shortlist``
+    partial — so the full |corpus|×|Q| pair relation is NEVER
+    materialized (the join-based reference path materializes it and pays
+    an interpreted fold per pair: fine at 10⁵ pairs, minutes at 10⁸).
+    Output rows ≤ partitions·|Q|·shortlist; the global top-k window after
+    it touches only that sliver. At deployment scale the optional coarse
+    filter is instead partition pruning on a list_id-partitioned codes
+    table; here it is an ``isin`` mask inside the same pass.
+
+    Exactness: gathers and adds are int64; the per-partition partial
+    top-R keeps every global top-R candidate by construction, so the
+    final ranking is bit-identical to the join path (pytest-pinned)."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    if residual and centroids is None:
+        raise ValueError("residual encoding requires a coarse quantizer")
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else None
+    )
+    if centroids is not None:
+        qnd = _np_coarse_nd(Qv, centroids)
+        probes = np.argsort(qnd, axis=1, kind="stable")[:, :nprobe]
+    if residual:
+        # per-(query, probed list) tables: ADC distances are to the
+        # query's residual AGAINST THAT LIST's centroid
+        T_res = np.empty((len(qids), nprobe, m, ks), dtype=np.int64)
+        for i in range(len(qids)):
+            for j in range(nprobe):
+                rq = (Qv[i] - C[probes[i, j]])[None, :]
+                T_res[i, j] = np.stack(
+                    [_np_sub_dists_int(rq, s, codebooks[s])[0] for s in range(m)]
+                )
+    else:
+        T = np.stack(
+            [_np_sub_dists_int(Qv, s, codebooks[s]) for s in range(m)], axis=1
+        )  # |Q| × m × ks
+
+    def _partial_topk(chunks, shortlist):
+        outq, outn, outa = [], [], []
+        for qid, nn, a in chunks:
+            if not len(a):
+                continue
+            idx = np.lexsort((nn, a))[:shortlist]
+            outq.append(np.full(len(idx), qid, dtype=np.int64))
+            outn.append(nn[idx])
+            outa.append(a[idx])
+        if not outq:
+            return None
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(outq),
+                "neighbor_id": np.concatenate(outn),
+                "adc": np.concatenate(outa),
+            }
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_matrix(pdf[vec_col])
+            nid = pdf[id_col].to_numpy()
+            lid = (
+                _np_coarse_nd(V, centroids).argmin(1)
+                if centroids is not None
+                else None
+            )
+            base = V - C[lid] if residual else V
+            codes = np.empty((len(nid), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = _np_sub_dists_int(base, s, codebooks[s]).argmin(1)
+            chunks = []
+            if residual:
+                for i, qid in enumerate(qids):
+                    nns, adcs = [], []
+                    for j in range(nprobe):
+                        mask = (lid == probes[i, j]) & (nid != qid)
+                        if not mask.any():
+                            continue
+                        cs = codes[mask]
+                        a = np.zeros(cs.shape[0], dtype=np.int64)
+                        for s in range(m):
+                            a += T_res[i, j, s][cs[:, s]]
+                        nns.append(nid[mask])
+                        adcs.append(a)
+                    if nns:
+                        chunks.append(
+                            (qid, np.concatenate(nns), np.concatenate(adcs))
+                        )
+            else:
+                adc = np.zeros((len(qids), len(nid)), dtype=np.int64)
+                for s in range(m):
+                    adc += T[:, s, :][:, codes[:, s]]
+                for i, qid in enumerate(qids):
+                    mask = nid != qid
+                    if lid is not None:
+                        mask &= np.isin(lid, probes[i])
+                    chunks.append((qid, nid[mask], adc[i][mask]))
+            out = _partial_topk(chunks, shortlist)
+            if out is not None:
+                yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, adc long"
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -335,6 +531,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    scan: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k per query by ADC over PQ codes, with optional
     exact re-ranking of the ADC shortlist.
@@ -355,17 +552,30 @@ def pq_adc_topk(
 
     Without re-rank returns (query_id, neighbor_id, adc, rank); with it
     (query_id, neighbor_id, sqdist, rank), sqdist the exact quantized
-    squared distance."""
-    coded = pq_encode(
-        corpus, codebooks, vec_col=vec_col, vectorized=vectorized
-    ).select(F.col(id_col).alias("neighbor_id"), "codes")
-    qt = query_distance_tables(
-        queries, codebooks, id_col=id_col, vec_col=vec_col, vectorized=vectorized
-    )
-    pairs = coded.join(
-        F.broadcast(qt), F.col("neighbor_id") != F.col("query_id"), "inner"
-    )
-    scored = pairs.select("query_id", "neighbor_id", _adc_col().alias("adc"))
+    squared distance.
+
+    ``scan='arrow'`` (default) uses the fused ``_adc_scan`` kernel —
+    never materializes the pair relation; ``scan='join'`` is the
+    reference plan (coded corpus ⨯ broadcast tables, per-pair fold),
+    bit-identical and pytest-pinned, quadratic-materialization-bound."""
+    if scan == "arrow":
+        qids, Qv = _collect_query_arrays(queries, id_col, vec_col)
+        scored = _adc_scan(
+            corpus, qids, Qv, codebooks, rerank or k,
+            id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        coded = pq_encode(
+            corpus, codebooks, vec_col=vec_col, vectorized=vectorized
+        ).select(F.col(id_col).alias("neighbor_id"), "codes")
+        qt = query_distance_tables(
+            queries, codebooks, id_col=id_col, vec_col=vec_col,
+            vectorized=vectorized,
+        )
+        pairs = coded.join(
+            F.broadcast(qt), F.col("neighbor_id") != F.col("query_id"), "inner"
+        )
+        scored = pairs.select("query_id", "neighbor_id", _adc_col().alias("adc"))
     if rerank is None:
         return _topk(scored, "adc", k)
     cand = _topk(scored, "adc", rerank).select("query_id", "neighbor_id")
@@ -383,9 +593,22 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    scan: str = "arrow",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the two prunings composed — the canonical billion-scale ANN
-    index (FAISS ``IVFx,PQy``). The coarse quantizer (operators/ivf.py)
+    index (FAISS ``IVFx,PQy``).
+
+    ``residual=True`` (arrow scan only) is IVFADC proper: codes quantize
+    ``v − centroid(list)`` with codebooks built over residuals
+    (``seed_residual_codebooks`` must supply ``codebooks``), and each
+    query carries per-probed-list tables. On clustered corpora this is the
+    difference between ADC working and ADC degenerating to chance within
+    a list (scale-probe measured recall@3 0.06 raw → see SCALE.md). The
+    registered oracle query stays non-residual: the residual tables are
+    per-(query, list) — expressible in SQL but roughly doubling the
+    oracle, and the quality gap only appears on clustered data the sf
+    testdata doesn't have. The coarse quantizer (operators/ivf.py)
     bounds WHICH codes each query scans (its ``nprobe`` inverted lists);
     PQ bounds the cost PER code (m table lookups). Work per query is
     Σ_probed |list| ADC lookups instead of n, and the codes scan reads
@@ -403,6 +626,17 @@ def ivf_pq_topk(
     residual is vector minus a literal-indexed centroid — but roughly
     doubles the oracle SQL for a quality gain that only shows on strongly
     clustered corpora; documented trade, not taken."""
+    if scan == "arrow":
+        qids, Qv = _collect_query_arrays(queries, id_col, vec_col)
+        scored = _adc_scan(
+            corpus, qids, Qv, codebooks, rerank,
+            centroids=centroids, nprobe=nprobe, residual=residual,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cand = _topk(scored, "adc", rerank).select("query_id", "neighbor_id")
+        return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+    if residual:
+        raise ValueError("residual IVFADC is implemented on the arrow scan only")
     if vectorized:
         coded = corpus.withColumn(
             "__e", _coded_corpus_udf(codebooks, centroids)(F.col(vec_col))

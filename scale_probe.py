@@ -263,6 +263,115 @@ def probe_graph(spark) -> None:
         print(f"cc pairs={n}: {t_cc:.1f}s", flush=True)
 
 
+def probe_ann(spark) -> None:
+    """ANN-tier probe: PQ (full ADC scan) vs IVF-PQ (list-pruned ADC) on a
+    CLUSTERED synthetic embedding corpus as it grows 25× — the regime the
+    coarse quantizer exists for (the sf testdata is near-uniform random,
+    IVF's worst case). Measures wall time per tier and, at the smallest
+    size, recall@3 against exact numpy ground truth. Prints; numbers are
+    hand-recorded into SCALE.md's analysis."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from crypto_market_tracker_etl_spark.operators.ivf import seed_centroids
+    from crypto_market_tracker_etl_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        seed_codebooks,
+        seed_residual_codebooks,
+    )
+
+    dim, clusters = 64, 64
+
+    def synth(n):
+        def gen(batches):
+            base = np.arange(dim)
+            centers = np.stack(
+                [np.sin(0.7 * c + 1.3 * base * (c + 1)) for c in range(clusters)]
+            )
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                noise = np.sin(np.outer(ids + 1, base + 1) * 0.001)
+                V = centers[ids % clusters] + 0.15 * noise
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "embedding": [r.astype(np.float32) for r in V],
+                    }
+                )
+
+        return spark.range(n).repartition(32).mapInPandas(
+            gen, "vec_id long, embedding array<float>"
+        )
+
+    tmp = tempfile.mkdtemp(prefix="annprobe")
+    try:
+        for n in (200_000, 1_000_000, 5_000_000):
+            path = f"{tmp}/emb_{n}"
+            synth(n).write.mode("overwrite").parquet(path)
+            emb = spark.read.parquet(path)
+            q = emb.filter(F.col("vec_id") < 50)
+            k_lists = max(16, int(n**0.5) // 8)
+            t0 = time.perf_counter()
+            cents = seed_centroids(emb, k_lists)
+            cbs = seed_codebooks(emb, ks=16, m=8)
+            t_seed = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pq_res = pq_adc_topk(emb, q, cbs, k=3, rerank=50)
+            pq_rows = pq_res.collect()
+            t_pq = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ivfpq_res = ivf_pq_topk(
+                emb, q, cents, cbs, k=3, nprobe=4, rerank=50
+            )
+            ivfpq_rows = ivfpq_res.collect()
+            t_ivfpq = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rcbs = seed_residual_codebooks(emb, cents, ks=16, m=8)
+            ivfadc_rows = ivf_pq_topk(
+                emb, q, cents, rcbs, k=3, nprobe=4, rerank=50, residual=True
+            ).collect()
+            t_ivfadc = time.perf_counter() - t0
+            line = (
+                f"n={n:,} lists={k_lists}: seed={t_seed:.1f}s "
+                f"pq_full_adc={t_pq:.1f}s ivfpq(nprobe=4)={t_ivfpq:.1f}s "
+                f"ivfadc_residual={t_ivfadc:.1f}s"
+            )
+            if n == 200_000:
+                rows = emb.collect()
+                ids = np.array([r.vec_id for r in rows])
+                V = np.array([r.embedding for r in rows], dtype=np.float64)
+                order = np.argsort(ids)
+                ids, V = ids[order], V[order]
+                rec = {}
+                for name, res in (
+                    ("pq", pq_rows),
+                    ("ivfpq", ivfpq_rows),
+                    ("ivfadc", ivfadc_rows),
+                ):
+                    hits = tot = 0
+                    got = {}
+                    for r in res:
+                        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+                    for qi in range(50):
+                        d = ((V - V[qi]) ** 2).sum(1)
+                        d[qi] = np.inf
+                        true3 = set(ids[np.lexsort((ids, d))[:3]])
+                        hits += len(true3 & got.get(qi, set()))
+                        tot += 3
+                    rec[name] = hits / tot
+                line += (
+                    f" recall@3: pq={rec['pq']:.2f} ivfpq={rec['ivfpq']:.2f}"
+                    f" ivfadc={rec['ivfadc']:.2f}"
+                )
+            print(line, flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_sinks(spark) -> None:
     """Write-path probe: swap sink vs manifest (transactional) sink on the
     same workload — build a 30-day table, then time a single-day upsert
@@ -369,6 +478,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_SINKS"):
         probe_sinks(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_ANN"):
+        probe_ann(spark)
         spark.stop()
         return
     rows = []

@@ -1397,9 +1397,14 @@ def test_pq_vectorized_encode_matches_expression(spark):
     assert te == tv
 
     rows = lambda df: sorted(map(tuple, df.collect()))
-    assert rows(pq_adc_topk(emb, q, cbs, k=3, rerank=50, vectorized=False)) == rows(
-        pq_adc_topk(emb, q, cbs, k=3, rerank=50, vectorized=True)
+    join_expr = rows(
+        pq_adc_topk(emb, q, cbs, k=3, rerank=50, vectorized=False, scan="join")
     )
+    join_vec = rows(
+        pq_adc_topk(emb, q, cbs, k=3, rerank=50, vectorized=True, scan="join")
+    )
+    arrow = rows(pq_adc_topk(emb, q, cbs, k=3, rerank=50, scan="arrow"))
+    assert join_expr == join_vec == arrow
 
 
 def test_ivfpq_subset_of_probed_lists(spark):
@@ -1460,11 +1465,22 @@ def test_ivfpq_vectorized_matches_expression(spark):
     cbs = seed_codebooks(emb, ks=16, m=8)
     q = emb.filter(F.col("vec_id") % 50 == 0)
     rows = lambda df: sorted(map(tuple, df.collect()))
-    assert rows(
-        ivf_pq_topk(emb, q, cents, cbs, k=3, nprobe=2, rerank=50, vectorized=False)
-    ) == rows(
-        ivf_pq_topk(emb, q, cents, cbs, k=3, nprobe=2, rerank=50, vectorized=True)
+    join_expr = rows(
+        ivf_pq_topk(
+            emb, q, cents, cbs, k=3, nprobe=2, rerank=50,
+            vectorized=False, scan="join",
+        )
     )
+    join_vec = rows(
+        ivf_pq_topk(
+            emb, q, cents, cbs, k=3, nprobe=2, rerank=50,
+            vectorized=True, scan="join",
+        )
+    )
+    arrow = rows(
+        ivf_pq_topk(emb, q, cents, cbs, k=3, nprobe=2, rerank=50, scan="arrow")
+    )
+    assert join_expr == join_vec == arrow
 
 
 def test_ivf_vectorized_matches_expression(spark):
@@ -1482,3 +1498,61 @@ def test_ivf_vectorized_matches_expression(spark):
     assert rows(ivf_knn(emb, q, cents, 3, nprobe=2, vectorized=False)) == rows(
         ivf_knn(emb, q, cents, 3, nprobe=2, vectorized=True)
     )
+
+
+def test_ivfadc_residual_beats_raw_codes_on_clustered_data(spark):
+    """IVFADC contract: on a clustered corpus, residual codes must beat
+    raw-vector codes by a wide margin (raw PQ degenerates to near-chance
+    within a list — every member quantizes to near-identical codes), and
+    the result must be deterministic across runs. Small synthetic corpus:
+    16 clusters × 1250 members (list population ≫ rerank budget — the
+    regime where raw codes collapse; measured here raw 0.20 vs residual
+    0.55, and 0.06 vs 0.75 on the 200k-row scale probe)."""
+    import numpy as np
+    import pandas as pd
+
+    from crypto_market_tracker_etl_spark.operators.ivf import seed_centroids
+    from crypto_market_tracker_etl_spark.operators.pq import (
+        ivf_pq_topk,
+        ivfadc_topk,
+        seed_codebooks,
+        seed_residual_codebooks,
+    )
+
+    n, dim, clusters = 20000, 64, 16
+    base = np.arange(dim)
+    centers = np.stack(
+        [np.sin(0.7 * c + 1.3 * base * (c + 1)) for c in range(clusters)]
+    )
+    ids = np.arange(n)
+    noise = np.sin(np.outer(ids + 1, base + 1) * 0.001)
+    V = centers[ids % clusters] + 0.15 * noise
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.astype(np.float32) for r in V]}
+    )
+    emb = spark.createDataFrame(pdf).repartition(8)
+    q = emb.filter(F.col("vec_id") < 20)
+    cents = seed_centroids(emb, 16)
+    raw_cbs = seed_codebooks(emb, ks=16, m=8)
+    res_cbs = seed_residual_codebooks(emb, cents, ks=16, m=8)
+
+    def recall(res_rows):
+        got = {}
+        for r in res_rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = tot = 0
+        for qi in range(20):
+            d = ((V - V[qi]) ** 2).sum(1)
+            d[qi] = np.inf
+            true3 = set(ids[np.lexsort((ids, d))[:3]])
+            hits += len(true3 & got.get(qi, set()))
+            tot += 3
+        return hits / tot
+
+    raw = ivf_pq_topk(emb, q, cents, raw_cbs, k=3, nprobe=2, rerank=50).collect()
+    res1 = ivfadc_topk(emb, q, cents, res_cbs, k=3, nprobe=2, rerank=50).collect()
+    res2 = ivfadc_topk(emb, q, cents, res_cbs, k=3, nprobe=2, rerank=50).collect()
+    assert sorted(map(tuple, res1)) == sorted(map(tuple, res2))  # deterministic
+    r_raw, r_res = recall(raw), recall(res1)
+    assert r_res >= r_raw + 0.25, (r_raw, r_res)
+    assert r_res >= 0.5, (r_raw, r_res)

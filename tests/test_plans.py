@@ -353,11 +353,13 @@ def test_sequence_packing_single_window_pass(spark):
 
 def test_knn_pq_adc_no_corpus_shuffle(spark):
     s = plan_of(spark, "knn_pq")
-    # ADC stage: coded corpus ⨯ broadcast(query tables) — the corpus side
-    # must never shuffle (BNLJ on the self-exclusion predicate), and the
-    # re-rank stage must broadcast the bounded candidate/query lists into
-    # hash joins, not sort-merge the corpus
-    assert "BroadcastNestedLoopJoin" in s
+    # candidate generation is the fused Arrow scan: one MapInPandas pass
+    # emitting per-partition top-R partials — the pair relation is never
+    # materialized and the corpus never joins/shuffles before the sliver-
+    # sized top-k window; the re-rank stage broadcasts the bounded
+    # candidate/query lists into hash joins, never a sort-merge
+    assert "MapInPandas" in s
+    assert "BroadcastHashJoin" in s  # re-rank point lookups
     assert "CartesianProduct" not in s
     assert "SortMergeJoin" not in s
     # both top-k passes (shortlist + final) push a map-side partial limit
@@ -383,8 +385,10 @@ def test_domain_mix_schedule_is_broadcast(spark):
 
 def test_knn_ivfpq_list_join_no_corpus_shuffle(spark):
     s = plan_of(spark, "knn_ivfpq")
-    # candidate generation is a broadcast equi-join on list_id: the coded
-    # corpus must never sort-merge or cartesian against the probed queries
+    # fused Arrow scan (encode + coarse probe-filter + ADC + partial top-R
+    # in one pass); re-rank broadcasts the bounded shortlist — the corpus
+    # must never sort-merge or cartesian anywhere
+    assert "MapInPandas" in s
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
