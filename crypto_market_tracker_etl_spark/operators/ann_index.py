@@ -1,0 +1,198 @@
+"""Persistent IVF-PQ index: the inverted file as a parquet TABLE.
+
+``ivf.py``/``pq.py`` score ad-hoc — every probe re-encodes the corpus. At
+deployment scale you index once and probe many: this module materializes
+the inverted file as a parquet table partitioned by ``list_id``::
+
+    path/
+      _index_meta.json                  # centroids + codebooks + config
+      data/list_id=<cid>/*.parquet      # vec_id, embedding, codes
+
+so **partition pruning IS the index lookup**: a probe reads only the union
+of the queries' ``nprobe`` lists — the physical scan skips every other
+list's files before Spark lists them (asserted via PartitionFilters in the
+plan test). Stored codes mean probing never re-encodes; the raw vectors
+ride along in the same partitions so the exact re-rank's point lookups
+stay within the pruned scan.
+
+Maintenance is append-only: ``append(batch)`` encodes new vectors with the
+FROZEN quantizers from ``_index_meta.json`` (a production index never
+re-derives its quantizers from a batch — that would silently re-map every
+previously written code) and appends into the ``list_id=`` layout. The
+same call is the streaming maintainer: ``foreachBatch(lambda b, _:
+index.append(b))`` keeps the index current from a stream
+(test_stream_maintains_ann_index). Appends create one file per touched
+list per batch — the standard small-file accretion, folded back by
+``compact()`` through the same partitioned write.
+
+Reference parity note: the reference repo has no vector search; this is
+LLM-pipeline extension surface (SURVEY.md §2.11), the "write once, probe
+many" tier promised in operators/ivf.py's module docstring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ivf import np_matrix, seed_centroids
+from .pq import (
+    Codebooks,
+    _coded_corpus_udf,
+    _collect_query_arrays,
+    _exact_rerank,
+    _np_sub_dists_int,
+    _QueryTables,
+    _topk,
+    seed_codebooks,
+    seed_residual_codebooks,
+)
+
+_META = "_index_meta.json"
+
+
+class IvfPqIndex:
+    """A built index at ``path``. Construct via ``build`` (new) or the
+    plain constructor (existing)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, _META)) as f:
+            meta = json.load(f)
+        self.centroids: list[list[float]] = meta["centroids"]
+        self.codebooks: Codebooks = meta["codebooks"]
+        self.residual: bool = meta["residual"]
+        self.id_col: str = meta["id_col"]
+        self.vec_col: str = meta["vec_col"]
+        self._data = os.path.join(path, "data")
+
+    # ------------------------------------------------------------ lifecycle
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        path: str,
+        corpus: DataFrame,
+        k_lists: int = 8,
+        ks: int = 16,
+        m: int = 8,
+        residual: bool = False,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfPqIndex":
+        """Derive the quantizers from ``corpus`` (md5-seeded — deterministic),
+        freeze them in ``_index_meta.json``, and index the corpus."""
+        centroids = seed_centroids(corpus, k_lists, id_col=id_col, vec_col=vec_col)
+        if residual:
+            codebooks = seed_residual_codebooks(
+                corpus, centroids, ks=ks, m=m, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            codebooks = seed_codebooks(
+                corpus, ks=ks, m=m, id_col=id_col, vec_col=vec_col
+            )
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, _META), "w") as f:
+            json.dump(
+                {
+                    "centroids": centroids,
+                    "codebooks": codebooks,
+                    "residual": residual,
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                },
+                f,
+            )
+        idx = cls(spark, path)
+        idx.append(corpus)
+        return idx
+
+    def append(self, batch: DataFrame) -> None:
+        """Encode ``batch`` with the frozen quantizers and append into the
+        ``list_id=`` partition layout. Also the foreachBatch streaming
+        maintainer. Residual indexes store residual codes (the probe's
+        per-list tables expect exactly that)."""
+        enc = batch.withColumn(
+            "__e",
+            _coded_corpus_udf(
+                self.codebooks,
+                self.centroids,
+                residual=self.residual,
+            )(F.col(self.vec_col)),
+        ).select(
+            F.col(self.id_col),
+            F.col(self.vec_col),
+            F.col("__e.codes").alias("codes"),
+            F.col("__e.list_id").alias("list_id"),
+        )
+        enc.write.partitionBy("list_id").mode("append").parquet(self._data)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self._data)
+
+    def compact(self) -> None:
+        """Fold per-batch small files: rewrite each partition's accumulated
+        files into one sorted file via a staged swap."""
+        staged = self._data + ".staging"
+        (
+            self.read()
+            .repartition("list_id")
+            .sortWithinPartitions(self.id_col)
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        import shutil
+
+        old = self._data + ".old"
+        os.rename(self._data, old)
+        os.rename(staged, self._data)
+        shutil.rmtree(old)
+
+    # ---------------------------------------------------------------- probe
+
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 3,
+        nprobe: int = 2,
+        rerank: int = 50,
+    ) -> DataFrame:
+        """Top-k per query from the stored index: prune to the union of
+        probed lists (partition pruning — the scan never lists other
+        lists' files), ADC over STORED codes (no re-encode), exact re-rank
+        of the shortlist against the stored vectors. Same output contract
+        and bit-identical results to ``ivf_pq_topk`` over the same data
+        and quantizers (pytest-pinned)."""
+        qids, Qv = _collect_query_arrays(queries, self.id_col, self.vec_col)
+        qt = _QueryTables(
+            qids, Qv, self.codebooks, self.centroids, nprobe, self.residual
+        )
+        probed_lists = sorted({int(x) for x in qt.probes.ravel()})
+        pruned = self.read().filter(F.col("list_id").isin(probed_lists))
+        id_col = self.id_col
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int32)
+                nid = pdf[id_col].to_numpy()
+                lid = pdf["list_id"].to_numpy()
+                out = qt.score_batch(codes, nid, lid, rerank)
+                if out is not None:
+                    yield out
+
+        scored = pruned.select(id_col, "codes", "list_id").mapInPandas(
+            gen, "query_id long, neighbor_id long, adc long"
+        )
+        cand = _topk(scored, "adc", rerank).select("query_id", "neighbor_id")
+        return _exact_rerank(
+            cand, pruned, queries, k, self.id_col, self.vec_col
+        )

@@ -161,23 +161,30 @@ def _tables_udf(codebooks: Codebooks):
     return _f
 
 
-def _coded_corpus_udf(codebooks: Codebooks, centroids: list[list[float]]):
+def _coded_corpus_udf(
+    codebooks: Codebooks,
+    centroids: list[list[float]],
+    residual: bool = False,
+):
     """One Arrow pass over the corpus: PQ codes + coarse list assignment.
     Fusing them matters — each was individually cheap in numpy but the
     interpreted expression twins cost seconds per scan, and one UDF means
-    one scan, one Python round-trip."""
+    one scan, one Python round-trip. ``residual=True`` encodes
+    ``v − centroid(list)`` (IVFADC; pass residual codebooks)."""
     m = len(codebooks)
+    C = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf("struct<codes: array<int>, list_id: int>")
     def _f(emb: pd.Series) -> pd.DataFrame:
         V = _np_matrix(emb)
         if V.shape[0] == 0:
             return pd.DataFrame({"codes": [], "list_id": []})
+        lid = _np_coarse_nd(V, centroids).argmin(1)
+        base = V - C[lid] if residual else V
         codes = np.empty((V.shape[0], m), dtype=np.int32)
         for s in range(m):
-            codes[:, s] = _np_sub_dists_int(V, s, codebooks[s]).argmin(1)
-        lid = _np_coarse_nd(V, centroids).argmin(1).astype(np.int32)
-        return pd.DataFrame({"codes": list(codes), "list_id": lid})
+            codes[:, s] = _np_sub_dists_int(base, s, codebooks[s]).argmin(1)
+        return pd.DataFrame({"codes": list(codes), "list_id": lid.astype(np.int32)})
 
     return _f
 
@@ -425,34 +432,115 @@ def _adc_scan(
     Exactness: gathers and adds are int64; the per-partition partial
     top-R keeps every global top-R candidate by construction, so the
     final ranking is bit-identical to the join path (pytest-pinned)."""
+    qt = _QueryTables(qids, Qv, codebooks, centroids, nprobe, residual)
+    C = qt.C
     m = len(codebooks)
-    ks = len(codebooks[0])
-    if residual and centroids is None:
-        raise ValueError("residual encoding requires a coarse quantizer")
-    C = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else None
-    )
-    if centroids is not None:
-        qnd = _np_coarse_nd(Qv, centroids)
-        probes = np.argsort(qnd, axis=1, kind="stable")[:, :nprobe]
-    if residual:
-        # per-(query, probed list) tables: ADC distances are to the
-        # query's residual AGAINST THAT LIST's centroid
-        T_res = np.empty((len(qids), nprobe, m, ks), dtype=np.int64)
-        for i in range(len(qids)):
-            for j in range(nprobe):
-                rq = (Qv[i] - C[probes[i, j]])[None, :]
-                T_res[i, j] = np.stack(
-                    [_np_sub_dists_int(rq, s, codebooks[s])[0] for s in range(m)]
-                )
-    else:
-        T = np.stack(
-            [_np_sub_dists_int(Qv, s, codebooks[s]) for s in range(m)], axis=1
-        )  # |Q| × m × ks
 
-    def _partial_topk(chunks, shortlist):
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_matrix(pdf[vec_col])
+            nid = pdf[id_col].to_numpy()
+            lid = (
+                _np_coarse_nd(V, centroids).argmin(1)
+                if centroids is not None
+                else None
+            )
+            base = V - C[lid] if residual else V
+            codes = np.empty((len(nid), m), dtype=np.int32)
+            for s in range(m):
+                codes[:, s] = _np_sub_dists_int(base, s, codebooks[s]).argmin(1)
+            out = qt.score_batch(codes, nid, lid, shortlist)
+            if out is not None:
+                yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, adc long"
+    )
+
+
+class _QueryTables:
+    """Driver-side query-probe state for an ADC scan: per-query ADC lookup
+    tables (plain, or per-probed-list residual tables), probe lists, and
+    the batch scorer shared by the encode-on-the-fly scan (``_adc_scan``)
+    and the stored-codes index probe (``ann_index.IvfPqIndex.probe``)."""
+
+    def __init__(
+        self,
+        qids: np.ndarray,
+        Qv: np.ndarray,
+        codebooks: Codebooks,
+        centroids: list[list[float]] | None,
+        nprobe: int | None,
+        residual: bool,
+    ):
+        if residual and centroids is None:
+            raise ValueError("residual encoding requires a coarse quantizer")
+        self.qids = qids
+        self.residual = residual
+        self.nprobe = nprobe
+        m, ks = len(codebooks), len(codebooks[0])
+        self.C = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else None
+        )
+        self.probes = None
+        if centroids is not None:
+            qnd = _np_coarse_nd(Qv, centroids)
+            self.probes = np.argsort(qnd, axis=1, kind="stable")[:, :nprobe]
+        if residual:
+            # per-(query, probed list) tables: ADC distances are to the
+            # query's residual AGAINST THAT LIST's centroid
+            self.T_res = np.empty((len(qids), nprobe, m, ks), dtype=np.int64)
+            for i in range(len(qids)):
+                for j in range(nprobe):
+                    rq = (Qv[i] - self.C[self.probes[i, j]])[None, :]
+                    self.T_res[i, j] = np.stack(
+                        [
+                            _np_sub_dists_int(rq, s, codebooks[s])[0]
+                            for s in range(m)
+                        ]
+                    )
+        else:
+            self.T = np.stack(
+                [_np_sub_dists_int(Qv, s, codebooks[s]) for s in range(m)],
+                axis=1,
+            )  # |Q| × m × ks
+
+    def score_batch(self, codes, nid, lid, shortlist):
+        """Score one Arrow batch of (codes, ids, list assignment) against
+        every query; return the per-partition partial top-``shortlist`` as
+        a pandas frame (or None if nothing matched)."""
+        m = codes.shape[1]
+        chunks = []
+        if self.residual:
+            for i, qid in enumerate(self.qids):
+                nns, adcs = [], []
+                for j in range(self.nprobe):
+                    mask = (lid == self.probes[i, j]) & (nid != qid)
+                    if not mask.any():
+                        continue
+                    cs = codes[mask]
+                    a = np.zeros(cs.shape[0], dtype=np.int64)
+                    for s in range(m):
+                        a += self.T_res[i, j, s][cs[:, s]]
+                    nns.append(nid[mask])
+                    adcs.append(a)
+                if nns:
+                    chunks.append(
+                        (qid, np.concatenate(nns), np.concatenate(adcs))
+                    )
+        else:
+            adc = np.zeros((len(self.qids), len(nid)), dtype=np.int64)
+            for s in range(m):
+                adc += self.T[:, s, :][:, codes[:, s]]
+            for i, qid in enumerate(self.qids):
+                mask = nid != qid
+                if lid is not None:
+                    mask &= np.isin(lid, self.probes[i])
+                chunks.append((qid, nid[mask], adc[i][mask]))
         outq, outn, outa = [], [], []
         for qid, nn, a in chunks:
             if not len(a):
@@ -470,56 +558,6 @@ def _adc_scan(
                 "adc": np.concatenate(outa),
             }
         )
-
-    def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = _np_matrix(pdf[vec_col])
-            nid = pdf[id_col].to_numpy()
-            lid = (
-                _np_coarse_nd(V, centroids).argmin(1)
-                if centroids is not None
-                else None
-            )
-            base = V - C[lid] if residual else V
-            codes = np.empty((len(nid), m), dtype=np.int32)
-            for s in range(m):
-                codes[:, s] = _np_sub_dists_int(base, s, codebooks[s]).argmin(1)
-            chunks = []
-            if residual:
-                for i, qid in enumerate(qids):
-                    nns, adcs = [], []
-                    for j in range(nprobe):
-                        mask = (lid == probes[i, j]) & (nid != qid)
-                        if not mask.any():
-                            continue
-                        cs = codes[mask]
-                        a = np.zeros(cs.shape[0], dtype=np.int64)
-                        for s in range(m):
-                            a += T_res[i, j, s][cs[:, s]]
-                        nns.append(nid[mask])
-                        adcs.append(a)
-                    if nns:
-                        chunks.append(
-                            (qid, np.concatenate(nns), np.concatenate(adcs))
-                        )
-            else:
-                adc = np.zeros((len(qids), len(nid)), dtype=np.int64)
-                for s in range(m):
-                    adc += T[:, s, :][:, codes[:, s]]
-                for i, qid in enumerate(qids):
-                    mask = nid != qid
-                    if lid is not None:
-                        mask &= np.isin(lid, probes[i])
-                    chunks.append((qid, nid[mask], adc[i][mask]))
-            out = _partial_topk(chunks, shortlist)
-            if out is not None:
-                yield out
-
-    return corpus.select(id_col, vec_col).mapInPandas(
-        gen, "query_id long, neighbor_id long, adc long"
-    )
 
 
 def pq_adc_topk(

@@ -1,0 +1,127 @@
+"""Persistent IVF-PQ index (operators/ann_index.py): build / append /
+stream-maintain / probe, with probe parity against the ad-hoc scorer and a
+partition-pruning plan assertion (pruning IS the index lookup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_market_tracker_etl_spark.catalog import load_table
+from crypto_market_tracker_etl_spark.operators.ann_index import IvfPqIndex
+from crypto_market_tracker_etl_spark.operators.pq import ivf_pq_topk
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_index_probe_matches_adhoc_scorer(spark, tmp_path):
+    """probe() over the stored index must be bit-identical to ivf_pq_topk
+    run ad-hoc with the index's own frozen quantizers."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), emb, k_lists=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    got = _rows(idx.probe(q, k=3, nprobe=2, rerank=50))
+    want = _rows(
+        ivf_pq_topk(
+            emb, q, idx.centroids, idx.codebooks, k=3, nprobe=2, rerank=50
+        )
+    )
+    assert got == want and got
+
+
+def test_index_append_then_probe_covers_new_vectors(spark, tmp_path):
+    """Quantizers freeze at build; appended vectors are encoded with them
+    and the probe equals the ad-hoc scorer over the FULL corpus using the
+    frozen quantizers (a production index never re-derives its quantizers
+    from a batch — that would re-map previously written codes)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), first, k_lists=8)
+    idx.append(rest)
+    assert idx.read().count() == emb.count()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    got = _rows(idx.probe(q, k=3, nprobe=2, rerank=50))
+    want = _rows(
+        ivf_pq_topk(
+            emb, q, idx.centroids, idx.codebooks, k=3, nprobe=2, rerank=50
+        )
+    )
+    assert got == want
+    # compaction folds the per-append small files without changing results
+    idx.compact()
+    assert _rows(idx.probe(q, k=3, nprobe=2, rerank=50)) == want
+
+
+def test_stream_maintains_ann_index(spark, tmp_path):
+    """foreachBatch(append) IS the streaming maintainer: drain a parquet
+    stream of new vectors with availableNow and the probe sees them."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), first, k_lists=8)
+
+    src = str(tmp_path / "incoming")
+    rest.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _eid: idx.append(b))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = _rows(idx.probe(queries, k=3, nprobe=2, rerank=50))
+    want = _rows(
+        ivf_pq_topk(
+            emb, queries, idx.centroids, idx.codebooks, k=3, nprobe=2, rerank=50
+        )
+    )
+    assert got == want
+
+
+def test_index_probe_prunes_partitions(spark, tmp_path):
+    """The probed-lists filter must reach the scan as a PARTITION filter —
+    non-probed lists' files are skipped before Spark lists them. This is
+    the at-scale index lookup."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), emb, k_lists=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    df = idx.probe(q, k=3, nprobe=2, rerank=50)
+    jvm = spark._jvm
+    s = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [list_id" in s.replace("\n", " ") or (
+        "PartitionFilters" in s and "list_id" in s
+    ), s[:2000]
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+
+
+def test_residual_index_round_trip(spark, tmp_path):
+    """Residual (IVFADC) indexes store residual codes; probe is
+    deterministic and honors the same contract."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(
+        spark, str(tmp_path / "idx"), emb, k_lists=8, residual=True
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    r1 = _rows(idx.probe(q, k=3, nprobe=2, rerank=50))
+    r2 = _rows(idx.probe(q, k=3, nprobe=2, rerank=50))
+    assert r1 == r2 and r1
+    from crypto_market_tracker_etl_spark.operators.pq import ivfadc_topk
+
+    want = _rows(
+        ivfadc_topk(
+            emb, q, idx.centroids, idx.codebooks, k=3, nprobe=2, rerank=50
+        )
+    )
+    assert r1 == want
+    by_q = {}
+    for qid, _nid, _d, rank in r1:
+        by_q.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
