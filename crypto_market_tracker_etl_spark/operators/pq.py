@@ -571,12 +571,11 @@ def pq_adc_topk(
     vectorized: bool = True,
     scan: str = "arrow",
 ) -> DataFrame:
-    """Approximate top-k per query by ADC over PQ codes, with optional
-    exact re-ranking of the ADC shortlist.
-
-    Plan: encode corpus (narrow scan) ⨯ broadcast(query tables), per-pair
-    score = m table lookups summed via a zip_with fold (exact BIGINT),
-    windowed top-k. Ties broken by (adc, neighbor_id) ascending.
+    """Approximate top-k per query by ADC over PQ codes (full-corpus scan
+    — no coarse pruning; see ``ivf_pq_topk`` for the composed index), with
+    optional exact re-ranking of the ADC shortlist. Per-pair score = m
+    table lookups summed in exact BIGINT; ties broken by
+    (adc, neighbor_id) ascending.
 
     ``rerank=R`` turns ADC into a candidate generator (the production PQ
     posture): the ADC top-R per query is re-scored with EXACT integer-
@@ -637,33 +636,31 @@ def ivf_pq_topk(
     """IVF-PQ: the two prunings composed — the canonical billion-scale ANN
     index (FAISS ``IVFx,PQy``).
 
+    The coarse quantizer (operators/ivf.py) bounds WHICH codes each query
+    scans (its ``nprobe`` inverted lists); PQ bounds the cost PER code
+    (m table lookups). Work per query is Σ_probed |list| ADC lookups
+    instead of n, and the codes scan reads m·log2(ks)/8 bytes per vector
+    instead of 4·dim. For the write-once/probe-many form of the same
+    index (codes persisted partitioned by list_id, probing = partition
+    pruning, streaming appends) see operators/ann_index.py.
+
+    ``scan='arrow'`` (default): the fused ``_adc_scan`` — one mapInPandas
+    pass encodes each batch, probe-filters it, scores all queries, and
+    emits per-partition top-R partials; then windowed top-R and exact
+    re-rank of the shortlist. ``scan='join'`` is the bit-identical
+    reference plan (broadcast list-id equi-join, per-pair interpreted
+    fold — fine at sf scale, quadratic-materialization-bound beyond).
+
     ``residual=True`` (arrow scan only) is IVFADC proper: codes quantize
     ``v − centroid(list)`` with codebooks built over residuals
     (``seed_residual_codebooks`` must supply ``codebooks``), and each
-    query carries per-probed-list tables. On clustered corpora this is the
-    difference between ADC working and ADC degenerating to chance within
-    a list (scale-probe measured recall@3 0.06 raw → see SCALE.md). The
-    registered oracle query stays non-residual: the residual tables are
-    per-(query, list) — expressible in SQL but roughly doubling the
-    oracle, and the quality gap only appears on clustered data the sf
-    testdata doesn't have. The coarse quantizer (operators/ivf.py)
-    bounds WHICH codes each query scans (its ``nprobe`` inverted lists);
-    PQ bounds the cost PER code (m table lookups). Work per query is
-    Σ_probed |list| ADC lookups instead of n, and the codes scan reads
-    m·log2(ks)/8 bytes per vector instead of 4·dim.
-
-    Plan: one narrow scan encodes codes AND assigns list ids (both
-    expression/Arrow-level, no shuffle — at deployment scale this frame is
-    written once partitioned by ``list_id`` and probing prunes
-    partitions), one broadcast equi-join on ``list_id`` against the
-    nprobe-exploded queries carrying their ADC tables, windowed top-R,
-    exact re-rank of the shortlist.
-
-    Codes quantize the RAW vectors (not the list residuals): residual
-    encoding (classic IVFADC) would also be oracle-expressible — the
-    residual is vector minus a literal-indexed centroid — but roughly
-    doubles the oracle SQL for a quality gain that only shows on strongly
-    clustered corpora; documented trade, not taken."""
+    query carries per-probed-list tables. On clustered corpora this is
+    the difference between ADC working and ADC degenerating to chance
+    within a list (scale-probe recall@3: 0.06 raw → 0.75 residual, see
+    SCALE.md). The registered oracle query stays non-residual: per-(query,
+    list) tables are SQL-expressible but roughly double the oracle, and
+    the quality gap only appears on clustered data the sf testdata
+    doesn't have."""
     if scan == "arrow":
         qids, Qv = _collect_query_arrays(queries, id_col, vec_col)
         scored = _adc_scan(
