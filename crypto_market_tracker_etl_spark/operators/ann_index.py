@@ -39,17 +39,16 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ivf import np_matrix, seed_centroids
+from .ivf import seed_centroids
 from .pq import (
     Codebooks,
     _coded_corpus_udf,
     _collect_query_arrays,
     _exact_rerank,
-    _np_sub_dists_int,
     _QueryTables,
     _topk,
-    seed_codebooks,
-    seed_residual_codebooks,
+    codebooks_from_seeds,
+    residual_codebooks_from_seeds,
 )
 
 _META = "_index_meta.json"
@@ -70,6 +69,7 @@ class IvfPqIndex:
         self.id_col: str = meta["id_col"]
         self.vec_col: str = meta["vec_col"]
         self._data = os.path.join(path, "data")
+        self._recover()
 
     # ------------------------------------------------------------ lifecycle
 
@@ -87,16 +87,35 @@ class IvfPqIndex:
         vec_col: str = "embedding",
     ) -> "IvfPqIndex":
         """Derive the quantizers from ``corpus`` (md5-seeded — deterministic),
-        freeze them in ``_index_meta.json``, and index the corpus."""
-        centroids = seed_centroids(corpus, k_lists, id_col=id_col, vec_col=vec_col)
+        freeze them in ``_index_meta.json``, and index the corpus.
+
+        ONE bounded seed collect serves both quantizers: the coarse
+        centroids are the md5-order prefix, the codebook seeds the rows
+        after it (residual) or the same prefix (raw — matching
+        ``seed_codebooks``' definition so `build` ≡ the ad-hoc scorers).
+
+        Refuses a path that already holds an index: rebuilding in place
+        would overwrite the meta with NEWLY derived quantizers while
+        ``append`` keeps adding to data files encoded with the OLD ones —
+        silently wrong probes. Rebuild into a fresh path and swap."""
+        if os.path.exists(os.path.join(path, _META)) or (
+            os.path.isdir(os.path.join(path, "data"))
+            and os.listdir(os.path.join(path, "data"))
+        ):
+            raise ValueError(
+                f"{path} already holds an index; build into a fresh path "
+                "(in-place rebuild would mix codes from different quantizers)"
+            )
+        seeds = seed_centroids(
+            corpus, k_lists + ks, id_col=id_col, vec_col=vec_col
+        )
+        centroids = seeds[:k_lists]
         if residual:
-            codebooks = seed_residual_codebooks(
-                corpus, centroids, ks=ks, m=m, id_col=id_col, vec_col=vec_col
+            codebooks = residual_codebooks_from_seeds(
+                seeds[k_lists : k_lists + ks], centroids, m
             )
         else:
-            codebooks = seed_codebooks(
-                corpus, ks=ks, m=m, id_col=id_col, vec_col=vec_col
-            )
+            codebooks = codebooks_from_seeds(seeds[:ks], m)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, _META), "w") as f:
             json.dump(
@@ -138,8 +157,25 @@ class IvfPqIndex:
 
     def compact(self) -> None:
         """Fold per-batch small files: rewrite each partition's accumulated
-        files into one sorted file via a staged swap."""
+        files into one sorted file via a staged swap.
+
+        Single-writer contract (same as ParquetUpsertSink — document, don't
+        pretend): the swap is two renames, so a crash in between leaves
+        ``data`` missing with the complete pre-compact copy parked under a
+        unique ``data.old-*`` name; ``_recover()`` (run on every
+        construction and read) renames it back, so the index self-heals on
+        next open instead of requiring manual surgery. Leftover ``.old``
+        dirs from runs that crashed AFTER the swap are reclaimed here."""
+        import shutil
+        import uuid
+
+        self._recover()
+        for name in os.listdir(self.path):
+            if name.startswith("data.old-"):
+                shutil.rmtree(os.path.join(self.path, name))
         staged = self._data + ".staging"
+        if os.path.isdir(staged):
+            shutil.rmtree(staged)
         (
             self.read()
             .repartition("list_id")
@@ -148,12 +184,26 @@ class IvfPqIndex:
             .mode("overwrite")
             .parquet(staged)
         )
-        import shutil
-
-        old = self._data + ".old"
+        old = self._data + f".old-{uuid.uuid4().hex}"
         os.rename(self._data, old)
-        os.rename(staged, self._data)
+        try:
+            os.rename(staged, self._data)
+        except BaseException:
+            os.rename(old, self._data)  # roll back; staged left for debug
+            raise
         shutil.rmtree(old)
+
+    def _recover(self) -> None:
+        """If a compact crashed between its two renames, ``data`` is gone
+        but the complete pre-compact copy exists as ``data.old-*`` —
+        restore it."""
+        if os.path.isdir(self._data):
+            return
+        olds = sorted(
+            n for n in os.listdir(self.path) if n.startswith("data.old-")
+        )
+        if olds:
+            os.rename(os.path.join(self.path, olds[0]), self._data)
 
     # ---------------------------------------------------------------- probe
 
@@ -171,6 +221,10 @@ class IvfPqIndex:
         and bit-identical results to ``ivf_pq_topk`` over the same data
         and quantizers (pytest-pinned)."""
         qids, Qv = _collect_query_arrays(queries, self.id_col, self.vec_col)
+        if qids.size == 0:
+            return self.spark.createDataFrame(
+                [], "query_id long, neighbor_id long, sqdist long, rank int"
+            )
         qt = _QueryTables(
             qids, Qv, self.codebooks, self.centroids, nprobe, self.residual
         )

@@ -135,6 +135,18 @@ def np_matrix(emb: pd.Series) -> np.ndarray:
     return np.stack(emb.to_numpy()).astype(np.float64, copy=False)
 
 
+def np_sq_norm_seq(V: np.ndarray) -> np.ndarray:
+    """Per-row Σx² accumulated DIM BY DIM left-to-right — matches the
+    ``norm`` Catalyst fold bit-for-bit. ``(V*V).sum(-1)`` must NOT be used
+    for anything compared across engines: numpy reduces even short axes
+    with an unrolled multi-accumulator tree whose last-ulp results differ
+    from a sequential fold (empirically on 40-80% of random rows)."""
+    acc = np.zeros(V.shape[0])
+    for t in range(V.shape[1]):
+        acc += V[:, t] * V[:, t]
+    return acc
+
+
 def np_coarse_nd(
     V: np.ndarray, centroids: list[list[float]], round_scale: int = 4
 ) -> np.ndarray:
@@ -142,18 +154,24 @@ def np_coarse_nd(
     ``_neg_cos_entries`` (same dot/norm accumulation order, same
     centroid-norm constants, HALF_UP-matched rounding)."""
     C = np.asarray(centroids, dtype=np.float64)
-    vn = np.sqrt((V * V).sum(-1))
-    cn = np.sqrt((C * C).sum(-1))
+    vn = np.sqrt(np_sq_norm_seq(V))
+    # centroid norms: plain-Python sequential Σx² — the EXACT constant
+    # _neg_cos_entries embeds (it computes cn the same way)
+    cn = np.array(
+        [math.sqrt(sum_sq) for sum_sq in (_py_sq_norm(c) for c in C)]
+    )
     if C.shape[0] <= EXACT_COARSE_MAX_K:
-        # bit-exact regime (covers every oracle configuration, k=8): loop
-        # over centroids rather than one broadcasted n×k×dim temp — the
-        # 3-D intermediate is n·k·dim·8 bytes (1.4 GB per 10k-row batch
-        # at k=279, measured as a 40× allocation-thrash slowdown) — and
-        # (V·C[j]).sum(-1) keeps the identical elementwise products and
-        # sequential last-axis adds the Catalyst fold performs
+        # bit-exact regime (covers every oracle configuration, k=8): an
+        # explicit per-centroid × per-dim accumulation — never a
+        # broadcasted n×k×dim temp (1.4 GB per 10k-row batch at k=279,
+        # measured 40× allocation-thrash slowdown) and never ndarray.sum
+        # (multi-accumulator tree ≠ the Catalyst fold, see np_sq_norm_seq)
         cos = np.empty((V.shape[0], C.shape[0]))
         for j in range(C.shape[0]):
-            cos[:, j] = (V * C[j]).sum(-1) / (vn * cn[j])
+            num = np.zeros(V.shape[0])
+            for t in range(C.shape[1]):
+                num += V[:, t] * C[j, t]
+            cos[:, j] = num / (vn * cn[j])
     else:
         # large-k production regime: BLAS matmul (~30× faster per batch:
         # 0.92 s → 0.03 s at k=279 on a 10k batch). Summation order is
@@ -165,6 +183,13 @@ def np_coarse_nd(
     nd = -cos
     scale = 10.0**round_scale
     return np.sign(nd) * np.floor(np.abs(nd) * scale + 0.5) / scale
+
+
+def _py_sq_norm(c: np.ndarray) -> float:
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return acc
 
 
 def corpus_assign_udf(centroids: list[list[float]], round_scale: int = 4):
@@ -180,7 +205,7 @@ def corpus_assign_udf(centroids: list[list[float]], round_scale: int = 4):
         return pd.DataFrame(
             {
                 "list_id": nd.argmin(1).astype(np.int32),
-                "cn": np.sqrt((V * V).sum(-1)),
+                "cn": np.sqrt(np_sq_norm_seq(V)),
             }
         )
 
@@ -200,7 +225,7 @@ def query_probe_udf(
             return pd.DataFrame({"qn": [], "probes": []})
         nd = np_coarse_nd(V, centroids, round_scale)
         probes = np.argsort(nd, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
-        return pd.DataFrame({"qn": np.sqrt((V * V).sum(-1)), "probes": list(probes)})
+        return pd.DataFrame({"qn": np.sqrt(np_sq_norm_seq(V)), "probes": list(probes)})
 
     return _f
 

@@ -62,6 +62,19 @@ DIST_SCALE = 10_000
 Codebooks = list[list[list[float]]]  # [subspace][sid] -> centroid slice
 
 
+def codebooks_from_seeds(seeds: list[list[float]], m: int) -> Codebooks:
+    """Slice ``seeds`` (already-collected md5-ordered rows) into m
+    per-subspace codebooks — the driver-side tail of ``seed_codebooks``,
+    split out so callers that need BOTH centroids and codebooks pay ONE
+    seed collect and slice it (the coarse centroids are the same
+    md5-ordered prefix)."""
+    dim = len(seeds[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    return [[s[j * dsub : (j + 1) * dsub] for s in seeds] for j in range(m)]
+
+
 def seed_codebooks(
     corpus: DataFrame,
     ks: int = 16,
@@ -73,11 +86,7 @@ def seed_codebooks(
     codebook ``s`` holds their ``s``-th length-``D/m`` slices. Bounded
     driver collect (ks rows), same anchor pattern as IVF seeding."""
     seeds = seed_centroids(corpus, ks, id_col=id_col, vec_col=vec_col)
-    dim = len(seeds[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    dsub = dim // m
-    return [[s[j * dsub : (j + 1) * dsub] for s in seeds] for j in range(m)]
+    return codebooks_from_seeds(seeds, m)
 
 
 def _sq_dist_int_cols(a: Column, b: Column) -> Column:
@@ -117,15 +126,22 @@ def _sub_slice(vec: Column, sub: int, dsub: int) -> Column:
 def _np_sub_dists_int(V: np.ndarray, sub: int, codebook: list[list[float]]) -> np.ndarray:
     """(n × ks) integer-quantized squared subspace distances in numpy —
     the vectorized twin of ``_sub_dists``, bit-identical by construction:
-    float32→float64 widening is exact, (x−y)² is elementwise, the axis
-    reduction over dsub ≤ 127 elements is numpy's sequential add (pairwise
-    summation starts above 128), and floor(x·SCALE + 0.5) equals Spark's
-    HALF_UP round for these positive magnitudes. Pinned by
-    test_pq_vectorized_encode_matches_expression on real data."""
+    float32→float64 widening is exact, (x−y)² is elementwise, the
+    reduction accumulates DIM BY DIM in an explicit left-to-right loop —
+    ``ndarray.sum`` must NOT be used here: numpy reduces even short axes
+    with an unrolled multi-accumulator tree, which differs from the
+    Catalyst/DuckDB sequential fold in the last ulp often enough to flip
+    an integer quantization on boundary values — and floor(x·SCALE + 0.5)
+    equals Spark's HALF_UP round for these positive magnitudes. Pinned by
+    test_pq_vectorized_encode_matches_expression on real data and by
+    test_np_kernels_match_sequential_fold on random data."""
     CB = np.asarray(codebook, dtype=np.float64)
     dsub = CB.shape[1]
     sl = V[:, sub * dsub : (sub + 1) * dsub]
-    d = ((sl[:, None, :] - CB[None, :, :]) ** 2).sum(-1)
+    d = np.zeros((V.shape[0], CB.shape[0]))
+    for t in range(dsub):
+        diff = sl[:, t, None] - CB[None, :, t]
+        d += diff * diff
     return np.floor(d * DIST_SCALE + 0.5).astype(np.int64)
 
 
@@ -359,6 +375,15 @@ def seed_residual_codebooks(
     seeds = seed_centroids(corpus, offset + ks, id_col=id_col, vec_col=vec_col)[
         offset:
     ]
+    return residual_codebooks_from_seeds(seeds, centroids, m)
+
+
+def residual_codebooks_from_seeds(
+    seeds: list[list[float]], centroids: list[list[float]], m: int
+) -> Codebooks:
+    """Driver-side tail of ``seed_residual_codebooks`` over already-
+    collected seed rows (which must EXCLUDE the centroid rows — see the
+    zero-residual warning above)."""
     V = np.array(seeds, dtype=np.float64)
     dim = V.shape[1]
     if dim % m != 0:
@@ -432,6 +457,12 @@ def _adc_scan(
     Exactness: gathers and adds are int64; the per-partition partial
     top-R keeps every global top-R candidate by construction, so the
     final ranking is bit-identical to the join path (pytest-pinned)."""
+    if qids.size == 0:
+        # the join path returns empty for an empty query set; match it
+        # instead of letting the kernels hit zero-size shape errors
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc long"
+        )
     qt = _QueryTables(qids, Qv, codebooks, centroids, nprobe, residual)
     C = qt.C
     m = len(codebooks)
@@ -477,6 +508,9 @@ class _QueryTables:
     ):
         if residual and centroids is None:
             raise ValueError("residual encoding requires a coarse quantizer")
+        if centroids is not None:
+            # probing more lists than exist = probing them all
+            nprobe = min(nprobe, len(centroids))
         self.qids = qids
         self.residual = residual
         self.nprobe = nprobe

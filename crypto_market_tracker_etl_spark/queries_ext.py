@@ -699,11 +699,15 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives both quantizers from ONE seeds CTE. See
     operators/pq.py::ivf_pq_topk."""
     from .operators.ivf import seed_centroids
-    from .operators.pq import ivf_pq_topk, seed_codebooks
+    from .operators.pq import codebooks_from_seeds, ivf_pq_topk
 
     emb = _embeddings(spark, sf_dir)
-    cents = seed_centroids(emb, IVF_K)
-    cbs = seed_codebooks(emb, ks=PQ_KS, m=PQ_M)
+    # ONE seed collect feeds both quantizers (coarse = the md5-order
+    # prefix of the PQ seeds — exactly how the oracle's single seeds CTE
+    # derives them)
+    seeds = seed_centroids(emb, PQ_KS)
+    cents = seeds[:IVF_K]
+    cbs = codebooks_from_seeds(seeds, PQ_M)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_pq_topk(
         emb, queries, cents, cbs, k=3, nprobe=IVF_NPROBE, rerank=PQ_RERANK

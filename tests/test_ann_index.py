@@ -125,3 +125,55 @@ def test_residual_index_round_trip(spark, tmp_path):
     for qid, _nid, _d, rank in r1:
         by_q.setdefault(qid, []).append(rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_build_refuses_existing_index(spark, tmp_path):
+    """In-place rebuild would mix codes from different quantizers under
+    one meta — build must refuse a path that already holds an index."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    IvfPqIndex.build(spark, path, emb, k_lists=8)
+    with pytest.raises(ValueError, match="already holds an index"):
+        IvfPqIndex.build(spark, path, emb, k_lists=8)
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A compact that dies between its two renames leaves data/ missing
+    with the pre-compact copy under data.old-*; the next open must
+    self-heal and probe identically."""
+    import os
+    import shutil
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    idx = IvfPqIndex.build(spark, path, emb, k_lists=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    want = _rows(idx.probe(q, k=3, nprobe=2, rerank=50))
+    # simulate the crash window: data renamed away, staged never landed
+    os.rename(os.path.join(path, "data"), os.path.join(path, "data.old-dead"))
+    idx2 = IvfPqIndex(spark, path)  # construction self-heals
+    assert _rows(idx2.probe(q, k=3, nprobe=2, rerank=50)) == want
+    # stale .old dirs from post-swap crashes are reclaimed by compact
+    shutil.copytree(
+        os.path.join(path, "data"), os.path.join(path, "data.old-stale")
+    )
+    idx2.compact()
+    assert not [
+        n for n in os.listdir(path) if n.startswith("data.old-")
+    ]
+    assert _rows(idx2.probe(q, k=3, nprobe=2, rerank=50)) == want
+
+
+def test_probe_handles_empty_and_excess_nprobe(spark, tmp_path):
+    """Empty query sets return empty frames (not numpy shape errors), and
+    nprobe beyond the list count degrades to probing every list."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), emb, k_lists=8,
+                           residual=True)
+    none = emb.filter(F.col("vec_id") < 0)
+    assert idx.probe(none, k=3).count() == 0
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    big = idx.probe(q, k=3, nprobe=99, rerank=50)
+    assert big.count() > 0

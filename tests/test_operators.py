@@ -1556,3 +1556,50 @@ def test_ivfadc_residual_beats_raw_codes_on_clustered_data(spark):
     r_raw, r_res = recall(raw), recall(res1)
     assert r_res >= r_raw + 0.25, (r_raw, r_res)
     assert r_res >= 0.5, (r_raw, r_res)
+
+
+def test_np_kernels_match_sequential_fold():
+    """The numpy ANN kernels must equal a plain-Python sequential fold on
+    RANDOM data — not just the shipped testdata. This is the guard against
+    numpy's multi-accumulator axis reductions (ndarray.sum differs from a
+    left-to-right fold in the last ulp on 40-80% of random rows, enough to
+    flip an integer quantization on boundary values)."""
+    import math
+
+    import numpy as np
+
+    from crypto_market_tracker_etl_spark.operators.ivf import np_coarse_nd
+    from crypto_market_tracker_etl_spark.operators.pq import (
+        DIST_SCALE,
+        _np_sub_dists_int,
+    )
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((200, 64))
+    cb = rng.standard_normal((16, 8))
+    d = _np_sub_dists_int(V, 3, [list(r) for r in cb])
+    for i in range(0, 200, 7):
+        for j in range(16):
+            acc = 0.0
+            for t in range(8):
+                diff = V[i, 24 + t] - cb[j, t]
+                acc = acc + diff * diff
+            assert d[i, j] == math.floor(acc * DIST_SCALE + 0.5), (i, j)
+
+    C = [list(r) for r in rng.standard_normal((8, 64))]
+    nd = np_coarse_nd(V, C)
+    for i in range(0, 200, 7):
+        vn_acc = 0.0
+        for t in range(64):
+            vn_acc = vn_acc + V[i, t] * V[i, t]
+        vn = math.sqrt(vn_acc)
+        for j in range(8):
+            cn_acc = 0.0
+            for x in C[j]:
+                cn_acc = cn_acc + float(x) * float(x)
+            num = 0.0
+            for t in range(64):
+                num = num + V[i, t] * C[j][t]
+            x = -(num / (vn * math.sqrt(cn_acc)))
+            expect = math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
+            assert nd[i, j] == expect, (i, j)
