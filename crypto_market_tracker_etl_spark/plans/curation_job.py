@@ -1,0 +1,176 @@
+"""End-to-end training-data curation pipeline — the curation tier's
+analogue of ``etl_job.py``: one composed plan from raw documents to packed
+training sequences, built entirely from the already-attested operators.
+
+Stages (each independently oracle/pytest-verified elsewhere; this module
+adds the COMPOSITION):
+
+1. **stats** — quality score, language id, token count per document
+   (functions/textstats.py — pure built-ins).
+2. **quality gate** — drop documents below ``quality_min``.
+3. **exact dedup** — keep the lowest-id row per normalized content
+   (operators/dedup.py::exact_dedup; one md5-groupBy shuffle).
+4. **near-dup keep-best** — MinHash → banded LSH candidates (source-
+   blocked) → shingle-Jaccard verify → connected components → keep the
+   LONGEST member per cluster (tie: lowest id). The signature table is
+   persisted across its two consumers and released once the (small)
+   loser set is materialized — the cache-scoping discipline from
+   q_contamination.
+5. **split** — deterministic 80/10/10 train/valid/test by seeded md5 key
+   (same constants as the attested ``hash_split`` query), so reruns and
+   backfills never migrate documents between splits.
+6. **pack** — fixed-capacity sequence packing per (split, source) in
+   deterministic doc_id order (same discipline as ``sequence_packing``).
+
+Scale posture: the corpus passes through ONE quality/dedup funnel of
+narrow scans + the documented shuffles (md5 groupBy, band-key join, one
+window per packing stratum); every small side (cluster labels, losers,
+schedule) broadcasts; no driver collects beyond the loser materialization
+(bounded by duplicate count). At 100 TB each stage is the same plan over
+partitioned inputs.
+
+Reference parity note: the reference repo has no curation pipeline; this
+is the LLM-data-pipeline extension surface composed end-to-end
+(SURVEY.md §2.11) — what a user would actually RUN nightly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.textstats import lang_id, n_tokens, normalize_ws, quality_score
+from ..operators.dedup import (
+    connected_components,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+)
+
+
+@dataclass
+class CurationResult:
+    """Stage outputs (lazy DataFrames) + an eager funnel of stage counts."""
+
+    stats: DataFrame  # doc_id, source, text, quality, lang, n_tok
+    clean: DataFrame  # post quality gate + exact dedup + near-dup keep-best
+    splits: DataFrame  # clean + split
+    packs: DataFrame  # (split, source, pack_id, n_docs, tokens, utilization)
+
+    def funnel(self) -> dict[str, int]:
+        return dict(self._funnel)
+
+    _funnel: list[tuple[str, int]] = None  # set by run_curation
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    quality_min: float = 0.0,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 12,
+    band_size: int = 4,
+    capacity: int = 512,
+    portable: bool = True,
+) -> CurationResult:
+    """Run the full curation funnel over ``docs`` (doc_id, source, text).
+
+    ``portable=True`` keeps every hash md5-based (cross-engine
+    reproducible); production deployments set ``portable=False`` for the
+    xxhash64 fast path (same plans — the measured md5 tax is in
+    BENCH_BASELINE.md)."""
+    t = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang"),
+        n_tokens(t).alias("n_tok"),
+    )
+    gated = stats.filter(F.col("quality") >= quality_min)
+
+    survivors_exact = gated.join(
+        exact_dedup(gated).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    sigs = minhash_signatures(
+        survivors_exact, num_hashes=num_hashes, portable=portable
+    ).persist()
+    try:
+        pairs = lsh_candidate_pairs(
+            sigs,
+            num_hashes=num_hashes,
+            band_size=band_size,
+            blocking_cols=["source"],
+        )
+        nd = (
+            ngram_jaccard(pairs, sigs)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b")
+        )
+        comps = connected_components(nd)
+        lens = survivors_exact.select(
+            F.col("doc_id").alias("node"),
+            F.length(normalize_ws(t)).alias("len"),
+        )
+        best = (
+            comps.join(lens, "node")
+            .groupBy("component")
+            .agg(
+                F.max_by(
+                    F.col("node"),
+                    F.struct(F.col("len"), (-F.col("node")).alias("nn")),
+                ).alias("keep")
+            )
+        )
+        losers = (
+            comps.join(F.broadcast(best), "component")
+            .filter(F.col("node") != F.col("keep"))
+            .select(F.col("node").alias("doc_id"))
+            # eager: materialize the (duplicate-bounded) loser set NOW so
+            # the signature cache can be released before returning
+            .localCheckpoint()
+        )
+    finally:
+        sigs.unpersist()
+    clean = survivors_exact.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    # deterministic split — SAME constants as the attested hash_split query
+    from ..queries_ext2 import _SPLIT_TRAIN, _SPLIT_VALID, SPLIT_SEED
+
+    h = md5_long(F.col("doc_id").cast("string"), seed=SPLIT_SEED, n_hex=6)
+    splits = clean.withColumn(
+        "split",
+        F.when(h < _SPLIT_TRAIN, "train")
+        .when(h < _SPLIT_VALID, "valid")
+        .otherwise("test"),
+    )
+
+    w = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = splits.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("int"),
+    )
+    packs = packed.groupBy("split", "source", "pack_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+        F.round(F.sum("n_tok") / F.lit(float(capacity)), 4).alias("utilization"),
+    )
+
+    result = CurationResult(stats=stats, clean=clean, splits=splits, packs=packs)
+    result._funnel = [
+        ("raw", docs.count()),
+        ("quality", gated.count()),
+        ("exact", survivors_exact.count()),
+        ("clean", clean.count()),
+    ]
+    return result

@@ -1,0 +1,95 @@
+"""End-to-end curation pipeline (plans/curation_job.py): funnel
+monotonicity, stage-level invariants recomputed independently, keep-best
+semantics, split partitioning, packing accounting, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_market_tracker_etl_spark.catalog import load_table
+from crypto_market_tracker_etl_spark.functions.textstats import normalize_ws
+from crypto_market_tracker_etl_spark.plans.curation_job import run_curation
+from tests.conftest import SF_DIR
+
+CAP = 256
+
+
+def _corpus(spark):
+    """documents ∪ exact copies (id+200000) ∪ near-dup copies (id+100000,
+    first two words dropped) — the corpus that exercises every funnel
+    stage."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    near = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.concat_ws(
+            " ",
+            F.expr(
+                "slice(split(text, ' '), 3, greatest(size(split(text, ' ')) - 2, 0))"
+            ),
+        ).alias("text"),
+    )
+    exact = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+    )
+    return docs.unionByName(near).unionByName(exact).repartition(8, "doc_id")
+
+
+def test_curation_funnel_and_invariants(spark):
+    corpus = _corpus(spark)
+    res = run_curation(spark, corpus, capacity=CAP)
+    f = res.funnel()
+    # monotone funnel, and both dedup stages actually removed something
+    assert f["raw"] >= f["quality"] >= f["exact"] > 0
+    assert f["exact"] < f["quality"], "exact copies must collapse"
+    assert f["clean"] < f["exact"], "near-dups must collapse"
+
+    # no two clean docs share normalized content
+    clean = res.clean
+    n_distinct = clean.select(
+        normalize_ws(F.col("text")).alias("t")
+    ).distinct().count()
+    assert n_distinct == f["clean"]
+
+    # keep-best: for every surviving doc of an (orig, mutated) near-dup
+    # pair where the mutated twin was dropped, the survivor is the longer
+    # text — spot-check: no mutated copy (id in [100000, 200000)) may
+    # survive while its original (id-100000) was dropped, because the
+    # original is strictly longer and the keep rule is longest-first
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    originals_dropped = {
+        d - 100000
+        for d in kept
+        if 100000 <= d < 200000 and (d - 100000) not in kept
+    }
+    # any such case would mean the SHORTER mutated copy won — forbidden
+    assert not originals_dropped, originals_dropped
+
+    # splits partition clean exactly
+    split_counts = dict(
+        (r.split, r.n)
+        for r in res.splits.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(split_counts.values()) == f["clean"]
+    assert split_counts.get("train", 0) > split_counts.get(
+        "valid", 0
+    ) and split_counts.get("train", 0) > split_counts.get("test", 0)
+
+    # packing accounting: pack tokens sum to clean tokens; each pack
+    # over-fills by at most one document (the documented one-pass trade)
+    packs = res.packs.collect()
+    total_tokens = res.splits.agg(F.sum("n_tok")).collect()[0][0]
+    assert sum(r.tokens for r in packs) == total_tokens
+    max_doc = res.splits.agg(F.max("n_tok")).collect()[0][0]
+    for r in packs:
+        assert r.tokens <= CAP + max_doc, r
+        assert r.n_docs >= 1
+
+
+def test_curation_is_deterministic(spark):
+    corpus = _corpus(spark)
+    f1 = run_curation(spark, corpus, capacity=CAP).funnel()
+    f2 = run_curation(spark, corpus, capacity=CAP).funnel()
+    assert f1 == f2
