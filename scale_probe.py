@@ -335,10 +335,29 @@ def probe_ann(spark) -> None:
                 emb, q, cents, rcbs, k=3, nprobe=4, rerank=50, residual=True
             ).collect()
             t_ivfadc = time.perf_counter() - t0
+            # the serving path: index once (amortized), probe from the
+            # stored list_id-partitioned codes with partition pruning
+            from crypto_market_tracker_etl_spark.operators.ann_index import (
+                IvfPqIndex,
+            )
+
+            t0 = time.perf_counter()
+            idx = IvfPqIndex.build(
+                spark, f"{tmp}/idx_{n}", emb, k_lists=k_lists
+            )
+            t_build = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            idx.probe(q, k=3, nprobe=4, rerank=50).collect()
+            t_probe1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            idx.probe(q, k=3, nprobe=4, rerank=50).collect()
+            t_probe2 = time.perf_counter() - t0
             line = (
                 f"n={n:,} lists={k_lists}: seed={t_seed:.1f}s "
                 f"pq_full_adc={t_pq:.1f}s ivfpq(nprobe=4)={t_ivfpq:.1f}s "
-                f"ivfadc_residual={t_ivfadc:.1f}s"
+                f"ivfadc_residual={t_ivfadc:.1f}s "
+                f"index_build={t_build:.1f}s index_probe={t_probe1:.1f}/"
+                f"{t_probe2:.1f}s"
             )
             if n == 200_000:
                 rows = emb.collect()
