@@ -200,7 +200,12 @@ def corpus_assign_udf(centroids: list[list[float]], round_scale: int = 4):
     def _f(emb: pd.Series) -> pd.DataFrame:
         V = np_matrix(emb)
         if V.shape[0] == 0:
-            return pd.DataFrame({"list_id": [], "cn": []})
+            return pd.DataFrame(
+                {
+                    "list_id": pd.Series([], dtype="int32"),
+                    "cn": pd.Series([], dtype="float64"),
+                }
+            )
         nd = np_coarse_nd(V, centroids, round_scale)
         return pd.DataFrame(
             {
@@ -222,7 +227,12 @@ def query_probe_udf(
     def _f(emb: pd.Series) -> pd.DataFrame:
         V = np_matrix(emb)
         if V.shape[0] == 0:
-            return pd.DataFrame({"qn": [], "probes": []})
+            return pd.DataFrame(
+                {
+                    "qn": pd.Series([], dtype="float64"),
+                    "probes": pd.Series([], dtype=object),
+                }
+            )
         nd = np_coarse_nd(V, centroids, round_scale)
         probes = np.argsort(nd, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.DataFrame({"qn": np.sqrt(np_sq_norm_seq(V)), "probes": list(probes)})

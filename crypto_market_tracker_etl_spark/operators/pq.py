@@ -18,9 +18,10 @@ Scale shape (the 100 TB story):
   kept as ``vectorized=False``, is ~1000× slower per row and exists for
   oracle-semantics documentation and the bit-equivalence pytest).
 - **ADC is table lookup, not arithmetic**: each query precomputes an
-  ``m × ks`` table of subspace distances (a few KB). The scored relation is
-  ``codes ⨯ broadcast(queries+tables)`` where the per-pair cost is ``m``
-  array lookups + adds — the scan reads only the codes column (m bytes per
+  ``m × ks`` table of subspace distances (a few KB). By default the fused
+  ``_adc_scan`` scores ALL queries inside the same Arrow pass and emits
+  only per-partition top-R partials — the |corpus|×|Q| pair relation never
+  materializes — and the scan reads only the codes column (m bytes per
   vector), so a 100 TB raw corpus probes as a ~3 TB codes scan.
 - **Top-k** is the windowed per-key rank (WindowGroupLimit pushes the
   per-partition heap map-side); output is k·|Q| rows.
@@ -194,7 +195,12 @@ def _coded_corpus_udf(
     def _f(emb: pd.Series) -> pd.DataFrame:
         V = _np_matrix(emb)
         if V.shape[0] == 0:
-            return pd.DataFrame({"codes": [], "list_id": []})
+            return pd.DataFrame(
+                {
+                    "codes": pd.Series([], dtype=object),
+                    "list_id": pd.Series([], dtype="int32"),
+                }
+            )
         lid = _np_coarse_nd(V, centroids).argmin(1)
         base = V - C[lid] if residual else V
         codes = np.empty((V.shape[0], m), dtype=np.int32)
@@ -216,7 +222,12 @@ def _probed_queries_udf(
     def _f(emb: pd.Series) -> pd.DataFrame:
         V = _np_matrix(emb)
         if V.shape[0] == 0:
-            return pd.DataFrame({"qtbl": [], "probes": []})
+            return pd.DataFrame(
+                {
+                    "qtbl": pd.Series([], dtype=object),
+                    "probes": pd.Series([], dtype=object),
+                }
+            )
         tbl = np.stack(
             [_np_sub_dists_int(V, s, codebooks[s]) for s in range(m)], axis=1
         )
