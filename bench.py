@@ -61,6 +61,8 @@ HEADLINE = [
     "tfidf",
     "hash_split",
     "domain_mix",
+    "boilerplate_strip",
+    "cdc_apply",
     "weighted_sample",
     "weighted_sample_stratified",
     "cluster_profile",

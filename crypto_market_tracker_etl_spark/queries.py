@@ -2479,7 +2479,8 @@ ATTESTATION_ORDER: list[str] = [
     "tpch_q14", "tpch_q4",
     # ==== position 51: r4 window starts here =============================
     # -- added after the r3 window was locked (never attested) ------------
-    "knn_pq", "knn_ivfpq", "hash_split", "domain_mix",
+    "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
+    "cdc_apply",
     # -- remaining TPC-H (14) ---------------------------------------------
     "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",

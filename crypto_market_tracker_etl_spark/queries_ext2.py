@@ -10,12 +10,12 @@ dependent sums are rounded at the output boundary only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.hashing import hex_prefix_to_long_sql, md5_long
-from .queries import QueryFn
+from .queries import E_CTE, QueryFn, _events
 from .queries_ext import (
     SQL_NORM,
     SQL_SHINGLES,
@@ -862,6 +862,175 @@ FROM mix m LEFT JOIN sel s USING (source)
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-corpus boilerplate stripping (line-level dedup)
+# --------------------------------------------------------------------------
+
+BOILER_SEG = 4  # tokens per segment (the "line" unit on newline-free text)
+BOILER_MIN_DOCS = 2  # segment is boilerplate if it appears in >= this many docs
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[training-data] Cross-corpus boilerplate removal — line-level dedup in
+    the CCNet/RefinedWeb style: a *segment* that recurs across many distinct
+    documents (nav bars, cookie banners, licence footers) is dropped from
+    every document, and the cleaned text is reassembled in original order.
+    The shipped corpus has no newlines, so the "line" unit is a fixed
+    4-token window of the normalized text — a deterministic segmentation
+    both engines compute identically; on real corpora the splitter is
+    ``split(text, '\\n')`` and the rest of the plan is unchanged.
+
+    Scale shape: (1) narrow per-doc segmentation (posexplode; ~n_tokens/4
+    rows per doc); (2) segment-frequency count keyed on md5(segment) — one
+    shuffle whose key is a fixed-width hash, never the segment text;
+    (3) counts joined back on the same md5 key — at test SF AQE broadcasts
+    the frequency sliver; at corpus scale it degrades gracefully to a
+    co-partitioned shuffle join (no broadcast assumption is baked into the
+    plan); (4) per-doc reassembly via collect_list(struct(pos, seg)) +
+    array_sort, which rides the doc_id partitioning the corpus already has
+    (no extra exchange — asserted in test_plans). Order is restored by the
+    explicit pos sort, not by any implicit collect order (collect_list
+    order is undefined under parallel merge). At 100 TB every stage is the
+    same plan; the only global state is the segment-frequency table, which
+    is exactly the thing this operator exists to compute."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
+    )
+    tok = docs.select("doc_id", F.split("t", " ").alias("toks"))
+    # ceil(size/SEG) segments; slice() clamps the final partial window.
+    segs = tok.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(toks) / {BOILER_SEG}.0) "
+                f"AS INT) - 1), i -> concat_ws(' ', "
+                f"slice(toks, i * {BOILER_SEG} + 1, {BOILER_SEG})))"
+            )
+        ).alias("pos", "seg"),
+    )
+    hashed = segs.withColumn("h", F.md5(F.col("seg")))
+    counts = hashed.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    flagged = hashed.join(counts, "h").withColumn(
+        "boiler", F.col("df") >= BOILER_MIN_DOCS
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boilerplate"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("boiler"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda s: s.seg,
+            ),
+        ).alias("clean_text"),
+    )
+
+
+SQL_BOILERPLATE_STRIP = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tok AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS toks FROM d),
+seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(toks, i * {BOILER_SEG} + 1,
+                                    i * {BOILER_SEG} + {BOILER_SEG}), ' ') AS seg
+  FROM tok,
+       unnest(range(0, CAST(ceil(len(toks) / {BOILER_SEG}.0) AS BIGINT))) AS u(i)
+),
+h AS (SELECT doc_id, pos, seg, md5(seg) AS h FROM seg),
+cnt AS (SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY h),
+fl AS (SELECT doc_id, pos, seg, df >= {BOILER_MIN_DOCS} AS boiler
+       FROM h JOIN cnt USING (h))
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT boiler),
+                '') AS clean_text
+FROM fl GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC changelog compaction (last-op-wins with delete tombstones)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[CDC] Changelog compaction — materialize a keyed table from an
+    insert/update/delete event stream (the Debezium→table / Delta CDF apply
+    step). The events feed is mapped to ops deterministically (signup→I,
+    error→D, click/view/purchase→U); per key the LAST op in (ts, event_id)
+    order wins: a trailing delete tombstones the key (final_value/final_ts
+    NULL, live=false), any later upsert resurrects it. Emitting tombstoned
+    keys with live=false (rather than dropping them) is the merge-friendly
+    output: a downstream MERGE needs the delete keys.
+
+    This extends upsert_keep_latest (no deletes) and scd2 (full history)
+    with the tombstone semantics between them. Plan: ONE shuffle on
+    user_id serves both the row_number window and the groupBy — after the
+    window, the data is already hash-partitioned on user_id, so the
+    aggregate adds no exchange (asserted in test_plans)."""
+    ev = _events(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = ev.select(
+        "user_id", "ts", "event_id", "value", op.alias("op")
+    ).withColumn("rn", F.row_number().over(w))
+    last_op = F.max(F.when(F.col("rn") == 1, F.col("op")))
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
+            last_op.alias("_last_op"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("_lv"),
+            F.max(F.when(F.col("rn") == 1, F.col("ts"))).alias("_lt"),
+        )
+        .select(
+            "user_id",
+            "n_ops",
+            "n_deletes",
+            (F.col("_last_op") != "D").alias("live"),
+            F.when(F.col("_last_op") != "D", F.col("_lv")).alias("final_value"),
+            F.when(F.col("_last_op") != "D", F.col("_lt")).alias("final_ts"),
+        )
+    )
+
+
+SQL_CDC_APPLY = f"""
+WITH {E_CTE},
+c AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error' THEN 'D'
+              ELSE 'U' END AS op
+  FROM e
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM c
+)
+SELECT user_id,
+       count(*) AS n_ops,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       (max(CASE WHEN rn = 1 THEN op END) <> 'D') AS live,
+       CASE WHEN max(CASE WHEN rn = 1 THEN op END) <> 'D'
+            THEN max(CASE WHEN rn = 1 THEN value END) END AS final_value,
+       CASE WHEN max(CASE WHEN rn = 1 THEN op END) <> 'D'
+            THEN max(CASE WHEN rn = 1 THEN ts END) END AS final_ts
+FROM r GROUP BY user_id
+"""
+
+
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -878,4 +1047,6 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "recursive_cte": (q_recursive_cte, _RECURSIVE_BFS_SQL),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
 }

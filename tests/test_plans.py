@@ -392,3 +392,26 @@ def test_knn_ivfpq_list_join_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in s
     assert "SortMergeJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_cdc_apply_single_shuffle(spark):
+    s = plan_of(spark, "cdc_apply")
+    # ONE exchange serves the row_number window AND the per-key aggregate:
+    # after the window the data is already hash-partitioned on user_id, so
+    # the groupBy adds no exchange (and the aggregate reuses the window's
+    # sort — SortAggregate, no re-hash)
+    assert s.count(") Exchange") == 1
+    assert "SortMergeJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_boilerplate_strip_reassembly_rides_doc_partitioning(spark):
+    s = plan_of(spark, "boilerplate_strip")
+    # the per-doc reassembly aggregate must NOT add an exchange: the
+    # flagged-segments stream is still partitioned by doc_id from the
+    # corpus repartition, so only the segment-frequency side moves.
+    # Exchanges: 2× corpus spread (segs consumed by counts + join) and the
+    # count aggregation's shuffle — nothing after the join.
+    assert s.count(") Exchange") <= 3
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
