@@ -20,6 +20,11 @@ parquet files and POSIX filesystem atomicity:
   directories — a consistent cross-partition snapshot, immune to
   concurrent commits (their data lands in new dirs the snapshot never
   references).
+- **Zone maps / data skipping.** Each commit records per-partition min/max
+  for ``stats_cols`` in the manifest (Delta's per-file stats, kept at the
+  partition grain this layout rewrites at); ``read(where={col: (lo, hi)})``
+  prunes partitions whose ranges cannot match BEFORE any file listing,
+  then applies the row filter to the survivors.
 - **Atomic CAS commit.** A writer that merged against version N commits by
   ``os.link``-ing its fully-written temp manifest to ``v{N+1}.json``.
   ``link(2)`` fails with EEXIST if any other writer got there first and is
@@ -59,6 +64,48 @@ from .upsert import dedup_keep_latest, merge_upsert
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
+def _stat_val(v):
+    """JSON-encodable zone-map bound. Numbers/bools pass through (numeric
+    compare at prune time); everything else — timestamps, dates, strings —
+    serializes via str(), whose ISO forms order lexicographically the same
+    as chronologically, which is what makes string-compare pruning sound."""
+    if v is None or isinstance(v, (int, float, bool)):
+        return v
+    return str(v)
+
+
+def _zone_overlaps(entry: dict | None, where: dict[str, tuple]) -> bool:
+    """Can a partition with zone map ``entry`` contain rows matching every
+    (lo, hi) range in ``where``? Missing entry/column ⇒ True (no stats, no
+    pruning). NULL-only columns record [None, None] and are never pruned
+    on that column (a NULL matches no range predicate, but other columns
+    may still prune the partition)."""
+    if not entry:
+        return True
+    cols = entry.get("cols", {})
+    for c, (lo, hi) in where.items():
+        if c not in cols:
+            continue
+        mn, mx = cols[c]
+        if mn is None or mx is None:
+            continue
+        if lo is not None and _stat_lt(mx, lo):
+            return False  # everything in the partition is below the range
+        if hi is not None and _stat_lt(hi, mn):
+            return False  # everything in the partition is above the range
+    return True
+
+
+def _stat_lt(a, b) -> bool:
+    """a < b in the zone-map domain: numeric if both sides are numbers,
+    else string compare on the str() forms (sound for ISO timestamps)."""
+    if isinstance(a, (int, float)) and not isinstance(a, bool) and isinstance(
+        b, (int, float)
+    ) and not isinstance(b, bool):
+        return a < b
+    return str(a) < str(b)
+
+
 class CommitConflictError(RuntimeError):
     """Raised when a writer exhausts its optimistic-concurrency retries."""
 
@@ -87,12 +134,16 @@ class ManifestParquetSink:
         keys: Sequence[str],
         ts_col: str,
         order: Sequence[str] | None = None,
+        stats_cols: Sequence[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.ts_col = ts_col
         self.order = list(order or [ts_col])
+        # zone-map columns: per-partition min/max recorded in the manifest
+        # at commit time (Delta's dataSkippingNumIndexedCols analogue)
+        self.stats_cols = list(stats_cols) if stats_cols is not None else [ts_col]
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -117,15 +168,34 @@ class ManifestParquetSink:
         with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
             return json.load(f)["partitions"]
 
-    def _try_commit(self, base_version: int, partitions: dict[str, str]) -> bool:
+    def _load_stats(self, version: int) -> dict[str, dict]:
+        """Per-partition zone maps for ``version``:
+        {iso_day: {"rows": n, "cols": {col: [min, max]}}}. Manifests written
+        before stats existed (or whose writer used ``stats_cols=[]``) return
+        {} / partial maps — a partition without stats is simply never
+        pruned, so old tables stay readable and correct."""
+        if version == 0:
+            return {}
+        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
+            return json.load(f).get("stats", {})
+
+    def _try_commit(
+        self,
+        base_version: int,
+        partitions: dict[str, str],
+        stats: dict[str, dict] | None = None,
+    ) -> bool:
         """CAS: install ``partitions`` as v{base+1} iff still unclaimed.
         The temp manifest is fsync'd BEFORE the link and the manifest dir
         after it: link(2) is metadata-only, so without the fsync a crash
         could surface a committed v{N}.json with empty/partial bytes
         (delayed allocation) — a bricked table."""
         tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        doc = {"version": base_version + 1, "partitions": partitions}
+        if stats:
+            doc["stats"] = stats
         with open(tmp, "w") as f:
-            json.dump({"version": base_version + 1, "partitions": partitions}, f)
+            json.dump(doc, f)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -141,22 +211,91 @@ class ManifestParquetSink:
         finally:
             os.unlink(tmp)
 
+    # ------------------------------------------------------------ zone maps
+
+    def _collect_stats(self, commit_dir: str) -> dict[str, dict]:
+        """Read back the just-written commit dir and compute per-partition
+        min/max for ``stats_cols`` (+ row counts). One bounded Spark job
+        over the commit's OWN data (touched days only, column-pruned to the
+        stat columns) — the write-side cost of data skipping. Reading the
+        bytes on disk (rather than re-running the merge plan) guarantees
+        the zone maps describe exactly what readers will scan."""
+        if not self.stats_cols:
+            return {}
+        df = self.spark.read.parquet(commit_dir)
+        present = [c for c in self.stats_cols if c in df.columns]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in present:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        out: dict[str, dict] = {}
+        for r in df.groupBy("dt_part").agg(*aggs).collect():
+            cols = {
+                c: [_stat_val(r[f"__min_{c}"]), _stat_val(r[f"__max_{c}"])]
+                for c in present
+            }
+            out[str(r["dt_part"])] = {"rows": r["__rows"], "cols": cols}
+        return out
+
     # ----------------------------------------------------------------- read
 
     def read(
-        self, days: Sequence[str] | None = None, version: int | None = None
+        self,
+        days: Sequence[str] | None = None,
+        version: int | None = None,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, scan its directories.
         ``days`` prunes partitions before Spark lists a single file;
-        ``version`` time-travels to an older snapshot (until vacuumed)."""
-        manifest = self._load_manifest(
-            self.current_version() if version is None else version
-        )
+        ``version`` time-travels to an older snapshot (until vacuumed).
+
+        ``where`` maps column → (lo, hi) inclusive range bounds (either may
+        be None for one-sided). Partitions whose recorded zone map cannot
+        intersect every range are skipped at the MANIFEST level — file
+        skipping before any listing, the Delta/Iceberg data-skipping
+        design — and the row-level filter is then applied to the surviving
+        scan, so the result is exactly the matching rows either way.
+        Partitions without stats (older manifests, unindexed columns) are
+        conservatively scanned, never wrongly pruned."""
+        v = self.current_version() if version is None else version
+        manifest = self._load_manifest(v)
         if days is not None:
             manifest = {d: p for d, p in manifest.items() if d in set(days)}
         if not manifest:
             raise ValueError(f"no partitions to read at {self.path}")
-        return self._scan(manifest)
+        if not where:
+            return self._scan(manifest)
+        stats = self._load_stats(v)
+        kept = {
+            d: p
+            for d, p in manifest.items()
+            if _zone_overlaps(stats.get(d), where)
+        }
+        if kept:
+            df = self._scan(kept)
+        else:  # fully pruned: schema-correct empty result, zero data read
+            df = self._scan(dict([next(iter(manifest.items()))])).filter(
+                F.lit(False)
+            )
+        for c, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
+    def pruned_partitions(
+        self, where: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(scanned_days, skipped_days) for a ``where`` — the observability
+        hook the pruning tests assert against."""
+        v = self.current_version() if version is None else version
+        manifest = self._load_manifest(v)
+        stats = self._load_stats(v)
+        scanned, skipped = [], []
+        for d in sorted(manifest):
+            (scanned if _zone_overlaps(stats.get(d), where) else skipped).append(d)
+        return scanned, skipped
 
     def _scan(self, manifest: dict[str, str]) -> DataFrame:
         """One multi-path parquet scan per referenced COMMIT (not per day:
@@ -221,7 +360,11 @@ class ManifestParquetSink:
                 if name.startswith("dt_part="):
                     day = name[len("dt_part="):]
                     new_manifest[day] = os.path.join("data", commit_id, name)
-            if self._try_commit(base, new_manifest):
+            # zone maps: untouched days keep their old stats; touched days
+            # get fresh ones from the just-written commit
+            new_stats = dict(self._load_stats(base))
+            new_stats.update(self._collect_stats(commit_dir))
+            if self._try_commit(base, new_manifest, new_stats):
                 return base + 1
             # lost the race: orphan this attempt's data (vacuum reclaims it)
         raise CommitConflictError(
@@ -259,7 +402,10 @@ class ManifestParquetSink:
                 for name in os.listdir(commit_dir)
                 if name.startswith("dt_part=")
             }
-            if self._try_commit(base, new_manifest):
+            # compaction rewrites bytes, not values: per-day zone maps are
+            # content-determined, so the base snapshot's stats carry over
+            # (entries the base never had stay absent — and unpruned)
+            if self._try_commit(base, new_manifest, self._load_stats(base)):
                 return base + 1
         return None
 

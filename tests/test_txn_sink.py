@@ -214,3 +214,60 @@ def test_conflict_exhaustion_raises(spark, tmp_path, monkeypatch):
         sink.upsert(
             spark.createDataFrame([("b", DAY1, 1, 2.0)], SCHEMA), max_retries=2
         )
+
+
+def test_zone_map_pruning_skips_partitions(spark, tmp_path):
+    """read(where=) must (a) return exactly the matching rows and (b) skip
+    every partition whose recorded min/max cannot intersect the range —
+    file skipping at the manifest level, before any listing."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["ts", "v"],
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 1.0), ("b", DAY2, 1, 100.0),
+         ("c", dt.datetime(2024, 1, 3, 10), 1, 5.0)], SCHEMA))
+    # value range that only day2 can satisfy
+    scanned, skipped = sink.pruned_partitions({"v": (50.0, None)})
+    assert scanned == ["2024-01-02"]
+    assert skipped == ["2024-01-01", "2024-01-03"]
+    assert {r["k"] for r in sink.read(where={"v": (50.0, None)}).collect()} == {"b"}
+    # ts range pruning via ISO string compare; row filter still applies
+    got = sink.read(where={"ts": ("2024-01-02", "2024-01-02 23:59:59")})
+    assert {r["k"] for r in got.collect()} == {"b"}
+    assert sink.pruned_partitions({"ts": ("2024-01-02", "2024-01-02 23:59:59")})[0] == ["2024-01-02"]
+    # fully pruned range: schema-correct empty, no error
+    empty = sink.read(where={"v": (1000.0, None)})
+    assert empty.count() == 0 and set(empty.columns) >= {"k", "ts", "v"}
+
+
+def test_zone_maps_survive_upsert_and_compact(spark, tmp_path):
+    """Untouched days keep their stats across upserts; touched days get
+    fresh ones; compaction carries the snapshot's stats over unchanged;
+    and a stats-free manifest (pre-zone-map table) is never pruned."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["v"],
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 1.0), ("b", DAY2, 1, 100.0)], SCHEMA))
+    # widen day1's value range; day2 untouched
+    sink.upsert(spark.createDataFrame([("a2", DAY1, 1, 60.0)], SCHEMA))
+    stats = sink._load_stats(sink.current_version())
+    assert stats["2024-01-01"]["cols"]["v"] == [1.0, 60.0]
+    assert stats["2024-01-02"]["cols"]["v"] == [100.0, 100.0]
+    assert stats["2024-01-01"]["rows"] == 2
+    v = sink.compact()
+    assert v is not None
+    assert sink._load_stats(v) == stats  # content-determined, carried over
+    assert sink.pruned_partitions({"v": (50.0, 70.0)})[0] == ["2024-01-01"]
+    # simulate a pre-zone-map manifest: strip the stats key
+    import json as _json
+    mpath = os.path.join(str(tmp_path / "tbl"), "_manifests", f"v{v}.json")
+    doc = _json.load(open(mpath))
+    doc.pop("stats")
+    os.unlink(mpath)
+    _json.dump(doc, open(mpath, "w"))
+    scanned, skipped = sink.pruned_partitions({"v": (1000.0, None)})
+    assert skipped == [] and len(scanned) == 2  # conservative: no pruning
+    assert sink.read(where={"v": (1000.0, None)}).count() == 0  # row filter holds
