@@ -970,38 +970,26 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     output: a downstream MERGE needs the delete keys.
 
     This extends upsert_keep_latest (no deletes) and scd2 (full history)
-    with the tombstone semantics between them. Plan: ONE shuffle on
-    user_id serves both the row_number window and the groupBy — after the
-    window, the data is already hash-partitioned on user_id, so the
-    aggregate adds no exchange (asserted in test_plans)."""
+    with the tombstone semantics between them. Core in operators/cdc.py
+    (shared with the exact streaming twin cdc_apply_stream). Plan: ONE
+    shuffle on user_id serves both the row_number window and the groupBy —
+    after the window, the data is already hash-partitioned on user_id, so
+    the aggregate adds no exchange (asserted in test_plans)."""
+    from .operators.cdc import cdc_compact
+
     ev = _events(spark, sf_dir)
     op = (
         F.when(F.col("event_type") == "signup", "I")
         .when(F.col("event_type") == "error", "D")
         .otherwise("U")
     )
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    ranked = ev.select(
-        "user_id", "ts", "event_id", "value", op.alias("op")
-    ).withColumn("rn", F.row_number().over(w))
-    last_op = F.max(F.when(F.col("rn") == 1, F.col("op")))
-    return (
-        ranked.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ops"),
-            F.sum((F.col("op") == "D").cast("long")).alias("n_deletes"),
-            last_op.alias("_last_op"),
-            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("_lv"),
-            F.max(F.when(F.col("rn") == 1, F.col("ts"))).alias("_lt"),
-        )
-        .select(
-            "user_id",
-            "n_ops",
-            "n_deletes",
-            (F.col("_last_op") != "D").alias("live"),
-            F.when(F.col("_last_op") != "D", F.col("_lv")).alias("final_value"),
-            F.when(F.col("_last_op") != "D", F.col("_lt")).alias("final_ts"),
-        )
+    return cdc_compact(
+        ev.select("user_id", "ts", "event_id", "value", op.alias("op")),
+        key="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        op_col="op",
+        value="value",
     )
 
 
@@ -1013,6 +1001,7 @@ c AS (
               WHEN event_type = 'error' THEN 'D'
               ELSE 'U' END AS op
   FROM e
+  WHERE ts IS NOT NULL  -- missing-data policy mirrored from cdc_compact
 ),
 r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id

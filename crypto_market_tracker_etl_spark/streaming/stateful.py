@@ -321,3 +321,103 @@ def histogram_drift_counts_stream(
     return stream.groupBy(key).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def cdc_apply_stream(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    op_col: str,
+    value: str,
+) -> DataFrame:
+    """Streaming twin of ``operators/cdc.py::cdc_compact`` — changelog
+    compaction maintained across micro-batches. State per key is the argmax
+    row by (ts, id) plus two counters; because that state is a COMMUTATIVE
+    MONOID (max and sum), arrival order across micro-batches cannot change
+    the result: this twin is exact by construction, not just empirically
+    (contrast ewma_stream, whose fold is order-sensitive and can only flag
+    disorder). Pinned equal to the batch operator — including out-of-order
+    delivery — by test_cdc_stream_equals_batch.
+
+    Mirrored missing-data policy: NULL-``ts`` rows are dropped (no position
+    in the op order); a NULL ``value`` on the winning op yields NULL
+    final_value. Emits one row per key per touching micro-batch; the latest
+    emission (highest n_ops) is the current compacted state."""
+    out_schema = T.StructType(
+        [
+            T.StructField(key, stream.schema[key].dataType),
+            T.StructField("n_ops", T.LongType()),
+            T.StructField("n_deletes", T.LongType()),
+            T.StructField("live", T.BooleanType()),
+            T.StructField("final_value", T.DoubleType()),
+            T.StructField("final_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("last_id", T.LongType()),
+            T.StructField("last_op", T.StringType()),
+            T.StructField("last_val", T.DoubleType()),
+            T.StructField("n_ops", T.LongType()),
+            T.StructField("n_deletes", T.LongType()),
+        ]
+    )
+
+    def update(
+        key_tuple: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, last_id, last_op, last_val, n_ops, n_del = state.get
+        else:
+            last_us, last_id, last_op, last_val, n_ops, n_del = (
+                None, None, None, None, 0, 0,
+            )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            tcol = pdf[ts_col]
+            if pd.api.types.is_datetime64_any_dtype(tcol):
+                us = tcol.astype("int64") // 1_000
+            elif pd.api.types.is_integer_dtype(tcol):
+                raise TypeError(
+                    f"{ts_col} must be a timestamp column; integer epochs "
+                    "are ambiguous (s/ms/us) — cast upstream"
+                )
+            else:
+                us = tcol.astype("int64")
+            valid = tcol.notna()
+            for i in pdf.index[valid]:
+                t, eid = int(us[i]), int(pdf[id_col][i])
+                o = str(pdf[op_col][i])
+                n_ops += 1
+                if o == "D":
+                    n_del += 1
+                if last_us is None or (t, eid) > (last_us, last_id):
+                    v = pdf[value][i]
+                    last_us, last_id, last_op = t, eid, o
+                    last_val = None if pd.isna(v) else float(v)
+        if n_ops == 0:
+            # every row for this key so far was NULL-ts (all dropped): the
+            # batch twin emits no row for such a key, so neither do we —
+            # and we leave no state behind
+            return
+        state.update((last_us, last_id, last_op, last_val, n_ops, n_del))
+        live = last_op is not None and last_op != "D"
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_ops": [n_ops],
+                "n_deletes": [n_del],
+                "live": [live],
+                "final_value": [last_val if live else None],
+                "final_ts": [
+                    pd.Timestamp(last_us, unit="us") if live else pd.NaT
+                ],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -583,3 +583,84 @@ def test_stream_static_contamination_join(spark, tmp_path):
     assert set(k[0] for k in got) == {1, 3}
     assert got[(1, 100)] >= 2  # shares several trigrams
     assert (4, 100) not in got
+
+
+def test_cdc_stream_equals_batch(spark, tmp_path):
+    """cdc_apply_stream's compacted state must equal cdc_compact exactly —
+    across micro-batches, with DELIBERATELY out-of-order delivery (the
+    state is a commutative monoid, so disorder must not matter), a delete→
+    resurrect sequence, a trailing tombstone, a NULL value on the winning
+    op, and NULL-ts rows dropped by both sides."""
+    import datetime as dt
+
+    from crypto_market_tracker_etl_spark.operators.cdc import cdc_compact
+    from crypto_market_tracker_etl_spark.streaming.stateful import (
+        cdc_apply_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def r(uid, sec, eid, op, v):
+        return (uid, t0 + dt.timedelta(seconds=sec), eid, op, v)
+
+    rows = [
+        r(1, 10, 100, "I", 1.0),   # u1: plain insert→update
+        r(1, 20, 101, "U", 2.0),
+        r(2, 10, 200, "I", 5.0),   # u2: delete then RESURRECT
+        r(2, 20, 201, "D", None),
+        r(2, 30, 202, "I", 7.0),
+        r(3, 10, 300, "I", 9.0),   # u3: trailing tombstone
+        r(3, 20, 301, "D", None),
+        r(4, 10, 400, "I", None),  # u4: NULL value on the winning op
+        (5, None, 500, "I", 3.0),  # u5: only a NULL-ts row → absent
+        (1, None, 102, "U", 99.0),  # NULL-ts never wins for u1 either
+    ]
+    schema = "user_id long, ts timestamp, event_id long, op string, value double"
+    batch_df = spark.createDataFrame(rows, schema)
+    expected = {
+        row["user_id"]: row
+        for row in cdc_compact(
+            batch_df, "user_id", "ts", "event_id", "op", "value"
+        ).collect()
+    }
+    assert set(expected) == {1, 2, 3, 4}
+    assert expected[2]["live"] and expected[2]["final_value"] == 7.0
+    assert not expected[3]["live"] and expected[3]["final_value"] is None
+    assert expected[4]["live"] and expected[4]["final_value"] is None
+
+    # two micro-batches in REVERSED time order: later ops arrive first
+    src = str(tmp_path / "cdc_src")
+    later = [x for x in rows if x[1] is not None and x[1].second >= 20]
+    earlier = [x for x in rows if x not in later]
+    spark.createDataFrame(later, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(earlier, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = str(tmp_path / "cdc_out")
+    _drain_to_parquet(
+        cdc_apply_stream(stream, "user_id", "ts", "event_id", "op", "value"),
+        out,
+        str(tmp_path / "cdc_ck"),
+    )
+    import pandas as pd
+
+    emitted = spark.read.parquet(out).toPandas()
+    # latest emission per key (highest n_ops) is the compacted state
+    final = emitted.sort_values("n_ops").groupby("user_id").tail(1)
+    assert set(final["user_id"]) == set(expected)
+    for _, row in final.iterrows():
+        exp = expected[row["user_id"]]
+        assert row["n_ops"] == exp["n_ops"], row["user_id"]
+        assert row["n_deletes"] == exp["n_deletes"]
+        assert row["live"] == exp["live"]
+        if exp["final_value"] is None:
+            assert pd.isna(row["final_value"])
+        else:
+            assert row["final_value"] == exp["final_value"]
+        if exp["final_ts"] is None:
+            assert pd.isna(row["final_ts"])
+        else:
+            assert pd.Timestamp(exp["final_ts"]) == row["final_ts"]
