@@ -214,12 +214,15 @@ class ManifestParquetSink:
     # ------------------------------------------------------------ zone maps
 
     def _collect_stats(self, commit_dir: str) -> dict[str, dict]:
-        """Read back the just-written commit dir and compute per-partition
-        min/max for ``stats_cols`` (+ row counts). One bounded Spark job
-        over the commit's OWN data (touched days only, column-pruned to the
-        stat columns) — the write-side cost of data skipping. Reading the
-        bytes on disk (rather than re-running the merge plan) guarantees
-        the zone maps describe exactly what readers will scan."""
+        """Read back the just-written commit dir and compute zone maps at
+        BOTH grains: per-partition min/max for ``stats_cols`` (+ row
+        counts), and per-FILE min/max nested under ``files`` — the grain
+        that makes skipping effective once ``compact(cluster_by=...)`` has
+        made file ranges disjoint. One bounded Spark job over the commit's
+        OWN data (touched days only, column-pruned to the stat columns) —
+        the write-side cost of data skipping. Reading the bytes on disk
+        (rather than re-running the merge plan) guarantees the zone maps
+        describe exactly what readers will scan."""
         if not self.stats_cols:
             return {}
         df = self.spark.read.parquet(commit_dir)
@@ -228,13 +231,33 @@ class ManifestParquetSink:
         for c in present:
             aggs.append(F.min(c).alias(f"__min_{c}"))
             aggs.append(F.max(c).alias(f"__max_{c}"))
+        per_file = (
+            df.withColumn("__file", F.input_file_name())
+            .groupBy("dt_part", "__file")
+            .agg(*aggs)
+            .collect()
+        )
         out: dict[str, dict] = {}
-        for r in df.groupBy("dt_part").agg(*aggs).collect():
+        for r in per_file:
             cols = {
                 c: [_stat_val(r[f"__min_{c}"]), _stat_val(r[f"__max_{c}"])]
                 for c in present
             }
-            out[str(r["dt_part"])] = {"rows": r["__rows"], "cols": cols}
+            day = out.setdefault(
+                str(r["dt_part"]),
+                {"rows": 0, "cols": {c: [None, None] for c in present}, "files": {}},
+            )
+            fname = os.path.basename(r["__file"])
+            day["files"][fname] = {"rows": r["__rows"], "cols": cols}
+            day["rows"] += r["__rows"]
+            for c in present:  # partition rollup = union of its file ranges
+                mn, mx = day["cols"][c]
+                fmn, fmx = cols[c]
+                if fmn is not None and (mn is None or _stat_lt(fmn, mn)):
+                    mn = fmn
+                if fmx is not None and (mx is None or _stat_lt(mx, fmx)):
+                    mx = fmx
+                day["cols"][c] = [mn, mx]
         return out
 
     # ----------------------------------------------------------------- read
@@ -266,13 +289,26 @@ class ManifestParquetSink:
         if not where:
             return self._scan(manifest)
         stats = self._load_stats(v)
-        kept = {
-            d: p
-            for d, p in manifest.items()
-            if _zone_overlaps(stats.get(d), where)
-        }
-        if kept:
-            df = self._scan(kept)
+        # two-level prune: partitions first, then individual files within a
+        # surviving partition (effective once compact(cluster_by=...) has
+        # made per-file ranges disjoint)
+        paths: list[str] = []
+        for d, rel in manifest.items():
+            entry = stats.get(d)
+            if not _zone_overlaps(entry, where):
+                continue
+            files = (entry or {}).get("files")
+            if files:
+                kept_files = [
+                    f for f, fst in files.items() if _zone_overlaps(fst, where)
+                ]
+                paths.extend(
+                    os.path.join(self.path, rel, f) for f in sorted(kept_files)
+                )
+            else:  # no file grain recorded: scan the whole partition dir
+                paths.append(os.path.join(self.path, rel))
+        if paths:
+            df = self._scan_paths(paths)
         else:  # fully pruned: schema-correct empty result, zero data read
             df = self._scan(dict([next(iter(manifest.items()))])).filter(
                 F.lit(False)
@@ -296,6 +332,39 @@ class ManifestParquetSink:
         for d in sorted(manifest):
             (scanned if _zone_overlaps(stats.get(d), where) else skipped).append(d)
         return scanned, skipped
+
+    def pruned_files(
+        self, where: dict[str, tuple], version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(scanned, skipped) as ``day/filename`` entries — the file-grain
+        counterpart of ``pruned_partitions``. A file in a skipped PARTITION
+        counts as skipped; a partition without file stats contributes its
+        files as scanned (conservative)."""
+        v = self.current_version() if version is None else version
+        manifest = self._load_manifest(v)
+        stats = self._load_stats(v)
+        scanned, skipped = [], []
+        for d in sorted(manifest):
+            entry = stats.get(d)
+            files = sorted(((entry or {}).get("files") or {}).items())
+            day_ok = _zone_overlaps(entry, where)
+            for f, fst in files:
+                ok = day_ok and _zone_overlaps(fst, where)
+                (scanned if ok else skipped).append(f"{d}/{f}")
+        return scanned, skipped
+
+    def _scan_paths(self, paths: Sequence[str]) -> DataFrame:
+        """Like ``_scan`` but over explicit file/dir paths (the file-pruned
+        read), still one multi-path scan per referenced commit."""
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            rel = os.path.relpath(p, self.path)
+            groups.setdefault(rel.split(os.sep)[1], []).append(p)
+        scans = [
+            self.spark.read.option("mergeSchema", "true").parquet(*ps)
+            for ps in groups.values()
+        ]
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), scans)
 
     def _scan(self, manifest: dict[str, str]) -> DataFrame:
         """One multi-path parquet scan per referenced COMMIT (not per day:
@@ -374,7 +443,10 @@ class ManifestParquetSink:
     # -------------------------------------------------------------- compact
 
     def compact(
-        self, max_records_per_file: int = 1_000_000, max_retries: int = 2
+        self,
+        max_records_per_file: int = 1_000_000,
+        max_retries: int = 2,
+        cluster_by: Sequence[str] | None = None,
     ) -> int | None:
         """Fold every partition's accumulated small files into one fresh
         commit (each upsert leaves its own files; scan-task count grows
@@ -382,18 +454,35 @@ class ManifestParquetSink:
         concurrent upsert wins the race, retry against its snapshot; the
         table is never wrong in the meantime, merely un-compacted, so
         exhausting retries returns None instead of raising — callers
-        re-run compaction off-peak. Returns the committed version."""
+        re-run compaction off-peak. Returns the committed version.
+
+        ``cluster_by`` sorts rows within each partition by the given
+        columns before writing — with ``max_records_per_file`` splitting
+        the output, consecutive files then hold DISJOINT ranges of the
+        cluster columns, which is what turns the per-file zone maps into
+        an effective index (the Delta OPTIMIZE ZORDER idea, at linear sort
+        cost for the single-column case).
+
+        Zone maps are recomputed from the rewritten bytes, never carried
+        over: file-grain stats name physical files, and compaction just
+        replaced all of them — stale names would point reads at files that
+        no longer exist. (The recompute is one column-pruned scan of data
+        this job already rewrote.)"""
         for _ in range(max_retries + 1):
             base = self.current_version()
             if base == 0:
                 return None
             commit_id = uuid.uuid4().hex
             commit_dir = os.path.join(self._data_dir, commit_id)
-            (
+            staged = (
                 self.read(version=base)
                 .withColumn("dt_part", F.col("dt"))
                 .repartition("dt_part")
-                .write.option("maxRecordsPerFile", max_records_per_file)
+            )
+            if cluster_by:
+                staged = staged.sortWithinPartitions("dt_part", *cluster_by)
+            (
+                staged.write.option("maxRecordsPerFile", max_records_per_file)
                 .partitionBy("dt_part")
                 .parquet(commit_dir)
             )
@@ -402,10 +491,9 @@ class ManifestParquetSink:
                 for name in os.listdir(commit_dir)
                 if name.startswith("dt_part=")
             }
-            # compaction rewrites bytes, not values: per-day zone maps are
-            # content-determined, so the base snapshot's stats carry over
-            # (entries the base never had stay absent — and unpruned)
-            if self._try_commit(base, new_manifest, self._load_stats(base)):
+            if self._try_commit(
+                base, new_manifest, self._collect_stats(commit_dir)
+            ):
                 return base + 1
         return None
 

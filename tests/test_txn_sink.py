@@ -259,7 +259,16 @@ def test_zone_maps_survive_upsert_and_compact(spark, tmp_path):
     assert stats["2024-01-01"]["rows"] == 2
     v = sink.compact()
     assert v is not None
-    assert sink._load_stats(v) == stats  # content-determined, carried over
+    # recomputed from the rewritten bytes: partition-grain values are
+    # content-determined (equal), file-grain entries name the NEW files
+    after = sink._load_stats(v)
+    manifest = sink._load_manifest(v)
+    for day in stats:
+        assert after[day]["cols"] == stats[day]["cols"]
+        assert after[day]["rows"] == stats[day]["rows"]
+        day_dir = os.path.join(str(tmp_path / "tbl"), manifest[day])
+        on_disk = set(os.listdir(day_dir))
+        assert set(after[day]["files"]) <= on_disk  # no stale file names
     assert sink.pruned_partitions({"v": (50.0, 70.0)})[0] == ["2024-01-01"]
     # simulate a pre-zone-map manifest: strip the stats key
     import json as _json
@@ -271,3 +280,31 @@ def test_zone_maps_survive_upsert_and_compact(spark, tmp_path):
     scanned, skipped = sink.pruned_partitions({"v": (1000.0, None)})
     assert skipped == [] and len(scanned) == 2  # conservative: no pruning
     assert sink.read(where={"v": (1000.0, None)}).count() == 0  # row filter holds
+
+
+def test_cluster_by_compaction_enables_file_skipping(spark, tmp_path):
+    """compact(cluster_by=['v'], small max_records_per_file) must produce
+    multiple files per partition with DISJOINT v ranges, and read(where=)
+    must then skip most files while returning exactly the matching rows."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["v"],
+    )
+    rows = [(f"k{i}", DAY1, 1, float(i)) for i in range(200)]
+    sink.upsert(spark.createDataFrame(rows, SCHEMA))
+    v = sink.compact(max_records_per_file=50, cluster_by=["v"])
+    assert v is not None
+    stats = sink._load_stats(v)
+    files = stats["2024-01-01"]["files"]
+    assert len(files) >= 4  # 200 rows / 50 per file
+    # disjoint, ordered ranges: sort by min and check no overlap
+    ranges = sorted(f["cols"]["v"] for f in files.values())
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    scanned, skipped = sink.pruned_files({"v": (160.0, None)})
+    assert len(scanned) == 1 and len(skipped) >= 3, (scanned, skipped)
+    got = sorted(r["v"] for r in sink.read(where={"v": (160.0, None)}).collect())
+    assert got == [float(i) for i in range(160, 200)]
+    # an upsert after clustering still reads correctly end-to-end
+    sink.upsert(spark.createDataFrame([("k5", DAY1, 2, 500.0)], SCHEMA))
+    assert {r["k"] for r in sink.read(where={"v": (400.0, None)}).collect()} == {"k5"}
