@@ -456,6 +456,82 @@ def probe_sinks(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_skipping(spark) -> None:
+    """Zone-map data-skipping probe: does cluster-by compaction + per-file
+    stats actually cut selective-read latency, and by how much? Build a
+    5M-row/30-day manifest table, then time a ~1%-selectivity value-range
+    read three ways: (a) full scan + filter (the no-stats baseline),
+    (b) zone-map read before clustering (file ranges all overlap — stats
+    exist but cannot prune), (c) after compact(cluster_by=['v']) (disjoint
+    per-file ranges — most files skipped). Prints; numbers are
+    hand-recorded into SCALE.md's analysis."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+
+    root = tempfile.mkdtemp(prefix="skip_probe_")
+    try:
+        sink = ManifestParquetSink(
+            spark,
+            os.path.join(root, "tbl"),
+            keys=["k"],
+            ts_col="ts",
+            stats_cols=["v"],
+        )
+        n = 5_000_000
+        batch = spark.range(n).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.pmod(F.xxhash64("id"), F.lit(30 * 1440)))
+            ).alias("ts"),
+            F.rand(11).alias("v"),
+        )
+        t0 = time.perf_counter()
+        sink.upsert(batch)
+        print(f"skip: build {n/1e6:.0f}M/30d {time.perf_counter()-t0:.1f}s", flush=True)
+        where = {"v": (0.99, None)}  # ~1% of rows
+
+        def min2(thunk):
+            """min of 2 runs: the first pays page-cache/codegen warmup,
+            which otherwise penalizes whichever read is timed first."""
+            times, out = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = thunk()
+                times.append(time.perf_counter() - t0)
+            return min(times), out
+
+        def timed(label):
+            dt, cnt = min2(lambda: sink.read(where=where).count())
+            sc, sk = sink.pruned_files(where)
+            dt_full, full = min2(
+                lambda: sink.read().filter(F.col("v") >= 0.99).count()
+            )
+            assert cnt == full, (cnt, full)
+            print(
+                f"skip[{label}]: zone-map read {dt:.2f}s "
+                f"(files {len(sc)} scanned / {len(sk)} skipped), "
+                f"full-scan+filter {dt_full:.2f}s, rows {cnt}",
+                flush=True,
+            )
+
+        timed("pre-compact")
+        t0 = time.perf_counter()
+        sink.compact(max_records_per_file=25_000)
+        print(f"skip: plain compact {time.perf_counter()-t0:.1f}s", flush=True)
+        timed("compacted-unclustered")
+        t0 = time.perf_counter()
+        sink.compact(max_records_per_file=25_000, cluster_by=["v"])
+        print(f"skip: cluster-by compact {time.perf_counter()-t0:.1f}s", flush=True)
+        timed("clustered")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _splice_probe_section(body: str) -> None:
     """Replace the marker-delimited probe block of SCALE.md, preserving the
     hand-written analysis sections outside it."""
@@ -501,6 +577,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_ANN"):
         probe_ann(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_SKIP"):
+        probe_skipping(spark)
         spark.stop()
         return
     rows = []
