@@ -225,6 +225,12 @@ class ManifestParquetSink:
         describe exactly what readers will scan."""
         if not self.stats_cols:
             return {}
+        if not any(
+            name.startswith("dt_part=") for name in os.listdir(commit_dir)
+        ):
+            return {}  # zero-row commit (e.g. a delete emptied every
+            # touched day): nothing to describe, and an empty dir has no
+            # schema to infer
         df = self.spark.read.parquet(commit_dir)
         present = [c for c in self.stats_cols if c in df.columns]
         aggs = [F.count(F.lit(1)).alias("__rows")]
@@ -445,6 +451,124 @@ class ManifestParquetSink:
             # lost the race: orphan this attempt's data (vacuum reclaims it)
         raise CommitConflictError(
             f"upsert lost the manifest CAS {max_retries + 1} times at {self.path}"
+        )
+
+    # --------------------------------------------------------------- delete
+
+    def delete(self, batch: DataFrame, max_retries: int = 8) -> int:
+        """Keyed MERGE DELETE: remove ``batch``'s keys from the table;
+        returns the committed version (unchanged if no key was present).
+        The batch must carry ``ts_col`` — the key's day locates which
+        partitions to rewrite (same partition-local contract as upsert:
+        only touched days are read and rewritten). A day whose every key
+        is deleted drops out of the manifest entirely. With ``changes``
+        this completes the I/U/D surface: deletes appear as _op='D'."""
+        batch = batch.withColumn("dt", F.to_date(self.ts_col).cast("string"))
+        batch = batch.localCheckpoint(eager=True)
+        days = [r["dt"] for r in batch.select("dt").distinct().collect()]
+        if None in days:
+            raise ValueError(
+                f"delete batch contains NULL {self.ts_col} rows; a NULL day "
+                "cannot locate a partition — filter or repair them upstream"
+            )
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            manifest = self._load_manifest(base)
+            touched = {d: manifest[d] for d in days if d in manifest}
+            if not touched:
+                return base  # none of the keys' days exist: nothing to do
+            remaining = self._scan(touched).join(
+                batch.select(*self.keys).distinct(), self.keys, "left_anti"
+            )
+            commit_id = uuid.uuid4().hex
+            commit_dir = os.path.join(self._data_dir, commit_id)
+            (
+                remaining.withColumn("dt_part", F.col("dt"))
+                .repartition("dt_part")
+                .write.partitionBy("dt_part")
+                .parquet(commit_dir)
+            )
+            new_manifest = dict(manifest)
+            new_stats = dict(self._load_stats(base))
+            for d in touched:  # emptied days vanish; survivors repoint below
+                new_manifest.pop(d, None)
+                new_stats.pop(d, None)
+            for name in os.listdir(commit_dir):
+                if name.startswith("dt_part="):
+                    day = name[len("dt_part="):]
+                    new_manifest[day] = os.path.join("data", commit_id, name)
+            new_stats.update(self._collect_stats(commit_dir))
+            if self._try_commit(base, new_manifest, new_stats):
+                return base + 1
+        raise CommitConflictError(
+            f"delete lost the manifest CAS {max_retries + 1} times at {self.path}"
+        )
+
+    # -------------------------------------------------------------- changes
+
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDF-style keyed diff between two snapshots (Delta's Change Data
+        Feed read surface, derived instead of logged): one row per key
+        whose state differs, with ``_op`` ∈ I/U/D and the key's NEW column
+        values (NULL for D). Feed it to ``operators/cdc.py`` consumers or a
+        downstream MERGE; test_changes_roundtrip pins the defining
+        property — applying changes(v1, v2) onto snapshot v1 reproduces
+        snapshot v2 exactly.
+
+        Cost is bounded by the MANIFEST DIFF, not the table: a day whose
+        manifest entry is identical in both versions points at the same
+        immutable data dir, hence is bit-identical and never read; only
+        repointed/added/removed days are scanned on either side. A daily
+        upsert into a 10-year table diffs one day, not 3 650.
+
+        Contract (both sinks share it): a key's day must be stable — the
+        partition date derives from an event time that identifies the key
+        (the reference's (asset, day) shape), not from a mutable
+        attribute. A key whose day changed would be duplicated by the
+        partition-local MERGE itself; ``changes`` would then see it twice.
+        """
+        to_version = self.current_version() if to_version is None else to_version
+        old_m = self._load_manifest(from_version)
+        new_m = self._load_manifest(to_version)
+        if not old_m and not new_m:
+            raise ValueError(f"both versions are empty at {self.path}")
+        changed = sorted(
+            d
+            for d in set(old_m) | set(new_m)
+            if old_m.get(d) != new_m.get(d)
+        )
+        old_part = {d: old_m[d] for d in changed if d in old_m}
+        new_part = {d: new_m[d] for d in changed if d in new_m}
+        if not new_part and not old_part:
+            # no day repointed: empty diff with the full change schema
+            base = self._scan(new_m or old_m).filter(F.lit(False))
+            return base.withColumn("_op", F.lit(None).cast("string"))
+        some = self._scan(new_part or old_part)
+        cols = [c for c in some.columns if c not in self.keys]
+        empty = some.filter(F.lit(False))
+        old_df = self._scan(old_part) if old_part else empty
+        new_df = self._scan(new_part) if new_part else empty
+        o = old_df.select(*self.keys, F.struct(*cols).alias("_old"))
+        n = new_df.select(*self.keys, F.struct(*cols).alias("_new"))
+        diff = o.join(n, self.keys, "full_outer").filter(
+            # I: key only in new; D: only in old; U: value struct changed.
+            # eqNullSafe keeps NULL-field flips (a column set to NULL) as
+            # a real update instead of comparing NULL = NULL → unknown.
+            F.col("_new").isNull()
+            | F.col("_old").isNull()
+            | ~F.col("_old").eqNullSafe(F.col("_new"))
+        )
+        op = (
+            F.when(F.col("_old").isNull(), "I")
+            .when(F.col("_new").isNull(), "D")
+            .otherwise("U")
+        )
+        return diff.select(
+            *self.keys,
+            *[F.col(f"_new.{c}").alias(c) for c in cols],
+            op.alias("_op"),
         )
 
     # -------------------------------------------------------------- compact

@@ -308,3 +308,62 @@ def test_cluster_by_compaction_enables_file_skipping(spark, tmp_path):
     # an upsert after clustering still reads correctly end-to-end
     sink.upsert(spark.createDataFrame([("k5", DAY1, 2, 500.0)], SCHEMA))
     assert {r["k"] for r in sink.read(where={"v": (400.0, None)}).collect()} == {"k5"}
+
+
+DAY3 = dt.datetime(2024, 1, 3, 10)
+
+
+def test_delete_and_changes_roundtrip(spark, tmp_path):
+    """changes(v1, v2) must emit exactly the keyed I/U/D diff, read ONLY
+    repointed partitions (manifest-diff pruning), and satisfy the defining
+    CDF property: snapshot v1 + changes = snapshot v2."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 1.0), ("b", DAY2, 1, 2.0), ("x", DAY3, 1, 9.0)], SCHEMA))
+    v1 = sink.current_version()
+    sink.upsert(spark.createDataFrame(
+        [("b", DAY2, 2, 20.0), ("c", DAY2, 1, 3.0)], SCHEMA))
+    sink.delete(spark.createDataFrame([("x", DAY3, 1, 0.0)], SCHEMA))
+    v2 = sink.current_version()
+
+    ch = sink.changes(v1, v2)
+    got = {r["k"]: r for r in ch.collect()}
+    assert {k: r["_op"] for k, r in got.items()} == {"b": "U", "c": "I", "x": "D"}
+    assert got["b"]["v"] == 20.0 and got["c"]["v"] == 3.0
+    assert got["x"]["v"] is None  # D rows carry NULL new-values
+
+    # manifest-diff pruning: day1 was never repointed → its files unread
+    files = ch.inputFiles()
+    assert files and not any("dt_part=2024-01-01" in f for f in files)
+    assert any("dt_part=2024-01-02" in f for f in files)
+    assert any("dt_part=2024-01-03" in f for f in files)
+
+    # roundtrip: v1 ⊕ changes == v2
+    old = sink.read(version=v1)
+    keys_changed = ch.select("k").distinct()
+    applied = old.join(keys_changed, "k", "left_anti").unionByName(
+        ch.filter(F.col("_op") != "D").drop("_op")
+    )
+    lhs = sorted(map(tuple, applied.select("k", "ts", "ver", "v", "dt").collect()))
+    rhs = sorted(map(tuple, sink.read(version=v2).select("k", "ts", "ver", "v", "dt").collect()))
+    assert lhs == rhs
+
+    # a fully-emptied day drops out of the manifest
+    sink.delete(spark.createDataFrame([("a", DAY1, 1, 0.0)], SCHEMA))
+    assert "2024-01-01" not in sink._load_manifest(sink.current_version())
+    assert "2024-01-01" not in sink._load_stats(sink.current_version())
+    # deleting an absent key is a no-op commit-wise
+    v_before = sink.current_version()
+    assert sink.delete(spark.createDataFrame([("zz", DAY3 + dt.timedelta(days=5), 1, 0.0)], SCHEMA)) == v_before
+
+
+def test_changes_empty_diff_and_compact_noise(spark, tmp_path):
+    """No repointed day → empty diff without reading anything; a compact
+    repoints every day but changes() still reports zero row diffs."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    v1 = sink.current_version()
+    assert sink.changes(v1, v1).count() == 0
+    v2 = sink.compact()
+    assert v2 is not None
+    assert sink.changes(v1, v2).count() == 0  # rewritten bytes, same values
