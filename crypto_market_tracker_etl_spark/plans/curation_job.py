@@ -76,13 +76,32 @@ def run_curation(
     band_size: int = 4,
     capacity: int = 512,
     portable: bool = True,
+    boilerplate_min_docs: int | None = None,
 ) -> CurationResult:
     """Run the full curation funnel over ``docs`` (doc_id, source, text).
 
     ``portable=True`` keeps every hash md5-based (cross-engine
     reproducible); production deployments set ``portable=False`` for the
     xxhash64 fast path (same plans — the measured md5 tax is in
-    BENCH_BASELINE.md)."""
+    BENCH_BASELINE.md).
+
+    ``boilerplate_min_docs`` enables stage 0: cross-corpus boilerplate
+    stripping (operators/boilerplate.py, the attested boilerplate_strip
+    semantics) BEFORE quality scoring — boilerplate inflates length and
+    stopword signals, so real pipelines strip first and score what
+    remains. Documents stripped to nothing fall out at the quality gate."""
+    if boilerplate_min_docs is not None:
+        from ..operators.boilerplate import boilerplate_table
+
+        normed = docs.select(
+            "doc_id", "source", normalize_ws(F.col("text")).alias("text")
+        )
+        docs = normed.drop("text").join(
+            boilerplate_table(normed, min_docs=boilerplate_min_docs).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
     t = F.col("text")
     stats = docs.select(
         "doc_id",

@@ -893,41 +893,14 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is undefined under parallel merge). At 100 TB every stage is the
     same plan; the only global state is the segment-frequency table, which
     is exactly the thing this operator exists to compute."""
+    from .operators.boilerplate import boilerplate_table
+
     docs = _documents(spark, sf_dir).select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t"),
     )
-    tok = docs.select("doc_id", F.split("t", " ").alias("toks"))
-    # ceil(size/SEG) segments; slice() clamps the final partial window.
-    segs = tok.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST(ceil(size(toks) / {BOILER_SEG}.0) "
-                f"AS INT) - 1), i -> concat_ws(' ', "
-                f"slice(toks, i * {BOILER_SEG} + 1, {BOILER_SEG})))"
-            )
-        ).alias("pos", "seg"),
-    )
-    hashed = segs.withColumn("h", F.md5(F.col("seg")))
-    counts = hashed.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
-    flagged = hashed.join(counts, "h").withColumn(
-        "boiler", F.col("df") >= BOILER_MIN_DOCS
-    )
-    return flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.col("boiler").cast("long")).alias("n_boilerplate"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~F.col("boiler"), F.struct("pos", "seg"))
-                    )
-                ),
-                lambda s: s.seg,
-            ),
-        ).alias("clean_text"),
+    return boilerplate_table(
+        docs, text_col="t", seg_len=BOILER_SEG, min_docs=BOILER_MIN_DOCS
     )
 
 

@@ -93,3 +93,55 @@ def test_curation_is_deterministic(spark):
     f1 = run_curation(spark, corpus, capacity=CAP).funnel()
     f2 = run_curation(spark, corpus, capacity=CAP).funnel()
     assert f1 == f2
+
+
+def test_boilerplate_reassembly_identity(spark):
+    """With min_docs above any possible document frequency, NOTHING is
+    boilerplate — so clean_text must equal the normalized input exactly.
+    This pins the order-restoration path (pos-sorted reassembly) against
+    the whole real corpus, not a toy example."""
+    from crypto_market_tracker_etl_spark.operators.boilerplate import (
+        boilerplate_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", normalize_ws(F.col("text")).alias("text")
+    )
+    out = boilerplate_table(docs, min_docs=10**9)
+    joined = docs.join(out, "doc_id")
+    assert joined.count() == docs.count()
+    assert joined.filter(F.col("n_boilerplate") != 0).count() == 0
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+
+
+def test_curation_with_boilerplate_stage(spark):
+    """Stage 0 strips before scoring: with exact copies in the corpus every
+    segment of a copied doc recurs (df >= 2), so stripped docs lose text
+    relative to the no-stage run, and the funnel still holds."""
+    from crypto_market_tracker_etl_spark.operators.boilerplate import (
+        boilerplate_table,
+    )
+
+    corpus = _corpus(spark)
+    res = run_curation(
+        spark, corpus, quality_min=0.3, capacity=CAP, boilerplate_min_docs=2
+    )
+    funnel = res.funnel()
+    assert funnel["raw"] >= funnel["quality"] >= funnel["exact"] >= funnel["clean"]
+    # the stage is the operator, not a reimplementation: stats.text must
+    # equal boilerplate_table's clean_text on the same normalized corpus
+    normed = corpus.select(
+        "doc_id", "source", normalize_ws(F.col("text")).alias("text")
+    )
+    expect = boilerplate_table(normed, min_docs=2).select(
+        "doc_id", F.col("clean_text").alias("expect")
+    )
+    diff = (
+        res.stats.select("doc_id", "text")
+        .join(expect, "doc_id")
+        .filter(F.col("text") != F.col("expect"))
+    )
+    assert diff.count() == 0
+    # exact copies make every original+copy segment recur: those docs are
+    # stripped to empty and cannot pass a positive quality gate
+    assert funnel["quality"] < funnel["raw"]
