@@ -65,12 +65,19 @@ _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
 def _stat_val(v):
-    """JSON-encodable zone-map bound. Numbers/bools pass through (numeric
-    compare at prune time); everything else — timestamps, dates, strings —
-    serializes via str(), whose ISO forms order lexicographically the same
-    as chronologically, which is what makes string-compare pruning sound."""
+    """JSON-encodable zone-map bound. Numbers/bools pass through and
+    Decimal becomes float (numeric compare at prune time — str-serializing
+    a Decimal would make '100.0' < '20.0' lexicographically and wrongly
+    prune matching partitions); everything else — timestamps, dates,
+    strings — serializes via str(), whose ISO forms order
+    lexicographically the same as chronologically, which is what makes
+    string-compare pruning sound."""
+    import decimal
+
     if v is None or isinstance(v, (int, float, bool)):
         return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     return str(v)
 
 
@@ -97,13 +104,17 @@ def _zone_overlaps(entry: dict | None, where: dict[str, tuple]) -> bool:
 
 
 def _stat_lt(a, b) -> bool:
-    """a < b in the zone-map domain: numeric if both sides are numbers,
-    else string compare on the str() forms (sound for ISO timestamps)."""
-    if isinstance(a, (int, float)) and not isinstance(a, bool) and isinstance(
-        b, (int, float)
-    ) and not isinstance(b, bool):
-        return a < b
-    return str(a) < str(b)
+    """a < b in the zone-map domain: numeric whenever BOTH sides coerce to
+    float (covers stored numbers, Decimal bounds, and numeric strings from
+    pre-fix manifests — a lexicographic '100.0' < '20.0' would wrongly
+    prune), else string compare on the str() forms (sound for ISO
+    timestamps/dates, whose lexicographic order is chronological). Bounds
+    must live in the column's domain — comparing a numeric bound against a
+    timestamp column is a caller error no fallback can repair."""
+    try:
+        return float(a) < float(b)
+    except (TypeError, ValueError):
+        return str(a) < str(b)
 
 
 class CommitConflictError(RuntimeError):
@@ -322,11 +333,21 @@ class ManifestParquetSink:
                 paths.append(os.path.join(self.path, rel))
         if paths:
             df = self._scan_paths(paths)
-        else:  # fully pruned: schema-correct empty result, zero data read
+        else:
+            # fully pruned: empty result from ONE partition's schema, zero
+            # data read. Under schema evolution that partition may predate
+            # a where-column — skipping the row filter for it is sound
+            # (zero rows either way) where F.col() would raise.
             df = self._scan(dict([next(iter(manifest.items()))])).filter(
                 F.lit(False)
             )
         for c, (lo, hi) in where.items():
+            if c not in df.columns:
+                # the scanned subset predates the column entirely: every
+                # row is NULL for c, and NULL matches no range — empty,
+                # where F.col(c) would raise UNRESOLVED_COLUMN
+                df = df.filter(F.lit(False))
+                continue
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
             if hi is not None:
@@ -396,6 +417,62 @@ class ManifestParquetSink:
 
     # --------------------------------------------------------------- upsert
 
+    def _prep_batch(self, batch: DataFrame, what: str) -> tuple[DataFrame, list]:
+        """Derive the day column, pin the batch, and list its days.
+
+        localCheckpoint keeps the job count deterministic across CAS
+        retries: the (small) batch materializes once and each retry
+        re-joins it against a fresh snapshot. NULL days are rejected
+        loudly: a date-partitioned MERGE needs a date per row — a NULL day
+        would land under Hive's default-partition name while the
+        touched-days lookup keys by None, silently repointing the existing
+        NULL partition without merging it (a lost update)."""
+        batch = batch.withColumn("dt", F.to_date(self.ts_col).cast("string"))
+        batch = batch.localCheckpoint(eager=True)
+        days = [r["dt"] for r in batch.select("dt").distinct().collect()]
+        if None in days:
+            raise ValueError(
+                f"{what} batch contains NULL {self.ts_col} rows; a NULL day "
+                "cannot locate a partition — filter or repair them upstream"
+            )
+        return batch, days
+
+    def _commit_rewrite(
+        self, base: int, manifest: dict[str, str], merged: DataFrame,
+        drop_days,
+    ) -> bool:
+        """Write ``merged`` as a fresh immutable commit and CAS it in as
+        v{base+1}. Manifest AND zone-map entries for ``drop_days`` ∪ the
+        written days are removed first, then the written days repoint to
+        the new dir and fresh stats are collected — so a stale entry can
+        never describe pre-rewrite data or name file-grain files under a
+        superseded commit dir (even for writers with stats_cols=[]).
+        Shared by upsert and delete: one place keeps the commit protocol
+        and the stats lifecycle in lockstep."""
+        commit_id = uuid.uuid4().hex
+        commit_dir = os.path.join(self._data_dir, commit_id)
+        (
+            merged.withColumn("dt_part", F.col("dt"))
+            .repartition("dt_part")
+            .write.partitionBy("dt_part")
+            .parquet(commit_dir)
+        )
+        written = [
+            name[len("dt_part="):]
+            for name in os.listdir(commit_dir)
+            if name.startswith("dt_part=")
+        ]
+        new_manifest = dict(manifest)
+        new_stats = dict(self._load_stats(base))
+        for d in set(drop_days) | set(written):
+            new_manifest.pop(d, None)
+            new_stats.pop(d, None)
+        for d in written:
+            new_manifest[d] = os.path.join("data", commit_id, f"dt_part={d}")
+        new_stats.update(self._collect_stats(commit_dir))
+        # on a lost race the new dir is simply orphaned (vacuum reclaims)
+        return self._try_commit(base, new_manifest, new_stats)
+
     def upsert(self, batch: DataFrame, max_retries: int = 8) -> int:
         """Keyed MERGE of ``batch``; returns the committed version.
 
@@ -403,21 +480,7 @@ class ManifestParquetSink:
         immutable data, CAS the manifest; on conflict re-merge against the
         winner's snapshot and retry. Retries re-run only the TOUCHED-day
         merge (bounded by the batch, not the table)."""
-        batch = batch.withColumn("dt", F.to_date(self.ts_col).cast("string"))
-        # deterministic job count across retries: materialize the (small)
-        # batch once; each retry re-joins it against a fresh snapshot
-        batch = batch.localCheckpoint(eager=True)
-        days = [r["dt"] for r in batch.select("dt").distinct().collect()]
-        if None in days:
-            # a date-partitioned MERGE table needs a date per row: a NULL
-            # day would land under Hive's default-partition name while the
-            # touched-days lookup keys by None — the existing NULL
-            # partition would silently be repointed without merging (a
-            # lost update). Reject loudly instead.
-            raise ValueError(
-                f"batch contains NULL {self.ts_col} rows; a NULL day cannot "
-                "be merged by partition — filter or repair them upstream"
-            )
+        batch, days = self._prep_batch(batch, "upsert")
         for _ in range(max_retries + 1):
             base = self.current_version()
             manifest = self._load_manifest(base)
@@ -425,30 +488,13 @@ class ManifestParquetSink:
             if touched:
                 # no dt filter needed: each manifest entry is one day's
                 # leaf dir, so _scan(touched) reads exactly these days
-                old = self._scan(touched)
-                merged = merge_upsert(old, batch, self.keys, self.order)
+                merged = merge_upsert(
+                    self._scan(touched), batch, self.keys, self.order
+                )
             else:
                 merged = dedup_keep_latest(batch, self.keys, self.order)
-            commit_id = uuid.uuid4().hex
-            commit_dir = os.path.join(self._data_dir, commit_id)
-            (
-                merged.withColumn("dt_part", F.col("dt"))
-                .repartition("dt_part")
-                .write.partitionBy("dt_part")
-                .parquet(commit_dir)
-            )
-            new_manifest = dict(manifest)
-            for name in os.listdir(commit_dir):
-                if name.startswith("dt_part="):
-                    day = name[len("dt_part="):]
-                    new_manifest[day] = os.path.join("data", commit_id, name)
-            # zone maps: untouched days keep their old stats; touched days
-            # get fresh ones from the just-written commit
-            new_stats = dict(self._load_stats(base))
-            new_stats.update(self._collect_stats(commit_dir))
-            if self._try_commit(base, new_manifest, new_stats):
+            if self._commit_rewrite(base, manifest, merged, drop_days=()):
                 return base + 1
-            # lost the race: orphan this attempt's data (vacuum reclaims it)
         raise CommitConflictError(
             f"upsert lost the manifest CAS {max_retries + 1} times at {self.path}"
         )
@@ -463,42 +509,24 @@ class ManifestParquetSink:
         only touched days are read and rewritten). A day whose every key
         is deleted drops out of the manifest entirely. With ``changes``
         this completes the I/U/D surface: deletes appear as _op='D'."""
-        batch = batch.withColumn("dt", F.to_date(self.ts_col).cast("string"))
-        batch = batch.localCheckpoint(eager=True)
-        days = [r["dt"] for r in batch.select("dt").distinct().collect()]
-        if None in days:
-            raise ValueError(
-                f"delete batch contains NULL {self.ts_col} rows; a NULL day "
-                "cannot locate a partition — filter or repair them upstream"
-            )
+        batch, days = self._prep_batch(batch, "delete")
+        keys_df = batch.select(*self.keys).distinct()
         for _ in range(max_retries + 1):
             base = self.current_version()
             manifest = self._load_manifest(base)
             touched = {d: manifest[d] for d in days if d in manifest}
             if not touched:
                 return base  # none of the keys' days exist: nothing to do
-            remaining = self._scan(touched).join(
-                batch.select(*self.keys).distinct(), self.keys, "left_anti"
-            )
-            commit_id = uuid.uuid4().hex
-            commit_dir = os.path.join(self._data_dir, commit_id)
-            (
-                remaining.withColumn("dt_part", F.col("dt"))
-                .repartition("dt_part")
-                .write.partitionBy("dt_part")
-                .parquet(commit_dir)
-            )
-            new_manifest = dict(manifest)
-            new_stats = dict(self._load_stats(base))
-            for d in touched:  # emptied days vanish; survivors repoint below
-                new_manifest.pop(d, None)
-                new_stats.pop(d, None)
-            for name in os.listdir(commit_dir):
-                if name.startswith("dt_part="):
-                    day = name[len("dt_part="):]
-                    new_manifest[day] = os.path.join("data", commit_id, name)
-            new_stats.update(self._collect_stats(commit_dir))
-            if self._try_commit(base, new_manifest, new_stats):
+            old = self._scan(touched)
+            if not old.join(keys_df, self.keys, "left_semi").take(1):
+                # no key actually present: the documented no-op — no
+                # commit, no day rewrite, and changes() consumers see no
+                # repointed partitions
+                return base
+            remaining = old.join(keys_df, self.keys, "left_anti")
+            # drop_days=touched: a day whose every key was deleted writes
+            # no dt_part dir and so vanishes from manifest AND stats
+            if self._commit_rewrite(base, manifest, remaining, drop_days=touched):
                 return base + 1
         raise CommitConflictError(
             f"delete lost the manifest CAS {max_retries + 1} times at {self.path}"
@@ -542,8 +570,16 @@ class ManifestParquetSink:
         old_part = {d: old_m[d] for d in changed if d in old_m}
         new_part = {d: new_m[d] for d in changed if d in new_m}
         if not new_part and not old_part:
-            # no day repointed: empty diff with the full change schema
-            base = self._scan(new_m or old_m).filter(F.lit(False))
+            # no day repointed (the common nothing-changed poll): an empty
+            # diff whose schema comes from ONE partition — scanning the
+            # whole table for a zero-row result would break the
+            # cost-bounded-by-manifest-diff contract on a 3650-day table.
+            # Caveat: under schema evolution that partition may predate
+            # the newest columns; an empty frame makes that harmless.
+            src = new_m or old_m
+            base = self._scan(dict([next(iter(src.items()))])).filter(
+                F.lit(False)
+            )
             return base.withColumn("_op", F.lit(None).cast("string"))
         some = self._scan(new_part or old_part)
         cols = [c for c in some.columns if c not in self.keys]

@@ -102,6 +102,13 @@ def run_curation(
             ),
             "doc_id",
         )
+        # lazy checkpoint: the stripped corpus feeds the four eager funnel
+        # counts AND every downstream stage — without it the segmentation +
+        # frequency shuffle + join re-executes per consumer (the same
+        # recompute class as the schedule in q_domain_mix). Materializes on
+        # first use; executor-storage-sized by the corpus, so a 100 TB run
+        # would stage to a table instead.
+        docs = docs.localCheckpoint(eager=False)
     t = F.col("text")
     stats = docs.select(
         "doc_id",

@@ -343,27 +343,41 @@ def cdc_apply_stream(
     Mirrored missing-data policy: NULL-``ts`` rows are dropped (no position
     in the op order); a NULL ``value`` on the winning op yields NULL
     final_value. Emits one row per key per touching micro-batch; the latest
-    emission (highest n_ops) is the current compacted state."""
+    emission (highest n_ops) is the current compacted state.
+
+    Type-generic like the batch twin: the id and value columns keep the
+    STREAM's types in both the state and the output (a string value or a
+    string id works exactly as it does in cdc_compact — the id only needs
+    to be orderable within its own type for the (ts, id) argmax)."""
+    id_type = stream.schema[id_col].dataType
+    val_type = stream.schema[value].dataType
     out_schema = T.StructType(
         [
             T.StructField(key, stream.schema[key].dataType),
             T.StructField("n_ops", T.LongType()),
             T.StructField("n_deletes", T.LongType()),
             T.StructField("live", T.BooleanType()),
-            T.StructField("final_value", T.DoubleType()),
+            T.StructField("final_value", val_type),
             T.StructField("final_ts", T.TimestampType()),
         ]
     )
     state_schema = T.StructType(
         [
             T.StructField("last_us", T.LongType()),
-            T.StructField("last_id", T.LongType()),
+            T.StructField("last_id", id_type),
             T.StructField("last_op", T.StringType()),
-            T.StructField("last_val", T.DoubleType()),
+            T.StructField("last_val", val_type),
             T.StructField("n_ops", T.LongType()),
             T.StructField("n_deletes", T.LongType()),
         ]
     )
+
+    def py(v):
+        """numpy scalar → plain Python (state tuples and output frames keep
+        native values; None for NULL/NaN)."""
+        if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
+            return None
+        return v.item() if hasattr(v, "item") else v
 
     def update(
         key_tuple: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -389,15 +403,14 @@ def cdc_apply_stream(
                 us = tcol.astype("int64")
             valid = tcol.notna()
             for i in pdf.index[valid]:
-                t, eid = int(us[i]), int(pdf[id_col][i])
+                t, eid = int(us[i]), py(pdf[id_col][i])
                 o = str(pdf[op_col][i])
                 n_ops += 1
                 if o == "D":
                     n_del += 1
                 if last_us is None or (t, eid) > (last_us, last_id):
-                    v = pdf[value][i]
                     last_us, last_id, last_op = t, eid, o
-                    last_val = None if pd.isna(v) else float(v)
+                    last_val = py(pdf[value][i])
         if n_ops == 0:
             # every row for this key so far was NULL-ts (all dropped): the
             # batch twin emits no row for such a key, so neither do we —

@@ -664,3 +664,48 @@ def test_cdc_stream_equals_batch(spark, tmp_path):
             assert pd.isna(row["final_ts"])
         else:
             assert pd.Timestamp(exp["final_ts"]) == row["final_ts"]
+
+
+def test_cdc_stream_type_generic(spark, tmp_path):
+    """The streaming twin must accept the same column types the batch
+    operator does — string values and string ids included (the review
+    pass found float()/int() coercions that crashed on them)."""
+    import datetime as dt
+
+    from crypto_market_tracker_etl_spark.operators.cdc import cdc_compact
+    from crypto_market_tracker_etl_spark.streaming.stateful import (
+        cdc_apply_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=10), "e1", "I", "hello"),
+        (1, t0 + dt.timedelta(seconds=20), "e2", "U", "world"),
+        (2, t0 + dt.timedelta(seconds=10), "e3", "I", "bye"),
+        (2, t0 + dt.timedelta(seconds=20), "e4", "D", None),
+    ]
+    schema = "user_id long, ts timestamp, event_id string, op string, value string"
+    expected = {
+        r["user_id"]: r
+        for r in cdc_compact(
+            spark.createDataFrame(rows, schema),
+            "user_id", "ts", "event_id", "op", "value",
+        ).collect()
+    }
+    src = str(tmp_path / "cdcg_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    out = str(tmp_path / "cdcg_out")
+    _drain_to_parquet(
+        cdc_apply_stream(
+            spark.readStream.schema(schema).parquet(src),
+            "user_id", "ts", "event_id", "op", "value",
+        ),
+        out,
+        str(tmp_path / "cdcg_ck"),
+    )
+    got = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(expected) == {1, 2}
+    for uid in got:
+        assert got[uid]["live"] == expected[uid]["live"]
+        assert got[uid]["final_value"] == expected[uid]["final_value"]
+    assert got[1]["final_value"] == "world" and got[2]["final_value"] is None

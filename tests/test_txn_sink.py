@@ -367,3 +367,53 @@ def test_changes_empty_diff_and_compact_noise(spark, tmp_path):
     v2 = sink.compact()
     assert v2 is not None
     assert sink.changes(v1, v2).count() == 0  # rewritten bytes, same values
+
+
+def test_zone_map_decimal_stats_prune_numerically(spark, tmp_path):
+    """Decimal stat columns must compare numerically at prune time: a
+    str-serialized bound would make '100.0' < '20.0' lexicographically and
+    wrongly prune a partition whose rows match (the review-pass repro)."""
+    from decimal import Decimal
+
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["price"],
+    )
+    schema = "k string, ts timestamp, ver int, price decimal(10,2)"
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, Decimal("50.00")), ("b", DAY1, 1, Decimal("100.00")),
+         ("c", DAY2, 1, Decimal("5.00"))], schema))
+    scanned, skipped = sink.pruned_partitions({"price": (20.0, None)})
+    assert scanned == ["2024-01-01"] and skipped == ["2024-01-02"]
+    got = {r["k"] for r in sink.read(where={"price": (20.0, None)}).collect()}
+    assert got == {"a", "b"}
+
+
+def test_upsert_drops_stale_stats_when_writer_records_none(spark, tmp_path):
+    """A writer opened with stats_cols=[] must DROP the touched day's old
+    zone map, not carry it forward: the stale entry would describe
+    pre-merge data (wrongly pruning new rows) and name file-grain files
+    under the superseded commit dir."""
+    p = str(tmp_path / "tbl")
+    writer_a = ManifestParquetSink(
+        spark, p, keys=["k"], ts_col="ts", order=["ver"], stats_cols=["v"])
+    writer_a.upsert(spark.createDataFrame([("a", DAY1, 1, 100.0)], SCHEMA))
+    writer_b = ManifestParquetSink(
+        spark, p, keys=["k"], ts_col="ts", order=["ver"], stats_cols=[])
+    writer_b.upsert(spark.createDataFrame([("b", DAY1, 1, 500.0)], SCHEMA))
+    # day1's stale max=100 entry is gone → the day scans conservatively
+    assert "2024-01-01" not in writer_a._load_stats(writer_a.current_version())
+    got = {r["k"] for r in writer_a.read(where={"v": (400.0, None)}).collect()}
+    assert got == {"b"}
+
+
+def test_delete_absent_keys_in_existing_day_is_noop(spark, tmp_path):
+    """Deleting keys whose DAY exists but which are themselves absent must
+    not commit a new version or rewrite the day (the documented no-op)."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    v = sink.current_version()
+    assert sink.delete(
+        spark.createDataFrame([("ghost", DAY1, 1, 0.0)], SCHEMA)) == v
+    assert sink.current_version() == v
+    assert table(sink) == {"a": 1.0}
