@@ -191,3 +191,109 @@ def test_manifest_sink_matches_python_model(spark, batches):
         assert observed() == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------- cdc
+
+ops = st.sampled_from(["I", "U", "D"])
+changelogs = st.lists(st.tuples(keys, ticks, ops, values), min_size=0, max_size=30)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(log=changelogs)
+def test_cdc_compact_matches_python_model(spark, log):
+    """cdc_compact vs a pure-Python fold: per key the op with the highest
+    (ts, event_id) wins; trailing D tombstones (live=false, NULL values);
+    counters count every op. event_id = list index, so ts ties are broken
+    exactly as the window's desc(event_id) does."""
+    from crypto_market_tracker_etl_spark.operators.cdc import cdc_compact
+
+    rows = [
+        (k, BASE + dt.timedelta(hours=t), i, o, float(v))
+        for i, (k, t, o, v) in enumerate(log)
+    ]
+    model: dict[str, dict] = {}
+    for i, (k, t, o, v) in enumerate(log):
+        m = model.setdefault(k, {"n": 0, "d": 0, "key": None, "op": None, "val": None})
+        m["n"] += 1
+        m["d"] += o == "D"
+        if m["key"] is None or (t, i) > m["key"]:
+            m["key"], m["op"], m["val"] = (t, i), o, float(v)
+    df = spark.createDataFrame(
+        rows or [("zz", BASE, 0, "I", 0.0)],
+        "k string, ts timestamp, event_id long, op string, value double",
+    )
+    got = {
+        r["k"]: r
+        for r in cdc_compact(df, "k", "ts", "event_id", "op", "value").collect()
+    }
+    for k, m in (model or {"zz": {"n": 1, "d": 0, "op": "I", "val": 0.0}}).items():
+        r = got[k]
+        assert r["n_ops"] == m["n"] and r["n_deletes"] == m["d"]
+        live = m["op"] != "D"
+        assert r["live"] == live
+        assert r["final_value"] == (m["val"] if live else None)
+
+
+# ------------------------------------------------- zone-map read equivalence
+
+zone_batches = st.lists(
+    st.lists(st.tuples(keys, ticks, values), min_size=1, max_size=8),
+    min_size=1,
+    max_size=3,
+)
+bounds = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=105)),
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=105)),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=zone_batches, rng=bounds)
+def test_zone_map_read_equals_filtered_full_scan(spark, batches, rng):
+    """For ANY batch sequence and ANY range, read(where=) must equal the
+    unpruned read + filter — before and after cluster-by compaction. This
+    is the soundness property pruning must never break (the Decimal bug
+    the review pass found was exactly a violation of it)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+
+    lo, hi = rng
+    root = tempfile.mkdtemp(prefix="prop_zone_")
+    try:
+        sink = ManifestParquetSink(
+            spark, root, keys=["k"], ts_col="ts", order=["ver"],
+            stats_cols=["v"],
+        )
+        for i, batch in enumerate(batches):
+            rows = [
+                (f"{k}{t}", BASE + dt.timedelta(days=t % 3), i, float(v))
+                for k, t, v in batch
+            ]
+            sink.upsert(spark.createDataFrame(
+                rows, "k string, ts timestamp, ver int, v double"))
+
+        def check():
+            full = sink.read()
+            if lo is not None:
+                full = full.filter(F.col("v") >= float(lo))
+            if hi is not None:
+                full = full.filter(F.col("v") <= float(hi))
+            want = sorted((r["k"], r["v"]) for r in full.collect())
+            got = sorted(
+                (r["k"], r["v"])
+                for r in sink.read(where={"v": (lo, hi)}).collect()
+            )
+            assert got == want
+
+        check()
+        sink.compact(max_records_per_file=5, cluster_by=["v"])
+        check()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
