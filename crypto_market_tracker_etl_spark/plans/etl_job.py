@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.txn_sink import ManifestParquetSink
 from ..operators.upsert import ParquetUpsertSink, dedup_keep_latest
+
+# either sink works everywhere a PricesSink is taken: both expose the same
+# keyed-MERGE upsert(batch) surface — swap-based for single-writer
+# simplicity, manifest-based for concurrent writers + snapshot reads
+PricesSink = ParquetUpsertSink | ManifestParquetSink
 from ..sources.config import asset_universe_df
 from ..sources.rest import (
     Fetcher,
@@ -56,7 +62,7 @@ def run_incremental(
     spark: SparkSession,
     assets: list[str],
     fetcher: Fetcher,
-    prices_sink: ParquetUpsertSink,
+    prices_sink: PricesSink,
     days: int = 1,
 ) -> dict[str, DataFrame]:
     """One incremental pass; returns the three upsert-ready frames and
@@ -80,7 +86,7 @@ def run_backfill(
     spark: SparkSession,
     assets: list[str],
     fetcher: Fetcher,
-    prices_sink: ParquetUpsertSink,
+    prices_sink: PricesSink,
     days: int = BACKFILL_MAX_DAYS,
     pacing_s: float = 0.0,
 ) -> DataFrame:
@@ -96,7 +102,7 @@ def run_backfill(
 
 
 def refresh_daily_metrics(
-    prices_sink: ParquetUpsertSink,
+    prices_sink: PricesSink,
     daily_sink: ParquetUpsertSink,
     touched_days: DataFrame,
 ) -> None:
