@@ -136,7 +136,21 @@ class IvfPqIndex:
         """Encode ``batch`` with the frozen quantizers and append into the
         ``list_id=`` partition layout. Also the foreachBatch streaming
         maintainer. Residual indexes store residual codes (the probe's
-        per-list tables expect exactly that)."""
+        per-list tables expect exactly that).
+
+        Any OTHER batch column rides along as stored metadata — that is
+        what ``probe(where=...)`` filters on. Keep the passthrough schema
+        stable across appends (plain parquet append, no schema merge)."""
+        reserved = {"codes", "list_id"}
+        clash = reserved & set(batch.columns)
+        if clash:
+            raise ValueError(
+                f"batch columns {sorted(clash)} collide with index-internal "
+                "columns; rename them before appending"
+            )
+        passthrough = [
+            c for c in batch.columns if c not in (self.id_col, self.vec_col)
+        ]
         enc = batch.withColumn(
             "__e",
             _coded_corpus_udf(
@@ -149,6 +163,7 @@ class IvfPqIndex:
             F.col(self.vec_col),
             F.col("__e.codes").alias("codes"),
             F.col("__e.list_id").alias("list_id"),
+            *passthrough,
         )
         enc.write.partitionBy("list_id").mode("append").parquet(self._data)
 
@@ -213,13 +228,23 @@ class IvfPqIndex:
         k: int = 3,
         nprobe: int = 2,
         rerank: int = 50,
+        where=None,
     ) -> DataFrame:
         """Top-k per query from the stored index: prune to the union of
         probed lists (partition pruning — the scan never lists other
         lists' files), ADC over STORED codes (no re-encode), exact re-rank
         of the shortlist against the stored vectors. Same output contract
         and bit-identical results to ``ivf_pq_topk`` over the same data
-        and quantizers (pytest-pinned)."""
+        and quantizers (pytest-pinned).
+
+        ``where`` (a Column or SQL string over the stored metadata
+        columns) enables FILTERED search: the predicate applies inside the
+        pruned scan, BEFORE ADC scoring — pre-filtering, so every scored
+        candidate already satisfies it (no post-hoc k shrinkage) and the
+        filter composes with partition pruning and parquet row-group
+        pushdown. The probed lists are still chosen by vector geometry
+        alone: a filter selective enough to empty a probed list behaves
+        like any under-filled list (fewer than k results)."""
         qids, Qv = _collect_query_arrays(queries, self.id_col, self.vec_col)
         if qids.size == 0:
             return self.spark.createDataFrame(
@@ -230,6 +255,8 @@ class IvfPqIndex:
         )
         probed_lists = sorted({int(x) for x in qt.probes.ravel()})
         pruned = self.read().filter(F.col("list_id").isin(probed_lists))
+        if where is not None:
+            pruned = pruned.filter(where)
         id_col = self.id_col
 
         def gen(batches):

@@ -177,3 +177,57 @@ def test_probe_handles_empty_and_excess_nprobe(spark, tmp_path):
     q = emb.filter(F.col("vec_id") % 100 == 0)
     big = idx.probe(q, k=3, nprobe=99, rerank=50)
     assert big.count() > 0
+
+
+def test_filtered_probe_prefilters_metadata(spark, tmp_path):
+    """probe(where=) must (a) return only rows satisfying the predicate,
+    (b) equal the exact brute-force top-k over the FILTERED corpus when
+    every list is probed and the re-rank shortlist covers it (pre-filter
+    semantics: candidates are filtered BEFORE scoring, so k never shrinks
+    post-hoc), and (c) keep unfiltered probes bit-identical to before."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "grp", (F.col("vec_id") % 2 == 0).cast("string")
+    )
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), emb, k_lists=4)
+    q = emb.filter(F.col("vec_id") % 100 == 0).drop("grp")
+    got = idx.probe(q, k=3, nprobe=4, rerank=10**6, where="grp = 'true'")
+    rows = got.collect()
+    assert rows
+    even_ids = {
+        r["vec_id"] for r in emb.filter("grp = 'true'").select("vec_id").collect()
+    }
+    assert {r["neighbor_id"] for r in rows} <= even_ids
+    # brute-force reference over the filtered corpus (all lists probed,
+    # shortlist unbounded → exact top-k by true distance)
+    corpus = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter("grp = 'true'").collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for r in q.collect():
+        qv = np.array(r["embedding"], dtype=np.float64)
+        # the tier's contract excludes self-matches (nid != qid everywhere)
+        dists = sorted(
+            (float(((qv - v) ** 2).sum()), nid)
+            for nid, v in corpus.items()
+            if nid != r["vec_id"]
+        )
+        want = [nid for _, nid in dists[:3]]
+        got_ids = [
+            x["neighbor_id"]
+            for x in sorted(by_q[r["vec_id"]], key=lambda x: x["rank"])
+        ]
+        assert got_ids == want, (r["vec_id"], got_ids, want)
+    # the unfiltered probe is unchanged by metadata being stored
+    base = _rows(idx.probe(q, k=3, nprobe=2, rerank=50))
+    want_base = _rows(
+        ivf_pq_topk(
+            emb.drop("grp"), q, idx.centroids, idx.codebooks,
+            k=3, nprobe=2, rerank=50,
+        )
+    )
+    assert base == want_base
