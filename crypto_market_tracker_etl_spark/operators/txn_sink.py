@@ -195,14 +195,22 @@ class ManifestParquetSink:
         base_version: int,
         partitions: dict[str, str],
         stats: dict[str, dict] | None = None,
+        op: str = "commit",
     ) -> bool:
         """CAS: install ``partitions`` as v{base+1} iff still unclaimed.
         The temp manifest is fsync'd BEFORE the link and the manifest dir
         after it: link(2) is metadata-only, so without the fsync a crash
         could surface a committed v{N}.json with empty/partial bytes
         (delayed allocation) — a bricked table."""
+        import time
+
         tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
-        doc = {"version": base_version + 1, "partitions": partitions}
+        doc = {
+            "version": base_version + 1,
+            "partitions": partitions,
+            "op": op,
+            "committed_at": time.time(),
+        }
         if stats:
             doc["stats"] = stats
         with open(tmp, "w") as f:
@@ -439,7 +447,7 @@ class ManifestParquetSink:
 
     def _commit_rewrite(
         self, base: int, manifest: dict[str, str], merged: DataFrame,
-        drop_days,
+        drop_days, op: str,
     ) -> bool:
         """Write ``merged`` as a fresh immutable commit and CAS it in as
         v{base+1}. Manifest AND zone-map entries for ``drop_days`` ∪ the
@@ -471,7 +479,7 @@ class ManifestParquetSink:
             new_manifest[d] = os.path.join("data", commit_id, f"dt_part={d}")
         new_stats.update(self._collect_stats(commit_dir))
         # on a lost race the new dir is simply orphaned (vacuum reclaims)
-        return self._try_commit(base, new_manifest, new_stats)
+        return self._try_commit(base, new_manifest, new_stats, op=op)
 
     def upsert(self, batch: DataFrame, max_retries: int = 8) -> int:
         """Keyed MERGE of ``batch``; returns the committed version.
@@ -493,11 +501,40 @@ class ManifestParquetSink:
                 )
             else:
                 merged = dedup_keep_latest(batch, self.keys, self.order)
-            if self._commit_rewrite(base, manifest, merged, drop_days=()):
+            if self._commit_rewrite(base, manifest, merged, drop_days=(), op="upsert"):
                 return base + 1
         raise CommitConflictError(
             f"upsert lost the manifest CAS {max_retries + 1} times at {self.path}"
         )
+
+    # -------------------------------------------------------------- history
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first (the DESCRIBE HISTORY surface): one
+        entry per retained manifest with the operation that produced it,
+        its wall-clock commit time, and size summaries (row counts where
+        zone maps were recorded). Bounded by vacuum retention, exactly
+        like Delta's history."""
+        out = []
+        for v in range(self.current_version(), 0, -1):
+            p = os.path.join(self._manifest_dir, f"v{v}.json")
+            if not os.path.exists(p):
+                break  # vacuumed past here
+            with open(p) as f:
+                doc = json.load(f)
+            stats = doc.get("stats", {})
+            out.append(
+                {
+                    "version": v,
+                    "op": doc.get("op", "commit"),
+                    "committed_at": doc.get("committed_at"),
+                    "n_partitions": len(doc.get("partitions", {})),
+                    "n_rows": sum(e.get("rows", 0) for e in stats.values())
+                    if stats
+                    else None,
+                }
+            )
+        return out
 
     # --------------------------------------------------------------- delete
 
@@ -526,7 +563,7 @@ class ManifestParquetSink:
             remaining = old.join(keys_df, self.keys, "left_anti")
             # drop_days=touched: a day whose every key was deleted writes
             # no dt_part dir and so vanishes from manifest AND stats
-            if self._commit_rewrite(base, manifest, remaining, drop_days=touched):
+            if self._commit_rewrite(base, manifest, remaining, drop_days=touched, op="delete"):
                 return base + 1
         raise CommitConflictError(
             f"delete lost the manifest CAS {max_retries + 1} times at {self.path}"
@@ -659,7 +696,8 @@ class ManifestParquetSink:
                 if name.startswith("dt_part=")
             }
             if self._try_commit(
-                base, new_manifest, self._collect_stats(commit_dir)
+                base, new_manifest, self._collect_stats(commit_dir),
+                op="compact",
             ):
                 return base + 1
         return None

@@ -417,3 +417,20 @@ def test_delete_absent_keys_in_existing_day_is_noop(spark, tmp_path):
         spark.createDataFrame([("ghost", DAY1, 1, 0.0)], SCHEMA)) == v
     assert sink.current_version() == v
     assert table(sink) == {"a": 1.0}
+
+
+def test_history_records_operations(spark, tmp_path):
+    """history() lists retained commits newest-first with op names, commit
+    times, and row counts; vacuum retention bounds it like Delta's."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    sink.upsert(spark.createDataFrame([("b", DAY2, 1, 2.0)], SCHEMA))
+    sink.delete(spark.createDataFrame([("a", DAY1, 1, 0.0)], SCHEMA))
+    sink.compact()
+    h = sink.history()
+    assert [e["op"] for e in h] == ["compact", "delete", "upsert", "upsert"]
+    assert [e["version"] for e in h] == [4, 3, 2, 1]
+    assert all(e["committed_at"] is not None for e in h)
+    assert h[0]["n_rows"] == 1 and h[0]["n_partitions"] == 1  # b only
+    sink.vacuum(keep_versions=2, min_age_seconds=0)
+    assert [e["version"] for e in sink.history()] == [4, 3]
