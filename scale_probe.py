@@ -532,6 +532,55 @@ def probe_skipping(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_curation(spark) -> None:
+    """Boilerplate-strip throughput probe: the segment-explode → md5
+    frequency shuffle → co-partitioned join → pos-sorted reassembly
+    pipeline at 200k and 1M docs (×5 data ⇒ near-linear wall?). The
+    synthetic corpus repeats every 9973 ids, so at 1M docs most segments
+    ARE cross-doc recurrent — the op does real stripping work, not a
+    no-op scan. Prints; numbers hand-recorded into SCALE.md."""
+    from crypto_market_tracker_etl_spark.operators.boilerplate import (
+        boilerplate_table,
+    )
+
+    def synth(n, words=200):
+        """Half the positions carry doc-UNIQUE tokens (survive stripping →
+        the reassembly path emits real ~100-token strings), half carry
+        tokens shared across every 9973rd doc (stripped at n >> 9973)."""
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"w{j}_"), F.col("id").cast("string"))
+                    if j < words // 2
+                    else F.concat(
+                        F.lit(f"s{j}_"),
+                        ((F.col("id") * 131 + j * 17) % 9973).cast("string"),
+                    )
+                    for j in range(words)
+                ],
+            ).alias("text"),
+        ).repartition(32)
+
+    for n in (200_000, 1_000_000):
+        docs = synth(n)  # 200 words → 50 segments/doc
+        t0 = time.perf_counter()
+        out = boilerplate_table(docs, min_docs=2)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_segments").alias("segs"),
+            F.sum("n_boilerplate").alias("boiler"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        print(
+            f"curation[boilerplate n={n/1e3:.0f}k]: {dt:.1f}s, "
+            f"{agg['segs']/1e6:.1f}M segments, "
+            f"boiler {agg['boiler']/agg['segs']:.1%}",
+            flush=True,
+        )
+
+
 def _splice_probe_section(body: str) -> None:
     """Replace the marker-delimited probe block of SCALE.md, preserving the
     hand-written analysis sections outside it."""
@@ -581,6 +630,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_SKIP"):
         probe_skipping(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_CURATION"):
+        probe_curation(spark)
         spark.stop()
         return
     rows = []
