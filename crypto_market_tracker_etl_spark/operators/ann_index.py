@@ -69,6 +69,7 @@ class IvfPqIndex:
         self.id_col: str = meta["id_col"]
         self.vec_col: str = meta["vec_col"]
         self._data = os.path.join(path, "data")
+        self._dels = os.path.join(path, "_deletes")
         self._recover()
 
     # ------------------------------------------------------------ lifecycle
@@ -167,7 +168,33 @@ class IvfPqIndex:
         )
         enc.write.partitionBy("list_id").mode("append").parquet(self._data)
 
+    def delete(self, ids) -> None:
+        """Tombstone vectors by id (the FAISS remove_ids analogue, GDPR
+        erasure included): ids append to ``_deletes/`` and every probe
+        anti-joins them out — no data file is touched until ``compact()``,
+        which physically drops tombstoned rows and clears the tombstones.
+        Contract: tombstones suppress the id unconditionally, so
+        re-inserting a deleted id requires a compact first (sequencing
+        appends against deletes would need a version column the layout
+        deliberately doesn't have)."""
+        if isinstance(ids, DataFrame):
+            df = ids.select(self.id_col).distinct()
+        else:
+            df = self.spark.createDataFrame(
+                [(int(i),) for i in ids], f"{self.id_col} long"
+            )
+        df.write.mode("append").parquet(self._dels)
+
+    def _tombstones(self) -> DataFrame | None:
+        if not os.path.isdir(self._dels) or not any(
+            n.endswith(".parquet") for n in os.listdir(self._dels)
+        ):
+            return None
+        return self.spark.read.parquet(self._dels)
+
     def read(self) -> DataFrame:
+        """Raw stored rows, tombstones included — the maintenance view.
+        ``probe`` is the serving surface and excludes tombstoned ids."""
         return self.spark.read.parquet(self._data)
 
     def compact(self) -> None:
@@ -191,8 +218,14 @@ class IvfPqIndex:
         staged = self._data + ".staging"
         if os.path.isdir(staged):
             shutil.rmtree(staged)
+        live = self.read()
+        tomb = self._tombstones()
+        if tomb is not None:
+            # physical erasure point: tombstoned rows don't reach the
+            # rewritten files (GDPR erasure completes here, not at delete)
+            live = live.join(F.broadcast(tomb), self.id_col, "left_anti")
         (
-            self.read()
+            live
             .repartition("list_id")
             .sortWithinPartitions(self.id_col)
             .write.partitionBy("list_id")
@@ -207,6 +240,11 @@ class IvfPqIndex:
             os.rename(old, self._data)  # roll back; staged left for debug
             raise
         shutil.rmtree(old)
+        if tomb is not None:
+            # only after the swap landed: a crash before this point leaves
+            # the tombstones in place (suppression keeps working); clearing
+            # first would resurrect deleted ids on a pre-swap crash
+            shutil.rmtree(self._dels, ignore_errors=True)
 
     def _recover(self) -> None:
         """If a compact crashed between its two renames, ``data`` is gone
@@ -257,6 +295,12 @@ class IvfPqIndex:
         pruned = self.read().filter(F.col("list_id").isin(probed_lists))
         if where is not None:
             pruned = pruned.filter(where)
+        tomb = self._tombstones()
+        if tomb is not None:
+            # tombstone set ≪ corpus (compact() folds it to zero), so the
+            # anti-join broadcasts; covers ADC scoring AND the re-rank,
+            # which both read `pruned`
+            pruned = pruned.join(F.broadcast(tomb), self.id_col, "left_anti")
         id_col = self.id_col
 
         def gen(batches):

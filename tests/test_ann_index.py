@@ -231,3 +231,36 @@ def test_filtered_probe_prefilters_metadata(spark, tmp_path):
         )
     )
     assert base == want_base
+
+
+def test_delete_tombstones_then_compact_erases(spark, tmp_path):
+    """delete(ids) suppresses vectors from every probe immediately
+    (tombstone anti-join); compact() is the physical-erasure point: rows
+    leave the data files, the tombstone dir clears, and probes are
+    unchanged. Probe parity holds against the ad-hoc scorer over the
+    corpus minus the deleted ids (same frozen quantizers)."""
+    import os
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), emb, k_lists=8)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    before = idx.probe(q, k=3, nprobe=8, rerank=50)
+    victims = sorted(
+        {r["neighbor_id"] for r in before.collect()}
+    )[:5]  # delete actual neighbors so results MUST change
+    idx.delete(victims)
+    after = _rows(idx.probe(q, k=3, nprobe=8, rerank=50))
+    assert not ({r[1] for r in after} & set(victims))
+    want = _rows(
+        ivf_pq_topk(
+            emb.filter(~F.col("vec_id").isin(victims)), q,
+            idx.centroids, idx.codebooks, k=3, nprobe=8, rerank=50,
+        )
+    )
+    assert after == want
+    n_live = emb.count() - len(victims)
+    assert idx.read().count() == emb.count()  # suppressed, not yet erased
+    idx.compact()
+    assert idx.read().count() == n_live  # physically gone
+    assert not os.path.isdir(str(tmp_path / "idx" / "_deletes"))
+    assert _rows(idx.probe(q, k=3, nprobe=8, rerank=50)) == want
