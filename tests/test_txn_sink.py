@@ -434,3 +434,36 @@ def test_history_records_operations(spark, tmp_path):
     assert h[0]["n_rows"] == 1 and h[0]["n_partitions"] == 1  # b only
     sink.vacuum(keep_versions=2, min_age_seconds=0)
     assert [e["version"] for e in sink.history()] == [4, 3]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Additive schema evolution end-to-end: a later upsert introduces a
+    column; old rows read as NULL (mergeSchema + unionByName), merges into
+    the old day carry it, and zone-map reads on the NEW column stay sound
+    — partitions that predate the column cannot be pruned on it and rows
+    lacking it never match a range."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["v", "extra"],
+    )
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    sink.upsert(spark.createDataFrame(
+        [("b", DAY2, 1, 2.0, 20.0)],
+        "k string, ts timestamp, ver int, v double, extra double"))
+    got = {r["k"]: r.asDict() for r in sink.read().collect()}
+    assert got["a"]["extra"] is None and got["b"]["extra"] == 20.0
+    # range read on the late column: only b matches; day1 is scanned
+    # conservatively (no stats for a column it predates) but its NULL
+    # rows match no range
+    assert {r["k"] for r in sink.read(where={"extra": (10.0, None)}).collect()} == {"b"}
+    # merging the new column INTO the old day backfills it for that key
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 2, 1.5, 99.0)],
+        "k string, ts timestamp, ver int, v double, extra double"))
+    got = {r["k"]: r.asDict() for r in sink.read().collect()}
+    assert got["a"]["extra"] == 99.0 and got["a"]["v"] == 1.5
+    # compaction homogenizes the layout and preserves everything
+    sink.compact()
+    assert {r["k"]: r["extra"] for r in sink.read().collect()} == {
+        "a": 99.0, "b": 20.0,
+    }
