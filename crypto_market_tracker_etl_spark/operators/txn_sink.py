@@ -117,6 +117,46 @@ def _stat_lt(a, b) -> bool:
         return str(a) < str(b)
 
 
+def _zorder_key(cols: Sequence[str]):
+    """Morton (Z-order) sort key over numeric columns: each column scales
+    to a 16-bit rank within its partition-day's min/max (a window over
+    dt_part — co-partitioned with the compaction layout, no extra
+    shuffle, no driver anchors), and the ranks' bits interleave into one
+    long. Sorting by it makes consecutive rows — and therefore the files
+    maxRecordsPerFile splits off — cover small hyper-rectangles of the
+    value space, tightening EVERY z-ordered column's per-file zone map
+    instead of only the leading one."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dt_part")
+    n = len(cols)
+    ranks = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        mn = F.min(col).over(w)
+        span = F.max(col).over(w) - mn
+        r = (
+            F.when(
+                span > 0,
+                F.least(
+                    F.floor((col - mn) / span * 65536), F.lit(65535)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        ranks.append(r)
+    z = F.lit(0).cast("long")
+    for bit in range(16):
+        for ci, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(r, bit).bitwiseAND(F.lit(1)), bit * n + ci
+                )
+            )
+    return z
+
+
 class CommitConflictError(RuntimeError):
     """Raised when a writer exhausts its optimistic-concurrency retries."""
 
@@ -651,6 +691,7 @@ class ManifestParquetSink:
         max_records_per_file: int = 1_000_000,
         max_retries: int = 2,
         cluster_by: Sequence[str] | None = None,
+        zorder_by: Sequence[str] | None = None,
     ) -> int | None:
         """Fold every partition's accumulated small files into one fresh
         commit (each upsert leaves its own files; scan-task count grows
@@ -664,14 +705,24 @@ class ManifestParquetSink:
         columns before writing — with ``max_records_per_file`` splitting
         the output, consecutive files then hold DISJOINT ranges of the
         cluster columns, which is what turns the per-file zone maps into
-        an effective index (the Delta OPTIMIZE ZORDER idea, at linear sort
-        cost for the single-column case).
+        an effective index. Lexicographic, so it only tightens the zone
+        maps of the LEADING column.
+
+        ``zorder_by`` (mutually exclusive) is the multi-column version:
+        each column is scaled to a 16-bit rank within its partition-day's
+        min/max and the ranks' bits are interleaved into one sort key
+        (Morton order) — files then cover small HYPER-RECTANGLES of the
+        value space, so range reads on ANY of the z-ordered columns skip
+        files, not just the first (Delta's OPTIMIZE ZORDER BY). Numeric
+        columns only; the rank anchors are a broadcast 1-row aggregate.
 
         Zone maps are recomputed from the rewritten bytes, never carried
         over: file-grain stats name physical files, and compaction just
         replaced all of them — stale names would point reads at files that
         no longer exist. (The recompute is one column-pruned scan of data
         this job already rewrote.)"""
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are mutually exclusive")
         for _ in range(max_retries + 1):
             base = self.current_version()
             if base == 0:
@@ -685,6 +736,12 @@ class ManifestParquetSink:
             )
             if cluster_by:
                 staged = staged.sortWithinPartitions("dt_part", *cluster_by)
+            elif zorder_by:
+                staged = (
+                    staged.withColumn("__z", _zorder_key(zorder_by))
+                    .sortWithinPartitions("dt_part", "__z")
+                    .drop("__z")
+                )
             (
                 staged.write.option("maxRecordsPerFile", max_records_per_file)
                 .partitionBy("dt_part")

@@ -467,3 +467,50 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert {r["k"]: r["extra"] for r in sink.read().collect()} == {
         "a": 99.0, "b": 20.0,
     }
+
+
+def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
+    """zorder_by=['v','w'] must let file skipping work on EITHER column's
+    range, where lexicographic cluster_by=['v','w'] only tightens v (every
+    file spans w's whole range). 16x16 grid, one day, 256 rows, 16 files."""
+    def build(path, **compact_kw):
+        sink = ManifestParquetSink(
+            spark, path, keys=["k"], ts_col="ts", order=["ver"],
+            stats_cols=["v", "w"],
+        )
+        rows = [
+            (f"k{i}", DAY1, 1, float(i // 16), float(i % 16))
+            for i in range(256)
+        ]
+        sink.upsert(spark.createDataFrame(
+            rows, "k string, ts timestamp, ver int, v double, w double"))
+        assert sink.compact(max_records_per_file=16, **compact_kw) is not None
+        return sink
+
+    z = build(str(tmp_path / "z"), zorder_by=["v", "w"])
+    lin = build(str(tmp_path / "lin"), cluster_by=["v", "w"])
+    for sink in (z, lin):
+        assert len(sink._load_stats(sink.current_version())["2024-01-01"]["files"]) >= 8
+    # narrow range on v: BOTH layouts skip (v leads the linear sort too)
+    for sink in (z, lin):
+        sc, sk = sink.pruned_files({"v": (14.0, None)})
+        assert len(sk) > len(sc), (len(sc), len(sk))
+    # narrow range on w: only the z-ordered layout skips
+    sc_z, sk_z = z.pruned_files({"w": (14.0, None)})
+    assert len(sk_z) > 0 and len(sc_z) < len(sc_z) + len(sk_z)
+    sc_l, sk_l = lin.pruned_files({"w": (14.0, None)})
+    assert len(sk_l) == 0  # every linear file spans all of w
+    assert len(sk_z) >= 8, (len(sc_z), len(sk_z))  # z skips at least half
+    # correctness on both layouts, both dimensions
+    for sink in (z, lin):
+        for col in ("v", "w"):
+            got = sorted(
+                r["k"] for r in sink.read(where={col: (14.0, None)}).collect()
+            )
+            want = sorted(
+                r["k"]
+                for r in sink.read()
+                .filter(F.col(col) >= 14.0)
+                .collect()
+            )
+            assert got == want and len(got) == 32
