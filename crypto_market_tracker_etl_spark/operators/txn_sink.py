@@ -684,6 +684,40 @@ class ManifestParquetSink:
             op.alias("_op"),
         )
 
+    def changes_since_checkpoint(
+        self, checkpoint_path: str
+    ) -> tuple[DataFrame, int, "Callable[[], None]"]:
+        """Incremental change-feed consumption with at-least-once
+        semantics: returns ``(changes_df, to_version, ack)`` where
+        ``changes_df`` is ``changes(last_acked, to_version)`` and calling
+        ``ack()`` AFTER durably processing it advances the checkpoint —
+        crash before ack and the next call replays the same diff (pair
+        with an idempotent consumer: MERGE, cdc_compact, …). The
+        checkpoint is a version number in a file, written with the same
+        fsync'd-tmp + atomic-rename discipline as the manifests.
+
+        This is the polling form of a streaming source over the table
+        (Delta's ``readChangeFeed`` startingVersion flow); wire it into a
+        scheduler or a foreachBatch loop."""
+        ck_file = os.path.join(checkpoint_path, "version.json")
+        last = 0
+        if os.path.exists(ck_file):
+            with open(ck_file) as f:
+                last = json.load(f)["version"]
+        to_version = self.current_version()
+        df = self.changes(last, to_version)
+
+        def ack() -> None:
+            os.makedirs(checkpoint_path, exist_ok=True)
+            tmp = os.path.join(checkpoint_path, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump({"version": to_version}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, ck_file)
+
+        return df, to_version, ack
+
     # -------------------------------------------------------------- compact
 
     def compact(

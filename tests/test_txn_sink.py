@@ -514,3 +514,26 @@ def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
                 .collect()
             )
             assert got == want and len(got) == 32
+
+
+def test_changes_since_checkpoint_at_least_once(spark, tmp_path):
+    """Checkpointed feed consumption: first poll sees the full table as
+    inserts; un-acked polls REPLAY the same diff (at-least-once); acked
+    polls advance; an empty poll after ack yields zero rows."""
+    sink = make_sink(spark, tmp_path)
+    ck = str(tmp_path / "ck")
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    df, v, ack = sink.changes_since_checkpoint(ck)
+    assert {(r["k"], r["_op"]) for r in df.collect()} == {("a", "I")}
+    # crash before ack: replay
+    df2, v2, ack2 = sink.changes_since_checkpoint(ck)
+    assert v2 == v
+    assert {(r["k"], r["_op"]) for r in df2.collect()} == {("a", "I")}
+    ack2()
+    sink.upsert(spark.createDataFrame([("b", DAY2, 1, 2.0)], SCHEMA))
+    sink.delete(spark.createDataFrame([("a", DAY1, 1, 0.0)], SCHEMA))
+    df3, _, ack3 = sink.changes_since_checkpoint(ck)
+    assert {(r["k"], r["_op"]) for r in df3.collect()} == {("b", "I"), ("a", "D")}
+    ack3()
+    df4, _, _ = sink.changes_since_checkpoint(ck)
+    assert df4.count() == 0
