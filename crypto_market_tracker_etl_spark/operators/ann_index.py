@@ -142,7 +142,7 @@ class IvfPqIndex:
         Any OTHER batch column rides along as stored metadata — that is
         what ``probe(where=...)`` filters on. Keep the passthrough schema
         stable across appends (plain parquet append, no schema merge)."""
-        reserved = {"codes", "list_id"}
+        reserved = {"codes", "list_id", "__e"}
         clash = reserved & set(batch.columns)
         if clash:
             raise ValueError(
@@ -232,6 +232,17 @@ class IvfPqIndex:
             .mode("overwrite")
             .parquet(staged)
         )
+        if not any(n.startswith("list_id=") for n in os.listdir(staged)):
+            # every vector was tombstoned: swapping in a file-less dir
+            # would brick read()/probe() (no schema to infer) and clearing
+            # the tombstones would then lose the only record of the
+            # deletes. Deleting the whole corpus means decommissioning
+            # the index — make the caller do that explicitly.
+            shutil.rmtree(staged)
+            raise ValueError(
+                f"compaction would empty the index at {self.path} (every "
+                "vector is tombstoned); delete the index directory instead"
+            )
         old = self._data + f".old-{uuid.uuid4().hex}"
         os.rename(self._data, old)
         try:

@@ -130,6 +130,13 @@ def _zorder_key(cols: Sequence[str]):
 
     w = Window.partitionBy("dt_part")
     n = len(cols)
+    if not 1 <= n <= 3:
+        # 16 bits/column: 4 columns would place a bit on the long's sign
+        # (inverting sort order between the curve's halves) and 5+ wrap
+        # mod 64 in Spark's shiftleft, silently corrupting the key. Three
+        # dimensions is also where Z-order stops paying (Delta's own
+        # guidance); reject loudly instead of degrading silently.
+        raise ValueError(f"zorder_by supports 1-3 columns, got {n}")
     ranks = []
     for c in cols:
         col = F.col(c).cast("double")
@@ -689,12 +696,20 @@ class ManifestParquetSink:
     ) -> tuple[DataFrame, int, "Callable[[], None]"]:
         """Incremental change-feed consumption with at-least-once
         semantics: returns ``(changes_df, to_version, ack)`` where
-        ``changes_df`` is ``changes(last_acked, to_version)`` and calling
+        ``changes_df`` is ``changes(last_acked, to_version)`` — or None
+        when the table has no commits yet (poll again later) — and calling
         ``ack()`` AFTER durably processing it advances the checkpoint —
         crash before ack and the next call replays the same diff (pair
         with an idempotent consumer: MERGE, cdc_compact, …). The
-        checkpoint is a version number in a file, written with the same
-        fsync'd-tmp + atomic-rename discipline as the manifests.
+        checkpoint is a version number in a file, written with the
+        fsync'd-tmp + atomic-rename + dir-fsync discipline the manifests
+        use.
+
+        A checkpoint that predates vacuum retention (its base manifest is
+        gone) raises a descriptive ValueError: the consumer's only sound
+        recovery is a full resync (process ``read()`` as one snapshot,
+        then ack from the current version) — silently diffing against the
+        wrong base would under-deliver changes.
 
         This is the polling form of a streaming source over the table
         (Delta's ``readChangeFeed`` startingVersion flow); wire it into a
@@ -705,7 +720,6 @@ class ManifestParquetSink:
             with open(ck_file) as f:
                 last = json.load(f)["version"]
         to_version = self.current_version()
-        df = self.changes(last, to_version)
 
         def ack() -> None:
             os.makedirs(checkpoint_path, exist_ok=True)
@@ -715,7 +729,23 @@ class ManifestParquetSink:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, ck_file)
+            dir_fd = os.open(checkpoint_path, os.O_RDONLY)
+            try:
+                os.fsync(dir_fd)  # make the rename itself durable
+            finally:
+                os.close(dir_fd)
 
+        if to_version == 0:
+            return None, 0, ack  # nothing committed yet: poll again later
+        try:
+            df = self.changes(last, to_version)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"checkpoint at {checkpoint_path} references version "
+                f"{last}, which vacuum retention has removed — resync: "
+                "process read() as one snapshot, then ack from the "
+                "current version"
+            ) from e
         return df, to_version, ack
 
     # -------------------------------------------------------------- compact
@@ -747,8 +777,10 @@ class ManifestParquetSink:
         min/max and the ranks' bits are interleaved into one sort key
         (Morton order) — files then cover small HYPER-RECTANGLES of the
         value space, so range reads on ANY of the z-ordered columns skip
-        files, not just the first (Delta's OPTIMIZE ZORDER BY). Numeric
-        columns only; the rank anchors are a broadcast 1-row aggregate.
+        files, not just the first (Delta's OPTIMIZE ZORDER BY). 1-3
+        NUMERIC columns (validated); the rank anchors are per-day min/max
+        windows over dt_part — co-partitioned with the layout, no extra
+        shuffle, no driver collects.
 
         Zone maps are recomputed from the rewritten bytes, never carried
         over: file-grain stats name physical files, and compaction just
@@ -771,6 +803,18 @@ class ManifestParquetSink:
             if cluster_by:
                 staged = staged.sortWithinPartitions("dt_part", *cluster_by)
             elif zorder_by:
+                from pyspark.sql.types import NumericType
+
+                for c in zorder_by:
+                    if not isinstance(staged.schema[c].dataType, NumericType):
+                        # cast('double') on a non-numeric column yields
+                        # NULL → rank 0 everywhere → the column silently
+                        # contributes nothing to the key
+                        raise ValueError(
+                            f"zorder_by column {c!r} is "
+                            f"{staged.schema[c].dataType.simpleString()}; "
+                            "z-ordering needs numeric columns"
+                        )
                 staged = (
                     staged.withColumn("__z", _zorder_key(zorder_by))
                     .sortWithinPartitions("dt_part", "__z")

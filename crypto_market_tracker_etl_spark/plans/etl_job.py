@@ -111,16 +111,27 @@ def refresh_daily_metrics(
     rows every cron run — here only the TOUCHED days are recomputed).
 
     ``touched_days`` is a 1-column ``dt`` frame (e.g. the batch's distinct
-    days). The prices scan is pruned to those partitions via the same
-    broadcast semi-join the sink's merge uses, the daily aggregate is
-    recomputed exactly (not incrementally patched — OHLC open/close are
-    not decomposable under late data), and the result merges into the
-    daily table keyed (asset_id, date). Work per refresh is proportional
-    to the days touched, never the table.
+    days). The prices scan is pruned to those partitions — the swap sink
+    via the broadcast semi-join its merge uses (dynamic partition pruning
+    on the physical ``dt=`` dirs), the manifest sink via ``read(days=...)``
+    (its ``dt`` is a regular data column, so the semi-join alone would
+    scan every partition's files: manifest-level pruning is the only path
+    that skips them). The daily aggregate is recomputed exactly (not
+    incrementally patched — OHLC open/close are not decomposable under
+    late data), and the result merges into the daily table keyed
+    (asset_id, date). Work per refresh is proportional to the days
+    touched, never the table.
     """
+    from ..operators.txn_sink import ManifestParquetSink
     from .market_views import daily_metrics_from_ticks
 
-    pruned = prices_sink.read().join(F.broadcast(touched_days), "dt", "left_semi")
+    if isinstance(prices_sink, ManifestParquetSink):
+        days = [r["dt"] for r in touched_days.select("dt").distinct().collect()]
+        pruned = prices_sink.read(days=days)
+    else:
+        pruned = prices_sink.read().join(
+            F.broadcast(touched_days), "dt", "left_semi"
+        )
     daily = daily_metrics_from_ticks(pruned)
     daily_sink.upsert(daily.withColumn("ts", F.col("date").cast("timestamp")))
 

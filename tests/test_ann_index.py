@@ -264,3 +264,19 @@ def test_delete_tombstones_then_compact_erases(spark, tmp_path):
     assert idx.read().count() == n_live  # physically gone
     assert not os.path.isdir(str(tmp_path / "idx" / "_deletes"))
     assert _rows(idx.probe(q, k=3, nprobe=8, rerank=50)) == want
+
+
+def test_compact_refuses_to_empty_the_index(spark, tmp_path):
+    """Tombstoning EVERY vector then compacting must refuse (a file-less
+    data dir would brick reads and clearing tombstones would lose the
+    deletes) — and leave suppression fully intact."""
+    import pytest
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), emb, k_lists=4)
+    idx.delete(emb.select("vec_id"))
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    assert idx.probe(q, k=3, nprobe=4).count() == 0  # all suppressed
+    with pytest.raises(ValueError, match="empty the index"):
+        idx.compact()
+    assert idx.probe(q, k=3, nprobe=4).count() == 0  # still suppressed

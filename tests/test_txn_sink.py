@@ -497,7 +497,6 @@ def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
         assert len(sk) > len(sc), (len(sc), len(sk))
     # narrow range on w: only the z-ordered layout skips
     sc_z, sk_z = z.pruned_files({"w": (14.0, None)})
-    assert len(sk_z) > 0 and len(sc_z) < len(sc_z) + len(sk_z)
     sc_l, sk_l = lin.pruned_files({"w": (14.0, None)})
     assert len(sk_l) == 0  # every linear file spans all of w
     assert len(sk_z) >= 8, (len(sc_z), len(sk_z))  # z skips at least half
@@ -522,6 +521,9 @@ def test_changes_since_checkpoint_at_least_once(spark, tmp_path):
     polls advance; an empty poll after ack yields zero rows."""
     sink = make_sink(spark, tmp_path)
     ck = str(tmp_path / "ck")
+    # polling an empty table yields None (not a crash): poll again later
+    none_df, v0, _ = sink.changes_since_checkpoint(ck)
+    assert none_df is None and v0 == 0
     sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
     df, v, ack = sink.changes_since_checkpoint(ck)
     assert {(r["k"], r["_op"]) for r in df.collect()} == {("a", "I")}
@@ -537,3 +539,23 @@ def test_changes_since_checkpoint_at_least_once(spark, tmp_path):
     ack3()
     df4, _, _ = sink.changes_since_checkpoint(ck)
     assert df4.count() == 0
+
+
+def test_feed_checkpoint_past_retention_raises_descriptively(spark, tmp_path):
+    """A checkpoint whose base manifest was vacuumed must fail with the
+    resync guidance, not a raw FileNotFoundError; and zorder_by validates
+    column count and numeric dtype instead of degrading silently."""
+    sink = make_sink(spark, tmp_path)
+    ck = str(tmp_path / "ck")
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    _, _, ack = sink.changes_since_checkpoint(ck)
+    ack()  # checkpoint at v1
+    sink.upsert(spark.createDataFrame([("b", DAY2, 1, 2.0)], SCHEMA))
+    sink.upsert(spark.createDataFrame([("c", DAY2, 2, 3.0)], SCHEMA))
+    sink.vacuum(keep_versions=1, min_age_seconds=0)  # v1 manifest gone
+    with pytest.raises(ValueError, match="resync"):
+        sink.changes_since_checkpoint(ck)
+    with pytest.raises(ValueError, match="1-3 columns"):
+        sink.compact(zorder_by=["v", "v", "v", "v"])
+    with pytest.raises(ValueError, match="numeric"):
+        sink.compact(zorder_by=["k"])
