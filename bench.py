@@ -52,6 +52,7 @@ HEADLINE = [
     "simhash",
     "simhash_fast",
     "cosine_topk",
+    "cosine_topk_filtered",
     "knn_lsh",
     "knn_ivf",
     "knn_pq",

@@ -454,6 +454,44 @@ FROM (
 """
 
 
+def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[similarity] FILTERED exact search — top-3 restricted to corpus
+    vectors whose ``label`` matches a predicate (label < 3), the
+    oracle-checkable twin of the persistent index's metadata-filtered
+    probe (operators/ann_index.py::probe(where=...)). Pre-filter
+    semantics: the corpus filters BEFORE scoring, so every returned
+    neighbor satisfies the predicate and k never shrinks post-hoc. Plan:
+    the label filter pushes into the corpus scan (narrower input than
+    unfiltered cosine_topk); queries broadcast; per-query top-k is a
+    window rank, never a global sort."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).drop("label")
+    corpus = emb.filter(F.col("label") < 3)
+    return brute_knn(corpus, queries, k=3)
+
+
+SQL_COSINE_TOPK_FILTERED = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE label < 3),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 4) AS cosine
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id DESC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 ANN_PLANES = 6  # ≈ planes_for_corpus(2000 vecs, target 32) — see SCALE.md
 # Skew guard ONLY: ~4× the expected bucket size (4000 aug vecs / 64 buckets
 # ≈ 62) so it clips degenerate hot buckets, never ordinary ones — capping at
@@ -1523,6 +1561,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP_PAIRS),
     "simhash": (q_simhash, SQL_SIMHASH),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "cosine_topk_filtered": (q_cosine_topk_filtered, SQL_COSINE_TOPK_FILTERED),
     "knn_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
