@@ -60,6 +60,8 @@ HEADLINE = [
     "embedding_near_dup",
     "text_quality",
     "tfidf",
+    "weighted_median",
+    "udtf_spans",
     "hash_split",
     "domain_mix",
     "boilerplate_strip",

@@ -2480,7 +2480,7 @@ ATTESTATION_ORDER: list[str] = [
     # ==== position 51: r4 window starts here =============================
     # -- added after the r3 window was locked (never attested) ------------
     "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
-    "cdc_apply", "cosine_topk_filtered",
+    "cdc_apply", "cosine_topk_filtered", "weighted_median", "udtf_spans",
     # -- remaining TPC-H (14) ---------------------------------------------
     "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",

@@ -993,6 +993,103 @@ FROM r GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# UDX surface, driver-attested (SURVEY §2.10)
+# --------------------------------------------------------------------------
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[UDX/UDAF] The GROUPED_AGG pandas UDF (functions/udx.py::
+    weighted_median) as an oracle-checked query: per (l_returnflag,
+    l_linestatus), the l_extendedprice-weighted median of l_quantity.
+    Arrow ships each group's columns as one batch; ties resolve to the
+    lower value, so the DuckDB oracle's cumulative-weight window (RANGE
+    peers ≥ the row-wise cumsum at the crossing value) picks the same
+    value. Scale caveat (documented in udx.py): GROUPED_AGG does not
+    partial-aggregate — the 4 bounded groups here are exactly the shape
+    it is reserved for."""
+    from .functions.udx import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.col("l_extendedprice").cast("double").alias("w"),
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(weighted_median("q", "w"), 2).alias("wmedian"))
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DOUBLE) AS q,
+         CAST(l_extendedprice AS DOUBLE) AS w
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, l_linestatus, q,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                      ORDER BY q) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) / 2.0 AS half
+  FROM s WHERE q IS NOT NULL AND w IS NOT NULL
+)
+SELECT l_returnflag, l_linestatus,
+       round(MIN(q) FILTER (WHERE cum >= half), 2) AS wmedian
+FROM c GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_udtf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[UDX/UDTF] The Python UDTF (functions/udx.py::SpanSplitter) as an
+    oracle-checked query: one row → many rows via LATERAL. Input text is
+    part names with spaces deterministically turned into sentence
+    boundaries (translate ' '→'.'), so the splitter emits one span per
+    word WITH its [start, end) offsets in the original string — offsets
+    are the part the oracle actually checks (a plain split can't get them
+    wrong; a stateful scanner can). Bounded input (p_partkey % 50 = 0)."""
+    from .functions.udx import SpanSplitter
+
+    spark.udtf.register("span_splitter", SpanSplitter)
+    part = load_table(spark, sf_dir, "part")
+    part.select(
+        "p_partkey", F.translate(F.col("p_name"), " ", ".").alias("txt")
+    ).filter(F.col("p_partkey") % 50 == 0).createOrReplaceTempView(
+        "__udtf_spans_in"
+    )
+    return spark.sql(
+        "SELECT p_partkey, start, `end`, span "
+        "FROM __udtf_spans_in, LATERAL span_splitter(txt)"
+    )
+
+
+SQL_UDTF_SPANS = """
+WITH t AS (
+  SELECT p_partkey, translate(p_name, ' ', '.') AS txt
+  FROM part WHERE p_partkey % 50 = 0
+),
+tok AS (
+  SELECT p_partkey, toks[i] AS tok, i AS ord
+  FROM (SELECT p_partkey, string_split(txt, '.') AS toks FROM t),
+       unnest(range(1, len(toks) + 1)) AS u(i)
+),
+off AS (
+  SELECT p_partkey, tok,
+         SUM(len(tok) + 1) OVER (PARTITION BY p_partkey ORDER BY ord
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev
+  FROM tok
+)
+SELECT p_partkey,
+       CAST(coalesce(prev, 0) AS INT) AS start,
+       CAST(coalesce(prev, 0) + len(tok) AS INT) AS "end",
+       tok AS span
+FROM off WHERE tok <> ''
+"""
+
+
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
@@ -1011,4 +1108,6 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
+    "udtf_spans": (q_udtf_spans, SQL_UDTF_SPANS),
 }
