@@ -98,6 +98,21 @@ SHOWCASE = {
         "aggregate (SortAggregate reuses the window's sort); tombstone "
         "semantics are pure projections on top."
     ),
+    "cosine_topk_filtered": (
+        "The label predicate pushes into the corpus parquet scan "
+        "(PushedFilters) BEFORE any scoring — pre-filter semantics; "
+        "queries broadcast, per-query top-k is a window rank."
+    ),
+    "weighted_median": (
+        "GROUPED_AGG pandas UDF: Arrow ships each of the 4 bounded "
+        "groups as one batch (no partial aggregation — the documented "
+        "reason this surface is reserved for order statistics)."
+    ),
+    "udtf_spans": (
+        "Python UDTF via LATERAL: BatchEvalPythonUDTF over a narrow "
+        "pushed-filter scan; one input row fans out to its spans with "
+        "no join or shuffle."
+    ),
 }
 
 
