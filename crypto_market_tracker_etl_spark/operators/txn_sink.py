@@ -623,8 +623,9 @@ class ManifestParquetSink:
     ) -> DataFrame:
         """CDF-style keyed diff between two snapshots (Delta's Change Data
         Feed read surface, derived instead of logged): one row per key
-        whose state differs, with ``_op`` ∈ I/U/D and the key's NEW column
-        values (NULL for D). Feed it to ``operators/cdc.py`` consumers or a
+        whose state differs, with ``_op`` ∈ I/U/D; I/U rows carry the NEW
+        column values, D rows the DELETED row's values (the pre-image,
+        Delta-CDF style). Feed it to ``operators/cdc.py`` consumers or a
         downstream MERGE; test_changes_roundtrip pins the defining
         property — applying changes(v1, v2) onto snapshot v1 reproduces
         snapshot v2 exactly.
@@ -685,9 +686,18 @@ class ManifestParquetSink:
             .when(F.col("_new").isNull(), "D")
             .otherwise("U")
         )
+        # I/U rows carry the NEW values; D rows carry the DELETED row's
+        # values (the pre-image, Delta-CDF style) — a delete with NULL
+        # payload would strand consumers that need the key's attributes,
+        # e.g. deriving which DAY to re-aggregate (maintain_daily_from_feed)
         return diff.select(
             *self.keys,
-            *[F.col(f"_new.{c}").alias(c) for c in cols],
+            *[
+                F.when(
+                    F.col("_new").isNull(), F.col(f"_old.{c}")
+                ).otherwise(F.col(f"_new.{c}")).alias(c)
+                for c in cols
+            ],
             op.alias("_op"),
         )
 

@@ -149,3 +149,38 @@ def upsert_assets_dim(old: DataFrame, new: DataFrame) -> DataFrame:
         F.max_by("name", "__src").alias("name"),
         F.min("first_seen_at").alias("first_seen_at"),
     )
+
+
+def maintain_daily_from_feed(
+    prices_sink: "ManifestParquetSink",
+    daily_sink: ParquetUpsertSink,
+    checkpoint_path: str,
+) -> int:
+    """Incremental view maintenance driven by the prices table's change
+    feed: consume ``changes_since_checkpoint``, derive the TOUCHED DAYS
+    from the diff (not from any caller-supplied batch — the feed is the
+    source of truth, so out-of-band writers' days refresh too), recompute
+    exactly those days' daily metrics, ack. Returns the number of days
+    refreshed (0 = nothing new).
+
+    At-least-once end-to-end: a crash between the daily upsert and the
+    ack replays the same diff next call, and both the diff-derivation and
+    the daily MERGE are idempotent, so the replay converges. This is the
+    composed form of the reference's cron step 'recompute daily rows
+    after every price load' (src/etl.py:57-59) on top of the
+    transactional table."""
+    diff, _version, ack = prices_sink.changes_since_checkpoint(checkpoint_path)
+    if diff is None:
+        return 0
+    touched = diff.select(
+        F.to_date(prices_sink.ts_col).cast("string").alias("dt")
+    ).distinct()
+    days = [r["dt"] for r in touched.collect() if r["dt"] is not None]
+    if not days:
+        ack()  # a diff of only deletes-without-ts cannot occur (NULL-ts
+        return 0  # rows are rejected at write), but stay defensive
+    refresh_daily_metrics(
+        prices_sink, daily_sink, touched.filter(F.col("dt").isNotNull())
+    )
+    ack()
+    return len(days)

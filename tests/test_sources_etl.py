@@ -389,3 +389,52 @@ def test_run_incremental_with_transactional_sink(spark, tmp_path):
     assert sink.read().count() == 72
     ch = sink.changes(v1)
     assert ch.filter(ch["_op"] != "U").count() == 0
+
+
+def test_maintain_daily_from_feed(spark, tmp_path):
+    """Feed-driven view maintenance: each poll refreshes exactly the days
+    the change feed touched — including days whose only change is a
+    DELETE (the D rows carry the deleted pre-image, so the day is
+    derivable) — and a no-change poll refreshes nothing."""
+    import datetime as dtm
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.plans.etl_job import (
+        maintain_daily_from_feed,
+    )
+
+    prices = ManifestParquetSink(
+        spark, str(tmp_path / "prices"), keys=["asset_id", "ts"],
+        ts_col="ts", order=["inserted_at"],
+    )
+    daily = ParquetUpsertSink(
+        spark, str(tmp_path / "daily"), keys=["asset_id", "date"], ts_col="ts"
+    )
+    ck = str(tmp_path / "ck")
+    P = ("asset_id string, ts timestamp, price double, market_cap double, "
+         "volume double, inserted_at timestamp")
+    d1, d2 = dtm.datetime(2024, 1, 1, 5), dtm.datetime(2024, 1, 2, 5)
+    ins = dtm.datetime(2024, 1, 3)
+    prices.upsert(spark.createDataFrame(
+        [("btc", d1, 10.0, 1e9, 5e6, ins), ("btc", d2, 11.0, 1e9, 5e6, ins),
+         ("btc", d2 + dtm.timedelta(hours=2), 13.0, 1e9, 5e6, ins)], P))
+    assert maintain_daily_from_feed(prices, daily, ck) == 2
+    rows = {str(r["date"]): r for r in daily.read().collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-02"}
+    assert rows["2024-01-02"]["close"] == 13.0
+    # idle poll: nothing to refresh
+    assert maintain_daily_from_feed(prices, daily, ck) == 0
+    # update day2 only → exactly one day refreshed, new close visible
+    prices.upsert(spark.createDataFrame(
+        [("btc", d2 + dtm.timedelta(hours=3), 15.0, 1e9, 5e6, ins)], P))
+    assert maintain_daily_from_feed(prices, daily, ck) == 1
+    assert {str(r["date"]): r["close"] for r in daily.read().collect()}[
+        "2024-01-02"] == 15.0
+    # delete day2's last tick: the D row's pre-image names the day
+    prices.delete(spark.createDataFrame(
+        [("btc", d2 + dtm.timedelta(hours=3), 0.0, 0.0, 0.0, ins)], P))
+    assert maintain_daily_from_feed(prices, daily, ck) == 1
+    assert {str(r["date"]): r["close"] for r in daily.read().collect()}[
+        "2024-01-02"] == 13.0

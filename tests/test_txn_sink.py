@@ -330,7 +330,7 @@ def test_delete_and_changes_roundtrip(spark, tmp_path):
     got = {r["k"]: r for r in ch.collect()}
     assert {k: r["_op"] for k, r in got.items()} == {"b": "U", "c": "I", "x": "D"}
     assert got["b"]["v"] == 20.0 and got["c"]["v"] == 3.0
-    assert got["x"]["v"] is None  # D rows carry NULL new-values
+    assert got["x"]["v"] == 9.0  # D rows carry the deleted pre-image
 
     # manifest-diff pruning: day1 was never repointed → its files unread
     files = ch.inputFiles()
