@@ -554,6 +554,41 @@ class ManifestParquetSink:
             f"upsert lost the manifest CAS {max_retries + 1} times at {self.path}"
         )
 
+    def partition_days(self, version: int | None = None) -> list[str]:
+        """The snapshot's partition days (sorted) — lets callers decide
+        which of a set of days still exist without touching any data."""
+        return sorted(
+            self._load_manifest(
+                self.current_version() if version is None else version
+            )
+        )
+
+    def drop_days(self, days: Sequence[str], max_retries: int = 8) -> int:
+        """Remove whole days from the table: a pure METADATA commit — the
+        new manifest simply omits those days' entries (and their stats);
+        no data is read or written, vacuum reclaims the unreferenced dirs
+        later. Returns the committed version (unchanged if none of the
+        days exist). The day-grain complement of the keyed ``delete``."""
+        want = set(days)
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            manifest = self._load_manifest(base)
+            hit = want & set(manifest)
+            if not hit:
+                return base
+            new_manifest = {d: p for d, p in manifest.items() if d not in hit}
+            new_stats = {
+                d: s
+                for d, s in self._load_stats(base).items()
+                if d not in hit
+            }
+            if self._try_commit(base, new_manifest, new_stats, op="drop_days"):
+                return base + 1
+        raise CommitConflictError(
+            f"drop_days lost the manifest CAS {max_retries + 1} times at "
+            f"{self.path}"
+        )
+
     # -------------------------------------------------------------- history
 
     def history(self) -> list[dict]:
@@ -707,7 +742,8 @@ class ManifestParquetSink:
         """Incremental change-feed consumption with at-least-once
         semantics: returns ``(changes_df, to_version, ack)`` where
         ``changes_df`` is ``changes(last_acked, to_version)`` — or None
-        when the table has no commits yet (poll again later) — and calling
+        when there is nothing to process (no commits yet, or no commit
+        since the last ack; poll again later) — and calling
         ``ack()`` AFTER durably processing it advances the checkpoint —
         crash before ack and the next call replays the same diff (pair
         with an idempotent consumer: MERGE, cdc_compact, …). The
@@ -745,8 +781,12 @@ class ManifestParquetSink:
             finally:
                 os.close(dir_fd)
 
-        if to_version == 0:
-            return None, 0, ack  # nothing committed yet: poll again later
+        if to_version == 0 or to_version == last:
+            # nothing committed yet, or nothing since the last ack — the
+            # uniform nothing-to-process signal. (Also the only sound
+            # answer when deletes emptied the whole table: an empty
+            # manifest has no schema to build an empty diff from.)
+            return None, to_version, ack
         try:
             df = self.changes(last, to_version)
         except FileNotFoundError as e:

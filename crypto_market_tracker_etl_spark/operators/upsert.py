@@ -221,6 +221,21 @@ class ParquetUpsertSink:
                 removed.append(name)
         return removed
 
+    def drop_days(self, days) -> list[str]:
+        """Remove SPECIFIC whole days (ISO strings): one directory unlink
+        per day, same layout-native mechanics as ``expire`` but targeted —
+        what a feed-driven maintainer uses when an upstream day was fully
+        deleted and its derived rows must go too. Returns removed names."""
+        removed = []
+        want = set(days)
+        if not os.path.isdir(self.path):
+            return removed
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("dt=") and name[len("dt="):] in want:
+                shutil.rmtree(os.path.join(self.path, name))
+                removed.append(name)
+        return removed
+
     def compact(self, max_records_per_file: int = 1_000_000) -> None:
         """Rewrite the table with one writer task per partition, splitting
         only past ``max_records_per_file`` — the small-file compaction every

@@ -104,7 +104,7 @@ def run_backfill(
 def refresh_daily_metrics(
     prices_sink: PricesSink,
     daily_sink: ParquetUpsertSink,
-    touched_days: DataFrame,
+    touched_days: "DataFrame | list[str]",
 ) -> None:
     """Incrementally maintain the daily_metrics aggregate table after a
     prices upsert (reference src/etl.py:57-59 recomputes and upserts daily
@@ -122,11 +122,20 @@ def refresh_daily_metrics(
     (asset_id, date). Work per refresh is proportional to the days
     touched, never the table.
     """
-    from ..operators.txn_sink import ManifestParquetSink
     from .market_views import daily_metrics_from_ticks
 
+    if not isinstance(touched_days, DataFrame):
+        days = sorted(set(touched_days))  # caller already knows the list
+        touched_days = prices_sink.spark.createDataFrame(
+            [(d,) for d in days], "dt string"
+        )
+    else:
+        days = None
     if isinstance(prices_sink, ManifestParquetSink):
-        days = [r["dt"] for r in touched_days.select("dt").distinct().collect()]
+        if days is None:
+            days = [
+                r["dt"] for r in touched_days.select("dt").distinct().collect()
+            ]
         pruned = prices_sink.read(days=days)
     else:
         pruned = prices_sink.read().join(
@@ -163,24 +172,40 @@ def maintain_daily_from_feed(
     exactly those days' daily metrics, ack. Returns the number of days
     refreshed (0 = nothing new).
 
-    At-least-once end-to-end: a crash between the daily upsert and the
-    ack replays the same diff next call, and both the diff-derivation and
-    the daily MERGE are idempotent, so the replay converges. This is the
-    composed form of the reference's cron step 'recompute daily rows
+    A touched day that no longer EXISTS upstream (a delete emptied it —
+    derivable because D rows carry the deleted pre-image) cannot be
+    refreshed by recomputation: its daily rows are DROPPED instead
+    (``daily_sink.drop_days``), so the maintained view tracks exact
+    recomputation through full-day erasure too, and the poll never trips
+    over reading a vanished day (which would skip the ack and poison the
+    feed).
+
+    At-least-once end-to-end: a crash between the daily writes and the
+    ack replays the same diff next call, and refresh, drop_days, and the
+    diff-derivation are all idempotent, so the replay converges. This is
+    the composed form of the reference's cron step 'recompute daily rows
     after every price load' (src/etl.py:57-59) on top of the
     transactional table."""
-    diff, _version, ack = prices_sink.changes_since_checkpoint(checkpoint_path)
+    diff, version, ack = prices_sink.changes_since_checkpoint(checkpoint_path)
     if diff is None:
         return 0
-    touched = diff.select(
-        F.to_date(prices_sink.ts_col).cast("string").alias("dt")
-    ).distinct()
-    days = [r["dt"] for r in touched.collect() if r["dt"] is not None]
+    days = {
+        r["dt"]
+        for r in diff.select(
+            F.to_date(prices_sink.ts_col).cast("string").alias("dt")
+        )
+        .distinct()
+        .collect()
+        if r["dt"] is not None
+    }
     if not days:
-        ack()  # a diff of only deletes-without-ts cannot occur (NULL-ts
-        return 0  # rows are rejected at write), but stay defensive
-    refresh_daily_metrics(
-        prices_sink, daily_sink, touched.filter(F.col("dt").isNotNull())
-    )
+        ack()  # a diff of only NULL-ts rows cannot occur (rejected at
+        return 0  # write), but stay defensive
+    live = sorted(days & set(prices_sink.partition_days(version)))
+    gone = sorted(days - set(live))
+    if live:
+        refresh_daily_metrics(prices_sink, daily_sink, live)
+    if gone:
+        daily_sink.drop_days(gone)
     ack()
     return len(days)

@@ -438,3 +438,12 @@ def test_maintain_daily_from_feed(spark, tmp_path):
     assert maintain_daily_from_feed(prices, daily, ck) == 1
     assert {str(r["date"]): r["close"] for r in daily.read().collect()}[
         "2024-01-02"] == 13.0
+    # delete EVERY remaining day-2 tick: the day vanishes upstream, so its
+    # daily rows must be DROPPED (not refreshed — reading a vanished day
+    # would crash before the ack and poison the feed)
+    prices.delete(spark.createDataFrame(
+        [("btc", d2, 0.0, 0.0, 0.0, ins),
+         ("btc", d2 + dtm.timedelta(hours=2), 0.0, 0.0, 0.0, ins)], P))
+    assert maintain_daily_from_feed(prices, daily, ck) == 1
+    assert {str(r["date"]) for r in daily.read().collect()} == {"2024-01-01"}
+    assert maintain_daily_from_feed(prices, daily, ck) == 0  # converged

@@ -538,7 +538,7 @@ def test_changes_since_checkpoint_at_least_once(spark, tmp_path):
     assert {(r["k"], r["_op"]) for r in df3.collect()} == {("b", "I"), ("a", "D")}
     ack3()
     df4, _, _ = sink.changes_since_checkpoint(ck)
-    assert df4.count() == 0
+    assert df4 is None  # nothing since the last ack: uniform None signal
 
 
 def test_feed_checkpoint_past_retention_raises_descriptively(spark, tmp_path):
@@ -559,3 +559,22 @@ def test_feed_checkpoint_past_retention_raises_descriptively(spark, tmp_path):
         sink.compact(zorder_by=["v", "v", "v", "v"])
     with pytest.raises(ValueError, match="numeric"):
         sink.compact(zorder_by=["k"])
+
+
+def test_drop_days_is_metadata_only(spark, tmp_path):
+    """drop_days removes whole days as a pure manifest commit: no data is
+    read or written, the version bumps, history records the op, vacuum
+    reclaims the now-unreferenced dir, and absent days are a no-op."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 1.0), ("b", DAY2, 1, 2.0)], SCHEMA))
+    v = sink.drop_days(["2024-01-01", "2099-12-31"])
+    assert v == sink.current_version()
+    assert sink.partition_days() == ["2024-01-02"]
+    assert table(sink) == {"b": 2.0}
+    assert sink.history()[0]["op"] == "drop_days"
+    assert sink.drop_days(["2024-01-01"]) == v  # already gone: no commit
+    # time travel still sees the dropped day until vacuumed
+    assert {r["k"] for r in sink.read(version=v - 1).collect()} == {"a", "b"}
+    sink.vacuum(keep_versions=1, min_age_seconds=0)
+    assert table(sink) == {"b": 2.0}
