@@ -709,3 +709,59 @@ def test_cdc_stream_type_generic(spark, tmp_path):
         assert got[uid]["live"] == expected[uid]["live"]
         assert got[uid]["final_value"] == expected[uid]["final_value"]
     assert got[1]["final_value"] == "world" and got[2]["final_value"] is None
+
+
+def test_manifest_cdf_streaming_source(spark, tmp_path):
+    """The table's change feed as a genuine Structured Streaming source:
+    version offsets, checkpointed resume across separate availableNow
+    drains, I/U/D with delete pre-images, and a no-change drain emitting
+    nothing. (Mirrors changes() semantics through the DataSource API.)"""
+    import datetime as dtm
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import (
+        register_cdf,
+    )
+
+    register_cdf(spark)
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+    S = "k string, ts timestamp, ver int, v double"
+    d1, d2 = dtm.datetime(2024, 1, 1, 10), dtm.datetime(2024, 1, 2, 10)
+    sink.upsert(spark.createDataFrame([("a", d1, 1, 1.0), ("b", d2, 1, 2.0)], S))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        stream = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", str(tmp_path / "tbl"))
+            .option("keys", "k")
+            .load()
+        )
+        _drain_to_parquet(stream, out, ck)
+        return sorted(
+            (r["k"], r["_op"], r["v"], r["ver"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert drain() == [("a", "I", 1.0, 1), ("b", "I", 2.0, 1)]
+    sink.upsert(spark.createDataFrame([("b", d2 + dtm.timedelta(hours=1), 2, 20.0)], S))
+    sink.delete(spark.createDataFrame([("a", d1, 1, 0.0)], S))
+    # resumed from the checkpointed version offset: only the new diff
+    assert drain() == [
+        ("a", "D", 1.0, 1),  # pre-image values on the delete
+        ("a", "I", 1.0, 1),
+        ("b", "I", 2.0, 1),
+        ("b", "U", 20.0, 2),
+    ]
+    # nothing-new drain appends nothing
+    assert drain() == [
+        ("a", "D", 1.0, 1),
+        ("a", "I", 1.0, 1),
+        ("b", "I", 2.0, 1),
+        ("b", "U", 20.0, 2),
+    ]
