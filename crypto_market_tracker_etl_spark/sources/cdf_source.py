@@ -38,7 +38,7 @@ from collections.abc import Iterator
 import pandas as pd
 import pyarrow.dataset as pa_ds
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 _SPARK_META_KEY = b"org.apache.spark.sql.parquet.row.metadata"
@@ -122,7 +122,11 @@ class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
         self.path = options["path"]
         self.keys = [k.strip() for k in options["keys"].split(",") if k.strip()]
         self.start_version = int(options.get("startingversion", "0"))
-        self.cols = [f.name for f in schema.fields if f.name != "_op"]
+        self.cols = [
+            f.name
+            for f in schema.fields
+            if f.name not in ("_op", "_commit_version")
+        ]
         self.non_keys = [c for c in self.cols if c not in self.keys]
         # pandas outer merges NaN-promote int columns to float (ver 1 →
         # 1.0), which the source API would reject for an IntegerType
@@ -182,7 +186,7 @@ class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
                 if v is not None and c in self.coerce:
                     v = self.coerce[c](v)
                 vals.append(v)
-            rows.append(tuple(vals) + (op,))
+            rows.append(tuple(vals) + (op, v2))
         return rows
 
     def read(self, start: dict):
@@ -204,7 +208,18 @@ class ManifestCdfDataSource(DataSource):
     def schema(self) -> StructType:
         base = _table_schema(self.options["path"])
         return StructType(
-            base.fields + [StructField("_op", StringType(), False)]
+            base.fields
+            + [
+                StructField("_op", StringType(), False),
+                # the version bound of the batch that surfaced the change
+                # (Delta's _commit_version analogue). A snapshot diff nets
+                # intermediate history, so rows carry the WINDOW's end
+                # version, not a per-commit one — still strictly ordered
+                # across batches, which is what lets a downstream CDC
+                # consumer place a delete AFTER the insert it deletes
+                # (the D pre-image's own ts/id predate it).
+                StructField("_commit_version", LongType(), False),
+            ]
         )
 
     def simpleStreamReader(self, schema) -> ManifestCdfStreamReader:

@@ -765,3 +765,65 @@ def test_manifest_cdf_streaming_source(spark, tmp_path):
         ("b", "I", 2.0, 1),
         ("b", "U", 20.0, 2),
     ]
+
+
+def test_cdf_stream_feeds_stateful_cdc_consumer(spark, tmp_path):
+    """End-to-end composition: table commits → manifest_cdf stream →
+    cdc_apply_stream (stateful compaction keyed on the feed's ops). The
+    consumer's final live-set must equal the table's current contents —
+    the round-trip the table format + streaming tier exist for."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import register_cdf
+    from crypto_market_tracker_etl_spark.streaming.stateful import (
+        cdc_apply_stream,
+    )
+
+    register_cdf(spark)
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+    S = "k string, ts timestamp, ver int, v double"
+    d1, d2 = dtm.datetime(2024, 1, 1, 10), dtm.datetime(2024, 1, 2, 10)
+    out = str(tmp_path / "state_out")
+
+    def drain():
+        feed = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", str(tmp_path / "tbl"))
+            .option("keys", "k")
+            .load()
+            # adapt the feed's columns to the CDC consumer's contract:
+            # op from _op, and _commit_version as the tie-break id — the
+            # D pre-image's own ts/ver predate the insert it deletes, so
+            # only the commit version can order them correctly
+            .select(
+                "k", "ts", F.col("_commit_version").alias("cv"), "v",
+                F.col("_op").alias("op"),
+            )
+        )
+        _drain_to_parquet(
+            cdc_apply_stream(feed, "k", "ts", "cv", "op", "v"),
+            out,
+            str(tmp_path / "state_ck"),
+        )
+
+    sink.upsert(spark.createDataFrame([("a", d1, 1, 1.0), ("b", d2, 1, 2.0)], S))
+    drain()  # the delete must land in a LATER offset window than a's
+    # insert: the feed diffs snapshots (netting intermediate history), so
+    # an insert+delete inside one window would cancel to nothing
+    sink.upsert(spark.createDataFrame([("b", d2 + dtm.timedelta(hours=1), 2, 20.0)], S))
+    sink.delete(spark.createDataFrame([("a", d1, 1, 0.0)], S))
+    drain()
+    emitted = spark.read.parquet(out).toPandas()
+    final = emitted.sort_values("n_ops").groupby("k").tail(1)
+    live = {r["k"]: r["final_value"] for _, r in final.iterrows() if r["live"]}
+    table_now = {r["k"]: r["v"] for r in sink.read().collect()}
+    assert live == table_now == {"b": 20.0}
+    dead = {r["k"] for _, r in final.iterrows() if not r["live"]}
+    assert dead == {"a"}
