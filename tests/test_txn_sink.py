@@ -578,3 +578,37 @@ def test_drop_days_is_metadata_only(spark, tmp_path):
     assert {r["k"] for r in sink.read(version=v - 1).collect()} == {"a", "b"}
     sink.vacuum(keep_versions=1, min_age_seconds=0)
     assert table(sink) == {"b": 2.0}
+
+
+def test_concurrent_delete_and_upsert_serialize(spark, tmp_path):
+    """A delete racing an upsert on the same partition: both go through
+    the CAS retry loop, so both land in SOME serial order — the table
+    never loses the upsert's new key and never resurrects the deleted
+    one, regardless of which writer wins the race."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame(
+        [("victim", DAY2, 1, 1.0), ("keep", DAY2, 1, 2.0)], SCHEMA))
+    errors: list[Exception] = []
+
+    def do_delete():
+        try:
+            sink.delete(spark.createDataFrame([("victim", DAY2, 1, 0.0)], SCHEMA))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def do_upsert():
+        try:
+            sink.upsert(spark.createDataFrame([("new", DAY2, 1, 3.0)], SCHEMA))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=do_delete), threading.Thread(target=do_upsert)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    assert table(sink) == {"keep": 2.0, "new": 3.0}
+    assert sink.current_version() == 3  # both commits serialized
+    ops = [e["op"] for e in sink.history()[:2]]
+    assert sorted(ops) == ["delete", "upsert"]
