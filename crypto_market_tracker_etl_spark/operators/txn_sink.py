@@ -64,6 +64,30 @@ from .upsert import dedup_keep_latest, merge_upsert
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
+def manifest_current_version(path: str) -> int:
+    """Highest committed version of the manifest table at ``path``
+    (0 = empty). Module-level so non-Spark readers — the cdf streaming
+    source reads manifests in plain Python — share ONE implementation of
+    the layout with the sink."""
+    mdir = os.path.join(path, "_manifests")
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(m.group(1))
+        for name in os.listdir(mdir)
+        if (m := _MANIFEST_RE.match(name))
+    ]
+    return max(versions, default=0)
+
+
+def manifest_load(path: str, version: int) -> dict[str, str]:
+    """{iso_day: commit-relative data dir} for ``version`` (empty at 0)."""
+    if version == 0:
+        return {}
+    with open(os.path.join(path, "_manifests", f"v{version}.json")) as f:
+        return json.load(f)["partitions"]
+
+
 def _stat_val(v):
     """JSON-encodable zone-map bound. Numbers/bools pass through and
     Decimal becomes float (numeric compare at prune time — str-serializing
@@ -212,19 +236,11 @@ class ManifestParquetSink:
     def current_version(self) -> int:
         """Highest committed version (0 = empty table). Any listed manifest
         is complete: names only appear via the atomic ``os.link``."""
-        versions = [
-            int(m.group(1))
-            for name in os.listdir(self._manifest_dir)
-            if (m := _MANIFEST_RE.match(name))
-        ]
-        return max(versions, default=0)
+        return manifest_current_version(self.path)
 
     def _load_manifest(self, version: int) -> dict[str, str]:
         """{iso_day: commit-relative data dir} for ``version`` (empty at 0)."""
-        if version == 0:
-            return {}
-        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
-            return json.load(f)["partitions"]
+        return manifest_load(self.path, version)
 
     def _load_stats(self, version: int) -> dict[str, dict]:
         """Per-partition zone maps for ``version``:

@@ -26,13 +26,18 @@ directly.
 Semantics match ``changes()`` exactly: I/U rows carry the NEW values, D
 rows the deleted row's PRE-IMAGE; a day whose manifest entry is identical
 between versions is never read.
+
+Options: ``path`` (table root), ``keys`` (comma-separated merge keys),
+``startingVersion`` (default 0 — the FIRST batch then delivers the whole
+current snapshot as inserts, the CDF bootstrap convention; on a large
+existing table that initial diff is table-sized and driver-side, so pass
+``startingVersion = current_version`` to start from new changes only).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,55 +45,54 @@ import pyarrow.dataset as pa_ds
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 _SPARK_META_KEY = b"org.apache.spark.sql.parquet.row.metadata"
 
-
-def _current_version(path: str) -> int:
-    mdir = os.path.join(path, "_manifests")
-    if not os.path.isdir(mdir):
-        return 0
-    versions = [
-        int(m.group(1))
-        for name in os.listdir(mdir)
-        if (m := _MANIFEST_RE.match(name))
-    ]
-    return max(versions, default=0)
-
-
-def _load_manifest(path: str, version: int) -> dict[str, str]:
-    if version == 0:
-        return {}
-    with open(os.path.join(path, "_manifests", f"v{version}.json")) as f:
-        return json.load(f)["partitions"]
+# ONE implementation of the manifest layout, shared with the sink — a
+# format change (e.g. manifest sharding) lands in both readers at once
+from ..operators.txn_sink import (  # noqa: E402
+    manifest_current_version as _current_version,
+    manifest_load as _load_manifest,
+)
 
 
 def _table_schema(path: str) -> StructType:
     """The table's Spark schema, reconstructed from the footer metadata
-    Spark itself wrote into any live data file — no type-mapping table to
-    drift out of sync."""
+    Spark itself wrote into the live data files — no type-mapping table to
+    drift out of sync. Fields are UNIONED across the manifest's distinct
+    commits (first-appearance order): under additive schema evolution
+    different partitions carry different vintages, and sampling one
+    arbitrary file would nondeterministically drop late-added columns
+    from the whole feed."""
     # the CURRENT manifest may be empty (deletes emptied the table) while
-    # older retained manifests still reference data — any live file works
-    # for the schema, so walk back through retention
-    rel = None
+    # older retained manifests still reference data, so walk retention
+    manifest: dict[str, str] = {}
     for v in range(_current_version(path), 0, -1):
         try:
             manifest = _load_manifest(path, v)
         except FileNotFoundError:
             break  # vacuumed past here
         if manifest:
-            rel = next(iter(manifest.values()))
             break
-    if rel is None:
+    if not manifest:
         raise ValueError(
             f"{path} has no data-bearing commits within retention; the cdf "
             "stream needs a table schema — start it after the first upsert"
         )
-    frag = pa_ds.dataset(os.path.join(path, rel))
-    meta = frag.schema.metadata or {}
-    if _SPARK_META_KEY not in meta:
-        raise ValueError(f"{path} data files carry no Spark schema metadata")
-    return StructType.fromJson(json.loads(meta[_SPARK_META_KEY]))
+    # one footer read per distinct COMMIT (a commit's partitions share a
+    # write schema), unioned by field name
+    commits: dict[str, str] = {}
+    for rel in manifest.values():
+        commits.setdefault(rel.split(os.sep)[1], rel)
+    fields: dict[str, object] = {}
+    for rel in commits.values():
+        meta = pa_ds.dataset(os.path.join(path, rel)).schema.metadata or {}
+        if _SPARK_META_KEY not in meta:
+            raise ValueError(
+                f"{path} data files carry no Spark schema metadata"
+            )
+        for f in StructType.fromJson(json.loads(meta[_SPARK_META_KEY])):
+            fields.setdefault(f.name, f)
+    return StructType(list(fields.values()))
 
 
 def _read_days(path: str, manifest: dict[str, str], days) -> pd.DataFrame:
@@ -142,34 +146,56 @@ class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
+    def _normalize(self, frame: pd.DataFrame) -> pd.DataFrame:
+        """Align a side of the diff to the declared columns. (1) reindex
+        to exactly self.cols: under additive schema evolution one side may
+        predate a column — without the reindex, pandas merge suffixes only
+        SHARED columns and the per-side lookups KeyError (a poison-pill
+        replay). (2) integer columns go to nullable Int64: a plain int64
+        column NaN-promotes to float64 the moment any I/D row appears,
+        silently corrupting values past 2^53 and making 2^60 == 2^60+1
+        compare equal (a suppressed update)."""
+        frame = frame.reindex(columns=self.cols)
+        for c, f in self.coerce.items():
+            if f is int and c in frame.columns:
+                frame[c] = frame[c].astype("Int64")
+        return frame
+
     def _diff_rows(self, v1: int, v2: int) -> list[tuple]:
-        old_m = _load_manifest(self.path, v1)
-        new_m = _load_manifest(self.path, v2)
+        try:
+            old_m = _load_manifest(self.path, v1)
+            new_m = _load_manifest(self.path, v2)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"cdf stream offset references version {v1} or {v2} of "
+                f"{self.path}, which vacuum retention has removed — "
+                "resync: restart the stream with a fresh checkpoint (the "
+                "first batch re-delivers the current snapshot as inserts)"
+            ) from e
         changed = sorted(
             d for d in set(old_m) | set(new_m) if old_m.get(d) != new_m.get(d)
         )
         if not changed:
             return []
-        old = _read_days(self.path, old_m, changed)
-        new = _read_days(self.path, new_m, changed)
+        old = self._normalize(_read_days(self.path, old_m, changed))
+        new = self._normalize(_read_days(self.path, new_m, changed))
         if old.empty and new.empty:
             return []
-        empty = pd.DataFrame(columns=self.cols)
-        merged = (old if not old.empty else empty).merge(
-            new if not new.empty else empty,
+        merged = old.merge(
+            new,
             on=self.keys,
             how="outer",
             suffixes=("_old", "_new"),
-            # itertuples renames underscore-prefixed fields positionally,
-            # so the indicator needs a plain identifier
-            indicator="mergeside",
+            indicator=True,
         )
         rows: list[tuple] = []
-        for r in merged.itertuples(index=False):
-            d = r._asdict()
-            if d["mergeside"] == "right_only":
+        # dict-records iteration: itertuples positionally renames any
+        # field that is not a valid Python identifier (underscore-prefixed
+        # table columns included), which would KeyError the lookups below
+        for d in merged.to_dict("records"):
+            if d["_merge"] == "right_only":
                 op, side = "I", "_new"
-            elif d["mergeside"] == "left_only":
+            elif d["_merge"] == "left_only":
                 op, side = "D", "_old"  # pre-image, like changes()
             else:
                 same = all(
@@ -206,6 +232,10 @@ class ManifestCdfDataSource(DataSource):
         return "manifest_cdf"
 
     def schema(self) -> StructType:
+        if "path" not in self.options:
+            # schema resolution runs before the reader's own validation,
+            # so a forgotten option must fail helpfully HERE
+            raise ValueError("manifest_cdf requires options 'path' and 'keys'")
         base = _table_schema(self.options["path"])
         return StructType(
             base.fields

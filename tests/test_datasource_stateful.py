@@ -827,3 +827,60 @@ def test_cdf_stream_feeds_stateful_cdc_consumer(spark, tmp_path):
     assert live == table_now == {"b": 20.0}
     dead = {r["k"] for _, r in final.iterrows() if not r["live"]}
     assert dead == {"a"}
+
+
+def test_cdf_source_schema_evolution_and_bigint_exactness(spark, tmp_path):
+    """Two review-pass repros: (a) additive schema evolution must not
+    poison the stream (one diff side predates the column; the union
+    schema carries it, old rows read NULL); (b) int64 values beyond 2^53
+    must survive exactly AND a +1 update on such a value must still be
+    detected (float64 NaN-promotion would corrupt the value and compare
+    2^60 == 2^60+1 equal, suppressing the update)."""
+    import datetime as dtm
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import register_cdf
+
+    register_cdf(spark)
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+    d1, d2 = dtm.datetime(2024, 1, 1, 10), dtm.datetime(2024, 1, 2, 10)
+    big = 2**60
+    sink.upsert(spark.createDataFrame(
+        [("a", d1, 1, big)], "k string, ts timestamp, ver int, big long"))
+    sink.upsert(spark.createDataFrame(
+        [("b", d2, 1, big, 7.0)],
+        "k string, ts timestamp, ver int, big long, extra double"))
+    sink.upsert(spark.createDataFrame(
+        [("a", d1, 2, big + 1)], "k string, ts timestamp, ver int, big long"))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.format("manifest_cdf")
+        .option("path", str(tmp_path / "tbl"))
+        .option("keys", "k")
+        .load()
+    )
+    assert "extra" in stream.columns  # union schema, not an arbitrary file
+    _drain_to_parquet(stream, out, ck)
+    got = {r["k"]: r for r in spark.read.parquet(out).collect()}
+    assert got["a"]["big"] == big + 1 and got["a"]["_op"] == "I"
+    assert got["a"]["extra"] is None  # predates the column: NULL, no crash
+    assert got["b"]["big"] == big and got["b"]["extra"] == 7.0
+    # the update path: bump the big value by 1 — must surface as U exactly
+    sink.upsert(spark.createDataFrame(
+        [("b", d2 + dtm.timedelta(hours=1), 2, big + 1, 7.0)],
+        "k string, ts timestamp, ver int, big long, extra double"))
+    _drain_to_parquet(
+        spark.readStream.format("manifest_cdf")
+        .option("path", str(tmp_path / "tbl"))
+        .option("keys", "k")
+        .load(),
+        out,
+        ck,
+    )
+    rows = [r for r in spark.read.parquet(out).collect() if r["_op"] == "U"]
+    assert [(r["k"], r["big"]) for r in rows] == [("b", big + 1)]
