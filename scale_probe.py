@@ -581,6 +581,66 @@ def probe_curation(spark) -> None:
         )
 
 
+def probe_cdf(spark) -> None:
+    """Change-feed source sizing probe: the cdf stream's per-micro-batch
+    diff runs DRIVER-side (pyarrow/pandas) — measure its wall cost vs the
+    number of changed rows to put a number on the 'bounded by the commits
+    since the last trigger' claim and find the practical ceiling where the
+    batch ``changes()`` path should take over."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import (
+        ManifestCdfStreamReader,
+        _table_schema,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    root = tempfile.mkdtemp(prefix="cdf_probe_")
+    try:
+        sink = ManifestParquetSink(
+            spark, root + "/t", keys=["k"], ts_col="ts"
+        )
+
+        def batch(n, seed, day_span=4):
+            return spark.range(n).select(
+                F.concat(F.lit("k"), F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n)))
+                .alias("k"),
+                (
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                    + F.make_interval(mins=F.pmod(F.xxhash64("id"), F.lit(day_span * 1440)))
+                ).alias("ts"),
+                F.rand(seed).alias("v"),
+            )
+
+        sink.upsert(batch(1_000_000, 1))  # base table
+        for n_changed in (10_000, 100_000, 1_000_000):
+            v1 = sink.current_version()
+            sink.upsert(batch(n_changed, v1 + 7))
+            v2 = sink.current_version()
+            schema = _table_schema(root + "/t")
+            schema = type(schema)(
+                schema.fields
+                + [StructField("_op", StringType()), StructField("_commit_version", LongType())]
+            )
+            reader = ManifestCdfStreamReader(
+                {"path": root + "/t", "keys": "k"}, schema
+            )
+            t0 = time.perf_counter()
+            rows = reader._diff_rows(v1, v2)
+            dt = time.perf_counter() - t0
+            print(
+                f"cdf[changed={n_changed/1e3:.0f}k]: driver diff {dt:.1f}s, "
+                f"{len(rows)/1e3:.0f}k change rows emitted",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _splice_probe_section(body: str) -> None:
     """Replace the marker-delimited probe block of SCALE.md, preserving the
     hand-written analysis sections outside it."""
@@ -634,6 +694,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_CURATION"):
         probe_curation(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_CDF"):
+        probe_cdf(spark)
         spark.stop()
         return
     rows = []
