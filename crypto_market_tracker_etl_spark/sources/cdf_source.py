@@ -17,11 +17,14 @@ the same contract as ``changes_since_checkpoint``.
 Design note — why the diff runs driver-side in pyarrow/pandas rather than
 delegating to ``changes()``: a data source's ``read`` executes inside the
 streaming engine's planning thread, where launching nested Spark jobs is
-reentrant. A micro-batch diff is bounded by the commits that landed since
-the last trigger (touched days only, thanks to the manifest diff), which
-is exactly the size class the Simple (driver-side) reader variant exists
-for. Consumers that need cluster-scale diffs use the batch ``changes()``
-directly.
+reentrant. The diff cost is bounded by the TOUCHED DAYS' total row count
+(the manifest diff prunes untouched days; both versions of a touched day
+are read) — which stays micro-batch-sized exactly when ingestion is
+day-local, the incremental-ETL shape (measured in SCALE.md: a
+1M-row/4-day table diffs in ~8-14s driver-side; a daily load into a
+10-year table reads ~1/1800th of it). For wide rewrites — backfills,
+full-table churn — use the batch ``changes()`` path, which runs the same
+manifest-diff plan on the cluster.
 
 Semantics match ``changes()`` exactly: I/U rows carry the NEW values, D
 rows the deleted row's PRE-IMAGE; a day whose manifest entry is identical
