@@ -2452,32 +2452,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r3 window (positions 1-50): the 50 highest-value queries that have never
-# had a driver row in any round — all never-checked EXT entries, all ten
-# EXT2 curation ops, the 17 late-core entries (scd2..grouping_sets), and
-# eight TPC-H queries including the five flagships (q1/q3/q5/q6/q18).
-# Positions 51+: the 14 remaining TPC-H, then approx_distinct (newly
-# hash-oracled this round), then the 13 stale r1-greens whose plans changed
-# since round 1, then the round-2 greens for periodic re-attestation.
+# r4 window (positions 1-50, per the ATTESTATION.md schedule): the nine
+# queries added after the r3 window was locked (never attested), the 14
+# remaining TPC-H, approx_distinct, the 13 r1-greens whose plans changed
+# since r1 attested them, and the first 13 r2-green core queries.
+# Positions 51-100: the r3 window (green in CORRECTNESS_r03.json).
+# Positions 101+: the remaining r2-green core — scheduled as the r5 window.
 ATTESTATION_ORDER: list[str] = [
-    # -- never driver-checked: EXT (15) -----------------------------------
-    "knn_ivf", "tfidf", "near_dup_pairs_fast", "simhash_fast", "pii_redact",
-    "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
-    "binary_chunks", "dedup_keep_best", "dedup_clusters", "image_meta",
-    "array_funcs", "map_funcs",
-    # -- never driver-checked: EXT2 curation ops (10) ---------------------
-    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
-    "drift_report", "weighted_sample_stratified", "rrf_fusion",
-    "contamination", "sequence_packing", "recursive_cte",
-    # -- never driver-checked: late core (17) -----------------------------
-    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
-    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
-    "basket_lift", "session_islands", "late_arrivals", "twap",
-    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    # -- never driver-checked: TPC-H flagships + next wave (8) ------------
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
-    "tpch_q14", "tpch_q4",
-    # ==== position 51: r4 window starts here =============================
+    # ==== r4 window: positions 1-50 ======================================
     # -- added after the r3 window was locked (never attested) ------------
     "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
     "cdc_apply", "cosine_topk_filtered", "weighted_median", "udtf_spans",
@@ -2485,16 +2467,32 @@ ATTESTATION_ORDER: list[str] = [
     "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21",
-    # -- newly hash-oracled this round ------------------------------------
+    # -- newly hash-oracled in r3 -----------------------------------------
     "approx_distinct",
     # -- r1-green but plan changed since (re-attest) (13) -----------------
     "dedup_exact", "near_dup_pairs", "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
     "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
-    # -- r2-green core, periodic re-attestation ---------------------------
+    # -- first 13 r2-green core, periodic re-attestation ------------------
     "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
     "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
-    "sparkline_7d", "series_align", "order_nulls_last", "search_filter",
+    "sparkline_7d", "series_align", "order_nulls_last",
+    # ==== r3 window (green in CORRECTNESS_r03.json): positions 51-100 ====
+    "knn_ivf", "tfidf", "near_dup_pairs_fast", "simhash_fast", "pii_redact",
+    "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
+    "binary_chunks", "dedup_keep_best", "dedup_clusters", "image_meta",
+    "array_funcs", "map_funcs",
+    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
+    "drift_report", "weighted_sample_stratified", "rrf_fusion",
+    "contamination", "sequence_packing", "recursive_cte",
+    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
+    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
+    "basket_lift", "session_islands", "late_arrivals", "twap",
+    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
+    "tpch_q14", "tpch_q4",
+    # ==== remaining r2-green core (r5 window): positions 101+ ============
+    "search_filter",
     "coalesce_fill", "kpis", "ts_convert", "date_format",
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
     "session_window", "json_extract", "rollup", "pivot", "semi_anti",
