@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+result as JSON: a full-detail line first (also written to
+BENCH_DETAIL.json), then a compact FINAL line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"iterative_total": ..., "sf": ...}.
+
+The two-line protocol exists because the driver records only the last
+~2000 bytes of stdout and parses the LAST line as JSON: round 3's single
+line (48 queries + a spread_pct map) outgrew that capture and arrived
+truncated (BENCH_r03.json "parsed": null). The final line is size-guarded
+(< 1800 bytes — the per-query map is dropped from it, never the totals, if
+a future query set outgrows the margin); the spread_pct / iterative detail
+always lives on the first line and in BENCH_DETAIL.json.
 
 Each query is forced end-to-end with a noop-format write (full computation,
 no driver collect, no disk) after a shared warmup that triggers JVM/codegen
@@ -137,23 +147,47 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # stop FIRST: the JVM occasionally writes warnings (e.g. GCLocker) to
     # stdout, and an interleaved line after the JSON would break the
-    # driver's one-JSON-line contract. After stop() nothing else prints.
+    # driver's last-line-is-JSON contract. After stop() nothing else prints.
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "iterative": iterative,
-                "iterative_total": round(sum(iterative.values()), 3),
-                "spread_pct": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "iterative": iterative,
+        "iterative_total": round(sum(iterative.values()), 3),
+        "spread_pct": spreads,
+        "sf": sf_val,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the detail stdout line below still has it
+    print(json.dumps(detail), flush=True)
+
+    # FINAL line — the one the driver parses. Must fit the driver's ~2000-
+    # byte stdout tail with margin; drop the per-query map (already emitted
+    # above and in BENCH_DETAIL.json) if it ever outgrows that.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "iterative_total": round(sum(iterative.values()), 3),
+        "sf": sf_val,
+    }
+    line = json.dumps(summary)
+    if len(line) > 1800:
+        summary.pop("queries")
+        summary["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(summary)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -180,8 +180,15 @@ class IvfPqIndex:
         if isinstance(ids, DataFrame):
             df = ids.select(self.id_col).distinct()
         else:
+            # the meta imposes no id type — build the tombstone frame with
+            # the STORED corpus's actual id type (hardcoding long would
+            # crash string ids and type-mismatch the probe's anti-join)
+            from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+            id_field = self.read().schema[self.id_col]
             df = self.spark.createDataFrame(
-                [(int(i),) for i in ids], f"{self.id_col} long"
+                [(v.item() if hasattr(v, "item") else v,) for v in ids],
+                _ST([_SF(self.id_col, id_field.dataType)]),
             )
         df.write.mode("append").parquet(self._dels)
 

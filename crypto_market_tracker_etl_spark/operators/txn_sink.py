@@ -128,17 +128,27 @@ def _zone_overlaps(entry: dict | None, where: dict[str, tuple]) -> bool:
 
 
 def _stat_lt(a, b) -> bool:
-    """a < b in the zone-map domain: numeric whenever BOTH sides coerce to
-    float (covers stored numbers, Decimal bounds, and numeric strings from
-    pre-fix manifests — a lexicographic '100.0' < '20.0' would wrongly
-    prune), else string compare on the str() forms (sound for ISO
-    timestamps/dates, whose lexicographic order is chronological). Bounds
-    must live in the column's domain — comparing a numeric bound against a
-    timestamp column is a caller error no fallback can repair."""
-    try:
-        return float(a) < float(b)
-    except (TypeError, ValueError):
-        return str(a) < str(b)
+    """a < b in the zone-map domain, decided by the VALUES' types, not by
+    parseability: numeric when EITHER side is a genuine number (the other
+    side is then float-coerced — covers Decimal bounds and numeric strings
+    from pre-fix manifests, where a lexicographic '100.0' < '20.0' would
+    wrongly prune), else string compare (sound for ISO timestamps/dates,
+    whose lexicographic order is chronological). Two STRING sides never
+    compare numerically even when both parse as float: for a string column
+    the row-level filter (F.col >= lit) is lexicographic, and pruning by a
+    different order than the scan filters by silently drops matching rows
+    (zip codes: stored min='10'/max='30', where=('2','5') matches '20' and
+    '30' lexicographically but numerically 5 < 10 would prune the whole
+    partition). Bounds must live in the column's domain — a numeric bound
+    against a timestamp column is a caller error no fallback can repair."""
+    a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
+    b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if a_num or b_num:
+        try:
+            return float(a) < float(b)
+        except (TypeError, ValueError):
+            pass  # number vs non-numeric string: out-of-domain caller bound
+    return str(a) < str(b)
 
 
 def _zorder_key(cols: Sequence[str]):

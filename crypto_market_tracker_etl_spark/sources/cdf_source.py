@@ -94,19 +94,64 @@ def _table_schema(path: str) -> StructType:
                 f"{path} data files carry no Spark schema metadata"
             )
         for f in StructType.fromJson(json.loads(meta[_SPARK_META_KEY])):
-            fields.setdefault(f.name, f)
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = f
+            elif prev.dataType != f.dataType:
+                # same-name field with a DIFFERENT type across commits:
+                # keeping the first-appearance type silently would misread
+                # the other vintage's files. Numeric widenings resolve to
+                # the wider type (safe: the driver-side row build emits
+                # plain Python ints/floats either way); anything else is a
+                # rewrite the additive-evolution contract excludes — loud.
+                widened = _widen(prev.dataType, f.dataType)
+                if widened is None:
+                    raise ValueError(
+                        f"{path}: column '{f.name}' changes type across "
+                        f"commits ({prev.dataType.typeName()} vs "
+                        f"{f.dataType.typeName()}) — only additive or "
+                        "numeric-widening schema evolution is supported"
+                    )
+                fields[f.name] = StructField(f.name, widened, True)
     return StructType(list(fields.values()))
+
+
+# numeric widening chains: later entries can represent every earlier one
+_WIDEN_INT = ["byte", "short", "integer", "long"]
+_WIDEN_FLOAT = ["float", "double"]
+
+
+def _widen(a, b):
+    """The wider of two Spark numeric types along the int or float chain,
+    or None when the pair is not a pure widening (int→double included:
+    crossing chains loses 64-bit int exactness, so it stays loud)."""
+    ta, tb = a.typeName(), b.typeName()
+    for chain in (_WIDEN_INT, _WIDEN_FLOAT):
+        if ta in chain and tb in chain:
+            return a if chain.index(ta) >= chain.index(tb) else b
+    return None
 
 
 def _read_days(path: str, manifest: dict[str, str], days) -> pd.DataFrame:
     dirs = [os.path.join(path, manifest[d]) for d in days if d in manifest]
     if not dirs:
         return pd.DataFrame()
-    # a LIST argument to dataset() must be file paths; directories need
-    # one dataset each, unioned
-    return (
-        pa_ds.dataset([pa_ds.dataset(p) for p in dirs]).to_table().to_pandas()
+    # One dataset per directory, concatenated with PERMISSIVE promotion:
+    # a union dataset would refuse mixed physical int widths across
+    # commit vintages (int32 vs int64 under widening evolution), while
+    # permissive concat widens them. integer_object_nulls keeps int
+    # columns exact through pandas — an int64 column absent from one
+    # vintage gains nulls, and the default NaN-promotion to float64 would
+    # corrupt values past 2^53 (2^60 == 2^60+1), suppressing updates.
+    import pyarrow as pa
+
+    tables = [pa_ds.dataset(p).to_table() for p in dirs]
+    merged = (
+        tables[0]
+        if len(tables) == 1
+        else pa.concat_tables(tables, promote_options="permissive")
     )
+    return merged.to_pandas(integer_object_nulls=True)
 
 
 def _py(v):
@@ -201,11 +246,22 @@ class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
             elif d["_merge"] == "left_only":
                 op, side = "D", "_old"  # pre-image, like changes()
             else:
-                same = all(
-                    (pd.isna(d[f"{c}_old"]) and pd.isna(d[f"{c}_new"]))
-                    or d[f"{c}_old"] == d[f"{c}_new"]
-                    for c in self.non_keys
-                )
+                # null-safe SCALAR compare: a nullable-Int64 value that is
+                # NA on exactly one side (NULL→value flip, or an int column
+                # added under additive evolution — exactly what _normalize's
+                # astype('Int64') produces) makes a bare `==` yield pd.NA,
+                # and bool(pd.NA) raises — a poison-pill that would fail
+                # this micro-batch AND every checkpoint replay of it. The
+                # batch changes() handles the same case with eqNullSafe.
+                same = True
+                for c in self.non_keys:
+                    o, n = d[f"{c}_old"], d[f"{c}_new"]
+                    o_na, n_na = bool(pd.isna(o)), bool(pd.isna(n))
+                    if o_na and n_na:
+                        continue
+                    if o_na != n_na or not bool(o == n):
+                        same = False
+                        break
                 if same:
                     continue
                 op, side = "U", "_new"

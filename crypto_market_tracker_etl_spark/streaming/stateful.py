@@ -408,7 +408,15 @@ def cdc_apply_stream(
                 n_ops += 1
                 if o == "D":
                     n_del += 1
-                if last_us is None or (t, eid) > (last_us, last_id):
+                # tie-break key is (ts, id-is-not-null, id): a NULL id on a
+                # ts tie loses to any non-NULL id — mirroring the batch
+                # twin's F.desc nulls-last argmax — instead of raising
+                # (None vs int/str is unorderable; the sentinel 0 in the
+                # last slot is never compared across mixed types because
+                # the not-null flag differs first)
+                if last_us is None or (t, eid is not None, 0 if eid is None else eid) > (
+                    last_us, last_id is not None, 0 if last_id is None else last_id
+                ):
                     last_us, last_id, last_op = t, eid, o
                     last_val = py(pdf[value][i])
         if n_ops == 0:

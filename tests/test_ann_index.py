@@ -280,3 +280,27 @@ def test_compact_refuses_to_empty_the_index(spark, tmp_path):
     with pytest.raises(ValueError, match="empty the index"):
         idx.compact()
     assert idx.probe(q, k=3, nprobe=4).count() == 0  # still suppressed
+
+
+def test_delete_plain_iterable_matches_stored_id_type(spark, tmp_path):
+    """Regression (ADVICE r4): delete() with a plain iterable used to
+    hardcode int(i) + a 'long' schema — an index built over a STRING id
+    column crashed (or anti-joined on mismatched types). The tombstone
+    frame must take the stored corpus's actual id type."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    emb_s = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("sid"), "embedding"
+    )
+    idx = IvfPqIndex.build(
+        spark, str(tmp_path / "idx_s"), emb_s, k_lists=4, id_col="sid"
+    )
+    n = idx.read().count()
+    victims = ["doc-0", "doc-7"]
+    idx.delete(victims)  # plain python list of STRING ids
+    tombs = {r["sid"] for r in spark.read.parquet(
+        str(tmp_path / "idx_s" / "_deletes")).collect()}
+    assert tombs == set(victims)  # typed string, not a long-cast crash
+    idx.compact()  # physical erasure path anti-joins on the string ids
+    left = {r["sid"] for r in idx.read().select("sid").collect()}
+    assert idx.read().count() == n - 2
+    assert not (left & set(victims))

@@ -612,3 +612,29 @@ def test_concurrent_delete_and_upsert_serialize(spark, tmp_path):
     assert sink.current_version() == 3  # both commits serialized
     ops = [e["op"] for e in sink.history()[:2]]
     assert sorted(ops) == ["delete", "upsert"]
+
+
+def test_zone_map_string_column_prunes_lexicographically(spark, tmp_path):
+    """Regression (review pass, r4): for a STRING stats column whose values
+    happen to parse as numbers (zip codes, version strings), the row-level
+    filter is lexicographic — zone-map pruning must use the SAME order, or
+    a partition whose numeric range misses the bounds gets pruned while
+    its rows lexicographically match (silently dropped results)."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["zip"],
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, "10"), ("b", DAY1, 1, "30"),
+         ("c", DAY2, 1, "999")],
+        "k string, ts timestamp, ver int, zip string"))
+    # lexicographic range ('2','5'): matches '30' (and '999'? no — '9'>'5')
+    # numeric pruning would see day1 as [10, 30], 5 < 10 ⇒ wrongly pruned
+    got = {r["k"] for r in sink.read(where={"zip": ("2", "5")}).collect()}
+    assert got == {"b"}
+    scanned, _ = sink.pruned_partitions({"zip": ("2", "5")})
+    assert "2024-01-01" in scanned  # day1 must NOT be pruned
+    # and pruning still works where lexicographic order really excludes:
+    # day2's range ['999','999'] is entirely above ('a','b')
+    scanned2, skipped2 = sink.pruned_partitions({"zip": ("a", "b")})
+    assert skipped2 == ["2024-01-01", "2024-01-02"]
