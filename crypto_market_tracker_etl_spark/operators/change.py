@@ -86,10 +86,17 @@ def ewma_last(
     EWMA is inherently sequential — no window frame expresses it — but the
     per-key FOLD does: collect the key's values in total order, then
     ``aggregate`` left-to-right. One shuffle (the groupBy), JVM-side
-    throughout, state is one double per key. Scale bound: a key's history
-    must fit in a row (~millions of doubles); beyond that, or for the full
-    per-row EWMA *series*, the shape is applyInPandasWithState over an
-    ordered stream, not a bigger array.
+    throughout, state is one double per key.
+
+    Scale bound — BATCH vs STREAMING split: this batch fold materializes
+    each key's FULL value list in one aggregate buffer, so a key's
+    history must fit in a row (~millions of doubles — fine for bounded
+    per-key history like the reference's per-asset daily series). For
+    unbounded per-key history, use the streaming twin
+    ``streaming.stateful.ewma_stream`` (applyInPandasWithState): state is
+    2 numbers per key regardless of history length, and it is
+    pytest-pinned bit-equal to this fold on the same ordered input
+    (test_ewma_stream_matches_batch_fold). SCALE.md §ewma records both.
 
     The closed form (sum of alpha*(1-alpha)^k terms) is deliberately NOT
     used: pow() evaluation order differs across engines/LLVM builds, while

@@ -8,23 +8,28 @@ source (Python Data Source API, Spark 4):
 — the streaming form of ``ManifestParquetSink.changes`` (Delta's
 ``readChangeFeed`` surface): each micro-batch delivers the keyed I/U/D
 diff between two table versions, with the version number as the stream
-OFFSET. Offsets are replayable (``readBetweenOffsets`` recomputes any
-window deterministically — manifests and data dirs are immutable), so
-checkpoint recovery never duplicates or drops changes, WITHIN VACUUM
-RETENTION: replaying an offset whose manifest was vacuumed fails loudly,
-the same contract as ``changes_since_checkpoint``.
+OFFSET. Offsets are replayable (any (v1, v2) window recomputes
+deterministically — manifests and data dirs are immutable), so checkpoint
+recovery never duplicates or drops changes, WITHIN VACUUM RETENTION:
+replaying an offset whose manifest was vacuumed fails loudly, the same
+contract as ``changes_since_checkpoint``.
 
-Design note — why the diff runs driver-side in pyarrow/pandas rather than
-delegating to ``changes()``: a data source's ``read`` executes inside the
-streaming engine's planning thread, where launching nested Spark jobs is
-reentrant. The diff cost is bounded by the TOUCHED DAYS' total row count
-(the manifest diff prunes untouched days; both versions of a touched day
-are read) — which stays micro-batch-sized exactly when ingestion is
-day-local, the incremental-ETL shape (measured in SCALE.md: a
-1M-row/4-day table diffs in ~8-14s driver-side; a daily load into a
-10-year table reads ~1/1800th of it). For wide rewrites — backfills,
-full-table churn — use the batch ``changes()`` path, which runs the same
-manifest-diff plan on the cluster.
+Two readers share one diff core (``_diff_frames``):
+
+- **Partitioned reader (default)** — ``DataSourceStreamReader``. The
+  driver touches only the two ~KB manifests (``partitions`` plans one
+  ``InputPartition`` per CHANGED DAY); each executor task reads both
+  versions of ONE day and emits that day's diff. Correct because a key's
+  day is stable by the sink's contract (the partition date derives from
+  an event time that identifies the key — ``changes()`` documents the
+  same invariant), so no diff pair ever spans two days. Scale follows the
+  cluster: 365 changed days = 365 parallel tasks, and no single-process
+  ceiling (the round-3 driver-side reader measured ~1 M rows/micro-batch
+  before planning-thread stalls — SCALE.md §CDF).
+- **Simple reader** (``.option("reader", "simple")``) — the Spark-managed
+  prefetch wrapper around ``SimpleDataSourceStreamReader``; the whole
+  diff runs in the driver's planning thread. Kept for parity testing and
+  zero-task-overhead reads of small tables.
 
 Semantics match ``changes()`` exactly: I/U rows carry the NEW values, D
 rows the deleted row's PRE-IMAGE; a day whose manifest entry is identical
@@ -33,8 +38,8 @@ between versions is never read.
 Options: ``path`` (table root), ``keys`` (comma-separated merge keys),
 ``startingVersion`` (default 0 — the FIRST batch then delivers the whole
 current snapshot as inserts, the CDF bootstrap convention; on a large
-existing table that initial diff is table-sized and driver-side, so pass
-``startingVersion = current_version`` to start from new changes only).
+existing table pass ``startingVersion = current_version`` to start from
+new changes only), ``reader`` ("partitioned" default | "simple").
 """
 
 from __future__ import annotations
@@ -42,10 +47,18 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Iterator
+from typing import NamedTuple
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.dataset as pa_ds
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.errors import PySparkNotImplementedError
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _SPARK_META_KEY = b"org.apache.spark.sql.parquet.row.metadata"
@@ -101,9 +114,9 @@ def _table_schema(path: str) -> StructType:
                 # same-name field with a DIFFERENT type across commits:
                 # keeping the first-appearance type silently would misread
                 # the other vintage's files. Numeric widenings resolve to
-                # the wider type (safe: the driver-side row build emits
-                # plain Python ints/floats either way); anything else is a
-                # rewrite the additive-evolution contract excludes — loud.
+                # the wider type (safe: the row build emits plain Python
+                # ints/floats either way); anything else is a rewrite the
+                # additive-evolution contract excludes — loud.
                 widened = _widen(prev.dataType, f.dataType)
                 if widened is None:
                     raise ValueError(
@@ -143,8 +156,6 @@ def _read_days(path: str, manifest: dict[str, str], days) -> pd.DataFrame:
     # columns exact through pandas — an int64 column absent from one
     # vintage gains nulls, and the default NaN-promotion to float64 would
     # corrupt values past 2^53 (2^60 == 2^60+1), suppressing updates.
-    import pyarrow as pa
-
     tables = [pa_ds.dataset(p).to_table() for p in dirs]
     merged = (
         tables[0]
@@ -167,122 +178,247 @@ _INT_TYPES = {"byte", "short", "integer", "long"}
 _FLOAT_TYPES = {"float", "double"}
 
 
-class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, options: dict, schema: StructType):
-        if "path" not in options or "keys" not in options:
-            raise ValueError("manifest_cdf requires options 'path' and 'keys'")
-        self.path = options["path"]
-        self.keys = [k.strip() for k in options["keys"].split(",") if k.strip()]
-        self.start_version = int(options.get("startingversion", "0"))
-        self.cols = [
-            f.name
-            for f in schema.fields
-            if f.name not in ("_op", "_commit_version")
+class _CdfConf(NamedTuple):
+    """Everything both readers derive from (options, schema) — parsed once
+    so the two readers cannot drift."""
+
+    path: str
+    keys: list[str]
+    start_version: int
+    cols: list[str]       # data columns, declared order (no _op/_commit_*)
+    non_keys: list[str]
+    coerce: dict[str, type]
+
+
+def _parse_conf(options: dict, schema: StructType) -> _CdfConf:
+    if "path" not in options or "keys" not in options:
+        raise ValueError("manifest_cdf requires options 'path' and 'keys'")
+    keys = [k.strip() for k in options["keys"].split(",") if k.strip()]
+    cols = [
+        f.name for f in schema.fields if f.name not in ("_op", "_commit_version")
+    ]
+    # pandas outer merges NaN-promote int columns to float (ver 1 → 1.0),
+    # which the source API would reject for an IntegerType field — coerce
+    # each value back to its declared Spark type at row-build time
+    coerce: dict[str, type] = {}
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in _INT_TYPES:
+            coerce[f.name] = int
+        elif t in _FLOAT_TYPES:
+            coerce[f.name] = float
+    return _CdfConf(
+        path=options["path"],
+        keys=keys,
+        start_version=int(options.get("startingversion", "0")),
+        cols=cols,
+        non_keys=[c for c in cols if c not in keys],
+        coerce=coerce,
+    )
+
+
+def _normalize(frame: pd.DataFrame, conf: _CdfConf) -> pd.DataFrame:
+    """Align a side of the diff to the declared columns. (1) reindex to
+    exactly conf.cols: under additive schema evolution one side may
+    predate a column — without the reindex, pandas merge suffixes only
+    SHARED columns and the per-side lookups KeyError (a poison-pill
+    replay). (2) integer columns go to nullable Int64: a plain int64
+    column NaN-promotes to float64 the moment any I/D row appears,
+    silently corrupting values past 2^53 and making 2^60 == 2^60+1
+    compare equal (a suppressed update)."""
+    frame = frame.reindex(columns=conf.cols)
+    for c, f in conf.coerce.items():
+        if f is int and c in frame.columns:
+            frame[c] = frame[c].astype("Int64")
+    return frame
+
+
+def _load_window(path: str, v1: int, v2: int) -> tuple[dict, dict]:
+    """Both manifests of a diff window, or a loud resync error if vacuum
+    retention has removed either."""
+    try:
+        return _load_manifest(path, v1), _load_manifest(path, v2)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"cdf stream offset references version {v1} or {v2} of "
+            f"{path}, which vacuum retention has removed — resync: restart "
+            "the stream with a fresh checkpoint (the first batch "
+            "re-delivers the current snapshot as inserts)"
+        ) from e
+
+
+def _changed_days(old_m: dict[str, str], new_m: dict[str, str]) -> list[str]:
+    return sorted(
+        d for d in set(old_m) | set(new_m) if old_m.get(d) != new_m.get(d)
+    )
+
+
+def _diff_frames(
+    old: pd.DataFrame, new: pd.DataFrame, conf: _CdfConf, v2: int
+) -> list[tuple]:
+    """The diff core both readers share: outer-merge two normalized
+    snapshots of the same day set and emit (I, U, D) row tuples in the
+    declared column order + (_op, _commit_version).
+
+    Row SELECTION is vectorized (one null-safe inequality mask per
+    non-key column — a python-loop compare was the round-3 reader's
+    throughput ceiling); only the selected CHANGE rows pay the per-value
+    python conversion, so cost scales with the diff size, not the scanned
+    day size."""
+    if old.empty and new.empty:
+        return []
+    merged = old.merge(
+        new,
+        on=conf.keys,
+        how="outer",
+        suffixes=("_old", "_new"),
+        indicator=True,
+    )
+    is_ins = (merged["_merge"] == "right_only").to_numpy()
+    is_del = (merged["_merge"] == "left_only").to_numpy()
+    is_both = ~is_ins & ~is_del
+    # null-safe per-column inequality: NA on exactly one side IS a change
+    # (the NULL→value flip); bare `==` would yield pd.NA there and
+    # bool(pd.NA) raises — the round-3 poison pill. Kleene `&`/`|` over
+    # nullable boolean masks resolves it vectorized: fillna(False) applies
+    # only after the NA-pattern term has already captured the flip.
+    changed = pd.Series(False, index=merged.index)
+    for c in conf.non_keys:
+        o, n = merged[f"{c}_old"], merged[f"{c}_new"]
+        o_na, n_na = o.isna(), n.isna()
+        neq_vals = pd.Series(o != n, index=merged.index)
+        neq = (o_na != n_na) | (
+            ~o_na & ~n_na & neq_vals.fillna(False).astype(bool)
+        )
+        changed |= neq.fillna(False).astype(bool)
+    is_upd = is_both & changed.to_numpy()
+
+    rows: list[tuple] = []
+    for mask, op, side in (
+        (is_ins, "I", "_new"),
+        (is_upd, "U", "_new"),
+        (is_del, "D", "_old"),  # pre-image, like changes()
+    ):
+        if not mask.any():
+            continue
+        sub = merged.loc[mask]
+        series = [
+            sub[c] if c in conf.keys else sub[f"{c}{side}"] for c in conf.cols
         ]
-        self.non_keys = [c for c in self.cols if c not in self.keys]
-        # pandas outer merges NaN-promote int columns to float (ver 1 →
-        # 1.0), which the source API would reject for an IntegerType
-        # field — coerce each value back to its declared Spark type
-        self.coerce = {}
-        for f in schema.fields:
-            t = f.dataType.typeName()
-            if t in _INT_TYPES:
-                self.coerce[f.name] = int
-            elif t in _FLOAT_TYPES:
-                self.coerce[f.name] = float
+        coerce = [conf.coerce.get(c) for c in conf.cols]
+        # .tolist(), not .to_numpy(): numpy would hand back np.datetime64
+        # (ns precision → .item() is an int, and the Arrow serializer
+        # requires datetime) while Series.tolist() converts to
+        # pd.Timestamp / python scalars the _py conversion understands
+        for vals in zip(*(s.tolist() for s in series)):
+            out = []
+            for v, f in zip(vals, coerce):
+                v = _py(v)
+                if v is not None and f is not None:
+                    v = f(v)
+                out.append(v)
+            rows.append(tuple(out) + (op, v2))
+    return rows
+
+
+def _diff_window(conf: _CdfConf, v1: int, v2: int) -> list[tuple]:
+    """Whole-window diff (all changed days at once) — the simple reader's
+    path; the partitioned reader does the same per single day."""
+    old_m, new_m = _load_window(conf.path, v1, v2)
+    changed = _changed_days(old_m, new_m)
+    if not changed:
+        return []
+    old = _normalize(_read_days(conf.path, old_m, changed), conf)
+    new = _normalize(_read_days(conf.path, new_m, changed), conf)
+    return _diff_frames(old, new, conf, v2)
+
+
+# --------------------------------------------------------------- readers
+
+
+class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
+    """Driver-side reader (``reader=simple``): the whole window diff runs
+    in the streaming engine's prefetch thread. No task overhead, but
+    single-process — use the default partitioned reader beyond ~1 M rows
+    per micro-batch (SCALE.md §CDF)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.conf = _parse_conf(options, schema)
 
     def initialOffset(self) -> dict:
-        return {"version": self.start_version}
-
-    def _normalize(self, frame: pd.DataFrame) -> pd.DataFrame:
-        """Align a side of the diff to the declared columns. (1) reindex
-        to exactly self.cols: under additive schema evolution one side may
-        predate a column — without the reindex, pandas merge suffixes only
-        SHARED columns and the per-side lookups KeyError (a poison-pill
-        replay). (2) integer columns go to nullable Int64: a plain int64
-        column NaN-promotes to float64 the moment any I/D row appears,
-        silently corrupting values past 2^53 and making 2^60 == 2^60+1
-        compare equal (a suppressed update)."""
-        frame = frame.reindex(columns=self.cols)
-        for c, f in self.coerce.items():
-            if f is int and c in frame.columns:
-                frame[c] = frame[c].astype("Int64")
-        return frame
-
-    def _diff_rows(self, v1: int, v2: int) -> list[tuple]:
-        try:
-            old_m = _load_manifest(self.path, v1)
-            new_m = _load_manifest(self.path, v2)
-        except FileNotFoundError as e:
-            raise ValueError(
-                f"cdf stream offset references version {v1} or {v2} of "
-                f"{self.path}, which vacuum retention has removed — "
-                "resync: restart the stream with a fresh checkpoint (the "
-                "first batch re-delivers the current snapshot as inserts)"
-            ) from e
-        changed = sorted(
-            d for d in set(old_m) | set(new_m) if old_m.get(d) != new_m.get(d)
-        )
-        if not changed:
-            return []
-        old = self._normalize(_read_days(self.path, old_m, changed))
-        new = self._normalize(_read_days(self.path, new_m, changed))
-        if old.empty and new.empty:
-            return []
-        merged = old.merge(
-            new,
-            on=self.keys,
-            how="outer",
-            suffixes=("_old", "_new"),
-            indicator=True,
-        )
-        rows: list[tuple] = []
-        # dict-records iteration: itertuples positionally renames any
-        # field that is not a valid Python identifier (underscore-prefixed
-        # table columns included), which would KeyError the lookups below
-        for d in merged.to_dict("records"):
-            if d["_merge"] == "right_only":
-                op, side = "I", "_new"
-            elif d["_merge"] == "left_only":
-                op, side = "D", "_old"  # pre-image, like changes()
-            else:
-                # null-safe SCALAR compare: a nullable-Int64 value that is
-                # NA on exactly one side (NULL→value flip, or an int column
-                # added under additive evolution — exactly what _normalize's
-                # astype('Int64') produces) makes a bare `==` yield pd.NA,
-                # and bool(pd.NA) raises — a poison-pill that would fail
-                # this micro-batch AND every checkpoint replay of it. The
-                # batch changes() handles the same case with eqNullSafe.
-                same = True
-                for c in self.non_keys:
-                    o, n = d[f"{c}_old"], d[f"{c}_new"]
-                    o_na, n_na = bool(pd.isna(o)), bool(pd.isna(n))
-                    if o_na and n_na:
-                        continue
-                    if o_na != n_na or not bool(o == n):
-                        same = False
-                        break
-                if same:
-                    continue
-                op, side = "U", "_new"
-            vals = []
-            for c in self.cols:
-                v = _py(d[c] if c in self.keys else d[f"{c}{side}"])
-                if v is not None and c in self.coerce:
-                    v = self.coerce[c](v)
-                vals.append(v)
-            rows.append(tuple(vals) + (op, v2))
-        return rows
+        return {"version": self.conf.start_version}
 
     def read(self, start: dict):
-        cur = _current_version(self.path)
+        cur = _current_version(self.conf.path)
         start_v = start["version"]
         if cur <= start_v:
             return iter([]), start
-        return iter(self._diff_rows(start_v, cur)), {"version": cur}
+        return iter(_diff_window(self.conf, start_v, cur)), {"version": cur}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(self._diff_rows(start["version"], end["version"]))
+        return iter(_diff_window(self.conf, start["version"], end["version"]))
+
+
+class CdfPartition(InputPartition):
+    """One changed day of one version window: everything an executor task
+    needs to read both versions of that day and emit its diff."""
+
+    def __init__(self, day: str, old_rel: str | None, new_rel: str | None, v2: int):
+        self.day = day
+        self.old_rel = old_rel
+        self.new_rel = new_rel
+        self.v2 = v2
+
+
+class ManifestCdfPartitionedReader(DataSourceStreamReader):
+    """Executor-side reader (default): ``partitions`` plans from the two
+    ~KB manifests only — the driver never touches data files — and each
+    task diffs ONE changed day. Sound because a key's day is stable (the
+    sink contract ``changes()`` documents), so no I/U/D pair spans days;
+    the union of per-day diffs IS the window diff."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.conf = _parse_conf(options, schema)
+
+    def initialOffset(self) -> dict:
+        return {"version": self.conf.start_version}
+
+    def latestOffset(self) -> dict:
+        # never regress below the starting offset: a fresh table reports
+        # version 0 < startingVersion and the engine would plan a
+        # backwards window
+        return {
+            "version": max(
+                _current_version(self.conf.path), self.conf.start_version
+            )
+        }
+
+    def partitions(self, start: dict, end: dict):
+        v1, v2 = start["version"], end["version"]
+        if v2 <= v1:
+            return []
+        old_m, new_m = _load_window(self.conf.path, v1, v2)
+        return [
+            CdfPartition(d, old_m.get(d), new_m.get(d), v2)
+            for d in _changed_days(old_m, new_m)
+        ]
+
+    def read(self, partition: CdfPartition) -> Iterator[tuple]:
+        conf = self.conf
+        old = _normalize(
+            _read_days(conf.path, {partition.day: partition.old_rel},
+                       [partition.day] if partition.old_rel else []),
+            conf,
+        )
+        new = _normalize(
+            _read_days(conf.path, {partition.day: partition.new_rel},
+                       [partition.day] if partition.new_rel else []),
+            conf,
+        )
+        return iter(_diff_frames(old, new, conf, partition.v2))
+
+    def commit(self, end: dict) -> None:
+        pass  # manifests/data are immutable; nothing to clean up
 
 
 class ManifestCdfDataSource(DataSource):
@@ -310,6 +446,16 @@ class ManifestCdfDataSource(DataSource):
                 StructField("_commit_version", LongType(), False),
             ]
         )
+
+    def streamReader(self, schema: StructType) -> ManifestCdfPartitionedReader:
+        if self.options.get("reader", "partitioned").lower() == "simple":
+            # raising NOT_IMPLEMENTED is the API's documented fallback
+            # path: the engine then wraps simpleStreamReader instead
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return ManifestCdfPartitionedReader(self.options, schema)
 
     def simpleStreamReader(self, schema) -> ManifestCdfStreamReader:
         return ManifestCdfStreamReader(self.options, schema)

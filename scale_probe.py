@@ -582,11 +582,13 @@ def probe_curation(spark) -> None:
 
 
 def probe_cdf(spark) -> None:
-    """Change-feed source sizing probe: the cdf stream's per-micro-batch
-    diff runs DRIVER-side (pyarrow/pandas) — measure its wall cost vs the
-    number of changed rows to put a number on the 'bounded by the commits
-    since the last trigger' claim and find the practical ceiling where the
-    batch ``changes()`` path should take over."""
+    """Change-feed source sizing probe, both readers over the SAME version
+    windows: (a) the simple reader's whole-window diff exactly as the
+    engine's prefetch thread runs it — driver-side, single-process; (b) a
+    real availableNow drain through the DEFAULT partitioned reader —
+    manifest-only planning on the driver, per-day diff tasks on
+    executors. Puts numbers on the round-3 verdict's '~1 M rows per
+    micro-batch driver ceiling' and on its removal."""
     import shutil
     import tempfile
 
@@ -596,9 +598,11 @@ def probe_cdf(spark) -> None:
     from crypto_market_tracker_etl_spark.sources.cdf_source import (
         ManifestCdfStreamReader,
         _table_schema,
+        register_cdf,
     )
     from pyspark.sql.types import LongType, StringType, StructField
 
+    register_cdf(spark)
     root = tempfile.mkdtemp(prefix="cdf_probe_")
     try:
         sink = ManifestParquetSink(
@@ -606,12 +610,18 @@ def probe_cdf(spark) -> None:
         )
 
         def batch(n, seed, day_span=4):
+            # day derives from the KEY (kid), not the row id: the sink's
+            # contract requires a key's day to be stable across commits —
+            # an id-derived day made re-used keys "move" days, and on such
+            # contract-violating data the whole-window merge (nets a move
+            # to one U) and the per-day diff (D+I pair) legitimately
+            # disagree
+            kid = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n))
             return spark.range(n).select(
-                F.concat(F.lit("k"), F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n)))
-                .alias("k"),
+                F.concat(F.lit("k"), kid).alias("k"),
                 (
                     F.lit("2024-01-01 00:00:00").cast("timestamp")
-                    + F.make_interval(mins=F.pmod(F.xxhash64("id"), F.lit(day_span * 1440)))
+                    + F.make_interval(mins=F.pmod(kid, F.lit(day_span * 1440)))
                 ).alias("ts"),
                 F.rand(seed).alias("v"),
             )
@@ -630,11 +640,39 @@ def probe_cdf(spark) -> None:
                 {"path": root + "/t", "keys": "k"}, schema
             )
             t0 = time.perf_counter()
-            rows = reader._diff_rows(v1, v2)
-            dt = time.perf_counter() - t0
+            rows = list(
+                reader.readBetweenOffsets({"version": v1}, {"version": v2})
+            )
+            dt_simple = time.perf_counter() - t0
+
+            # the DEFAULT partitioned reader, as a genuine streaming drain
+            # (includes per-query engine startup — noted, not subtracted)
+            counts: list[int] = []
+            t0 = time.perf_counter()
+            q = (
+                spark.readStream.format("manifest_cdf")
+                .option("path", root + "/t")
+                .option("keys", "k")
+                .option("startingVersion", str(v1))
+                .load()
+                .writeStream.foreachBatch(
+                    lambda b, _id: counts.append(b.count())
+                )
+                .option("checkpointLocation", root + f"/ck{v2}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            dt_part = time.perf_counter() - t0
+            assert sum(counts) == len(rows), (
+                f"reader divergence: simple {len(rows)} vs "
+                f"partitioned {sum(counts)}"
+            )
             print(
-                f"cdf[changed={n_changed/1e3:.0f}k]: driver diff {dt:.1f}s, "
-                f"{len(rows)/1e3:.0f}k change rows emitted",
+                f"cdf[changed={n_changed/1e3:.0f}k]: simple(driver) diff "
+                f"{dt_simple:.1f}s / {len(rows)/1e3:.0f}k rows; "
+                f"partitioned(executor) drain {dt_part:.1f}s / "
+                f"{sum(counts)/1e3:.0f}k rows",
                 flush=True,
             )
     finally:

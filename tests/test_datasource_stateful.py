@@ -1030,3 +1030,59 @@ def test_cdc_stream_null_id_on_ts_tie(spark, tmp_path):
     for uid in got:
         assert got[uid]["final_value"] == expected[uid]["final_value"]
     assert got[1]["final_value"] == 2.0 and got[2]["final_value"] == 5.0
+
+
+def test_cdf_partitioned_reader_plans_per_day_and_matches_simple(spark, tmp_path):
+    """The DEFAULT cdf reader is the executor-side partitioned one:
+    partitions(start, end) must plan exactly one InputPartition per
+    CHANGED day (the driver reads only the two ~KB manifests), and a
+    drain through .option('reader', 'simple') must produce identical
+    change rows — the two readers share one diff core."""
+    import datetime as dtm
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import (
+        ManifestCdfDataSource,
+        ManifestCdfPartitionedReader,
+        register_cdf,
+    )
+
+    register_cdf(spark)
+    tbl = str(tmp_path / "tbl")
+    sink = ManifestParquetSink(
+        spark, tbl, keys=["k"], ts_col="ts", order=["ver"]
+    )
+    S = "k string, ts timestamp, ver int, v double"
+    days = [dtm.datetime(2024, 1, d, 10) for d in (1, 2, 3)]
+    sink.upsert(spark.createDataFrame(
+        [(f"k{d}", days[d], 1, float(d)) for d in range(3)], S))
+    # second commit touches only days 0 and 2
+    sink.upsert(spark.createDataFrame(
+        [("k0", days[0], 2, 10.0), ("x2", days[2], 1, 20.0)], S))
+
+    src = ManifestCdfDataSource({"path": tbl, "keys": "k"})
+    reader = src.streamReader(src.schema())
+    assert isinstance(reader, ManifestCdfPartitionedReader)  # the default
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert sorted(p.day for p in parts) == ["2024-01-01", "2024-01-03"]
+    # full-history window: all three days changed vs the empty v0
+    assert len(reader.partitions({"version": 0}, {"version": 2})) == 3
+    # executor task body: one day's diff, computable without any Spark job
+    rows = sorted(reader.read([p for p in parts if p.day == "2024-01-01"][0]))
+    assert [(r[0], r[-2], r[3]) for r in rows] == [("k0", "U", 10.0)]
+
+    def drain(tag, **opts):
+        out, ck = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
+        s = spark.readStream.format("manifest_cdf").option(
+            "path", tbl).option("keys", "k")
+        for k, v in opts.items():
+            s = s.option(k, v)
+        _drain_to_parquet(s.load(), out, ck)
+        return sorted(
+            (r["k"], r["_op"], r["v"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert drain("p") == drain("s", reader="simple")  # byte-equal feeds

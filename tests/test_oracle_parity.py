@@ -1,28 +1,52 @@
 """Differential test mirroring the driver's t2 gate: every query in
 ``__spark_entry__.queries()`` must match its DuckDB oracle on the same
-parquet (row count + schema + order-insensitive values)."""
+parquet (row count + schema + order-insensitive values).
+
+Runs at sf0.01 by default — the DRIVER'S OWN SCALE — not the smaller
+sf0.001 the rest of the suite uses (round-3 verdict #4: the sf0.01 run
+used to be a manual step; now every `pytest tests/` run IS the full gate
+at the gate's scale). Override with SPARK_GRAFT_PARITY_SF_DIR."""
 
 from __future__ import annotations
 
+import os
+
+import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
-from tests.conftest import SF_DIR, assert_frames_match
+from tests.conftest import TABLES, assert_frames_match
+
+PARITY_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01"
+)
 
 NAMES = sorted(entrymod.queries())
 
 
+@pytest.fixture(scope="module")
+def duck01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{PARITY_SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", NAMES)
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark, duck01, name):
     qfn = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
-    spark_pdf = qfn(spark, SF_DIR).toPandas()
+    spark_pdf = qfn(spark, PARITY_SF_DIR).toPandas()
     if sql is None:
         assert len(spark_pdf) >= 0  # rows-only check, same as the driver
         return
     # Arrow fetch keeps DATE as date32 (datetime.date), matching Spark's
     # DateType instead of pandas' datetime64 coercion.
-    oracle_pdf = duck.execute(sql).arrow().to_pandas()
+    oracle_pdf = duck01.execute(sql).arrow().to_pandas()
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 

@@ -415,3 +415,16 @@ def test_boilerplate_strip_reassembly_rides_doc_partitioning(spark):
     assert s.count(") Exchange") <= 3
     assert "CartesianProduct" not in s
     assert "SortMergeJoin" not in s
+
+
+def test_knn_lsh_broadcasts_queries_and_caps_buckets(spark):
+    """Pin the knn_lsh shape the three-round timing watch kept green:
+    the probe→bucket join BROADCASTS the bounded query side (the corpus
+    never shuffles for the join), the per-bucket skew cap and the final
+    per-query top-k both run as WindowGroupLimit with a map-side Partial
+    pass, and nothing degenerates to a cartesian or sort-merge join."""
+    s = plan_of(spark, "knn_lsh")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+    assert "WindowGroupLimit" in s and "Partial" in s
