@@ -151,6 +151,28 @@ def _stat_lt(a, b) -> bool:
     return str(a) < str(b)
 
 
+_U64 = (1 << 64) - 1  # stored words are signed longs; mask before bit tests
+
+
+def _bloom_positions(value, m: int, k: int):
+    """k bloom bit positions in [0, m) for a value — double-hashed from
+    two xxhash64 lanes (h_j = (a + j·b) mod m, the classic Kirsch-
+    Mitzenmacher construction). The value is hashed through CAST AS
+    STRING so the probe literal's integer width can't matter (int 5 and
+    long 5 both hash as '5'; callers must still match the column's
+    rendered form for floats/decimals). Both lanes are pmod-bounded
+    BEFORE the mix so ANSI mode can't overflow the multiply. NULLs hash
+    like any value (xxhash64(NULL) yields its seed) — harmless: equality
+    probes are never for NULL."""
+    s = value.cast("string")
+    a = F.pmod(F.xxhash64(s), F.lit(m))
+    b = F.pmod(F.xxhash64(F.lit("bloom-lane2"), s), F.lit(m))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.pmod(a + j.cast("long") * b, F.lit(m)),
+    )
+
+
 def _zorder_key(cols: Sequence[str]):
     """Morton (Z-order) sort key over numeric columns: each column scales
     to a 16-bit rank within its partition-day's min/max (a window over
@@ -227,6 +249,9 @@ class ManifestParquetSink:
         ts_col: str,
         order: Sequence[str] | None = None,
         stats_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int = 1 << 16,
+        bloom_hashes: int = 7,
     ):
         self.spark = spark
         self.path = path
@@ -236,6 +261,14 @@ class ManifestParquetSink:
         # zone-map columns: per-partition min/max recorded in the manifest
         # at commit time (Delta's dataSkippingNumIndexedCols analogue)
         self.stats_cols = list(stats_cols) if stats_cols is not None else [ts_col]
+        # bloom-indexed columns: per-FILE bloom filters for point lookups
+        # on high-cardinality columns where min/max ranges can't
+        # discriminate (Delta's bloom filter index analogue). Sized for
+        # ~1% FPR at bloom_bits/10 distinct values per file (65536 bits /
+        # 7 hashes ≈ 6.5k values; raise bloom_bits for bigger files).
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -358,6 +391,153 @@ class ManifestParquetSink:
                 day["cols"][c] = [mn, mx]
         return out
 
+    # ----------------------------------------------------------- bloom index
+
+    def _bloom_dir(self, rel: str) -> str:
+        """data/<commit>/dt_part=<d> → data/<commit>/_bloom/dt_part=<d>.
+        The sidecar lives INSIDE the commit dir (underscore-prefixed, so
+        Hadoop's hidden-file filter keeps it out of every data scan):
+        it is immutable with the commit, inherited by untouched days
+        exactly like the data it describes, and vacuum reclaims it with
+        the commit dir for free."""
+        head, leaf = os.path.split(rel)
+        return os.path.join(self.path, head, "_bloom", leaf)
+
+    def _write_blooms(self, commit_dir: str) -> None:
+        """Per-FILE bloom filters for ``bloom_cols`` over the just-written
+        commit, stored as parquet word rows (file, col, w, word) — the
+        bitmap never materializes anywhere: executors bit_or 64-bit words
+        in a partial-aggregated groupBy and write them straight out, so
+        the build is one bounded Spark job regardless of file count. A
+        marker row (w = -1) per (file, col) records the file INVENTORY, so
+        a probe learns both "which files exist" and "which words are
+        non-zero" from one word-filtered (pushdown-friendly) read."""
+        if not self.bloom_cols:
+            return
+        if not any(
+            n.startswith("dt_part=") for n in os.listdir(commit_dir)
+        ):
+            return  # zero-row commit
+        df = self.spark.read.parquet(commit_dir)
+        present = [c for c in self.bloom_cols if c in df.columns]
+        if not present:
+            return
+        m, k = self.bloom_bits, self.bloom_hashes
+        src = df.withColumn(
+            "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        parts = [
+            src.select(
+                "dt_part",
+                F.col("dt_part").cast("string").alias("day"),
+                "file",
+                F.lit(c).alias("col"),
+                F.explode(_bloom_positions(F.col(c), m, k)).alias("pos"),
+            )
+            for c in present
+        ]
+        allpos = reduce(lambda a, b: a.unionByName(b), parts)
+        words = allpos.groupBy(
+            "dt_part", "day", "file", "col", F.expr("pos div 64").alias("w")
+        ).agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(pos % 64 as int))")
+            ).alias("word")
+        )
+        inventory = (
+            allpos.select("dt_part", "day", "file", "col")
+            .distinct()
+            .withColumn("w", F.lit(-1).cast("long"))
+            .withColumn("word", F.lit(0).cast("long"))
+        )
+        words.unionByName(inventory).coalesce(1).write.partitionBy(
+            "dt_part"
+        ).parquet(os.path.join(commit_dir, "_bloom"))
+
+    def _bloom_probe(self, value) -> list[tuple[int, int]]:
+        """(word_idx, bit) pairs for a probe value — computed by a 1-row
+        Spark job so write and probe use the engine's own xxhash64,
+        bit-identical by construction (no python re-implementation to
+        drift)."""
+        row = (
+            self.spark.range(1)
+            .select(
+                _bloom_positions(
+                    F.lit(value), self.bloom_bits, self.bloom_hashes
+                ).alias("p")
+            )
+            .head()
+        )
+        return [(p // 64, p % 64) for p in row["p"]]
+
+    def bloom_file_candidates(
+        self, where_eq: dict, version: int | None = None
+    ) -> dict[str, "set[str] | None"]:
+        """Observability hook: {day: surviving file basenames, or None
+        when that day has no bloom information for the probed columns
+        (conservatively scanned in full)}."""
+        v = self.current_version() if version is None else version
+        return self._bloom_keep_files(self._load_manifest(v), where_eq)
+
+    def _bloom_keep_files(
+        self, candidates: dict[str, str], where_eq: dict
+    ) -> dict[str, "set[str] | None"]:
+        """For each candidate day, the set of file basenames whose bloom
+        filters pass EVERY (col = value) probe — None when the day's
+        commit carries no bloom sidecar for any probed column (no info,
+        never wrongly pruned). ONE word-filtered Spark read covers all
+        days (collect is bounded by days × files × cols × (k+1) rows)."""
+        result: dict[str, set[str] | None] = {d: None for d in candidates}
+        dirs = {
+            d: p
+            for d, rel in candidates.items()
+            if os.path.isdir(p := self._bloom_dir(rel))
+        }
+        if not dirs:
+            return result
+        probes = {c: self._bloom_probe(v) for c, v in where_eq.items()}
+        if not probes:
+            return result
+        want_words = sorted(
+            {w for ps in probes.values() for (w, _) in ps} | {-1}
+        )
+        rows = (
+            self.spark.read.parquet(*dirs.values())
+            .filter(
+                F.col("col").isin(list(probes))
+                & F.col("w").isin(want_words)
+            )
+            .collect()
+        )
+        inv: dict[tuple, set] = {}
+        words: dict[tuple, dict] = {}
+        for r in rows:
+            if r["w"] == -1:
+                inv.setdefault((r["day"], r["col"]), set()).add(r["file"])
+            else:
+                words.setdefault((r["day"], r["col"]), {}).setdefault(
+                    r["file"], {}
+                )[r["w"]] = r["word"]
+        for d in dirs:
+            keep: set[str] | None = None
+            for c, ps in probes.items():
+                files = inv.get((d, c))
+                if files is None:
+                    continue  # this commit never indexed c: no info for c
+                wmap = words.get((d, c), {})
+                ok = {
+                    f
+                    for f in files
+                    if all(
+                        (wmap.get(f, {}).get(w, 0) & _U64) & (1 << b)
+                        for (w, b) in ps
+                    )
+                }
+                keep = ok if keep is None else (keep & ok)
+            if keep is not None:
+                result[d] = keep
+        return result
+
     # ----------------------------------------------------------------- read
 
     def read(
@@ -365,6 +545,7 @@ class ManifestParquetSink:
         days: Sequence[str] | None = None,
         version: int | None = None,
         where: dict[str, tuple] | None = None,
+        where_eq: dict | None = None,
     ) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, scan its directories.
         ``days`` prunes partitions before Spark lists a single file;
@@ -377,41 +558,66 @@ class ManifestParquetSink:
         design — and the row-level filter is then applied to the surviving
         scan, so the result is exactly the matching rows either way.
         Partitions without stats (older manifests, unindexed columns) are
-        conservatively scanned, never wrongly pruned."""
+        conservatively scanned, never wrongly pruned.
+
+        ``where_eq`` maps column → exact value (point lookup). It prunes
+        through BOTH indexes: the value participates in zone-map pruning
+        as a degenerate (v, v) range, and — for ``bloom_cols`` — each
+        surviving day's per-file bloom filters drop every file whose
+        filter excludes the value, which is what discriminates on
+        high-cardinality columns (uuid keys) where min/max ranges cannot.
+        Days/commits without bloom sidecars are conservatively scanned;
+        the exact ``=`` row filter always applies after the scan."""
         v = self.current_version() if version is None else version
         manifest = self._load_manifest(v)
         if days is not None:
             manifest = {d: p for d, p in manifest.items() if d in set(days)}
         if not manifest:
             raise ValueError(f"no partitions to read at {self.path}")
-        if not where:
+        eq = dict(where_eq or {})
+        zone_where = dict(where or {})
+        for c, val in eq.items():
+            zone_where.setdefault(c, (val, val))
+        if not zone_where:
             return self._scan(manifest)
         stats = self._load_stats(v)
-        # two-level prune: partitions first, then individual files within a
-        # surviving partition (effective once compact(cluster_by=...) has
-        # made per-file ranges disjoint)
+        # three-level prune: partitions (zone maps), then files by range
+        # (effective once compact(cluster_by=...) made per-file ranges
+        # disjoint), then files by bloom for the point-lookup columns
+        cand = {
+            d: rel
+            for d, rel in manifest.items()
+            if _zone_overlaps(stats.get(d), zone_where)
+        }
+        bloom_keep = (
+            self._bloom_keep_files(cand, eq)
+            if eq and self.bloom_cols
+            else {d: None for d in cand}
+        )
         paths: list[str] = []
-        for d, rel in manifest.items():
+        for d, rel in cand.items():
             entry = stats.get(d)
-            if not _zone_overlaps(entry, where):
-                continue
             files = (entry or {}).get("files")
-            kept_files = (
-                [f for f, fst in files.items() if _zone_overlaps(fst, where)]
+            kept: set[str] | None = (
+                {f for f, fst in files.items() if _zone_overlaps(fst, zone_where)}
                 if files
                 else None
             )
-            if kept_files is not None and len(kept_files) < len(files):
-                paths.extend(
-                    os.path.join(self.path, rel, f) for f in sorted(kept_files)
-                )
-            else:
+            bk = bloom_keep.get(d)
+            if bk is not None:
+                kept = bk if kept is None else (kept & bk)
+            if kept is None or (files and len(kept) == len(files)):
                 # no file grain recorded, or nothing to skip: scan the
                 # partition DIR — explicit leaf-file paths carry per-file
                 # driver listing overhead (measured ~2× on a 210-file
                 # no-skip read, SCALE.md), so only enumerate files when
                 # pruning actually drops some
                 paths.append(os.path.join(self.path, rel))
+            elif kept:
+                paths.extend(
+                    os.path.join(self.path, rel, f) for f in sorted(kept)
+                )
+            # else: every file pruned — the day contributes nothing
         if paths:
             df = self._scan_paths(paths)
         else:
@@ -422,7 +628,7 @@ class ManifestParquetSink:
             df = self._scan(dict([next(iter(manifest.items()))])).filter(
                 F.lit(False)
             )
-        for c, (lo, hi) in where.items():
+        for c, (lo, hi) in (where or {}).items():
             if c not in df.columns:
                 # the scanned subset predates the column entirely: every
                 # row is NULL for c, and NULL matches no range — empty,
@@ -433,7 +639,34 @@ class ManifestParquetSink:
                 df = df.filter(F.col(c) >= F.lit(lo))
             if hi is not None:
                 df = df.filter(F.col(c) <= F.lit(hi))
+        for c, val in eq.items():
+            if c not in df.columns:
+                df = df.filter(F.lit(False))
+                continue
+            df = df.filter(F.col(c) == F.lit(val))
         return df
+
+    def stats_rows(
+        self, days: Sequence[str] | None = None, version: int | None = None
+    ) -> int | None:
+        """COUNT(*) served from manifest metadata alone — zero data files
+        opened or listed (Delta's compute-from-log fast path; on a 3650-day
+        100 TB table this is a JSON read, not a scan). Returns None when
+        any requested day lacks a recorded row count (writer predates zone
+        maps or used ``stats_cols=[]``) — callers fall back to
+        ``read(...).count()``; a wrong number is never returned."""
+        v = self.current_version() if version is None else version
+        manifest = self._load_manifest(v)
+        if days is not None:
+            manifest = {d: r for d, r in manifest.items() if d in set(days)}
+        stats = self._load_stats(v)
+        total = 0
+        for d in manifest:
+            entry = stats.get(d)
+            if not entry or "rows" not in entry:
+                return None
+            total += entry["rows"]
+        return total
 
     def pruned_partitions(
         self, where: dict[str, tuple], version: int | None = None
@@ -551,7 +784,9 @@ class ManifestParquetSink:
         for d in written:
             new_manifest[d] = os.path.join("data", commit_id, f"dt_part={d}")
         new_stats.update(self._collect_stats(commit_dir))
-        # on a lost race the new dir is simply orphaned (vacuum reclaims)
+        self._write_blooms(commit_dir)
+        # on a lost race the new dir is simply orphaned (vacuum reclaims),
+        # bloom sidecar included — it lives inside the commit dir
         return self._try_commit(base, new_manifest, new_stats, op=op)
 
     def upsert(self, batch: DataFrame, max_retries: int = 8) -> int:
@@ -906,10 +1141,10 @@ class ManifestParquetSink:
                 for name in os.listdir(commit_dir)
                 if name.startswith("dt_part=")
             }
-            if self._try_commit(
-                base, new_manifest, self._collect_stats(commit_dir),
-                op="compact",
-            ):
+            stats = self._collect_stats(commit_dir)
+            self._write_blooms(commit_dir)  # recomputed with the rewrite,
+            # like the zone maps: file-grain blooms name physical files
+            if self._try_commit(base, new_manifest, stats, op="compact"):
                 return base + 1
         return None
 

@@ -532,6 +532,88 @@ def probe_skipping(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_bloom(spark) -> None:
+    """Bloom file-index probe: point lookup on a high-cardinality uuid-ish
+    key — the case zone maps cannot discriminate (every file's [min, max]
+    spans the key space). 5M rows / 30 days, ~200 files after compaction;
+    time where_eq three ways: full scan + filter, zone-map-only read
+    (where=(v,v) — expect no pruning), bloom-pruned read. Also report the
+    bloom sidecar's size and build overhead."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+
+    root = tempfile.mkdtemp(prefix="bloom_probe_")
+    try:
+        sink = ManifestParquetSink(
+            spark, os.path.join(root, "tbl"), keys=["k"], ts_col="ts",
+            stats_cols=["v"], bloom_cols=["k"], bloom_bits=1 << 18,
+        )
+        n = 5_000_000
+        batch = spark.range(n).select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.pmod(F.xxhash64("id"), F.lit(30 * 1440)))
+            ).alias("ts"),
+            F.rand(11).alias("v"),
+        )
+        t0 = time.perf_counter()
+        sink.upsert(batch)
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sink.compact(max_records_per_file=25_000)
+        t_compact = time.perf_counter() - t0
+        bloom_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(root, "tbl", "data"))
+            if os.sep + "_bloom" in dp or dp.endswith("_bloom")
+            for f in fs
+        )
+        print(
+            f"bloom: build+index {t_build:.1f}s, compact(+reindex) "
+            f"{t_compact:.1f}s, sidecar {bloom_bytes/1e6:.1f}MB "
+            f"for {n/1e6:.0f}M rows",
+            flush=True,
+        )
+        probe_key = spark.range(1).select(
+            F.md5(F.lit(str(2_345_678))).alias("k")).head()["k"]
+
+        def min2(thunk):
+            times, out = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = thunk()
+                times.append(time.perf_counter() - t0)
+            return min(times), out
+
+        dt_full, c_full = min2(
+            lambda: sink.read().filter(F.col("k") == probe_key).count())
+        dt_bloom, c_bloom = min2(
+            lambda: sink.read(where_eq={"k": probe_key}).count())
+        assert c_full == c_bloom == 1, (c_full, c_bloom)
+        cand = sink.bloom_file_candidates({"k": probe_key})
+        kept = sum(len(s) for s in cand.values() if s is not None)
+        total = sum(
+            len((sink._load_stats(sink.current_version()).get(d) or {})
+                .get("files") or {})
+            for d in cand
+        )
+        dt_miss, c_miss = min2(
+            lambda: sink.read(where_eq={"k": "not-a-real-key"}).count())
+        print(
+            f"bloom: point lookup full-scan {dt_full:.2f}s vs bloom "
+            f"{dt_bloom:.2f}s ({kept}/{total} files scanned); "
+            f"missing-key lookup {dt_miss:.2f}s ({c_miss} rows)",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_curation(spark) -> None:
     """Boilerplate-strip throughput probe: the segment-explode → md5
     frequency shuffle → co-partitioned join → pos-sorted reassembly
@@ -736,6 +818,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_CDF"):
         probe_cdf(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_BLOOM"):
+        probe_bloom(spark)
         spark.stop()
         return
     rows = []

@@ -638,3 +638,89 @@ def test_zone_map_string_column_prunes_lexicographically(spark, tmp_path):
     # day2's range ['999','999'] is entirely above ('a','b')
     scanned2, skipped2 = sink.pruned_partitions({"zip": ("a", "b")})
     assert skipped2 == ["2024-01-01", "2024-01-02"]
+
+
+def test_bloom_index_point_lookup_prunes_files(spark, tmp_path):
+    """Per-file bloom filters (bloom_cols) must prune point lookups on a
+    high-cardinality key that zone maps cannot discriminate: after a
+    multi-file compact, where_eq on one key reads ~1 of N files, a
+    missing key prunes everything, and results stay exact."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["v"], bloom_cols=["k"],
+    )
+    rows = [(f"user-{i:04d}", DAY1, 1, float(i)) for i in range(200)]
+    sink.upsert(spark.createDataFrame(rows, SCHEMA))
+    v = sink.compact(max_records_per_file=50)
+    assert v is not None
+
+    # hit: exactly the row, from a small file subset
+    got = sink.read(where_eq={"k": "user-0042"}).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("user-0042", 42.0)]
+    cand = sink.bloom_file_candidates({"k": "user-0042"})
+    kept = cand["2024-01-01"]
+    assert kept is not None and 1 <= len(kept) < 4  # pruned most of 4 files
+
+    # miss: empty result, (almost surely) every file pruned at 7 hashes
+    assert sink.read(where_eq={"k": "user-9999"}).count() == 0
+    miss = sink.bloom_file_candidates({"k": "user-9999"})["2024-01-01"]
+    assert miss is not None and len(miss) <= 1  # FP allowance
+
+    # bloom composes with zone-map ranges in the same read
+    both = sink.read(where_eq={"k": "user-0042"}, where={"v": (0.0, 100.0)})
+    assert both.count() == 1
+
+
+def test_bloom_index_inheritance_and_conservative_fallback(spark, tmp_path):
+    """An untouched day keeps its commit's bloom sidecar across later
+    commits (pruning still works); a table whose commits predate blooms
+    reports None (no info) and is scanned, never wrongly pruned."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], bloom_cols=["k"],
+    )
+    sink.upsert(spark.createDataFrame([("a1", DAY1, 1, 1.0)], SCHEMA))
+    sink.upsert(spark.createDataFrame([("b1", DAY2, 1, 2.0)], SCHEMA))
+    # day1's bloom came from commit 1 and still answers probes
+    cand = sink.bloom_file_candidates({"k": "a1"})
+    assert cand["2024-01-01"] and len(cand["2024-01-01"]) >= 1
+    assert cand["2024-01-02"] is not None and len(cand["2024-01-02"]) == 0
+    assert {r["k"] for r in sink.read(where_eq={"k": "a1"}).collect()} == {"a1"}
+
+    # pre-bloom table: sidecars absent → None for every day, read correct
+    plain = ManifestParquetSink(
+        spark, str(tmp_path / "plain"), keys=["k"], ts_col="ts",
+    )
+    plain.upsert(spark.createDataFrame([("x", DAY1, 1, 9.0)], SCHEMA))
+    probing = ManifestParquetSink(
+        spark, str(tmp_path / "plain"), keys=["k"], ts_col="ts",
+        bloom_cols=["k"],
+    )
+    assert probing.bloom_file_candidates({"k": "x"}) == {"2024-01-01": None}
+    assert {r["k"] for r in probing.read(where_eq={"k": "x"}).collect()} == {"x"}
+
+
+def test_stats_rows_metadata_only_count(spark, tmp_path):
+    """stats_rows serves COUNT from the manifest without opening a data
+    file; day-filtered counts match; a stats-free manifest returns None
+    (fallback signal), never a wrong number."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 1.0), ("b", DAY1, 1, 2.0), ("c", DAY2, 1, 3.0)],
+        SCHEMA))
+    assert sink.stats_rows() == 3 == sink.read().count()
+    assert sink.stats_rows(days=["2024-01-01"]) == 2
+    # upsert (merge) keeps counts exact, not additive
+    sink.upsert(spark.createDataFrame([("a", DAY1, 2, 10.0)], SCHEMA))
+    assert sink.stats_rows() == 3
+    # strip stats (pre-zone-map manifest) → None
+    import json as _json
+    v = sink.current_version()
+    mpath = os.path.join(str(tmp_path / "tbl"), "_manifests", f"v{v}.json")
+    doc = _json.load(open(mpath))
+    doc.pop("stats")
+    os.unlink(mpath)
+    _json.dump(doc, open(mpath, "w"))
+    assert sink.stats_rows() is None
