@@ -253,20 +253,20 @@ def _changed_days(old_m: dict[str, str], new_m: dict[str, str]) -> list[str]:
     )
 
 
-def _diff_frames(
-    old: pd.DataFrame, new: pd.DataFrame, conf: _CdfConf, v2: int
-) -> list[tuple]:
+def _diff_select(
+    old: pd.DataFrame, new: pd.DataFrame, conf: _CdfConf
+) -> pd.DataFrame | None:
     """The diff core both readers share: outer-merge two normalized
-    snapshots of the same day set and emit (I, U, D) row tuples in the
-    declared column order + (_op, _commit_version).
+    snapshots of the same day set and SELECT the (I, U, D) change rows —
+    returned as a pandas frame with columns ``conf.cols + ['_op']``
+    (I/U carry the NEW values, D the deleted row's PRE-IMAGE).
 
-    Row SELECTION is vectorized (one null-safe inequality mask per
-    non-key column — a python-loop compare was the round-3 reader's
-    throughput ceiling); only the selected CHANGE rows pay the per-value
-    python conversion, so cost scales with the diff size, not the scanned
-    day size."""
+    Selection is vectorized (one null-safe inequality mask per non-key
+    column — a python-loop compare was the round-3 reader's throughput
+    ceiling), so only the CHANGE rows flow to the emission step and cost
+    scales with the diff size, not the scanned day size."""
     if old.empty and new.empty:
-        return []
+        return None
     merged = old.merge(
         new,
         on=conf.keys,
@@ -293,7 +293,7 @@ def _diff_frames(
         changed |= neq.fillna(False).astype(bool)
     is_upd = is_both & changed.to_numpy()
 
-    rows: list[tuple] = []
+    groups: list[pd.DataFrame] = []
     for mask, op, side in (
         (is_ins, "I", "_new"),
         (is_upd, "U", "_new"),
@@ -302,23 +302,69 @@ def _diff_frames(
         if not mask.any():
             continue
         sub = merged.loc[mask]
-        series = [
-            sub[c] if c in conf.keys else sub[f"{c}{side}"] for c in conf.cols
-        ]
-        coerce = [conf.coerce.get(c) for c in conf.cols]
-        # .tolist(), not .to_numpy(): numpy would hand back np.datetime64
-        # (ns precision → .item() is an int, and the Arrow serializer
-        # requires datetime) while Series.tolist() converts to
-        # pd.Timestamp / python scalars the _py conversion understands
-        for vals in zip(*(s.tolist() for s in series)):
-            out = []
-            for v, f in zip(vals, coerce):
-                v = _py(v)
-                if v is not None and f is not None:
-                    v = f(v)
-                out.append(v)
-            rows.append(tuple(out) + (op, v2))
+        data = {
+            c: (sub[c] if c in conf.keys else sub[f"{c}{side}"]).reset_index(
+                drop=True
+            )
+            for c in conf.cols
+        }
+        g = pd.DataFrame(data)
+        g["_op"] = op
+        groups.append(g)
+    if not groups:
+        return None
+    return pd.concat(groups, ignore_index=True)
+
+
+def _to_tuples(sel: pd.DataFrame | None, conf: _CdfConf, v2: int) -> list[tuple]:
+    """Change rows as python tuples — the simple reader's emission (its
+    prefetch wrapper pickles rows)."""
+    if sel is None or sel.empty:
+        return []
+    coerce = [conf.coerce.get(c) for c in conf.cols]
+    series = [sel[c] for c in conf.cols]
+    ops = sel["_op"].tolist()
+    rows: list[tuple] = []
+    # .tolist(), not .to_numpy(): numpy would hand back np.datetime64
+    # (ns precision → .item() is an int, and the Arrow serializer
+    # requires datetime) while Series.tolist() converts to
+    # pd.Timestamp / python scalars the _py conversion understands
+    for i, vals in enumerate(zip(*(s.tolist() for s in series))):
+        out = []
+        for v, f in zip(vals, coerce):
+            v = _py(v)
+            if v is not None and f is not None:
+                v = f(v)
+            out.append(v)
+        rows.append(tuple(out) + (ops[i], v2))
     return rows
+
+
+def _to_record_batch(
+    sel: pd.DataFrame, schema: StructType, v2: int
+) -> pa.RecordBatch:
+    """Change rows as ONE Arrow RecordBatch conforming to the declared
+    schema — the partitioned reader's emission. Skips the per-value
+    python conversion entirely: columns cast arrow→arrow (pandas
+    datetime64 naive carries Spark's UTC-normalized parquet instants, and
+    an arrow cast naive→timestamp[us, tz=UTC] interprets naive as UTC —
+    exactly the INT96 semantics; nullable Int64 / object-int columns cast
+    losslessly to int64)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    pa_schema = to_arrow_schema(schema)
+    arrays = []
+    for field in pa_schema:
+        if field.name == "_op":
+            arr = pa.array(sel["_op"].tolist(), type=field.type)
+        elif field.name == "_commit_version":
+            arr = pa.array([v2] * len(sel), type=field.type)
+        else:
+            arr = pa.Array.from_pandas(sel[field.name])
+            if arr.type != field.type:
+                arr = arr.cast(field.type)
+        arrays.append(arr)
+    return pa.RecordBatch.from_arrays(arrays, schema=pa_schema)
 
 
 def _diff_window(conf: _CdfConf, v1: int, v2: int) -> list[tuple]:
@@ -330,7 +376,7 @@ def _diff_window(conf: _CdfConf, v1: int, v2: int) -> list[tuple]:
         return []
     old = _normalize(_read_days(conf.path, old_m, changed), conf)
     new = _normalize(_read_days(conf.path, new_m, changed), conf)
-    return _diff_frames(old, new, conf, v2)
+    return _to_tuples(_diff_select(old, new, conf), conf, v2)
 
 
 # --------------------------------------------------------------- readers
@@ -379,6 +425,7 @@ class ManifestCdfPartitionedReader(DataSourceStreamReader):
 
     def __init__(self, options: dict, schema: StructType):
         self.conf = _parse_conf(options, schema)
+        self.schema = schema  # full declared schema incl. _op/_commit_*
 
     def initialOffset(self) -> dict:
         return {"version": self.conf.start_version}
@@ -403,7 +450,7 @@ class ManifestCdfPartitionedReader(DataSourceStreamReader):
             for d in _changed_days(old_m, new_m)
         ]
 
-    def read(self, partition: CdfPartition) -> Iterator[tuple]:
+    def read(self, partition: CdfPartition) -> Iterator[pa.RecordBatch]:
         conf = self.conf
         old = _normalize(
             _read_days(conf.path, {partition.day: partition.old_rel},
@@ -415,7 +462,13 @@ class ManifestCdfPartitionedReader(DataSourceStreamReader):
                        [partition.day] if partition.new_rel else []),
             conf,
         )
-        return iter(_diff_frames(old, new, conf, partition.v2))
+        sel = _diff_select(old, new, conf)
+        if sel is None or sel.empty:
+            return iter([])
+        # Arrow emission: the engine forwards RecordBatches as-is (no
+        # per-row pickling or type conversion) — the day's change rows
+        # move as columnar buffers
+        return iter([_to_record_batch(sel, self.schema, partition.v2)])
 
     def commit(self, end: dict) -> None:
         pass  # manifests/data are immutable; nothing to clean up

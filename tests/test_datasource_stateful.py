@@ -1069,9 +1069,11 @@ def test_cdf_partitioned_reader_plans_per_day_and_matches_simple(spark, tmp_path
     assert sorted(p.day for p in parts) == ["2024-01-01", "2024-01-03"]
     # full-history window: all three days changed vs the empty v0
     assert len(reader.partitions({"version": 0}, {"version": 2})) == 3
-    # executor task body: one day's diff, computable without any Spark job
-    rows = sorted(reader.read([p for p in parts if p.day == "2024-01-01"][0]))
-    assert [(r[0], r[-2], r[3]) for r in rows] == [("k0", "U", 10.0)]
+    # executor task body: one day's diff as ARROW batches, computable
+    # without any Spark job (no per-row pickling on the scale path)
+    batches = list(reader.read([p for p in parts if p.day == "2024-01-01"][0]))
+    rows = [d for b in batches for d in b.to_pylist()]
+    assert [(d["k"], d["_op"], d["v"]) for d in rows] == [("k0", "U", 10.0)]
 
     def drain(tag, **opts):
         out, ck = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
