@@ -1088,3 +1088,35 @@ def test_cdf_partitioned_reader_plans_per_day_and_matches_simple(spark, tmp_path
         )
 
     assert drain("p") == drain("s", reader="simple")  # byte-equal feeds
+
+
+def test_cdf_partitioned_reader_vacuumed_offset_fails_loudly(spark, tmp_path):
+    """Replaying a window whose manifest vacuum removed must raise the
+    documented resync error in the PARTITIONED reader's planning step —
+    same contract as the simple reader and changes_since_checkpoint."""
+    import datetime as dtm
+
+    import pytest
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import (
+        ManifestCdfDataSource,
+    )
+
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+    S = "k string, ts timestamp, ver int, v double"
+    d1 = dtm.datetime(2024, 1, 1, 10)
+    for ver in (1, 2, 3):
+        sink.upsert(spark.createDataFrame([("a", d1, ver, float(ver))], S))
+    sink.vacuum(keep_versions=1, min_age_seconds=0.0)
+
+    src = ManifestCdfDataSource({"path": str(tmp_path / "tbl"), "keys": "k"})
+    reader = src.streamReader(src.schema())
+    with pytest.raises(ValueError, match="vacuum retention"):
+        reader.partitions({"version": 1}, {"version": 3})
+    # the CURRENT window still plans fine
+    assert reader.partitions({"version": 3}, {"version": 3}) == []

@@ -297,3 +297,86 @@ def test_zone_map_read_equals_filtered_full_scan(spark, batches, rng):
         check()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------- CDF diff core (pure pandas — no Spark session)
+
+_cdf_side = st.dictionaries(
+    st.integers(min_value=0, max_value=14),  # keys, forced overlap
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-(2**60), max_value=2**60)),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+        st.one_of(st.none(), st.text(alphabet="abc", max_size=3)),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=_cdf_side, new=_cdf_side)
+def test_cdf_diff_select_matches_python_model(old, new):
+    """The vectorized change-row selection both cdf readers share must
+    agree with the obvious per-key python model on arbitrary snapshots —
+    NULL flips (both directions), int64 values past 2^53, NaN-free float
+    equality, and missing-on-one-side keys included."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from crypto_market_tracker_etl_spark.sources.cdf_source import (
+        _diff_select, _normalize, _parse_conf,
+    )
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("n", LongType()),
+        StructField("x", DoubleType()),
+        StructField("s", StringType()),
+    ])
+    conf = _parse_conf({"path": "/nowhere", "keys": "k"}, schema)
+
+    def frame(side):
+        # int column built as OBJECT dtype, exactly like the production
+        # reader (_read_days' to_pandas(integer_object_nulls=True)): the
+        # plain DataFrame constructor would NaN-promote int+None to
+        # float64 and corrupt 2^53+1 BEFORE _normalize ever runs — a
+        # construction path the reader deliberately avoids
+        ks = sorted(side)
+        return pd.DataFrame(
+            {
+                "k": pd.Series(ks, dtype="int64"),
+                "n": pd.Series([side[k][0] for k in ks], dtype=object),
+                "x": pd.Series([side[k][1] for k in ks], dtype="float64"),
+                "s": pd.Series([side[k][2] for k in ks], dtype=object),
+            }
+        )
+
+    got = _diff_select(
+        _normalize(frame(old), conf), _normalize(frame(new), conf), conf
+    )
+    got_map = {}
+    if got is not None:
+        for rec in got.to_dict("records"):
+            vals = tuple(
+                None if pd.isna(rec[c]) else rec[c] for c in ("n", "x", "s")
+            )
+            got_map[int(rec["k"])] = (rec["_op"], vals)
+
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = ("I", new[k])
+        elif k not in new:
+            want[k] = ("D", old[k])
+        elif old[k] != new[k]:
+            want[k] = ("U", new[k])
+    # float32 width in the strategy keeps == exact through float64 frames
+    norm = lambda v: tuple(
+        float(x) if isinstance(x, float) else x for x in v
+    )
+    assert got_map == {
+        k: (op, norm(v)) for k, (op, v) in want.items()
+    }
