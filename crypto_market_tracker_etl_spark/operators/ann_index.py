@@ -185,6 +185,16 @@ class IvfPqIndex:
             # crash string ids and type-mismatch the probe's anti-join)
             from pyspark.sql.types import StructField as _SF, StructType as _ST
 
+            if not any(
+                n.endswith(".parquet")
+                for _, _, fs in os.walk(self._data)
+                for n in fs
+            ):
+                raise ValueError(
+                    f"{self.path} has no stored vectors yet, so the id "
+                    "type for a plain-iterable delete is unknown — pass "
+                    "a DataFrame of ids, or append first"
+                )
             id_field = self.read().schema[self.id_col]
             df = self.spark.createDataFrame(
                 [(v.item() if hasattr(v, "item") else v,) for v in ids],

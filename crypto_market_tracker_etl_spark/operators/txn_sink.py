@@ -139,10 +139,15 @@ def _stat_lt(a, b) -> bool:
     different order than the scan filters by silently drops matching rows
     (zip codes: stored min='10'/max='30', where=('2','5') matches '20' and
     '30' lexicographically but numerically 5 < 10 would prune the whole
-    partition). Bounds must live in the column's domain — a numeric bound
+    partition). "Genuine number" means numbers.Number minus bool, so
+    Decimal and numpy-scalar caller bounds stay numeric against
+    string-stored stats from pre-fix manifests, like plain int/float.
+    Bounds must live in the column's domain — a numeric bound
     against a timestamp column is a caller error no fallback can repair."""
-    a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
-    b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+    import numbers
+
+    a_num = isinstance(a, numbers.Number) and not isinstance(a, bool)
+    b_num = isinstance(b, numbers.Number) and not isinstance(b, bool)
     if a_num or b_num:
         try:
             return float(a) < float(b)
@@ -454,16 +459,23 @@ class ManifestParquetSink:
             "dt_part"
         ).parquet(os.path.join(commit_dir, "_bloom"))
 
-    def _bloom_probe(self, value) -> list[tuple[int, int]]:
+    def _bloom_probe(self, value, dtype=None) -> list[tuple[int, int]]:
         """(word_idx, bit) pairs for a probe value — computed by a 1-row
         Spark job so write and probe use the engine's own xxhash64,
         bit-identical by construction (no python re-implementation to
-        drift)."""
+        drift). ``dtype`` is the COLUMN's Spark type: the literal routes
+        through it before the string-cast so its rendering matches the
+        write side's (int 5 probed against a double column must hash
+        '5.0', not '5' — the raw literal would silently bloom-prune every
+        file while the row filter matches rows)."""
+        lit = F.lit(value)
+        if dtype is not None:
+            lit = lit.cast(dtype)
         row = (
             self.spark.range(1)
             .select(
                 _bloom_positions(
-                    F.lit(value), self.bloom_bits, self.bloom_hashes
+                    lit, self.bloom_bits, self.bloom_hashes
                 ).alias("p")
             )
             .head()
@@ -477,27 +489,47 @@ class ManifestParquetSink:
         when that day has no bloom information for the probed columns
         (conservatively scanned in full)}."""
         v = self.current_version() if version is None else version
-        return self._bloom_keep_files(self._load_manifest(v), where_eq)
+        return {
+            d: keep
+            for d, (keep, _) in self._bloom_keep_files(
+                self._load_manifest(v), where_eq
+            ).items()
+        }
 
     def _bloom_keep_files(
         self, candidates: dict[str, str], where_eq: dict
-    ) -> dict[str, "set[str] | None"]:
-        """For each candidate day, the set of file basenames whose bloom
-        filters pass EVERY (col = value) probe — None when the day's
-        commit carries no bloom sidecar for any probed column (no info,
-        never wrongly pruned). ONE word-filtered Spark read covers all
-        days (collect is bounded by days × files × cols × (k+1) rows)."""
-        result: dict[str, set[str] | None] = {d: None for d in candidates}
+    ) -> dict[str, "tuple[set[str] | None, int]"]:
+        """For each candidate day: (keep, inventory_total) where ``keep``
+        is the set of file basenames whose bloom filters pass EVERY
+        (col = value) probe — or None when the day's commit carries no
+        bloom sidecar for any probed column (no info, never wrongly
+        pruned) — and ``inventory_total`` is the day's known file count
+        (lets the caller detect a no-skip outcome and keep the cheaper
+        directory scan). ONE word-filtered Spark read covers all days
+        (collect is bounded by days × files × cols × (k+1) rows)."""
+        result: dict[str, tuple[set[str] | None, int]] = {
+            d: (None, 0) for d in candidates
+        }
         dirs = {
             d: p
             for d, rel in candidates.items()
             if os.path.isdir(p := self._bloom_dir(rel))
         }
-        if not dirs:
+        if not dirs or not where_eq:
             return result
-        probes = {c: self._bloom_probe(v) for c, v in where_eq.items()}
-        if not probes:
-            return result
+        # probe literals route through the COLUMN type (resolved from one
+        # candidate partition's footer — lazy, no job) so their string
+        # rendering matches what the write side hashed
+        try:
+            some_day = next(iter(dirs))
+            schema = self._scan({some_day: candidates[some_day]}).schema
+            types = {f.name: f.dataType for f in schema.fields}
+        except Exception:
+            types = {}
+        probes = {
+            c: self._bloom_probe(v, types.get(c))
+            for c, v in where_eq.items()
+        }
         want_words = sorted(
             {w for ps in probes.values() for (w, _) in ps} | {-1}
         )
@@ -520,10 +552,12 @@ class ManifestParquetSink:
                 )[r["w"]] = r["word"]
         for d in dirs:
             keep: set[str] | None = None
+            known: set[str] = set()
             for c, ps in probes.items():
                 files = inv.get((d, c))
                 if files is None:
                     continue  # this commit never indexed c: no info for c
+                known |= files
                 wmap = words.get((d, c), {})
                 ok = {
                     f
@@ -534,8 +568,7 @@ class ManifestParquetSink:
                     )
                 }
                 keep = ok if keep is None else (keep & ok)
-            if keep is not None:
-                result[d] = keep
+            result[d] = (keep, len(known))
         return result
 
     # ----------------------------------------------------------------- read
@@ -592,7 +625,7 @@ class ManifestParquetSink:
         bloom_keep = (
             self._bloom_keep_files(cand, eq)
             if eq and self.bloom_cols
-            else {d: None for d in cand}
+            else {d: (None, 0) for d in cand}
         )
         paths: list[str] = []
         for d, rel in cand.items():
@@ -603,10 +636,16 @@ class ManifestParquetSink:
                 if files
                 else None
             )
-            bk = bloom_keep.get(d)
+            bk, inv_total = bloom_keep.get(d, (None, 0))
             if bk is not None:
                 kept = bk if kept is None else (kept & bk)
-            if kept is None or (files and len(kept) == len(files)):
+            if (
+                kept is None
+                or (files and len(kept) == len(files))
+                # bloom kept every known file and range stats recorded no
+                # file grain: nothing skipped — keep the cheaper dir scan
+                or (files is None and inv_total and len(kept) == inv_total)
+            ):
                 # no file grain recorded, or nothing to skip: scan the
                 # partition DIR — explicit leaf-file paths carry per-file
                 # driver listing overhead (measured ~2× on a 210-file
@@ -659,6 +698,10 @@ class ManifestParquetSink:
         manifest = self._load_manifest(v)
         if days is not None:
             manifest = {d: r for d, r in manifest.items() if d in set(days)}
+        if not manifest:
+            # mirror read(): a day filter matching nothing (typo'd date)
+            # must not come back as a confident 0
+            raise ValueError(f"no partitions to count at {self.path}")
         stats = self._load_stats(v)
         total = 0
         for d in manifest:

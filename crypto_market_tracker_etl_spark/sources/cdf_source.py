@@ -14,7 +14,7 @@ recovery never duplicates or drops changes, WITHIN VACUUM RETENTION:
 replaying an offset whose manifest was vacuumed fails loudly, the same
 contract as ``changes_since_checkpoint``.
 
-Two readers share one diff core (``_diff_frames``):
+Two readers share one diff core (``_diff_select``):
 
 - **Partitioned reader (default)** — ``DataSourceStreamReader``. The
   driver touches only the two ~KB manifests (``partitions`` plans one
@@ -44,6 +44,7 @@ new changes only), ``reader`` ("partitioned" default | "simple").
 
 from __future__ import annotations
 
+import datetime as _dtm
 import json
 import os
 from collections.abc import Iterator
@@ -166,11 +167,18 @@ def _read_days(path: str, manifest: dict[str, str], days) -> pd.DataFrame:
 
 
 def _py(v):
-    """pandas/numpy value → plain Python for the row tuples."""
+    """pandas/numpy value → plain Python for the row tuples. Naive
+    timestamps get UTC attached: pandas hands back Spark's UTC-normalized
+    parquet instants as NAIVE wall-times, and pyspark's tuple conversion
+    interprets a naive datetime in the MACHINE's timezone — on a non-UTC
+    host every ts would shift by the tz offset (and diverge from the
+    partitioned reader's arrow path, whose naive→timestamptz cast
+    correctly assumes UTC)."""
     if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
         return None
     if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
+        t = v.to_pydatetime()
+        return t if t.tzinfo is not None else t.replace(tzinfo=_dtm.timezone.utc)
     return v.item() if hasattr(v, "item") else v
 
 

@@ -304,3 +304,24 @@ def test_delete_plain_iterable_matches_stored_id_type(spark, tmp_path):
     left = {r["sid"] for r in idx.read().select("sid").collect()}
     assert idx.read().count() == n - 2
     assert not (left & set(victims))
+
+
+def test_delete_plain_iterable_on_empty_index_is_loud(spark, tmp_path):
+    """Regression (review r4): a plain-iterable delete before the first
+    append cannot know the id type — it must raise the documented error,
+    not crash in spark.read or silently write a mistyped tombstone."""
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    idx_path = str(tmp_path / "empty_idx")
+    _os.makedirs(idx_path)
+    _json.dump(
+        {"centroids": [[0.0] * 64], "codebooks": [], "residual": False,
+         "id_col": "vec_id", "vec_col": "embedding"},
+        open(_os.path.join(idx_path, "_index_meta.json"), "w"),
+    )
+    idx = IvfPqIndex(spark, idx_path)
+    with pytest.raises(ValueError, match="no stored vectors"):
+        idx.delete([1, 2])

@@ -1083,7 +1083,10 @@ def test_cdf_partitioned_reader_plans_per_day_and_matches_simple(spark, tmp_path
             s = s.option(k, v)
         _drain_to_parquet(s.load(), out, ck)
         return sorted(
-            (r["k"], r["_op"], r["v"], r["_commit_version"])
+            # ts included: the two readers emit through different paths
+            # (arrow cast vs python tuples) and a tz-interpretation skew
+            # between them would shift instants on non-UTC hosts
+            (r["k"], r["_op"], r["v"], r["ts"], r["_commit_version"])
             for r in spark.read.parquet(out).collect()
         )
 

@@ -724,3 +724,34 @@ def test_stats_rows_metadata_only_count(spark, tmp_path):
     os.unlink(mpath)
     _json.dump(doc, open(mpath, "w"))
     assert sink.stats_rows() is None
+
+
+def test_bloom_probe_routes_through_column_type(spark, tmp_path):
+    """Regression (review r4): the bloom write side hashes the COLUMN's
+    string rendering ('5.0' for a double), so a probe literal of a
+    different numeric width (int 5) must cast through the column type
+    before hashing — the raw literal would hash '5' and silently
+    bloom-prune every file while the row filter matches rows."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], bloom_cols=["v"],
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 5.0), ("b", DAY1, 1, 7.5)], SCHEMA))
+    # int literal against the double column: must still find the row
+    assert {r["k"] for r in sink.read(where_eq={"v": 5}).collect()} == {"a"}
+    cand = sink.bloom_file_candidates({"v": 5})
+    assert cand["2024-01-01"]  # file kept, not silently pruned
+    # and Decimal zone-map bounds compare numerically vs stored floats
+    import decimal
+    got = sink.read(where={"v": (decimal.Decimal("7"), decimal.Decimal("8"))})
+    assert {r["k"] for r in got.collect()} == {"b"}
+
+
+def test_stats_rows_empty_day_filter_raises(spark, tmp_path):
+    """Regression (review r4): a day filter matching nothing must raise
+    like read() does, not return a confident 0."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    with pytest.raises(ValueError, match="no partitions to count"):
+        sink.stats_rows(days=["2031-01-01"])
