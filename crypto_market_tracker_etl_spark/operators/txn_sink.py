@@ -88,6 +88,17 @@ def manifest_load(path: str, version: int) -> dict[str, str]:
         return json.load(f)["partitions"]
 
 
+def manifest_load_dvs(path: str, version: int) -> dict[str, str]:
+    """{iso_day: commit-relative DELETION-VECTOR dir} for ``version`` —
+    the per-day key sets ``delete_fast`` suppressed without rewriting the
+    day's data. Empty for version 0 and for manifests written before DVs
+    existed (old tables read unchanged)."""
+    if version == 0:
+        return {}
+    with open(os.path.join(path, "_manifests", f"v{version}.json")) as f:
+        return json.load(f).get("dvs", {})
+
+
 def _stat_val(v):
     """JSON-encodable zone-map bound. Numbers/bools pass through and
     Decimal becomes float (numeric compare at prune time — str-serializing
@@ -290,6 +301,11 @@ class ManifestParquetSink:
         """{iso_day: commit-relative data dir} for ``version`` (empty at 0)."""
         return manifest_load(self.path, version)
 
+    def _load_dvs(self, version: int) -> dict[str, str]:
+        """{iso_day: deletion-vector dir} for ``version`` (see
+        ``delete_fast``); {} before DVs existed."""
+        return manifest_load_dvs(self.path, version)
+
     def _load_stats(self, version: int) -> dict[str, dict]:
         """Per-partition zone maps for ``version``:
         {iso_day: {"rows": n, "cols": {col: [min, max]}}}. Manifests written
@@ -307,6 +323,7 @@ class ManifestParquetSink:
         partitions: dict[str, str],
         stats: dict[str, dict] | None = None,
         op: str = "commit",
+        dvs: dict[str, str] | None = None,
     ) -> bool:
         """CAS: install ``partitions`` as v{base+1} iff still unclaimed.
         The temp manifest is fsync'd BEFORE the link and the manifest dir
@@ -324,6 +341,8 @@ class ManifestParquetSink:
         }
         if stats:
             doc["stats"] = stats
+        if dvs:
+            doc["dvs"] = dvs
         with open(tmp, "w") as f:
             json.dump(doc, f)
             f.flush()
@@ -611,8 +630,9 @@ class ManifestParquetSink:
         zone_where = dict(where or {})
         for c, val in eq.items():
             zone_where.setdefault(c, (val, val))
+        dvs = self._load_dvs(v)
         if not zone_where:
-            return self._scan(manifest)
+            return self._scan_live(manifest, dvs)
         stats = self._load_stats(v)
         # three-level prune: partitions (zone maps), then files by range
         # (effective once compact(cluster_by=...) made per-file ranges
@@ -659,6 +679,13 @@ class ManifestParquetSink:
             # else: every file pruned — the day contributes nothing
         if paths:
             df = self._scan_paths(paths)
+            # deletion vectors apply to the pruned scan the same way they
+            # apply to the full one (global key anti-join — sound per the
+            # day-stability contract, see _scan_live)
+            applicable = {d: r for d, r in dvs.items() if d in cand}
+            if applicable:
+                dv_keys = self._scan(applicable).select(*self.keys).distinct()
+                df = df.join(dv_keys, self.keys, "left_anti")
         else:
             # fully pruned: empty result from ONE partition's schema, zero
             # data read. Under schema evolution that partition may predate
@@ -703,10 +730,13 @@ class ManifestParquetSink:
             # must not come back as a confident 0
             raise ValueError(f"no partitions to count at {self.path}")
         stats = self._load_stats(v)
+        dvs = self._load_dvs(v)
         total = 0
         for d in manifest:
             entry = stats.get(d)
-            if not entry or "rows" not in entry:
+            if not entry or "rows" not in entry or d in dvs:
+                # a deletion-vectored day's recorded count is a stale
+                # upper bound — unknown without a scan, so fall back
                 return None
             total += entry["rows"]
         return total
@@ -756,6 +786,21 @@ class ManifestParquetSink:
             for ps in groups.values()
         ]
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), scans)
+
+    def _scan_live(
+        self, part: dict[str, str], dvs: dict[str, str]
+    ) -> DataFrame:
+        """``_scan`` minus the deletion-vector keys applicable to the
+        scanned days. One GLOBAL key anti-join is correct because a key's
+        day is stable (the sink contract ``changes`` documents): a key
+        suppressed in day X cannot legitimately exist in day Y, so
+        restricting the anti-join per-day would change nothing."""
+        df = self._scan(part)
+        applicable = {d: r for d, r in dvs.items() if d in part}
+        if applicable:
+            dv_keys = self._scan(applicable).select(*self.keys).distinct()
+            df = df.join(dv_keys, self.keys, "left_anti")
+        return df
 
     def _scan(self, manifest: dict[str, str]) -> DataFrame:
         """One multi-path parquet scan per referenced COMMIT (not per day:
@@ -821,16 +866,24 @@ class ManifestParquetSink:
         ]
         new_manifest = dict(manifest)
         new_stats = dict(self._load_stats(base))
+        # a rewritten (or dropped) day's deletion vector is MATERIALIZED by
+        # the rewrite: the merged frame was read DV-applied, so the fresh
+        # dir holds no suppressed rows and the DV entry must go — keeping
+        # it would re-suppress a key the rewrite legitimately re-inserted
+        new_dvs = dict(self._load_dvs(base))
         for d in set(drop_days) | set(written):
             new_manifest.pop(d, None)
             new_stats.pop(d, None)
+            new_dvs.pop(d, None)
         for d in written:
             new_manifest[d] = os.path.join("data", commit_id, f"dt_part={d}")
         new_stats.update(self._collect_stats(commit_dir))
         self._write_blooms(commit_dir)
         # on a lost race the new dir is simply orphaned (vacuum reclaims),
         # bloom sidecar included — it lives inside the commit dir
-        return self._try_commit(base, new_manifest, new_stats, op=op)
+        return self._try_commit(
+            base, new_manifest, new_stats, op=op, dvs=new_dvs
+        )
 
     def upsert(self, batch: DataFrame, max_retries: int = 8) -> int:
         """Keyed MERGE of ``batch``; returns the committed version.
@@ -846,9 +899,12 @@ class ManifestParquetSink:
             touched = {d: manifest[d] for d in days if d in manifest}
             if touched:
                 # no dt filter needed: each manifest entry is one day's
-                # leaf dir, so _scan(touched) reads exactly these days
+                # leaf dir, so the scan reads exactly these days.
+                # DV-applied (_scan_live): merging against suppressed rows
+                # would resurrect them into the rewritten day
                 merged = merge_upsert(
-                    self._scan(touched), batch, self.keys, self.order
+                    self._scan_live(touched, self._load_dvs(base)),
+                    batch, self.keys, self.order,
                 )
             else:
                 merged = dedup_keep_latest(batch, self.keys, self.order)
@@ -940,7 +996,7 @@ class ManifestParquetSink:
             touched = {d: manifest[d] for d in days if d in manifest}
             if not touched:
                 return base  # none of the keys' days exist: nothing to do
-            old = self._scan(touched)
+            old = self._scan_live(touched, self._load_dvs(base))
             if not old.join(keys_df, self.keys, "left_semi").take(1):
                 # no key actually present: the documented no-op — no
                 # commit, no day rewrite, and changes() consumers see no
@@ -953,6 +1009,79 @@ class ManifestParquetSink:
                 return base + 1
         raise CommitConflictError(
             f"delete lost the manifest CAS {max_retries + 1} times at {self.path}"
+        )
+
+    def delete_fast(self, batch: DataFrame, max_retries: int = 8) -> int:
+        """Deletion-vector delete (Delta's deletion vectors, keyed instead
+        of positional): suppress ``batch``'s keys by writing per-day KEY
+        sidecars and repointing only the manifest's ``dvs`` section — the
+        day's DATA is not read or rewritten. On a 100 TB table, deleting
+        scattered keys (GDPR erasure) costs O(|keys|) instead of
+        rewriting every touched day; readers anti-join the (tiny) DV.
+
+        Semantics: every read surface applies DVs — ``read`` (all prune
+        paths), the merge reads of ``upsert``/``delete``, ``changes`` and
+        the streaming cdf source (a delete_fast surfaces as _op='D' with
+        the pre-image, exactly like a rewrite delete). A later rewrite of
+        the day (upsert/delete/compact) MATERIALIZES the DV — the rewrite
+        scans DV-applied data, so the fresh dir omits the suppressed rows
+        and the DV entry is dropped; re-upserting a suppressed key
+        therefore resurrects it, matching ``delete``'s semantics.
+
+        Keyed (not positional) DVs lean on the same day-stability
+        contract as ``changes``: a key identifies one day, so a global
+        anti-join equals per-file position maps. Trade-offs vs
+        ``delete``: a fully-suppressed day still lists (empty scan, not a
+        manifest drop) until the next rewrite, ``stats_rows`` returns
+        None for DV'd days (counts unknown without a scan), and zone maps
+        / blooms describe a superset (sound for pruning, never wrong).
+
+        Suppression is by KEY, unconditionally — keys absent from the day
+        are recorded and harmless (the anti-join matches nothing). Like
+        ``delete``, days absent from the manifest are ignored."""
+        batch, days = self._prep_batch(batch, "delete_fast")
+        keyed = batch.select("dt", *self.keys).distinct()
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            manifest = self._load_manifest(base)
+            dvs = self._load_dvs(base)
+            touched = [d for d in days if d in manifest]
+            if not touched:
+                return base  # none of the keys' days exist: nothing to do
+            commit_id = uuid.uuid4().hex
+            commit_dir = os.path.join(self._data_dir, commit_id)
+            new_keys = keyed.filter(F.col("dt").isin(touched))
+            old_rels = {d: dvs[d] for d in touched if d in dvs}
+            dv_df = new_keys
+            if old_rels:
+                # cumulative: a day's DV is the union of all its
+                # delete_fast calls since the last rewrite
+                dv_df = dv_df.unionByName(
+                    self._scan(old_rels).select("dt", *self.keys)
+                ).distinct()
+            (
+                dv_df.withColumn("dt_part", F.col("dt"))
+                .repartition("dt_part")
+                .write.partitionBy("dt_part")
+                .parquet(commit_dir)
+            )
+            written = [
+                name[len("dt_part="):]
+                for name in os.listdir(commit_dir)
+                if name.startswith("dt_part=")
+            ]
+            new_dvs = dict(dvs)
+            for d in written:
+                new_dvs[d] = os.path.join("data", commit_id, f"dt_part={d}")
+            # partitions and stats are untouched — that's the point
+            if self._try_commit(
+                base, manifest, self._load_stats(base) or None,
+                op="delete_fast", dvs=new_dvs,
+            ):
+                return base + 1
+        raise CommitConflictError(
+            f"delete_fast lost the manifest CAS {max_retries + 1} times "
+            f"at {self.path}"
         )
 
     # -------------------------------------------------------------- changes
@@ -986,10 +1115,16 @@ class ManifestParquetSink:
         new_m = self._load_manifest(to_version)
         if not old_m and not new_m:
             raise ValueError(f"both versions are empty at {self.path}")
+        old_dvs = self._load_dvs(from_version)
+        new_dvs = self._load_dvs(to_version)
+        # a day counts as changed when its data dir OR its deletion
+        # vector was repointed — a delete_fast commit changes only the
+        # latter, and its suppressed keys must surface as _op='D'
         changed = sorted(
             d
             for d in set(old_m) | set(new_m)
             if old_m.get(d) != new_m.get(d)
+            or old_dvs.get(d) != new_dvs.get(d)
         )
         old_part = {d: old_m[d] for d in changed if d in old_m}
         new_part = {d: new_m[d] for d in changed if d in new_m}
@@ -1008,8 +1143,10 @@ class ManifestParquetSink:
         some = self._scan(new_part or old_part)
         cols = [c for c in some.columns if c not in self.keys]
         empty = some.filter(F.lit(False))
-        old_df = self._scan(old_part) if old_part else empty
-        new_df = self._scan(new_part) if new_part else empty
+        # each side applies ITS version's deletion vectors: a key
+        # suppressed between the versions diffs as present→absent = D
+        old_df = self._scan_live(old_part, old_dvs) if old_part else empty
+        new_df = self._scan_live(new_part, new_dvs) if new_part else empty
         o = old_df.select(*self.keys, F.struct(*cols).alias("_old"))
         n = new_df.select(*self.keys, F.struct(*cols).alias("_new"))
         diff = o.join(n, self.keys, "full_outer").filter(
@@ -1224,6 +1361,8 @@ class ManifestParquetSink:
         for v in range(cutoff, current + 1):
             for rel in self._load_manifest(v).values():
                 live.add(rel.split(os.sep)[1])  # data/<commit-id>/…
+            for rel in self._load_dvs(v).values():
+                live.add(rel.split(os.sep)[1])  # DV commits are live too
         removed = []
         now = time.time()
         for name in os.listdir(self._data_dir):

@@ -69,6 +69,7 @@ _SPARK_META_KEY = b"org.apache.spark.sql.parquet.row.metadata"
 from ..operators.txn_sink import (  # noqa: E402
     manifest_current_version as _current_version,
     manifest_load as _load_manifest,
+    manifest_load_dvs as _load_dvs,
 )
 
 
@@ -241,11 +242,18 @@ def _normalize(frame: pd.DataFrame, conf: _CdfConf) -> pd.DataFrame:
     return frame
 
 
-def _load_window(path: str, v1: int, v2: int) -> tuple[dict, dict]:
-    """Both manifests of a diff window, or a loud resync error if vacuum
-    retention has removed either."""
+def _load_window(
+    path: str, v1: int, v2: int
+) -> tuple[dict, dict, dict, dict]:
+    """(old_manifest, new_manifest, old_dvs, new_dvs) of a diff window,
+    or a loud resync error if vacuum retention has removed either."""
     try:
-        return _load_manifest(path, v1), _load_manifest(path, v2)
+        return (
+            _load_manifest(path, v1),
+            _load_manifest(path, v2),
+            _load_dvs(path, v1),
+            _load_dvs(path, v2),
+        )
     except FileNotFoundError as e:
         raise ValueError(
             f"cdf stream offset references version {v1} or {v2} of "
@@ -255,10 +263,30 @@ def _load_window(path: str, v1: int, v2: int) -> tuple[dict, dict]:
         ) from e
 
 
-def _changed_days(old_m: dict[str, str], new_m: dict[str, str]) -> list[str]:
+def _changed_days(
+    old_m: dict, new_m: dict, old_dv: dict, new_dv: dict
+) -> list[str]:
+    """Days whose data dir OR deletion vector was repointed — a
+    delete_fast commit changes only the latter, and its suppressed keys
+    must surface as _op='D'."""
     return sorted(
-        d for d in set(old_m) | set(new_m) if old_m.get(d) != new_m.get(d)
+        d
+        for d in set(old_m) | set(new_m)
+        if old_m.get(d) != new_m.get(d) or old_dv.get(d) != new_dv.get(d)
     )
+
+
+def _minus_dv_keys(
+    frame: pd.DataFrame, dv: pd.DataFrame, keys: list[str]
+) -> pd.DataFrame:
+    """Apply a deletion vector: drop ``frame`` rows whose key appears in
+    ``dv`` (the pandas twin of the sink's _scan_live anti-join)."""
+    if frame.empty or dv.empty:
+        return frame
+    marked = frame.merge(
+        dv[keys].drop_duplicates(), on=keys, how="left", indicator=True
+    )
+    return marked[marked["_merge"] == "left_only"].drop(columns="_merge")
 
 
 def _diff_select(
@@ -378,13 +406,25 @@ def _to_record_batch(
 def _diff_window(conf: _CdfConf, v1: int, v2: int) -> list[tuple]:
     """Whole-window diff (all changed days at once) — the simple reader's
     path; the partitioned reader does the same per single day."""
-    old_m, new_m = _load_window(conf.path, v1, v2)
-    changed = _changed_days(old_m, new_m)
+    old_m, new_m, old_dv, new_dv = _load_window(conf.path, v1, v2)
+    changed = _changed_days(old_m, new_m, old_dv, new_dv)
     if not changed:
         return []
-    old = _normalize(_read_days(conf.path, old_m, changed), conf)
-    new = _normalize(_read_days(conf.path, new_m, changed), conf)
-    return _to_tuples(_diff_select(old, new, conf), conf, v2)
+    old = _minus_dv_keys(
+        _read_days(conf.path, old_m, changed),
+        _read_days(conf.path, old_dv, changed),
+        conf.keys,
+    )
+    new = _minus_dv_keys(
+        _read_days(conf.path, new_m, changed),
+        _read_days(conf.path, new_dv, changed),
+        conf.keys,
+    )
+    return _to_tuples(
+        _diff_select(_normalize(old, conf), _normalize(new, conf), conf),
+        conf,
+        v2,
+    )
 
 
 # --------------------------------------------------------------- readers
@@ -417,11 +457,21 @@ class CdfPartition(InputPartition):
     """One changed day of one version window: everything an executor task
     needs to read both versions of that day and emit its diff."""
 
-    def __init__(self, day: str, old_rel: str | None, new_rel: str | None, v2: int):
+    def __init__(
+        self,
+        day: str,
+        old_rel: str | None,
+        new_rel: str | None,
+        v2: int,
+        old_dv_rel: str | None = None,
+        new_dv_rel: str | None = None,
+    ):
         self.day = day
         self.old_rel = old_rel
         self.new_rel = new_rel
         self.v2 = v2
+        self.old_dv_rel = old_dv_rel
+        self.new_dv_rel = new_dv_rel
 
 
 class ManifestCdfPartitionedReader(DataSourceStreamReader):
@@ -452,24 +502,31 @@ class ManifestCdfPartitionedReader(DataSourceStreamReader):
         v1, v2 = start["version"], end["version"]
         if v2 <= v1:
             return []
-        old_m, new_m = _load_window(self.conf.path, v1, v2)
+        old_m, new_m, old_dv, new_dv = _load_window(self.conf.path, v1, v2)
         return [
-            CdfPartition(d, old_m.get(d), new_m.get(d), v2)
-            for d in _changed_days(old_m, new_m)
+            CdfPartition(
+                d, old_m.get(d), new_m.get(d), v2,
+                old_dv.get(d), new_dv.get(d),
+            )
+            for d in _changed_days(old_m, new_m, old_dv, new_dv)
         ]
 
     def read(self, partition: CdfPartition) -> Iterator[pa.RecordBatch]:
         conf = self.conf
-        old = _normalize(
-            _read_days(conf.path, {partition.day: partition.old_rel},
-                       [partition.day] if partition.old_rel else []),
-            conf,
-        )
-        new = _normalize(
-            _read_days(conf.path, {partition.day: partition.new_rel},
-                       [partition.day] if partition.new_rel else []),
-            conf,
-        )
+
+        def side(rel: str | None, dv_rel: str | None) -> pd.DataFrame:
+            frame = _read_days(
+                conf.path, {partition.day: rel}, [partition.day] if rel else []
+            )
+            dv = _read_days(
+                conf.path,
+                {partition.day: dv_rel},
+                [partition.day] if dv_rel else [],
+            )
+            return _normalize(_minus_dv_keys(frame, dv, conf.keys), conf)
+
+        old = side(partition.old_rel, partition.old_dv_rel)
+        new = side(partition.new_rel, partition.new_dv_rel)
         sel = _diff_select(old, new, conf)
         if sel is None or sel.empty:
             return iter([])

@@ -614,6 +614,66 @@ def probe_bloom(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_dv(spark) -> None:
+    """Deletion-vector probe: deleting scattered keys from a 5M-row /
+    30-day table via the rewrite path (delete — reads and rewrites every
+    touched day) vs deletion vectors (delete_fast — writes only the key
+    sidecars). Also the read-side tax: a full-table read with DVs applied
+    (global key anti-join) vs the clean table."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+
+    def build(root):
+        sink = ManifestParquetSink(
+            spark, os.path.join(root, "tbl"), keys=["k"], ts_col="ts"
+        )
+        n = 5_000_000
+        sink.upsert(spark.range(n).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.pmod(F.xxhash64("id"), F.lit(30 * 1440)))
+            ).alias("ts"),
+            F.rand(11).alias("v"),
+        ))
+        return sink, n
+
+    def victims(n, m=1000):
+        # every ~n/m-th key: scattered across all 30 days
+        return spark.range(m).select(
+            F.concat(F.lit("k"), F.col("id") * (n // m)).alias("k"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(mins=F.pmod(F.xxhash64(F.col("id") * (n // m)), F.lit(30 * 1440)))
+            ).alias("ts"),
+            F.rand(7).alias("v"),
+        )
+
+    for label, method in (("rewrite", "delete"), ("dv", "delete_fast")):
+        root = tempfile.mkdtemp(prefix=f"dv_probe_{label}_")
+        try:
+            sink, n = build(root)
+            vs = victims(n)
+            t0 = time.perf_counter()
+            getattr(sink, method)(vs)
+            dt_del = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            cnt = sink.read().count()
+            dt_read = time.perf_counter() - t0
+            assert cnt == n - 1000, cnt
+            print(
+                f"dv[{label}]: delete 1k scattered keys {dt_del:.1f}s, "
+                f"post-delete full read {dt_read:.1f}s ({cnt/1e6:.2f}M rows)",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_curation(spark) -> None:
     """Boilerplate-strip throughput probe: the segment-explode → md5
     frequency shuffle → co-partitioned join → pos-sorted reassembly
@@ -822,6 +882,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_BLOOM"):
         probe_bloom(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_DV"):
+        probe_dv(spark)
         spark.stop()
         return
     rows = []

@@ -1123,3 +1123,50 @@ def test_cdf_partitioned_reader_vacuumed_offset_fails_loudly(spark, tmp_path):
         reader.partitions({"version": 1}, {"version": 3})
     # the CURRENT window still plans fine
     assert reader.partitions({"version": 3}, {"version": 3}) == []
+
+
+def test_cdf_stream_surfaces_delete_fast(spark, tmp_path):
+    """A delete_fast commit repoints only the manifest's dvs section —
+    both cdf readers must still surface the suppressed keys as _op='D'
+    with pre-images, in a LATER offset window than the insert, and agree
+    with each other exactly."""
+    import datetime as dtm
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import register_cdf
+
+    register_cdf(spark)
+    tbl = str(tmp_path / "tbl")
+    sink = ManifestParquetSink(
+        spark, tbl, keys=["k"], ts_col="ts", order=["ver"]
+    )
+    S = "k string, ts timestamp, ver int, v double"
+    d1 = dtm.datetime(2024, 1, 1, 10)
+
+    def drain(tag, **opts):
+        out, ck = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
+        s = spark.readStream.format("manifest_cdf").option(
+            "path", tbl).option("keys", "k")
+        for kk, vv in opts.items():
+            s = s.option(kk, vv)
+        _drain_to_parquet(s.load(), out, ck)
+        return sorted(
+            (r["k"], r["_op"], r["v"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    sink.upsert(spark.createDataFrame(
+        [("a", d1, 1, 1.0), ("b", d1, 1, 2.0)], S))
+    assert drain("p") == [("a", "I", 1.0, 1), ("b", "I", 2.0, 1)]
+    assert drain("s", reader="simple") == drain("p")
+
+    sink.delete_fast(spark.createDataFrame([("a", d1, 1, 0.0)], S))
+    want = [
+        ("a", "D", 1.0, 2),  # pre-image from the still-unrewritten data
+        ("a", "I", 1.0, 1),
+        ("b", "I", 2.0, 1),
+    ]
+    assert drain("p") == want
+    assert drain("s", reader="simple") == want

@@ -755,3 +755,69 @@ def test_stats_rows_empty_day_filter_raises(spark, tmp_path):
     sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
     with pytest.raises(ValueError, match="no partitions to count"):
         sink.stats_rows(days=["2031-01-01"])
+
+
+def test_delete_fast_deletion_vectors(spark, tmp_path):
+    """delete_fast suppresses keys WITHOUT rewriting the day's data:
+    reads exclude them immediately (all prune paths), time travel still
+    sees them, changes() emits D rows with pre-images and the roundtrip
+    property holds, a later upsert of the day materializes the DV and
+    resurrects re-inserted keys, compact clears every DV, and vacuum
+    keeps DV commits alive."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["v"],
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 1.0), ("b", DAY1, 1, 2.0), ("c", DAY2, 1, 3.0)],
+        SCHEMA))
+    v1 = sink.current_version()
+    data_rel_v1 = sink._load_manifest(v1)["2024-01-01"]
+
+    v2 = sink.delete_fast(spark.createDataFrame([("a", DAY1, 1, 0.0)], SCHEMA))
+    # data partition untouched — only the manifest's dvs section moved
+    assert sink._load_manifest(v2)["2024-01-01"] == data_rel_v1
+    assert "2024-01-01" in sink._load_dvs(v2)
+    assert table(sink) == {"b": 2.0, "c": 3.0}
+    assert table_at(sink, v1) == {"a": 1.0, "b": 2.0, "c": 3.0}  # time travel
+    # pruned read paths apply the DV too
+    assert {r["k"] for r in sink.read(where={"v": (0.0, 10.0)}).collect()} == {"b", "c"}
+    # counts are unknown for DV'd days — never a stale number
+    assert sink.stats_rows() is None
+    assert sink.stats_rows(days=["2024-01-02"]) == 1
+
+    # changes(): the suppression surfaces as D with the pre-image
+    ch = {r["k"]: r for r in sink.changes(v1, v2).collect()}
+    assert {k: r["_op"] for k, r in ch.items()} == {"a": "D"}
+    assert ch["a"]["v"] == 1.0
+
+    # cumulative second DV on the same day
+    v3 = sink.delete_fast(spark.createDataFrame([("b", DAY1, 1, 0.0)], SCHEMA))
+    assert table(sink) == {"c": 3.0}
+    ch2 = {r["k"]: r["_op"] for r in sink.changes(v1, v3).collect()}
+    assert ch2 == {"a": "D", "b": "D"}
+
+    # upsert of the day materializes the DV: entry cleared, re-inserted
+    # key resurrects, still-suppressed key stays gone
+    sink.upsert(spark.createDataFrame([("a", DAY1, 2, 10.0)], SCHEMA))
+    assert "2024-01-01" not in sink._load_dvs(sink.current_version())
+    assert table(sink) == {"a": 10.0, "c": 3.0}
+    assert sink.stats_rows() == 2  # counts exact again after materialize
+
+    # delete_fast on an absent day is a no-op; vacuum keeps DV commits
+    v_now = sink.current_version()
+    far = dt.datetime(2030, 5, 5)
+    assert sink.delete_fast(
+        spark.createDataFrame([("zz", far, 1, 0.0)], SCHEMA)) == v_now
+    sink.delete_fast(spark.createDataFrame([("c", DAY2, 1, 0.0)], SCHEMA))
+    sink.vacuum(keep_versions=1, min_age_seconds=0.0)
+    assert table(sink) == {"a": 10.0}  # DV survived vacuum
+
+    # compact materializes everything: rows physically gone, dvs empty
+    v_c = sink.compact()
+    assert v_c is not None and sink._load_dvs(v_c) == {}
+    assert table(sink) == {"a": 10.0}
+
+
+def table_at(sink, version) -> dict[str, float]:
+    return {r["k"]: r["v"] for r in sink.read(version=version).collect()}
