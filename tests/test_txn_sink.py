@@ -821,3 +821,22 @@ def test_delete_fast_deletion_vectors(spark, tmp_path):
 
 def table_at(sink, version) -> dict[str, float]:
     return {r["k"]: r["v"] for r in sink.read(version=version).collect()}
+
+
+def test_bloom_lookup_of_dv_suppressed_key_is_empty(spark, tmp_path):
+    """Index composition: the bloom file index still MATCHES a suppressed
+    key's file (DVs don't rewrite blooms — the sidecar describes a sound
+    superset), and the DV anti-join then removes the row. The lookup
+    returns empty, exactly, through the pruned-path read."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], bloom_cols=["k"],
+    )
+    sink.upsert(spark.createDataFrame(
+        [("u1", DAY1, 1, 1.0), ("u2", DAY1, 1, 2.0)], SCHEMA))
+    sink.delete_fast(spark.createDataFrame([("u1", DAY1, 1, 0.0)], SCHEMA))
+    assert sink.read(where_eq={"k": "u1"}).count() == 0
+    assert {r["k"] for r in sink.read(where_eq={"k": "u2"}).collect()} == {"u2"}
+    # bloom candidates still name the file (superset is sound, not wrong)
+    cand = sink.bloom_file_candidates({"k": "u1"})
+    assert cand["2024-01-01"]
