@@ -1282,7 +1282,10 @@ class ManifestParquetSink:
             raise ValueError("cluster_by and zorder_by are mutually exclusive")
         for _ in range(max_retries + 1):
             base = self.current_version()
-            if base == 0:
+            if base == 0 or not self._load_manifest(base):
+                # never committed, or every day was deleted since: nothing
+                # to fold (read(version=base) would raise on the empty
+                # manifest — found by the DV script property test)
                 return None
             commit_id = uuid.uuid4().hex
             commit_dir = os.path.join(self._data_dir, commit_id)

@@ -380,3 +380,102 @@ def test_cdf_diff_select_matches_python_model(old, new):
     assert got_map == {
         k: (op, norm(v)) for k, (op, v) in want.items()
     }
+
+
+# ------------------------------------------- txn sink with deletion vectors
+
+dv_script = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete", "delete_fast"]),
+        st.lists(
+            st.tuples(keys, st.integers(min_value=0, max_value=5)),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(script=dv_script)
+def test_manifest_sink_dv_script_matches_python_model(spark, script):
+    """Model-based check of the FULL mutation surface: any interleaving of
+    upsert / rewrite-delete / deletion-vector delete must fold to the same
+    dict as the obvious python model — including resurrection through a
+    later upsert, delete_fast of never-present keys, and stacked DVs —
+    and the state must survive compact + vacuum unchanged (compact
+    MATERIALIZES outstanding DVs). changes(0, current) must also replay
+    to exactly the live set (the CDF property, DV commits included)."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+
+    model: dict[str, int] = {}
+    root = tempfile.mkdtemp(prefix="prop_dv_")
+    try:
+        sink = ManifestParquetSink(
+            spark, root, keys=["k"], ts_col="ts", order=["ver"]
+        )
+        S = "k string, ts timestamp, ver int, v double"
+        for op, batch in script:
+            rows = [
+                (
+                    k,
+                    BASE + dt.timedelta(days=ord(k) - ord("a")),
+                    ver,
+                    float(ver * 10 + ord(k)),
+                )
+                for k, ver in batch
+            ]
+            df = spark.createDataFrame(rows, S)
+            if op == "upsert":
+                sink.upsert(df)
+                for k, ver in batch:
+                    if k not in model or ver >= model[k]:
+                        model[k] = ver
+            elif sink.current_version() == 0:
+                continue  # deletes against an empty table: nothing to do
+            else:
+                getattr(sink, op)(df)
+                for k, _ in batch:
+                    model.pop(k, None)
+
+        if sink.current_version() == 0:
+            return  # script never upserted
+
+        def observed():
+            # empty-table semantics: read() raises on an empty manifest
+            # (a rewrite delete of every day, or compact after full
+            # suppression) — the model's {} maps to that
+            if not sink._load_manifest(sink.current_version()):
+                return {}
+            return {
+                r["k"]: (r["ver"], r["v"]) for r in sink.read().collect()
+            }
+
+        want = {k: (ver, float(ver * 10 + ord(k))) for k, ver in model.items()}
+        assert observed() == want
+
+        if sink._load_manifest(sink.current_version()):
+            # CDF property over the whole history, DV commits included
+            ch = sink.changes(0, sink.current_version())
+            live = {
+                r["k"]: (r["ver"], r["v"])
+                for r in ch.collect()
+                if r["_op"] != "D"
+            }
+            dead = {r["k"] for r in ch.collect() if r["_op"] == "D"}
+            assert live == want and not (dead & set(want))
+
+        v_c = sink.compact()
+        if v_c is not None:
+            assert sink._load_dvs(v_c) == {}
+        sink.vacuum(keep_versions=1, min_age_seconds=0)
+        assert observed() == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -840,3 +840,44 @@ def test_bloom_lookup_of_dv_suppressed_key_is_empty(spark, tmp_path):
     # bloom candidates still name the file (superset is sound, not wrong)
     cand = sink.bloom_file_candidates({"k": "u1"})
     assert cand["2024-01-01"]
+
+
+def test_concurrent_delete_fast_and_upsert_serialize(spark, tmp_path):
+    """Two DV writers plus an upserter racing the CAS must all commit
+    (retries), and the final state must reflect ALL of them: both DVs
+    applied, the upserted key present — no lost deletion vectors (the
+    retry reloads the dvs map and re-unions, like upsert re-merges)."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 1.0), ("b", DAY1, 1, 2.0), ("c", DAY1, 1, 3.0)],
+        SCHEMA))
+    errors = []
+
+    def dv(key):
+        def run():
+            try:
+                sink.delete_fast(
+                    spark.createDataFrame([(key, DAY1, 1, 0.0)], SCHEMA))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+        return run
+
+    def up():
+        try:
+            sink.upsert(spark.createDataFrame([("d", DAY2, 1, 4.0)], SCHEMA))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=f) for f in (dv("a"), dv("b"), up)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    assert sink.current_version() == 4  # three serialized commits
+    assert table(sink) == {"c": 3.0, "d": 4.0}
+    # both keys live in the (cumulative) day-1 DV
+    dv_rel = sink._load_dvs(sink.current_version())["2024-01-01"]
+    dv_keys = {r["k"] for r in spark.read.parquet(
+        os.path.join(str(tmp_path / "tbl"), dv_rel)).collect()}
+    assert dv_keys == {"a", "b"}
