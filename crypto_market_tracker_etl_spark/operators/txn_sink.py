@@ -170,6 +170,25 @@ def _stat_lt(a, b) -> bool:
 _U64 = (1 << 64) - 1  # stored words are signed longs; mask before bit tests
 
 
+def _as_value_lists(
+    where_eq: dict | None, where_in: dict | None
+) -> dict[str, list]:
+    """Merge the point-lookup specs into {col: [values]}. A column may
+    appear in only ONE of the two (eq is sugar for a 1-element in-list;
+    letting both name a column would silently intersect)."""
+    out = {c: [v] for c, v in (where_eq or {}).items()}
+    for c, vals in (where_in or {}).items():
+        if c in out:
+            raise ValueError(
+                f"column {c!r} appears in both where_eq and where_in"
+            )
+        vals = list(vals)
+        if not vals:
+            raise ValueError(f"where_in[{c!r}] is empty — no row can match")
+        out[c] = vals
+    return out
+
+
 def _bloom_positions(value, m: int, k: int):
     """k bloom bit positions in [0, m) for a value — double-hashed from
     two xxhash64 lanes (h_j = (a + j·b) mod m, the classic Kirsch-
@@ -478,31 +497,39 @@ class ManifestParquetSink:
             "dt_part"
         ).parquet(os.path.join(commit_dir, "_bloom"))
 
-    def _bloom_probe(self, value, dtype=None) -> list[tuple[int, int]]:
-        """(word_idx, bit) pairs for a probe value — computed by a 1-row
-        Spark job so write and probe use the engine's own xxhash64,
-        bit-identical by construction (no python re-implementation to
-        drift). ``dtype`` is the COLUMN's Spark type: the literal routes
-        through it before the string-cast so its rendering matches the
-        write side's (int 5 probed against a double column must hash
-        '5.0', not '5' — the raw literal would silently bloom-prune every
-        file while the row filter matches rows)."""
-        lit = F.lit(value)
-        if dtype is not None:
-            lit = lit.cast(dtype)
-        row = (
-            self.spark.range(1)
-            .select(
+    def _bloom_probe_many(
+        self, values: Sequence, dtype=None
+    ) -> list[list[tuple[int, int]]]:
+        """(word_idx, bit) pairs per probe value — ALL values of a column
+        in ONE 1-row Spark job, so write and probe use the engine's own
+        xxhash64, bit-identical by construction (no python
+        re-implementation to drift). ``dtype`` is the COLUMN's Spark
+        type: each literal routes through it before the string-cast so
+        its rendering matches the write side's (int 5 probed against a
+        double column must hash '5.0', not '5' — the raw literal would
+        silently bloom-prune every file while the row filter matches
+        rows)."""
+        cols = []
+        for i, v in enumerate(values):
+            lit = F.lit(v)
+            if dtype is not None:
+                lit = lit.cast(dtype)
+            cols.append(
                 _bloom_positions(
                     lit, self.bloom_bits, self.bloom_hashes
-                ).alias("p")
+                ).alias(f"p{i}")
             )
-            .head()
-        )
-        return [(p // 64, p % 64) for p in row["p"]]
+        row = self.spark.range(1).select(*cols).head()
+        return [
+            [(p // 64, p % 64) for p in row[f"p{i}"]]
+            for i in range(len(values))
+        ]
 
     def bloom_file_candidates(
-        self, where_eq: dict, version: int | None = None
+        self,
+        where_eq: dict | None = None,
+        version: int | None = None,
+        where_in: dict | None = None,
     ) -> dict[str, "set[str] | None"]:
         """Observability hook: {day: surviving file basenames, or None
         when that day has no bloom information for the probed columns
@@ -511,21 +538,23 @@ class ManifestParquetSink:
         return {
             d: keep
             for d, (keep, _) in self._bloom_keep_files(
-                self._load_manifest(v), where_eq
+                self._load_manifest(v), _as_value_lists(where_eq, where_in)
             ).items()
         }
 
     def _bloom_keep_files(
-        self, candidates: dict[str, str], where_eq: dict
+        self, candidates: dict[str, str], eq_lists: dict[str, list]
     ) -> dict[str, "tuple[set[str] | None, int]"]:
         """For each candidate day: (keep, inventory_total) where ``keep``
         is the set of file basenames whose bloom filters pass EVERY
-        (col = value) probe — or None when the day's commit carries no
-        bloom sidecar for any probed column (no info, never wrongly
-        pruned) — and ``inventory_total`` is the day's known file count
-        (lets the caller detect a no-skip outcome and keep the cheaper
-        directory scan). ONE word-filtered Spark read covers all days
-        (collect is bounded by days × files × cols × (k+1) rows)."""
+        probed column — a column with several values (where_in) passes
+        when ANY of them matches — or None when the day's commit carries
+        no bloom sidecar for any probed column (no info, never wrongly
+        pruned). ``inventory_total`` is the day's known file count (lets
+        the caller detect a no-skip outcome and keep the cheaper
+        directory scan). ONE 1-row hash job per column covers all its
+        values, and ONE word-filtered Spark read covers all days (collect
+        is bounded by days × files × cols × |values| × (k+1) rows)."""
         result: dict[str, tuple[set[str] | None, int]] = {
             d: (None, 0) for d in candidates
         }
@@ -534,7 +563,7 @@ class ManifestParquetSink:
             for d, rel in candidates.items()
             if os.path.isdir(p := self._bloom_dir(rel))
         }
-        if not dirs or not where_eq:
+        if not dirs or not eq_lists:
             return result
         # probe literals route through the COLUMN type (resolved from one
         # candidate partition's footer — lazy, no job) so their string
@@ -546,11 +575,12 @@ class ManifestParquetSink:
         except Exception:
             types = {}
         probes = {
-            c: self._bloom_probe(v, types.get(c))
-            for c, v in where_eq.items()
+            c: self._bloom_probe_many(vals, types.get(c))
+            for c, vals in eq_lists.items()
         }
         want_words = sorted(
-            {w for ps in probes.values() for (w, _) in ps} | {-1}
+            {w for pss in probes.values() for ps in pss for (w, _) in ps}
+            | {-1}
         )
         rows = (
             self.spark.read.parquet(*dirs.values())
@@ -572,7 +602,7 @@ class ManifestParquetSink:
         for d in dirs:
             keep: set[str] | None = None
             known: set[str] = set()
-            for c, ps in probes.items():
+            for c, pss in probes.items():
                 files = inv.get((d, c))
                 if files is None:
                     continue  # this commit never indexed c: no info for c
@@ -581,9 +611,12 @@ class ManifestParquetSink:
                 ok = {
                     f
                     for f in files
-                    if all(
-                        (wmap.get(f, {}).get(w, 0) & _U64) & (1 << b)
-                        for (w, b) in ps
+                    if any(  # OR across the column's probe values
+                        all(
+                            (wmap.get(f, {}).get(w, 0) & _U64) & (1 << b)
+                            for (w, b) in ps
+                        )
+                        for ps in pss
                     )
                 }
                 keep = ok if keep is None else (keep & ok)
@@ -598,6 +631,7 @@ class ManifestParquetSink:
         version: int | None = None,
         where: dict[str, tuple] | None = None,
         where_eq: dict | None = None,
+        where_in: dict | None = None,
     ) -> DataFrame:
         """Snapshot read: resolve the manifest ONCE, scan its directories.
         ``days`` prunes partitions before Spark lists a single file;
@@ -619,7 +653,14 @@ class ManifestParquetSink:
         filter excludes the value, which is what discriminates on
         high-cardinality columns (uuid keys) where min/max ranges cannot.
         Days/commits without bloom sidecars are conservatively scanned;
-        the exact ``=`` row filter always applies after the scan."""
+        the exact ``=`` row filter always applies after the scan.
+
+        ``where_in`` maps column → iterable of exact values (multi-key
+        lookup — "fetch these 100 users"): zone maps prune with the
+        values' (min, max) envelope, blooms keep a file when ANY value
+        matches (all of a column's values hash in one 1-row job), and the
+        row filter is ``isin``. A column may appear in where_eq OR
+        where_in, not both."""
         v = self.current_version() if version is None else version
         manifest = self._load_manifest(v)
         if days is not None:
@@ -627,11 +668,15 @@ class ManifestParquetSink:
         if not manifest:
             raise ValueError(f"no partitions to read at {self.path}")
         eq = dict(where_eq or {})
+        eq_lists = _as_value_lists(where_eq, where_in)
         zone_where = dict(where or {})
-        for c, val in eq.items():
-            zone_where.setdefault(c, (val, val))
+        for c, vals in eq_lists.items():
+            try:
+                zone_where.setdefault(c, (min(vals), max(vals)))
+            except TypeError:
+                pass  # mixed-type in-list: no zone range, bloom still works
         dvs = self._load_dvs(v)
-        if not zone_where:
+        if not zone_where and not eq_lists:
             return self._scan_live(manifest, dvs)
         stats = self._load_stats(v)
         # three-level prune: partitions (zone maps), then files by range
@@ -643,8 +688,8 @@ class ManifestParquetSink:
             if _zone_overlaps(stats.get(d), zone_where)
         }
         bloom_keep = (
-            self._bloom_keep_files(cand, eq)
-            if eq and self.bloom_cols
+            self._bloom_keep_files(cand, eq_lists)
+            if eq_lists and self.bloom_cols
             else {d: (None, 0) for d in cand}
         )
         paths: list[str] = []
@@ -710,6 +755,11 @@ class ManifestParquetSink:
                 df = df.filter(F.lit(False))
                 continue
             df = df.filter(F.col(c) == F.lit(val))
+        for c, vals in (where_in or {}).items():
+            if c not in df.columns:
+                df = df.filter(F.lit(False))
+                continue
+            df = df.filter(F.col(c).isin(list(vals)))
         return df
 
     def stats_rows(

@@ -881,3 +881,35 @@ def test_concurrent_delete_fast_and_upsert_serialize(spark, tmp_path):
     dv_keys = {r["k"] for r in spark.read.parquet(
         os.path.join(str(tmp_path / "tbl"), dv_rel)).collect()}
     assert dv_keys == {"a", "b"}
+
+
+def test_where_in_multi_key_bloom_lookup(spark, tmp_path):
+    """where_in: a multi-key point lookup prunes through the bloom index
+    with OR semantics (a file survives when ANY probed value matches),
+    returns exactly the matching rows, and composes with deletion
+    vectors. A column may not appear in both where_eq and where_in."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["v"], bloom_cols=["k"],
+    )
+    rows = [(f"user-{i:04d}", DAY1, 1, float(i)) for i in range(200)]
+    sink.upsert(spark.createDataFrame(rows, SCHEMA))
+    assert sink.compact(max_records_per_file=50) is not None
+
+    want = {"user-0007", "user-0123", "user-0190"}
+    got = sink.read(where_in={"k": sorted(want) + ["user-9999"]})
+    assert {r["k"] for r in got.collect()} == want
+    cand = sink.bloom_file_candidates(where_in={"k": sorted(want)})
+    kept = cand["2024-01-01"]
+    # three keys spread over ≤3 of the 4 files; OR must keep them all
+    assert kept is not None and 1 <= len(kept) <= 3
+
+    # composes with a deletion vector
+    sink.delete_fast(spark.createDataFrame([("user-0123", DAY1, 1, 0.0)], SCHEMA))
+    got2 = sink.read(where_in={"k": sorted(want)})
+    assert {r["k"] for r in got2.collect()} == want - {"user-0123"}
+
+    with pytest.raises(ValueError, match="both where_eq and where_in"):
+        sink.read(where_eq={"k": "x"}, where_in={"k": ["y"]})
+    with pytest.raises(ValueError, match="is empty"):
+        sink.read(where_in={"k": []})
