@@ -99,6 +99,18 @@ def manifest_load_dvs(path: str, version: int) -> dict[str, str]:
         return json.load(f).get("dvs", {})
 
 
+def manifest_load_stats(path: str, version: int) -> dict[str, dict]:
+    """Per-partition zone-map stats for ``version``:
+    {iso_day: {"rows": n, "cols": {...}, "files": {...}}} — {} at version 0
+    and for pre-stats manifests. Module-level for the same reason as
+    ``manifest_load``: the cdf streaming source sizes its per-day split
+    from the recorded row counts without a sink instance."""
+    if version == 0:
+        return {}
+    with open(os.path.join(path, "_manifests", f"v{version}.json")) as f:
+        return json.load(f).get("stats", {})
+
+
 def _stat_val(v):
     """JSON-encodable zone-map bound. Numbers/bools pass through and
     Decimal becomes float (numeric compare at prune time — str-serializing
@@ -331,10 +343,7 @@ class ManifestParquetSink:
         before stats existed (or whose writer used ``stats_cols=[]``) return
         {} / partial maps — a partition without stats is simply never
         pruned, so old tables stay readable and correct."""
-        if version == 0:
-            return {}
-        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
-            return json.load(f).get("stats", {})
+        return manifest_load_stats(self.path, version)
 
     def _try_commit(
         self,
@@ -493,12 +502,41 @@ class ManifestParquetSink:
             .withColumn("w", F.lit(-1).cast("long"))
             .withColumn("word", F.lit(0).cast("long"))
         )
-        words.unionByName(inventory).coalesce(1).write.partitionBy(
+        # repartition by day (NOT coalesce(1)): the sidecar write
+        # parallelizes with the commit size — one task per day, one file
+        # per day dir — instead of funnelling files × bloom_cols words
+        # through a single task (review r4, low).
+        words.unionByName(inventory).repartition("dt_part").write.partitionBy(
             "dt_part"
         ).parquet(os.path.join(commit_dir, "_bloom"))
+        # persist the sizing the words were computed under: a probe MUST
+        # use the writer's (m, k) — a reader configured differently would
+        # compute positions against the wrong modulus and silently prune
+        # files that contain the value (review r4, medium).
+        with open(
+            os.path.join(commit_dir, "_bloom", "_params.json"), "w"
+        ) as fh:
+            json.dump({"bloom_bits": m, "bloom_hashes": k}, fh)
+
+    def _bloom_params(self, rel: str) -> tuple[int, int]:
+        """(bloom_bits, bloom_hashes) the commit owning ``rel`` was
+        written with — read from the sidecar's _params.json so probes are
+        computed under the WRITER's sizing regardless of how this
+        instance was constructed. Legacy sidecars (pre-params) fall back
+        to the constructor values; a present-but-corrupt params file
+        raises (wrong-(m, k) probing silently loses rows, so fail loud)."""
+        head, _ = os.path.split(rel)
+        p = os.path.join(self.path, head, "_bloom", "_params.json")
+        try:
+            with open(p) as fh:
+                doc = json.load(fh)
+        except OSError:
+            return self.bloom_bits, self.bloom_hashes
+        return int(doc["bloom_bits"]), int(doc["bloom_hashes"])
 
     def _bloom_probe_many(
-        self, values: Sequence, dtype=None
+        self, values: Sequence, dtype=None, m: int | None = None,
+        k: int | None = None,
     ) -> list[list[tuple[int, int]]]:
         """(word_idx, bit) pairs per probe value — ALL values of a column
         in ONE 1-row Spark job, so write and probe use the engine's own
@@ -508,17 +546,16 @@ class ManifestParquetSink:
         its rendering matches the write side's (int 5 probed against a
         double column must hash '5.0', not '5' — the raw literal would
         silently bloom-prune every file while the row filter matches
-        rows)."""
+        rows). ``m``/``k`` override the sizing (probes must use the
+        sizing the sidecar was WRITTEN with — see _bloom_params)."""
+        m = self.bloom_bits if m is None else m
+        k = self.bloom_hashes if k is None else k
         cols = []
         for i, v in enumerate(values):
             lit = F.lit(v)
             if dtype is not None:
                 lit = lit.cast(dtype)
-            cols.append(
-                _bloom_positions(
-                    lit, self.bloom_bits, self.bloom_hashes
-                ).alias(f"p{i}")
-            )
+            cols.append(_bloom_positions(lit, m, k).alias(f"p{i}"))
         row = self.spark.range(1).select(*cols).head()
         return [
             [(p // 64, p % 64) for p in row[f"p{i}"]]
@@ -567,25 +604,46 @@ class ManifestParquetSink:
             return result
         # probe literals route through the COLUMN type (resolved from one
         # candidate partition's footer — lazy, no job) so their string
-        # rendering matches what the write side hashed
+        # rendering matches what the write side hashed. A column whose
+        # type cannot be resolved (schema read failure, or the sampled day
+        # predates the column under additive evolution) is NOT probed: an
+        # uncast literal can hash a different rendering ('5' vs '5.0')
+        # and would wrongly prune every file — no-info is the only sound
+        # fallback (review r4, medium).
         try:
             some_day = next(iter(dirs))
             schema = self._scan({some_day: candidates[some_day]}).schema
             types = {f.name: f.dataType for f in schema.fields}
         except Exception:
             types = {}
-        probes = {
-            c: self._bloom_probe_many(vals, types.get(c))
-            for c, vals in eq_lists.items()
+        typed_lists = {c: v for c, v in eq_lists.items() if c in types}
+        if not typed_lists:
+            return result
+        # each day's probe positions are computed under the (m, k) its
+        # sidecar was WRITTEN with (stored per commit); distinct sizings
+        # get their own probe set, still one 1-row job per (column, sizing)
+        day_params = {d: self._bloom_params(candidates[d]) for d in dirs}
+        probes_by_mk = {
+            mk: {
+                c: self._bloom_probe_many(vals, types[c], *mk)
+                for c, vals in typed_lists.items()
+            }
+            for mk in set(day_params.values())
         }
         want_words = sorted(
-            {w for pss in probes.values() for ps in pss for (w, _) in ps}
+            {
+                w
+                for per_col in probes_by_mk.values()
+                for pss in per_col.values()
+                for ps in pss
+                for (w, _) in ps
+            }
             | {-1}
         )
         rows = (
             self.spark.read.parquet(*dirs.values())
             .filter(
-                F.col("col").isin(list(probes))
+                F.col("col").isin(list(typed_lists))
                 & F.col("w").isin(want_words)
             )
             .collect()
@@ -602,7 +660,7 @@ class ManifestParquetSink:
         for d in dirs:
             keep: set[str] | None = None
             known: set[str] = set()
-            for c, pss in probes.items():
+            for c, pss in probes_by_mk[day_params[d]].items():
                 files = inv.get((d, c))
                 if files is None:
                     continue  # this commit never indexed c: no info for c

@@ -2452,46 +2452,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r4 window (positions 1-50, per the ATTESTATION.md schedule): the nine
-# queries added after the r3 window was locked (never attested), the 14
-# remaining TPC-H, approx_distinct, the 13 r1-greens whose plans changed
-# since r1 attested them, and the first 13 r2-green core queries.
-# Positions 51-100: the r3 window (green in CORRECTNESS_r03.json).
-# Positions 101+: the remaining r2-green core — scheduled as the r5 window.
+# r5 window (positions 1-50, per the ATTESTATION.md schedule): the 36
+# r2-vintage core queries (the last cohort without a recent driver row —
+# every query's driver row is then ≤3 rounds old) plus re-attestation of
+# the r3 window's top 14 (the §2.11 EXT family), which starts the
+# steady-state rolling 3-round re-attestation cycle.
+# Positions 51-100: the r4 window (green in CORRECTNESS_r04.json).
+# Positions 101+: the rest of the r3 window — scheduled as the r6 window.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r4 window: positions 1-50 ======================================
-    # -- added after the r3 window was locked (never attested) ------------
-    "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
-    "cdc_apply", "cosine_topk_filtered", "weighted_median", "udtf_spans",
-    # -- remaining TPC-H (14) ---------------------------------------------
-    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q20", "tpch_q21",
-    # -- newly hash-oracled in r3 -----------------------------------------
-    "approx_distinct",
-    # -- r1-green but plan changed since (re-attest) (13) -----------------
-    "dedup_exact", "near_dup_pairs", "simhash", "cosine_topk", "knn_lsh",
-    "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
-    "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
-    # -- first 13 r2-green core, periodic re-attestation ------------------
-    "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
-    "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
-    "sparkline_7d", "series_align", "order_nulls_last",
-    # ==== r3 window (green in CORRECTNESS_r03.json): positions 51-100 ====
-    "knn_ivf", "tfidf", "near_dup_pairs_fast", "simhash_fast", "pii_redact",
-    "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
-    "binary_chunks", "dedup_keep_best", "dedup_clusters", "image_meta",
-    "array_funcs", "map_funcs",
-    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
-    "drift_report", "weighted_sample_stratified", "rrf_fusion",
-    "contamination", "sequence_packing", "recursive_cte",
-    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
-    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
-    "basket_lift", "session_islands", "late_arrivals", "twap",
-    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
-    "tpch_q14", "tpch_q4",
-    # ==== remaining r2-green core (r5 window): positions 101+ ============
+    # ==== r5 window: positions 1-50 ======================================
+    # -- the 36 r2-vintage core queries (fresh driver rows) ---------------
     "search_filter",
     "coalesce_fill", "kpis", "ts_convert", "date_format",
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
@@ -2502,6 +2472,36 @@ ATTESTATION_ORDER: list[str] = [
     "datetime_parts", "window_frame_values", "decimal_pipeline",
     "time_interval_join", "gap_fill", "funnel", "cohort_retention",
     "stats_battery", "profile",
+    # -- new this round: the residual-ADC micro-oracle (never attested) ---
+    "knn_ivfadc",
+    # -- r3 window top 13, periodic re-attestation ------------------------
+    "knn_ivf", "tfidf", "near_dup_pairs_fast", "simhash_fast", "pii_redact",
+    "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
+    "binary_chunks", "dedup_keep_best", "dedup_clusters", "image_meta",
+    # ==== r4 window (green in CORRECTNESS_r04.json): positions 51-100 ====
+    "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
+    "cdc_apply", "cosine_topk_filtered", "weighted_median", "udtf_spans",
+    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q21",
+    "approx_distinct",
+    "dedup_exact", "near_dup_pairs", "simhash", "cosine_topk", "knn_lsh",
+    "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
+    "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
+    "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
+    "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
+    "sparkline_7d", "series_align", "order_nulls_last",
+    # ==== rest of the r3 window (r6 window): positions 101+ ==============
+    "array_funcs", "map_funcs",
+    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
+    "drift_report", "weighted_sample_stratified", "rrf_fusion",
+    "contamination", "sequence_packing", "recursive_cte",
+    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
+    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
+    "basket_lift", "session_islands", "late_arrivals", "twap",
+    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
+    "tpch_q14", "tpch_q4",
 ]
 
 

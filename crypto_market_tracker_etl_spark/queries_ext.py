@@ -843,6 +843,166 @@ WHERE rank <= 3
 SQL_KNN_IVFPQ = _sql_knn_ivfpq()
 
 
+# IVFADC micro-oracle: 2 coarse lists, nprobe=1, 2 subspaces × 4-entry
+# RESIDUAL codebooks — small enough that the per-(query, probed-list)
+# residual ADC tables fit one SQL CTE, which is what pins the residual
+# arithmetic (v − centroid before encoding; query tables against EACH
+# probed list's centroid) the pytest-only full-size ivfadc_topk relies on.
+IVFADC_KC = 2
+IVFADC_NPROBE = 1
+IVFADC_KS = 4
+IVFADC_M = 2  # 2 subspaces over the 64-dim embeddings (32 dims each)
+IVFADC_RERANK = 10
+
+
+def q_knn_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (IVFADC, Jégou et al. §IV) micro configuration:
+    codes are built over COARSE RESIDUALS (v − assigned centroid), and
+    each query carries one ADC table per probed list (distances of ITS
+    residual against that list's centroid). Same fused Arrow scan as
+    knn_ivfpq (operators/pq.py::_adc_scan, residual=True); this entry
+    exists to give the residual path a DuckDB hash oracle — codebook
+    seeds are the md5-order rows AFTER the centroid rows (seeding from
+    the centroids themselves would yield all-zero residual codebooks)."""
+    from .operators.ivf import seed_centroids
+    from .operators.pq import ivfadc_topk, residual_codebooks_from_seeds
+
+    emb = _embeddings(spark, sf_dir)
+    seeds = seed_centroids(emb, IVFADC_KC + IVFADC_KS)
+    cents = seeds[:IVFADC_KC]
+    cbs = residual_codebooks_from_seeds(seeds[IVFADC_KC:], cents, IVFADC_M)
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    return ivfadc_topk(
+        emb, queries, cents, cbs,
+        k=3, nprobe=IVFADC_NPROBE, rerank=IVFADC_RERANK,
+    )
+
+
+def _sql_knn_ivfadc(
+    kc: int = IVFADC_KC,
+    nprobe: int = IVFADC_NPROBE,
+    ks: int = IVFADC_KS,
+    m: int = IVFADC_M,
+    dsub: int = 32,
+    rerank: int = IVFADC_RERANK,
+) -> str:
+    from .operators.pq import DIST_SCALE
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS sid,
+         vec_id, v
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {kc + ks}
+),
+coarse AS (SELECT sid AS cid, v AS cv FROM seeds WHERE sid < {kc}),
+cd AS (
+  SELECT e.vec_id, c.cid,
+         round(-list_cosine_similarity(e.v, c.cv), 4) AS nd
+  FROM e, coarse c
+),
+cr AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY nd, cid) AS rn FROM cd),
+cassign AS (SELECT vec_id, cid AS list_id FROM cr WHERE rn = 1),
+cprobe AS (SELECT vec_id AS query_id, cid AS list_id
+           FROM cr WHERE rn <= {nprobe} AND vec_id % 250 = 0),
+rseed AS (
+  -- residual codebook seeds: md5-order rows AFTER the centroids, each
+  -- minus ITS OWN assigned centroid
+  SELECT s.sid - {kc} AS sid,
+         list_transform(list_zip(s.v, c.cv), z -> z[1] - z[2]) AS rv
+  FROM seeds s
+  JOIN cassign a ON a.vec_id = s.vec_id
+  JOIN coarse c ON c.cid = a.list_id
+  WHERE s.sid >= {kc}
+),
+cb AS (
+  SELECT t.s AS sub, r.sid,
+         list_slice(r.rv, t.s * {dsub} + 1, t.s * {dsub} + {dsub}) AS cv
+  FROM range({m}) t(s), rseed r
+),
+resid AS (
+  SELECT e.vec_id, a.list_id,
+         list_transform(list_zip(e.v, c.cv), z -> z[1] - z[2]) AS rv
+  FROM e
+  JOIN cassign a ON a.vec_id = e.vec_id
+  JOIN coarse c ON c.cid = a.list_id
+),
+dists AS (
+  SELECT r.vec_id, cb.sub, cb.sid,
+         CAST(round({DIST_SCALE} * list_reduce(
+              list_transform(
+                list_zip(list_slice(r.rv, cb.sub * {dsub} + 1,
+                                    cb.sub * {dsub} + {dsub}), cb.cv),
+                z -> (z[1] - z[2]) * (z[1] - z[2])),
+              (a, b) -> a + b)) AS BIGINT) AS d
+  FROM resid r, cb
+),
+codes AS (
+  SELECT vec_id, sub, sid AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, sid) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+qresid AS (
+  -- one residual PER (query, probed list): the query minus THAT list's
+  -- centroid — the defining difference from plain IVF-PQ's single table
+  SELECT p.query_id, p.list_id,
+         list_transform(list_zip(e.v, c.cv), z -> z[1] - z[2]) AS rv
+  FROM cprobe p
+  JOIN e ON e.vec_id = p.query_id
+  JOIN coarse c ON c.cid = p.list_id
+),
+qt AS (
+  SELECT q.query_id, q.list_id, cb.sub, cb.sid,
+         CAST(round({DIST_SCALE} * list_reduce(
+              list_transform(
+                list_zip(list_slice(q.rv, cb.sub * {dsub} + 1,
+                                    cb.sub * {dsub} + {dsub}), cb.cv),
+                z -> (z[1] - z[2]) * (z[1] - z[2])),
+              (a, b) -> a + b)) AS BIGINT) AS d
+  FROM qresid q, cb
+),
+adc AS (
+  SELECT qt.query_id, c.vec_id AS neighbor_id, CAST(SUM(qt.d) AS BIGINT) AS adc
+  FROM codes c
+  JOIN cassign a ON a.vec_id = c.vec_id
+  JOIN qt ON qt.list_id = a.list_id AND qt.sub = c.sub AND qt.sid = c.code
+  WHERE c.vec_id <> qt.query_id
+  GROUP BY qt.query_id, c.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rn
+        FROM adc)
+  WHERE rn <= {rerank}
+),
+rr AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(round({DIST_SCALE} * list_reduce(
+              list_transform(list_zip(q.v, n.v),
+                             z -> (z[1] - z[2]) * (z[1] - z[2])),
+              (a, b) -> a + b)) AS BIGINT) AS sqdist
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sqdist, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sqdist, neighbor_id) AS rank
+      FROM rr)
+WHERE rank <= 3
+"""
+
+
+SQL_KNN_IVFADC = _sql_knn_ivfadc()
+
+
 # --------------------------------------------------------------------------
 # Text analysis family
 # --------------------------------------------------------------------------
@@ -1566,6 +1726,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
     "knn_ivfpq": (q_knn_ivfpq, SQL_KNN_IVFPQ),
+    "knn_ivfadc": (q_knn_ivfadc, SQL_KNN_IVFADC),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),

@@ -17,15 +17,19 @@ contract as ``changes_since_checkpoint``.
 Two readers share one diff core (``_diff_select``):
 
 - **Partitioned reader (default)** — ``DataSourceStreamReader``. The
-  driver touches only the two ~KB manifests (``partitions`` plans one
-  ``InputPartition`` per CHANGED DAY); each executor task reads both
-  versions of ONE day and emits that day's diff. Correct because a key's
-  day is stable by the sink's contract (the partition date derives from
-  an event time that identifies the key — ``changes()`` documents the
-  same invariant), so no diff pair ever spans two days. Scale follows the
-  cluster: 365 changed days = 365 parallel tasks, and no single-process
-  ceiling (the round-3 driver-side reader measured ~1 M rows/micro-batch
-  before planning-thread stalls — SCALE.md §CDF).
+  driver touches only the two ~KB manifests (``partitions`` plans from
+  manifest + zone-stats row counts alone); each executor task reads both
+  versions of ONE day — or, when the day's recorded rows exceed
+  ``maxRowsPerTask`` (default 250k), one KEY-HASH SLICE of the day,
+  stream-filtered batch by batch so per-task memory stays bounded by the
+  slice — and emits that slice's diff. Correct because a key's day is
+  stable by the sink's contract (the partition date derives from an
+  event time that identifies the key — ``changes()`` documents the same
+  invariant) and the slice hash is a pure function of the key, so no
+  diff pair ever spans two tasks. Scale follows the cluster in BOTH
+  dimensions: 365 changed days = 365 parallel tasks, and one re-ingested
+  500 GB hot day still fans out as rows/maxRowsPerTask slices instead of
+  one task holding 2× the day in pandas (SCALE.md §CDF).
 - **Simple reader** (``.option("reader", "simple")``) — the Spark-managed
   prefetch wrapper around ``SimpleDataSourceStreamReader``; the whole
   diff runs in the driver's planning thread. Kept for parity testing and
@@ -39,7 +43,8 @@ Options: ``path`` (table root), ``keys`` (comma-separated merge keys),
 ``startingVersion`` (default 0 — the FIRST batch then delivers the whole
 current snapshot as inserts, the CDF bootstrap convention; on a large
 existing table pass ``startingVersion = current_version`` to start from
-new changes only), ``reader`` ("partitioned" default | "simple").
+new changes only), ``reader`` ("partitioned" default | "simple"),
+``maxRowsPerTask`` (within-day split threshold, partitioned reader only).
 """
 
 from __future__ import annotations
@@ -70,6 +75,7 @@ from ..operators.txn_sink import (  # noqa: E402
     manifest_current_version as _current_version,
     manifest_load as _load_manifest,
     manifest_load_dvs as _load_dvs,
+    manifest_load_stats as _load_stats,
 )
 
 
@@ -167,6 +173,69 @@ def _read_days(path: str, manifest: dict[str, str], days) -> pd.DataFrame:
     return merged.to_pandas(integer_object_nulls=True)
 
 
+def _key_slice_mask(
+    frame: pd.DataFrame, keys: list[str], idx: int, n: int
+) -> pd.Series:
+    """Boolean mask selecting ``frame`` rows whose KEY belongs to hash
+    slice ``idx`` of ``n``. The hash is a pure function of the key
+    VALUES (stringified, so physical int width under widening evolution
+    cannot split a key across slices) and pandas' fixed-key siphash —
+    deterministic across processes, so the old and new side of a day
+    always agree on a key's slice, which is what makes the union of
+    per-slice diffs equal the whole-day diff."""
+    h = pd.util.hash_pandas_object(
+        frame[keys].astype("string").fillna("\0"), index=False
+    )
+    return (h % n) == idx
+
+
+def _read_days_slice(
+    path: str,
+    manifest: dict[str, str],
+    days,
+    keys: list[str],
+    idx: int,
+    n: int,
+) -> pd.DataFrame:
+    """``_read_days`` restricted to one key-hash slice, streamed batch by
+    batch so a task never materializes more than (its slice + one Arrow
+    batch) — the memory bound that lets ONE huge changed day split
+    across many tasks instead of loading 2× the day into a single task's
+    pandas. Per-dir tables are concatenated with the same permissive
+    promotion as ``_read_days``."""
+    dirs = [os.path.join(path, manifest[d]) for d in days if d in manifest]
+    if not dirs:
+        return pd.DataFrame()
+    tables = []
+    for p in dirs:
+        ds = pa_ds.dataset(p)
+        kept = [
+            filtered
+            for batch in ds.to_batches()
+            if batch.num_rows
+            and (
+                filtered := batch.filter(
+                    pa.array(
+                        _key_slice_mask(
+                            batch.select(keys).to_pandas(), keys, idx, n
+                        ).to_numpy(dtype=bool)
+                    )
+                )
+            ).num_rows
+        ]
+        tables.append(
+            pa.Table.from_batches(kept, schema=ds.schema)
+            if kept
+            else ds.schema.empty_table()
+        )
+    merged = (
+        tables[0]
+        if len(tables) == 1
+        else pa.concat_tables(tables, promote_options="permissive")
+    )
+    return merged.to_pandas(integer_object_nulls=True)
+
+
 def _py(v):
     """pandas/numpy value → plain Python for the row tuples. Naive
     timestamps get UTC attached: pandas hands back Spark's UTC-normalized
@@ -197,6 +266,7 @@ class _CdfConf(NamedTuple):
     cols: list[str]       # data columns, declared order (no _op/_commit_*)
     non_keys: list[str]
     coerce: dict[str, type]
+    rows_per_task: int    # within-day split threshold (partitioned reader)
 
 
 def _parse_conf(options: dict, schema: StructType) -> _CdfConf:
@@ -223,6 +293,7 @@ def _parse_conf(options: dict, schema: StructType) -> _CdfConf:
         cols=cols,
         non_keys=[c for c in cols if c not in keys],
         coerce=coerce,
+        rows_per_task=int(options.get("maxrowspertask", "250000")),
     )
 
 
@@ -454,8 +525,10 @@ class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
 
 
 class CdfPartition(InputPartition):
-    """One changed day of one version window: everything an executor task
-    needs to read both versions of that day and emit its diff."""
+    """One KEY-HASH SLICE of one changed day of one version window:
+    everything an executor task needs to read its slice of both versions
+    of that day and emit the slice's diff. ``slice_n == 1`` (the common
+    case: the day's recorded rows fit one task) reads the whole day."""
 
     def __init__(
         self,
@@ -465,6 +538,8 @@ class CdfPartition(InputPartition):
         v2: int,
         old_dv_rel: str | None = None,
         new_dv_rel: str | None = None,
+        slice_idx: int = 0,
+        slice_n: int = 1,
     ):
         self.day = day
         self.old_rel = old_rel
@@ -472,14 +547,19 @@ class CdfPartition(InputPartition):
         self.v2 = v2
         self.old_dv_rel = old_dv_rel
         self.new_dv_rel = new_dv_rel
+        self.slice_idx = slice_idx
+        self.slice_n = slice_n
 
 
 class ManifestCdfPartitionedReader(DataSourceStreamReader):
     """Executor-side reader (default): ``partitions`` plans from the two
-    ~KB manifests only — the driver never touches data files — and each
-    task diffs ONE changed day. Sound because a key's day is stable (the
-    sink contract ``changes()`` documents), so no I/U/D pair spans days;
-    the union of per-day diffs IS the window diff."""
+    ~KB manifests (+ their zone-stats row counts) only — the driver never
+    touches data files — and each task diffs ONE changed day, or one
+    key-hash slice of it when the day's recorded rows exceed
+    ``maxRowsPerTask``. Sound because a key's day is stable (the sink
+    contract ``changes()`` documents) and a key's slice is a pure
+    function of its value, so no I/U/D pair spans tasks; the union of
+    per-slice diffs IS the window diff."""
 
     def __init__(self, options: dict, schema: StructType):
         self.conf = _parse_conf(options, schema)
@@ -503,21 +583,50 @@ class ManifestCdfPartitionedReader(DataSourceStreamReader):
         if v2 <= v1:
             return []
         old_m, new_m, old_dv, new_dv = _load_window(self.conf.path, v1, v2)
-        return [
-            CdfPartition(
-                d, old_m.get(d), new_m.get(d), v2,
-                old_dv.get(d), new_dv.get(d),
+        # within-day split: a changed day whose RECORDED row count (zone
+        # stats, still manifest-only planning) exceeds maxRowsPerTask is
+        # planned as ceil(rows / maxRowsPerTask) key-hash slices, so a
+        # backfill that rewrites one huge hot day drains across many
+        # tasks instead of one task holding 2× the day in pandas. Days
+        # without stats (pre-stats manifests) conservatively stay one
+        # task — correct, just unsplit.
+        old_s, new_s = (
+            _load_stats(self.conf.path, v1),
+            _load_stats(self.conf.path, v2),
+        )
+        parts: list[CdfPartition] = []
+        for d in _changed_days(old_m, new_m, old_dv, new_dv):
+            rows = max(
+                (old_s.get(d) or {}).get("rows") or 0,
+                (new_s.get(d) or {}).get("rows") or 0,
             )
-            for d in _changed_days(old_m, new_m, old_dv, new_dv)
-        ]
+            n = max(1, -(-rows // self.conf.rows_per_task)) if rows else 1
+            parts.extend(
+                CdfPartition(
+                    d, old_m.get(d), new_m.get(d), v2,
+                    old_dv.get(d), new_dv.get(d), i, n,
+                )
+                for i in range(n)
+            )
+        return parts
 
     def read(self, partition: CdfPartition) -> Iterator[pa.RecordBatch]:
         conf = self.conf
 
         def side(rel: str | None, dv_rel: str | None) -> pd.DataFrame:
-            frame = _read_days(
-                conf.path, {partition.day: rel}, [partition.day] if rel else []
-            )
+            days = [partition.day] if rel else []
+            if partition.slice_n == 1:
+                frame = _read_days(conf.path, {partition.day: rel}, days)
+            else:
+                # sliced day: stream-filter to this task's key-hash slice
+                # (both sides hash the same key values, so the pair of a
+                # changed key always lands in the same task)
+                frame = _read_days_slice(
+                    conf.path, {partition.day: rel}, days,
+                    conf.keys, partition.slice_idx, partition.slice_n,
+                )
+            # the DV is a key list (small) — read whole; the anti-join
+            # ignores keys outside this slice
             dv = _read_days(
                 conf.path,
                 {partition.day: dv_rel},

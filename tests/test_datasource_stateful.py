@@ -1093,6 +1093,83 @@ def test_cdf_partitioned_reader_plans_per_day_and_matches_simple(spark, tmp_path
     assert drain("p") == drain("s", reader="simple")  # byte-equal feeds
 
 
+def test_cdf_within_day_split_slices_match_whole_diff(spark, tmp_path):
+    """A changed day whose recorded rows exceed maxRowsPerTask plans as
+    MULTIPLE key-hash slices (the r4 weak mark: one huge re-ingested day
+    used to be a single task holding 2x the day in pandas). The slices
+    must be disjoint, their union must equal the unsplit diff exactly,
+    and a full streamed drain must match the simple reader byte-for-byte
+    — including D rows from a deletion vector."""
+    import datetime as dtm
+
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        ManifestParquetSink,
+    )
+    from crypto_market_tracker_etl_spark.sources.cdf_source import (
+        ManifestCdfDataSource,
+        register_cdf,
+    )
+
+    register_cdf(spark)
+    tbl = str(tmp_path / "tbl")
+    # stats_cols non-empty => manifests record per-day row counts, which
+    # is what the split planner sizes from
+    sink = ManifestParquetSink(
+        spark, tbl, keys=["k"], ts_col="ts", order=["ver"], stats_cols=["v"]
+    )
+    S = "k string, ts timestamp, ver int, v double"
+    d1 = dtm.datetime(2024, 1, 1, 10)
+    n = 800
+    sink.upsert(spark.createDataFrame(
+        [(f"k{i:04d}", d1, 1, float(i)) for i in range(n)], S))
+    # v2: update 40 keys, insert 10, and DV-delete 5 — one changed day
+    sink.upsert(spark.createDataFrame(
+        [(f"k{i:04d}", d1, 2, float(i) + 0.5) for i in range(40)]
+        + [(f"new{i}", d1, 1, 100.0 + i) for i in range(10)], S))
+    sink.delete_fast(spark.createDataFrame(
+        [(f"k{i:04d}", d1, 1, 0.0) for i in range(100, 105)], S))
+
+    src = ManifestCdfDataSource(
+        {"path": tbl, "keys": "k", "maxrowspertask": "200"}
+    )
+    reader = src.streamReader(src.schema())
+    v = sink.current_version()
+    parts = reader.partitions({"version": 1}, {"version": v})
+    assert len(parts) == 5  # ceil(850/200), one day
+    assert {p.day for p in parts} == {"2024-01-01"}
+    assert sorted(p.slice_idx for p in parts) == list(range(5))
+    assert all(p.slice_n == 5 for p in parts)
+
+    per_slice = [
+        {(d["k"], d["_op"], d["v"]) for b in reader.read(p) for d in b.to_pylist()}
+        for p in parts
+    ]
+    union = set().union(*per_slice)
+    assert sum(len(s) for s in per_slice) == len(union)  # disjoint
+    # unsplit reference: same reader, threshold high enough for one task
+    whole_src = ManifestCdfDataSource({"path": tbl, "keys": "k"})
+    whole = whole_src.streamReader(whole_src.schema())
+    [wp] = whole.partitions({"version": 1}, {"version": v})
+    assert wp.slice_n == 1
+    ref = {(d["k"], d["_op"], d["v"]) for b in whole.read(wp) for d in b.to_pylist()}
+    assert union == ref
+    assert {op for (_, op, _) in ref} == {"U", "I", "D"}
+
+    def drain(tag, **opts):
+        out, ck = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
+        s = spark.readStream.format("manifest_cdf").option(
+            "path", tbl).option("keys", "k")
+        for kk, vv in opts.items():
+            s = s.option(kk, vv)
+        _drain_to_parquet(s.load(), out, ck)
+        return sorted(
+            (r["k"], r["_op"], r["v"], r["ts"], r["_commit_version"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert drain("split", maxRowsPerTask="200") == drain("s", reader="simple")
+
+
 def test_cdf_partitioned_reader_vacuumed_offset_fails_loudly(spark, tmp_path):
     """Replaying a window whose manifest vacuum removed must raise the
     documented resync error in the PARTITIONED reader's planning step —

@@ -748,6 +748,78 @@ def test_bloom_probe_routes_through_column_type(spark, tmp_path):
     assert {r["k"] for r in got.collect()} == {"b"}
 
 
+def test_bloom_unresolvable_type_skips_pruning(spark, tmp_path):
+    """Regression (advice r4): when a probed column's type cannot be
+    resolved (schema read failure, or the sampled day predates the
+    column), bloom pruning must be SKIPPED for that column (no-info),
+    not performed with an uncast literal — the uncast probe hashes '5'
+    where the writer hashed '5.0' and silently prunes every file."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], bloom_cols=["v"],
+    )
+    sink.upsert(spark.createDataFrame(
+        [("a", DAY1, 1, 5.0), ("b", DAY1, 1, 7.5)], SCHEMA))
+    # simulate the fallback path: schema resolution raises
+    orig = sink._scan
+    sink._scan = lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom"))
+    try:
+        cand = sink.bloom_file_candidates({"v": 5})
+    finally:
+        sink._scan = orig
+    # no-info (None) — conservatively scanned, never wrongly pruned
+    assert cand == {"2024-01-01": None}
+    # a column absent from the schema is likewise skipped, and a read
+    # probing a REAL column alongside it still returns exact rows
+    assert sink.bloom_file_candidates({"nope": 1}) == {"2024-01-01": None}
+
+
+def test_bloom_params_persisted_with_sidecar(spark, tmp_path):
+    """Regression (advice r4): (bloom_bits, bloom_hashes) are stored with
+    the sidecar and probes use the WRITER's sizing — a reader constructed
+    with different values must still find the rows instead of computing
+    positions against the wrong modulus and pruning matching files."""
+    writer = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], bloom_cols=["k"], bloom_bits=1 << 18, bloom_hashes=5,
+    )
+    writer.upsert(spark.createDataFrame(
+        [(f"user-{i:03d}", DAY1, 1, float(i)) for i in range(50)], SCHEMA))
+
+    reader = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], bloom_cols=["k"],  # defaults: 1<<16 bits, 7 hashes
+    )
+    cand = reader.bloom_file_candidates({"k": "user-042"})
+    assert cand["2024-01-01"]  # file kept under the stored sizing
+    got = reader.read(where_eq={"k": "user-042"}).collect()
+    assert [(r["k"], r["v"]) for r in got] == [("user-042", 42.0)]
+    # mixed sizings across commits: a second commit under the reader's
+    # own defaults probes correctly too (per-commit params resolution)
+    reader.upsert(spark.createDataFrame([("zz", DAY2, 1, 9.0)], SCHEMA))
+    assert {r["k"] for r in reader.read(where_eq={"k": "zz"}).collect()} == {"zz"}
+    assert {
+        r["k"] for r in writer.read(where_eq={"k": "user-007"}).collect()
+    } == {"user-007"}
+
+
+def test_bloom_sidecar_write_parallel_multi_day(spark, tmp_path):
+    """The sidecar write partitions by day (no coalesce(1)); a multi-day
+    commit still yields a probe-able sidecar per day with exact results."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], bloom_cols=["k"],
+    )
+    rows = [(f"d1-{i}", DAY1, 1, float(i)) for i in range(20)] + [
+        (f"d2-{i}", DAY2, 1, float(i)) for i in range(20)
+    ]
+    sink.upsert(spark.createDataFrame(rows, SCHEMA))
+    cand = sink.bloom_file_candidates({"k": "d2-7"})
+    assert cand["2024-01-02"] and len(cand["2024-01-02"]) >= 1
+    assert cand["2024-01-01"] is not None and len(cand["2024-01-01"]) == 0
+    assert {r["k"] for r in sink.read(where_eq={"k": "d2-7"}).collect()} == {"d2-7"}
+
+
 def test_stats_rows_empty_day_filter_raises(spark, tmp_path):
     """Regression (review r4): a day filter matching nothing must raise
     like read() does, not return a confident 0."""
