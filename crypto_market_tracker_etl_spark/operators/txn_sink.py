@@ -80,12 +80,39 @@ def manifest_current_version(path: str) -> int:
     return max(versions, default=0)
 
 
+_DOC_CACHE: dict[tuple, dict] = {}
+_DOC_CACHE_MAX = 8
+
+
+def _manifest_doc(path: str, version: int) -> dict:
+    """Parsed manifest document, cached by (path, version, mtime, size).
+    A snapshot read resolves partitions + dvs + stats; without the cache
+    that is THREE parses of the same JSON, which the manifest probe
+    measures at ~4 s each at 100 MB/1 M files (SCALE.md §manifest) — the
+    planning cost tripled for nothing. Manifests are immutable per
+    version, and the mtime/size key keeps a rewritten file (tests strip
+    sections in place; vacuum deletes) from serving stale."""
+    p = os.path.join(path, "_manifests", f"v{version}.json")
+    st = os.stat(p)  # raises FileNotFoundError like open() did — same
+    # loud signal for vacuumed/absent versions
+    key = (os.path.abspath(p), version, st.st_mtime_ns, st.st_size)
+    doc = _DOC_CACHE.get(key)
+    if doc is None:
+        with open(p) as f:
+            doc = json.load(f)
+        if len(_DOC_CACHE) >= _DOC_CACHE_MAX:
+            _DOC_CACHE.pop(next(iter(_DOC_CACHE)))
+        _DOC_CACHE[key] = doc
+    return doc
+
+
 def manifest_load(path: str, version: int) -> dict[str, str]:
     """{iso_day: commit-relative data dir} for ``version`` (empty at 0)."""
     if version == 0:
         return {}
-    with open(os.path.join(path, "_manifests", f"v{version}.json")) as f:
-        return json.load(f)["partitions"]
+    # shallow copy: callers pop/assign at the day level, and a mutation
+    # reaching the cached doc would poison every later load
+    return dict(_manifest_doc(path, version)["partitions"])
 
 
 def manifest_load_dvs(path: str, version: int) -> dict[str, str]:
@@ -95,8 +122,7 @@ def manifest_load_dvs(path: str, version: int) -> dict[str, str]:
     existed (old tables read unchanged)."""
     if version == 0:
         return {}
-    with open(os.path.join(path, "_manifests", f"v{version}.json")) as f:
-        return json.load(f).get("dvs", {})
+    return dict(_manifest_doc(path, version).get("dvs", {}))
 
 
 def manifest_load_stats(path: str, version: int) -> dict[str, dict]:
@@ -107,8 +133,7 @@ def manifest_load_stats(path: str, version: int) -> dict[str, dict]:
     from the recorded row counts without a sink instance."""
     if version == 0:
         return {}
-    with open(os.path.join(path, "_manifests", f"v{version}.json")) as f:
-        return json.load(f).get("stats", {})
+    return dict(_manifest_doc(path, version).get("stats", {}))
 
 
 def _stat_val(v):
@@ -621,8 +646,17 @@ class ManifestParquetSink:
             return result
         # each day's probe positions are computed under the (m, k) its
         # sidecar was WRITTEN with (stored per commit); distinct sizings
-        # get their own probe set, still one 1-row job per (column, sizing)
-        day_params = {d: self._bloom_params(candidates[d]) for d in dirs}
+        # get their own probe set, still one 1-row job per (column, sizing).
+        # The params file is per COMMIT, so resolve once per commit head —
+        # a compacted multi-year table shares one head across thousands of
+        # days, and re-opening the same few-byte file per day would be a
+        # network round trip each on object storage (review r5)
+        heads = {d: os.path.split(candidates[d])[0] for d in dirs}
+        params_by_head: dict[str, tuple[int, int]] = {}
+        for d, h in heads.items():
+            if h not in params_by_head:
+                params_by_head[h] = self._bloom_params(candidates[d])
+        day_params = {d: params_by_head[heads[d]] for d in dirs}
         probes_by_mk = {
             mk: {
                 c: self._bloom_probe_many(vals, types[c], *mk)

@@ -2454,9 +2454,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #
 # r5 window (positions 1-50, per the ATTESTATION.md schedule): the 36
 # r2-vintage core queries (the last cohort without a recent driver row —
-# every query's driver row is then ≤3 rounds old) plus re-attestation of
-# the r3 window's top 14 (the §2.11 EXT family), which starts the
-# steady-state rolling 3-round re-attestation cycle.
+# every query's driver row is then ≤3 rounds old), the new knn_ivfadc
+# micro-oracle, and re-attestation of the r3 window's top 13 (the §2.11
+# EXT family; 36 + 1 + 13 = 50) — which starts the steady-state rolling
+# 3-round re-attestation cycle.
 # Positions 51-100: the r4 window (green in CORRECTNESS_r04.json).
 # Positions 101+: the rest of the r3 window — scheduled as the r6 window.
 ATTESTATION_ORDER: list[str] = [

@@ -20,7 +20,7 @@ Two readers share one diff core (``_diff_select``):
   driver touches only the two ~KB manifests (``partitions`` plans from
   manifest + zone-stats row counts alone); each executor task reads both
   versions of ONE day — or, when the day's recorded rows exceed
-  ``maxRowsPerTask`` (default 250k), one KEY-HASH SLICE of the day,
+  ``maxRowsPerTask`` (default 1 M), one KEY-HASH SLICE of the day,
   stream-filtered batch by batch so per-task memory stays bounded by the
   slice — and emits that slice's diff. Correct because a key's day is
   stable by the sink's contract (the partition date derives from an
@@ -217,7 +217,18 @@ def _read_days_slice(
                 filtered := batch.filter(
                     pa.array(
                         _key_slice_mask(
-                            batch.select(keys).to_pandas(), keys, idx, n
+                            # integer_object_nulls: an int key column with
+                            # a null in THIS batch would NaN-promote to
+                            # float64 and render '5.0' where a null-free
+                            # batch renders '5' — same key, different
+                            # slice, and the old/new pair of a changed key
+                            # splits across tasks (spurious D+I instead of
+                            # U). Object-int keeps ints rendering as ints
+                            # in every batch. (review r5)
+                            batch.select(keys).to_pandas(
+                                integer_object_nulls=True
+                            ),
+                            keys, idx, n,
                         ).to_numpy(dtype=bool)
                     )
                 )
@@ -293,7 +304,12 @@ def _parse_conf(options: dict, schema: StructType) -> _CdfConf:
         cols=cols,
         non_keys=[c for c in cols if c not in keys],
         coerce=coerce,
-        rows_per_task=int(options.get("maxrowspertask", "250000")),
+        # split threshold: 1 M rows/day is the measured comfortable
+        # single-task size (SCALE.md §CDF: 2.3 s drain, bounded pandas);
+        # below it the unsplit path avoids the split's n× day-decode
+        # amplification (every slice scans the day's batches and keeps
+        # 1/n — memory-bounded, but n× the decode work, SCALE.md §CDF-split)
+        rows_per_task=int(options.get("maxrowspertask", "1000000")),
     )
 
 

@@ -13,8 +13,16 @@ per-key tuple. This module is the same operator on the Spark-4
   timeout bookkeeping;
 - timers (not used here) replace the processing-time timeout dance.
 
-Equivalence with the batch aggregate across restarts is asserted in
-tests/test_datasource_stateful.py.
+**Status: experimental in this environment.** The transformWithState
+state protocol requires ``google.protobuf``, which this container does
+not ship, so the end-to-end path cannot execute here; the processor's
+accumulation logic is unit-tested directly against the StatefulProcessor
+contract (tests/test_datasource_stateful.py::
+test_running_stats_processor_contract), and the engine-level equivalence
+claim is carried by the ``applyInPandasWithState`` twin in
+``streaming/stateful.py``, whose stream≡batch battery does run. On a
+real cluster (protobuf present) ``running_stats_tws`` is the drop-in
+forward path.
 """
 
 from __future__ import annotations
