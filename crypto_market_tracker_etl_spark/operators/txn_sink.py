@@ -125,15 +125,70 @@ def manifest_load_dvs(path: str, version: int) -> dict[str, str]:
     return dict(_manifest_doc(path, version).get("dvs", {}))
 
 
-def manifest_load_stats(path: str, version: int) -> dict[str, dict]:
+def manifest_load_stats(
+    path: str, version: int, files: bool = True
+) -> dict[str, dict]:
     """Per-partition zone-map stats for ``version``:
     {iso_day: {"rows": n, "cols": {...}, "files": {...}}} — {} at version 0
     and for pre-stats manifests. Module-level for the same reason as
     ``manifest_load``: the cdf streaming source sizes its per-day split
-    from the recorded row counts without a sink instance."""
+    from the recorded row counts without a sink instance.
+
+    ``files=False`` skips the file-grain section — for day-level
+    consumers (stats_rows, zone-level pruning, the cdf split planner)
+    this avoids resolving the parquet files-checkpoint entirely on big
+    tables; ``files=True`` returns the full structure regardless of
+    whether the file grain lives inline (small tables) or in the
+    checkpoint sidecar."""
     if version == 0:
         return {}
-    return dict(_manifest_doc(path, version).get("stats", {}))
+    doc = _manifest_doc(path, version)
+    stats = {d: dict(e) for d, e in doc.get("stats", {}).items()}
+    if not files:
+        for e in stats.values():
+            e.pop("files", None)
+    elif doc.get("files_checkpoint"):
+        for d, fmap in manifest_load_file_stats(path, version).items():
+            stats.setdefault(d, {})["files"] = fmap
+    return stats
+
+
+def manifest_load_file_stats(
+    path: str, version: int, days: "Sequence[str] | None" = None
+) -> dict[str, dict]:
+    """File-grain zone stats {iso_day: {filename: {"rows": n, "cols":
+    {...}}}} for ``version``, from wherever they live: inline in the JSON
+    manifest (tables under the checkpoint threshold) or in the parquet
+    files-checkpoint sidecar (beyond it — the Delta-checkpoint design:
+    the JSON stays ~KB while per-file stats ride a columnar file that
+    loads in a fraction of the JSON parse time, SCALE.md §manifest).
+    ``days`` restricts the checkpoint read to those days (predicate
+    pushdown on the day column), which is what keeps point-lookup
+    planning O(candidate days), not O(table files)."""
+    if version == 0:
+        return {}
+    doc = _manifest_doc(path, version)
+    name = doc.get("files_checkpoint")
+    if name is None:
+        want = None if days is None else set(days)
+        return {
+            d: dict(e["files"])
+            for d, e in doc.get("stats", {}).items()
+            if "files" in e and (want is None or d in want)
+        }
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(path, "_manifests", name))
+    if days is not None:
+        t = t.filter(pc.is_in(t["day"], pa.array(list(days), type=pa.string())))
+    out: dict[str, dict] = {}
+    for d, f, payload in zip(
+        t["day"].to_pylist(), t["file"].to_pylist(), t["payload"].to_pylist()
+    ):
+        out.setdefault(d, {})[f] = json.loads(payload)
+    return out
 
 
 def _stat_val(v):
@@ -304,6 +359,8 @@ class ManifestParquetSink:
 
         path/
           _manifests/v1.json ... v{N}.json   # atomic commit pointers
+          _manifests/files-<uuid>.parquet    # per-file stats checkpoint
+                                             # (only beyond the threshold)
           data/<commit-uuid>/dt_part=YYYY-MM-DD/*.parquet
 
     ``dt`` is carried as a REGULAR column in the data files (the physical
@@ -324,6 +381,7 @@ class ManifestParquetSink:
         bloom_cols: Sequence[str] | None = None,
         bloom_bits: int = 1 << 16,
         bloom_hashes: int = 7,
+        checkpoint_files_threshold: int = 10_000,
     ):
         self.spark = spark
         self.path = path
@@ -341,6 +399,12 @@ class ManifestParquetSink:
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
+        # beyond this many file-grain stat entries the per-file section
+        # moves to a parquet files-checkpoint sidecar and the JSON
+        # manifest stays ~KB (the Delta-checkpoint design; measured JSON
+        # ceiling in SCALE.md §manifest: 100 MB / 4 s cold parse at 1 M
+        # inline file entries)
+        self.checkpoint_files_threshold = int(checkpoint_files_threshold)
         self._manifest_dir = os.path.join(path, "_manifests")
         self._data_dir = os.path.join(path, "data")
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -362,13 +426,22 @@ class ManifestParquetSink:
         ``delete_fast``); {} before DVs existed."""
         return manifest_load_dvs(self.path, version)
 
-    def _load_stats(self, version: int) -> dict[str, dict]:
+    def _load_stats(self, version: int, files: bool = True) -> dict[str, dict]:
         """Per-partition zone maps for ``version``:
         {iso_day: {"rows": n, "cols": {col: [min, max]}}}. Manifests written
         before stats existed (or whose writer used ``stats_cols=[]``) return
         {} / partial maps — a partition without stats is simply never
-        pruned, so old tables stay readable and correct."""
-        return manifest_load_stats(self.path, version)
+        pruned, so old tables stay readable and correct. ``files=False``
+        skips resolving the file-grain section (checkpointed tables:
+        avoids the sidecar read for day-level consumers)."""
+        return manifest_load_stats(self.path, version, files=files)
+
+    def _load_file_stats(
+        self, version: int, days: Sequence[str] | None = None
+    ) -> dict[str, dict]:
+        """File-grain stats, optionally day-filtered (see
+        ``manifest_load_file_stats``)."""
+        return manifest_load_file_stats(self.path, version, days=days)
 
     def _try_commit(
         self,
@@ -393,6 +466,20 @@ class ManifestParquetSink:
             "committed_at": time.time(),
         }
         if stats:
+            n_files = sum(len(e.get("files") or {}) for e in stats.values())
+            if n_files > self.checkpoint_files_threshold:
+                # files-checkpoint: per-file stats move to a parquet
+                # sidecar (complete snapshot per commit, Delta-checkpoint
+                # style); the JSON keeps only the day-level section. The
+                # sidecar is written + fsync'd BEFORE the CAS link — a
+                # lost race orphans it for vacuum, never the reverse.
+                name = f"files-{uuid.uuid4().hex}.parquet"
+                self._write_files_checkpoint(name, stats)
+                stats = {
+                    d: {k: v for k, v in e.items() if k != "files"}
+                    for d, e in stats.items()
+                }
+                doc["files_checkpoint"] = name
             doc["stats"] = stats
         if dvs:
             doc["dvs"] = dvs
@@ -412,6 +499,38 @@ class ManifestParquetSink:
             return False  # another writer committed base+1 first — retry
         finally:
             os.unlink(tmp)
+
+    def _write_files_checkpoint(
+        self, name: str, stats: dict[str, dict]
+    ) -> None:
+        """Write the file-grain sections of ``stats`` as the parquet
+        sidecar ``_manifests/<name>`` (columns day/file/payload; the
+        payload is the file entry's JSON, so stat-value types never
+        constrain the parquet schema), fsync'd like the manifest
+        itself."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        days, fnames, payloads = [], [], []
+        for d, e in stats.items():
+            for f, entry in (e.get("files") or {}).items():
+                days.append(d)
+                fnames.append(f)
+                payloads.append(json.dumps(entry))
+        table = pa.table(
+            {
+                "day": pa.array(days, type=pa.string()),
+                "file": pa.array(fnames, type=pa.string()),
+                "payload": pa.array(payloads, type=pa.string()),
+            }
+        )
+        p = os.path.join(self._manifest_dir, name)
+        pq.write_table(table, p)
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
 
     # ------------------------------------------------------------ zone maps
 
@@ -770,15 +889,19 @@ class ManifestParquetSink:
         dvs = self._load_dvs(v)
         if not zone_where and not eq_lists:
             return self._scan_live(manifest, dvs)
-        stats = self._load_stats(v)
-        # three-level prune: partitions (zone maps), then files by range
-        # (effective once compact(cluster_by=...) made per-file ranges
-        # disjoint), then files by bloom for the point-lookup columns
+        # three-level prune: partitions (zone maps, day-level JSON only),
+        # then files by range (effective once compact(cluster_by=...)
+        # made per-file ranges disjoint; file grain fetched ONLY for the
+        # surviving candidate days — on a checkpointed table this is a
+        # day-filtered sidecar read, O(candidate days) not O(table
+        # files)), then files by bloom for the point-lookup columns
+        stats = self._load_stats(v, files=False)
         cand = {
             d: rel
             for d, rel in manifest.items()
             if _zone_overlaps(stats.get(d), zone_where)
         }
+        file_stats = self._load_file_stats(v, days=list(cand)) if cand else {}
         bloom_keep = (
             self._bloom_keep_files(cand, eq_lists)
             if eq_lists and self.bloom_cols
@@ -786,8 +909,7 @@ class ManifestParquetSink:
         )
         paths: list[str] = []
         for d, rel in cand.items():
-            entry = stats.get(d)
-            files = (entry or {}).get("files")
+            files = file_stats.get(d)
             kept: set[str] | None = (
                 {f for f, fst in files.items() if _zone_overlaps(fst, zone_where)}
                 if files
@@ -871,7 +993,7 @@ class ManifestParquetSink:
             # mirror read(): a day filter matching nothing (typo'd date)
             # must not come back as a confident 0
             raise ValueError(f"no partitions to count at {self.path}")
-        stats = self._load_stats(v)
+        stats = self._load_stats(v, files=False)  # day counts only
         dvs = self._load_dvs(v)
         total = 0
         for d in manifest:
@@ -890,7 +1012,7 @@ class ManifestParquetSink:
         hook the pruning tests assert against."""
         v = self.current_version() if version is None else version
         manifest = self._load_manifest(v)
-        stats = self._load_stats(v)
+        stats = self._load_stats(v, files=False)  # day-level question
         scanned, skipped = [], []
         for d in sorted(manifest):
             (scanned if _zone_overlaps(stats.get(d), where) else skipped).append(d)
@@ -1503,16 +1625,34 @@ class ManifestParquetSink:
             if (m := _MANIFEST_RE.match(name)) and int(m.group(1)) < cutoff:
                 os.unlink(os.path.join(self._manifest_dir, name))
         live: set[str] = set()
+        live_ckpts: set[str] = set()
         for v in range(cutoff, current + 1):
             for rel in self._load_manifest(v).values():
                 live.add(rel.split(os.sep)[1])  # data/<commit-id>/…
             for rel in self._load_dvs(v).values():
                 live.add(rel.split(os.sep)[1])  # DV commits are live too
+            ckpt = _manifest_doc(self.path, v).get("files_checkpoint")
+            if ckpt:
+                live_ckpts.add(ckpt)
         removed = []
         now = time.time()
         for name in os.listdir(self._data_dir):
             full = os.path.join(self._data_dir, name)
             if name not in live and now - os.path.getmtime(full) >= min_age_seconds:
                 shutil.rmtree(full)
+                removed.append(name)
+        # files-checkpoint sidecars: reclaim those no surviving manifest
+        # references (vacuumed versions' checkpoints + lost-CAS orphans),
+        # under the same in-flight-writer age guard as data dirs — a
+        # younger unreferenced sidecar may belong to a commit in flight
+        for name in os.listdir(self._manifest_dir):
+            if not (name.startswith("files-") and name.endswith(".parquet")):
+                continue
+            full = os.path.join(self._manifest_dir, name)
+            if (
+                name not in live_ckpts
+                and now - os.path.getmtime(full) >= min_age_seconds
+            ):
+                os.unlink(full)
                 removed.append(name)
         return removed

@@ -607,8 +607,10 @@ class ManifestCdfPartitionedReader(DataSourceStreamReader):
         # without stats (pre-stats manifests) conservatively stay one
         # task — correct, just unsplit.
         old_s, new_s = (
-            _load_stats(self.conf.path, v1),
-            _load_stats(self.conf.path, v2),
+            # files=False: the split planner needs only day row counts,
+            # so a checkpointed table's sidecar is never touched here
+            _load_stats(self.conf.path, v1, files=False),
+            _load_stats(self.conf.path, v2, files=False),
         )
         parts: list[CdfPartition] = []
         for d in _changed_days(old_m, new_m, old_dv, new_dv):

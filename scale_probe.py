@@ -973,6 +973,7 @@ def probe_manifest(spark) -> None:
         with open(p, "w") as fh:
             json.dump(doc, fh)
         size_mb = os.path.getsize(p) / 1e6
+        open(p, "rb").read()  # settle writeback: time the PARSE, not I/O
         t0 = time.perf_counter()
         m = manifest_load(root, 1)  # cold: one real parse
         dt_cold = time.perf_counter() - t0
@@ -981,6 +982,7 @@ def probe_manifest(spark) -> None:
         # served from the (path, version, mtime) doc cache after the first
         from crypto_market_tracker_etl_spark.operators.txn_sink import (
             manifest_load_dvs,
+            manifest_load_file_stats,
         )
 
         manifest_load(root, 1)
@@ -993,6 +995,62 @@ def probe_manifest(spark) -> None:
             f"manifest[{nfiles/1e3:.0f}k files / {len(m)} days]: "
             f"{size_mb:.1f} MB json, cold parse {dt_cold:.2f}s, "
             f"3-section planning resolve (cached) {dt_plan:.2f}s",
+            flush=True,
+        )
+
+        # the CHECKPOINTED layout over the same stats: slim JSON + a
+        # parquet files sidecar; planning reads the file grain only for
+        # its candidate days (day-filtered sidecar read)
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        dd, ff, pp = [], [], []
+        for d, e in doc["stats"].items():
+            for fname, entry in e["files"].items():
+                dd.append(d)
+                ff.append(fname)
+                pp.append(json.dumps(entry))
+        _pq.write_table(
+            _pa.table({"day": dd, "file": ff, "payload": pp}),
+            os.path.join(root, "_manifests", "files-probe.parquet"),
+        )
+        slim = {
+            "partitions": doc["partitions"],
+            "stats": {
+                d: {k: v for k, v in e.items() if k != "files"}
+                for d, e in doc["stats"].items()
+            },
+            "files_checkpoint": "files-probe.parquet",
+        }
+        with open(p, "w") as fh:
+            json.dump(slim, fh)
+        size2 = os.path.getsize(p) / 1e6
+        ck_mb = os.path.getsize(
+            os.path.join(root, "_manifests", "files-probe.parquet")
+        ) / 1e6
+        open(p, "rb").read()  # settle writeback here too
+        import gc
+
+        gc.collect()  # the probe still holds the 1M-entry doc: a gen-2
+        # GC pass over ~10M live objects inside the timed region would
+        # bill ~2s of collector time to a 10ms parse
+        t0 = time.perf_counter()
+        manifest_load(root, 1)
+        manifest_load_stats(root, 1, files=False)
+        dt_slim = time.perf_counter() - t0
+        probe_days = list(doc["partitions"])[:3]
+        t0 = time.perf_counter()
+        fg = manifest_load_file_stats(root, 1, days=probe_days)
+        dt_days = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        full = manifest_load_file_stats(root, 1)
+        dt_full = time.perf_counter() - t0
+        assert sum(len(v) for v in full.values()) == nfiles
+        assert set(fg) == set(probe_days)
+        print(
+            f"manifest-ckpt[{nfiles/1e3:.0f}k files]: json {size2:.2f} MB "
+            f"(parse+day-stats {dt_slim:.2f}s) + sidecar {ck_mb:.1f} MB; "
+            f"3-day file-grain fetch {dt_days:.2f}s, full {dt_full:.2f}s",
             flush=True,
         )
         import shutil

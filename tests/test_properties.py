@@ -270,6 +270,11 @@ def test_zone_map_read_equals_filtered_full_scan(spark, batches, rng):
         sink = ManifestParquetSink(
             spark, root, keys=["k"], ts_col="ts", order=["ver"],
             stats_cols=["v"],
+            # threshold 0: every commit routes its file-grain stats
+            # through the parquet files-checkpoint sidecar, so THIS
+            # soundness property also covers the checkpointed layout
+            # (inline stays covered by the rest of the suite)
+            checkpoint_files_threshold=0,
         )
         for i, batch in enumerate(batches):
             rows = [
@@ -419,7 +424,11 @@ def test_manifest_sink_dv_script_matches_python_model(spark, script):
     root = tempfile.mkdtemp(prefix="prop_dv_")
     try:
         sink = ManifestParquetSink(
-            spark, root, keys=["k"], ts_col="ts", order=["ver"]
+            spark, root, keys=["k"], ts_col="ts", order=["ver"],
+            # stats + threshold 0: the full mutation surface (upserts,
+            # rewrite deletes, DVs, compact, vacuum) also exercises the
+            # files-checkpoint carry-forward on every commit
+            stats_cols=["v"], checkpoint_files_threshold=0,
         )
         S = "k string, ts timestamp, ver int, v double"
         for op, batch in script:

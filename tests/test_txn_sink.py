@@ -748,6 +748,118 @@ def test_bloom_probe_routes_through_column_type(spark, tmp_path):
     assert {r["k"] for r in got.collect()} == {"b"}
 
 
+def test_files_checkpoint_roundtrip_and_pruning(spark, tmp_path):
+    """Beyond checkpoint_files_threshold the per-FILE stats move to a
+    parquet sidecar (_manifests/files-*.parquet) and the JSON manifest
+    keeps only day-level entries — same resolved structure, same
+    file-grain pruning, same point lookups, and time travel still
+    resolves a checkpointed older version."""
+    import json as _json
+
+    def build(name, threshold):
+        sink = ManifestParquetSink(
+            spark, str(tmp_path / name), keys=["k"], ts_col="ts",
+            order=["ver"], stats_cols=["v"], bloom_cols=["k"],
+            checkpoint_files_threshold=threshold,
+        )
+        rows = [(f"u{i:04d}", DAY1, 1, float(i)) for i in range(200)]
+        sink.upsert(spark.createDataFrame(rows, SCHEMA))
+        sink.compact(max_records_per_file=50)  # 4 files, 1 day
+        return sink
+
+    inline = build("inline", 10_000)
+    ckpt = build("ckpt", 2)
+
+    # the checkpointed manifest is slim: stats lost "files", gained the
+    # sidecar pointer; the inline one is unchanged
+    v = ckpt.current_version()
+    doc = _json.load(
+        open(os.path.join(str(tmp_path / "ckpt"), "_manifests", f"v{v}.json"))
+    )
+    assert "files_checkpoint" in doc
+    assert all("files" not in e for e in doc["stats"].values())
+    assert os.path.exists(os.path.join(
+        str(tmp_path / "ckpt"), "_manifests", doc["files_checkpoint"]))
+    doc_inline = _json.load(open(os.path.join(
+        str(tmp_path / "inline"), "_manifests",
+        f"v{inline.current_version()}.json")))
+    assert "files_checkpoint" not in doc_inline
+
+    # resolved stats identical between the two layouts (physical file
+    # names differ by commit uuid — compare shape and payloads)
+    def norm(stats):
+        return {
+            d: {
+                **{k: x for k, x in e.items() if k != "files"},
+                "files": sorted(
+                    (e.get("files") or {}).values(), key=str
+                ),
+            }
+            for d, e in stats.items()
+        }
+
+    si, sc = inline._load_stats(inline.current_version()), ckpt._load_stats(v)
+    assert norm(si) == norm(sc) and any("files" in e for e in sc.values())
+    # day-level load never touches the sidecar content
+    assert all(
+        "files" not in e for e in ckpt._load_stats(v, files=False).values()
+    )
+
+    # file-grain range pruning: same scan/skip split either way (file
+    # names differ by commit uuid, so compare counts)
+    w = {"v": (10.0, 20.0)}
+    i_scan, i_skip = inline.pruned_files(w)
+    scanned, skipped = ckpt.pruned_files(w)
+    assert (len(i_scan), len(i_skip)) == (len(scanned), len(skipped))
+    assert scanned and skipped  # the range really prunes some files
+    got = {r["k"]: r["v"] for r in ckpt.read(where=w).collect()}
+    assert got == {f"u{i:04d}": float(i) for i in range(10, 21)}
+
+    # bloom point lookup and metadata count unaffected
+    assert {r["k"] for r in ckpt.read(where_eq={"k": "u0042"}).collect()} == {
+        "u0042"
+    }
+    assert ckpt.stats_rows() == 200
+
+    # time travel: commit again (also checkpointed), old version resolves
+    ckpt.upsert(spark.createDataFrame([("zz", DAY2, 1, 999.0)], SCHEMA))
+    assert ckpt._load_stats(v) == sc
+    assert {r["k"] for r in ckpt.read(
+        version=v, where_eq={"k": "u0042"}).collect()} == {"u0042"}
+
+
+def test_files_checkpoint_vacuum_reclaims_orphans(spark, tmp_path):
+    """Vacuum removes files-checkpoint sidecars no surviving manifest
+    references (superseded versions, lost-CAS orphans) under the same
+    age guard as data dirs, and never the live one."""
+    sink = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts",
+        order=["ver"], stats_cols=["v"], checkpoint_files_threshold=0,
+    )
+    for ver in (1, 2, 3):
+        sink.upsert(spark.createDataFrame(
+            [("a", DAY1, ver, float(ver))], SCHEMA))
+    mdir = os.path.join(str(tmp_path / "tbl"), "_manifests")
+    # a lost-CAS orphan
+    orphan = os.path.join(mdir, "files-deadbeef.parquet")
+    open(orphan, "wb").write(b"x")
+    ckpts_before = {
+        n for n in os.listdir(mdir) if n.startswith("files-")
+    }
+    assert len(ckpts_before) == 4  # 3 committed + 1 orphan
+
+    sink.vacuum(keep_versions=1, min_age_seconds=0.0)
+    left = {n for n in os.listdir(mdir) if n.startswith("files-")}
+    import json as _json
+
+    live = _json.load(
+        open(os.path.join(mdir, f"v{sink.current_version()}.json"))
+    )["files_checkpoint"]
+    assert left == {live}
+    # table still reads exactly
+    assert {r["v"] for r in sink.read().collect()} == {3.0}
+
+
 def test_bloom_unresolvable_type_skips_pruning(spark, tmp_path):
     """Regression (advice r4): when a probed column's type cannot be
     resolved (schema read failure, or the sampled day predates the
