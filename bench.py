@@ -67,8 +67,10 @@ HEADLINE = [
     "knn_ivf",
     "knn_pq",
     "knn_ivfpq",
+    "knn_ivfadc",
     "embedding_near_dup",
     "text_quality",
+    "doc_repetition",
     "tfidf",
     "weighted_median",
     "udtf_spans",

@@ -2503,6 +2503,8 @@ ATTESTATION_ORDER: list[str] = [
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
     "tpch_q14", "tpch_q4",
+    # -- added after the r5 window was locked (schedule into r6) ----------
+    "doc_repetition",
 ]
 
 

@@ -1554,6 +1554,98 @@ FROM ent JOIN rep USING (doc_id)
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] The Gopher repetition-filter family (Rae et al.
+    §A.1.1) per document: duplicate n-gram fractions for n ∈ {1, 2, 3}
+    (share of grams, counted WITH multiplicity, whose gram occurs more
+    than once — the signal that catches looping/templated generations)
+    plus the top-word coverage ratio. Complements text_redundancy's
+    char-entropy/top-trigram pair; together they are the standard
+    pre-training repetition gate. Shape: one scan, one union of three
+    gram projections (expression-only, word arrays are bounded), ONE
+    (doc, ng, gram) count shuffle, and a per-doc conditional aggregate —
+    cost scales with corpus tokens, never doc-pairs."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", normalize_ws(F.col("text")).alias("t")
+    )
+    tok_df = docs.select("doc_id", F.split(F.col("t"), " ").alias("toks"))
+
+    def gram_rows(n: int) -> DataFrame:
+        if n == 1:
+            g = F.col("toks")
+        else:
+            joined = ", ".join(f"toks[i - 1 + {j}]" for j in range(n))
+            g = F.when(
+                F.size("toks") >= n,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {n - 1}), "
+                    f"i -> concat_ws(' ', {joined}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return tok_df.select(
+            "doc_id", F.lit(n).alias("ng"), F.explode(g).alias("g")
+        )
+
+    counts = (
+        gram_rows(1)
+        .unionByName(gram_rows(2))
+        .unionByName(gram_rows(3))
+        .groupBy("doc_id", "ng", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def dup_frac(n: int):
+        tot = F.sum(F.when(F.col("ng") == n, F.col("c")))
+        dup = F.sum(F.when((F.col("ng") == n) & (F.col("c") > 1), F.col("c")))
+        return F.round(F.coalesce(dup, F.lit(0)) / tot, 4)
+
+    w1 = F.sum(F.when(F.col("ng") == 1, F.col("c")))
+    return counts.groupBy("doc_id").agg(
+        w1.alias("n_words"),
+        dup_frac(1).alias("dup_word_frac"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        F.round(
+            F.max(F.when(F.col("ng") == 1, F.col("c"))) / w1, 4
+        ).alias("top_word_frac"),
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tk AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS toks FROM d),
+g AS (
+  SELECT doc_id, 1 AS ng, unnest(toks) AS g FROM tk
+  UNION ALL
+  SELECT doc_id, 2, unnest(CASE WHEN len(toks) >= 2
+    THEN list_transform(range(1, len(toks)),
+         i -> concat_ws(' ', toks[i], toks[i+1]))
+    ELSE CAST([] AS VARCHAR[]) END) FROM tk
+  UNION ALL
+  SELECT doc_id, 3, unnest(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1),
+         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END) FROM tk
+),
+c AS (SELECT doc_id, ng, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN ng = 1 THEN c END) AS BIGINT) AS n_words,
+  round(COALESCE(SUM(CASE WHEN ng = 1 AND c > 1 THEN c END), 0)
+        / CAST(SUM(CASE WHEN ng = 1 THEN c END) AS DOUBLE), 4)
+    AS dup_word_frac,
+  round(COALESCE(SUM(CASE WHEN ng = 2 AND c > 1 THEN c END), 0)
+        / CAST(SUM(CASE WHEN ng = 2 THEN c END) AS DOUBLE), 4)
+    AS dup_2gram_frac,
+  round(COALESCE(SUM(CASE WHEN ng = 3 AND c > 1 THEN c END), 0)
+        / CAST(SUM(CASE WHEN ng = 3 THEN c END) AS DOUBLE), 4)
+    AS dup_3gram_frac,
+  round(MAX(CASE WHEN ng = 1 THEN c END)
+        / CAST(SUM(CASE WHEN ng = 1 THEN c END) AS DOUBLE), 4)
+    AS top_word_frac
+FROM c GROUP BY doc_id
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[storage scale] Symmetric int8 quantization of the embedding
     column: per-vector scale, code checksum (proves the 64 codes match
@@ -1741,6 +1833,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "tfidf": (q_tfidf, SQL_TFIDF),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "text_redundancy": (q_text_redundancy, SQL_TEXT_REDUNDANCY),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

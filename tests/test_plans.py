@@ -510,3 +510,14 @@ def test_near_dup_pairs_banded_join_never_all_pairs(spark):
     # band-key candidate join + the doc_id< dedup guard
     assert "BroadcastHashJoin" in s
     assert "doc_id" in s and "array_intersect" in s
+
+
+def test_doc_repetition_gram_aggregate_shape(spark):
+    """Gopher repetition filters: gram projections are expression-only
+    over the scan (union of 3 n-gram arms), counting runs with a map-side
+    partial pass, and nothing joins -- cost is corpus tokens, never
+    doc-pairs."""
+    s = plan_of(spark, "doc_repetition")
+    assert "CartesianProduct" not in s and "SortMergeJoin" not in s
+    assert "Union" in s and "partial_count" in s
+    assert s.count(") Exchange") <= 3  # gram-count + per-doc aggregates
