@@ -71,6 +71,7 @@ HEADLINE = [
     "embedding_near_dup",
     "text_quality",
     "doc_repetition",
+    "dup_spans",
     "tfidf",
     "weighted_median",
     "udtf_spans",

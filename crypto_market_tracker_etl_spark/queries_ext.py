@@ -1646,6 +1646,89 @@ FROM c GROUP BY doc_id
 """
 
 
+DUP_SPAN_W = 8  # tokens per rolling window
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Cross-document duplicated-SPAN detection — the
+    relational approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    rolling 8-token window is hashed (md5 of the joined words — portable
+    to the oracle), a window that occurs in ≥2 DISTINCT documents is a
+    cross-duplicated span, and each doc reports its span count and the
+    fraction of its spans that are cross-duplicated (the signal that
+    catches boilerplate/license blocks and copy-paste contamination that
+    whole-doc and MinHash dedup both miss). Shape: expression-only span
+    projection over one scan, a (hash, doc) count, a per-hash distinct-doc
+    rollup, one hash-keyed join of those two aggregates (both sides are
+    hash-partitioned aggregates, never the raw corpus), and a per-doc
+    conditional aggregate — everything scales with corpus TOKENS; no
+    doc-pair relation ever materializes."""
+    w = DUP_SPAN_W
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", normalize_ws(F.col("text")).alias("t")
+    )
+    tok_df = docs.select("doc_id", F.split(F.col("t"), " ").alias("toks"))
+    spans = tok_df.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= w,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w - 1}), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i, {w}))))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    per_doc_hash = spans.groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_hash = per_doc_hash.groupBy("h").agg(
+        F.count(F.lit(1)).alias("nd")  # distinct docs: one row per (h, doc)
+    )
+    return (
+        per_doc_hash.join(per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias(
+                "cross_dup_spans"
+            ),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
+                / F.sum("c"),
+                4,
+            ).alias("cross_dup_frac"),
+        )
+    )
+
+
+SQL_DUP_SPANS = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tk AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS toks FROM d),
+s AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {DUP_SPAN_W}
+           THEN list_transform(range(1, len(toks) - {DUP_SPAN_W} + 2),
+                i -> md5(array_to_string(
+                     list_slice(toks, i, i + {DUP_SPAN_W} - 1), ' ')))
+           ELSE CAST([] AS VARCHAR[]) END) AS h
+  FROM tk
+),
+dh AS (SELECT h, doc_id, count(*) AS c FROM s GROUP BY 1, 2),
+ph AS (SELECT h, count(*) AS nd FROM dh GROUP BY 1)
+SELECT dh.doc_id,
+       CAST(SUM(dh.c) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN ph.nd >= 2 THEN dh.c ELSE 0 END) AS BIGINT)
+         AS cross_dup_spans,
+       round(SUM(CASE WHEN ph.nd >= 2 THEN dh.c ELSE 0 END)
+             / CAST(SUM(dh.c) AS DOUBLE), 4) AS cross_dup_frac
+FROM dh JOIN ph USING (h)
+GROUP BY dh.doc_id
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[storage scale] Symmetric int8 quantization of the embedding
     column: per-vector scale, code checksum (proves the 64 codes match
@@ -1834,6 +1917,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "text_redundancy": (q_text_redundancy, SQL_TEXT_REDUNDANCY),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

@@ -521,3 +521,14 @@ def test_doc_repetition_gram_aggregate_shape(spark):
     assert "CartesianProduct" not in s and "SortMergeJoin" not in s
     assert "Union" in s and "partial_count" in s
     assert s.count(") Exchange") <= 3  # gram-count + per-doc aggregates
+
+
+def test_dup_spans_aggregate_join_never_pairs_docs(spark):
+    """Cross-doc span dedup: the only join is between the two hash-keyed
+    AGGREGATES (per-(hash,doc) counts x per-hash doc counts) -- the raw
+    corpus and any doc-pair relation never join, so cost stays linear in
+    corpus tokens."""
+    s = plan_of(spark, "dup_spans")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "partial_count" in s  # map-side combine on the span counts
