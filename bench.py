@@ -68,6 +68,7 @@ HEADLINE = [
     "knn_pq",
     "knn_ivfpq",
     "knn_ivfadc",
+    "semdedup",
     "embedding_near_dup",
     "text_quality",
     "doc_repetition",

@@ -1646,6 +1646,92 @@ FROM c GROUP BY doc_id
 """
 
 
+SEMDEDUP_TAU = 0.35  # within-cluster cosine dup threshold (data-scaled:
+# the synthetic corpus has no planted exact twins; 0.35 flags the ~0.5%
+# most semantically redundant within-cluster pairs)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] SemDeDup (Abbas et al.): semantic dedup by
+    embedding — cluster the corpus with the k-means-style coarse
+    quantizer, then drop any vector that has an EARLIER cluster-mate
+    with cosine ≥ τ, keeping exactly the earliest member of every
+    semantic-duplicate group. The defining scale property is that the
+    quadratic pairwise step runs WITHIN clusters only (the paper's
+    design: n²/k per cluster, never corpus²): assignment is the
+    expression-only md5-seeded quantizer (zero shuffle, shared with
+    knn_ivf's oracle semantics), the pair join is an equi-join on
+    list_id with per-row precomputed norms, and the verdict is a
+    left-anti style flag join back to the assignment. At deployment
+    scale k grows with n (paper: n/avg_cluster), keeping per-cluster
+    work constant."""
+    from .functions.vector import as_double, cosine_with_norms
+    from .functions.vector import norm as vnorm
+    from .operators.ivf import assign_list, seed_centroids
+
+    emb = _embeddings(spark, sf_dir)
+    cents = seed_centroids(emb, IVF_K)
+    assigned = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("list_id", assign_list(F.col("v"), cents))
+        .withColumn("nrm", vnorm(F.col("v")))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            F.round(
+                cosine_with_norms(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                4,
+            )
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("drop", F.lit(True))
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "list_id",
+        F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"),
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid,
+         v AS cv
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}
+),
+dists AS (
+  SELECT e.vec_id, e.v, s.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(-list_cosine_similarity(e.v, s.cv), 4),
+                                     s.cid) AS rn
+  FROM e, seeds s
+),
+m AS (SELECT vec_id, v, cid AS list_id FROM dists WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM m a JOIN m b
+    ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.list_id, dup.vec_id IS NULL AS keep
+FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+"""
+
+
 DUP_SPAN_W = 8  # tokens per rolling window
 
 
@@ -1918,6 +2004,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "text_redundancy": (q_text_redundancy, SQL_TEXT_REDUNDANCY),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

@@ -532,3 +532,15 @@ def test_dup_spans_aggregate_join_never_pairs_docs(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "partial_count" in s  # map-side combine on the span counts
+
+
+def test_semdedup_pairs_within_clusters_only(spark):
+    """SemDeDup's scale property: the quadratic pairwise-cosine step is
+    an EQUI-join on the cluster id (n^2/k work) -- never a cartesian or
+    nested-loop corpus product -- and cluster assignment is
+    expression-only (the scan side of the join carries no extra
+    exchange for it)."""
+    s = plan_of(spark, "semdedup")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert ("SortMergeJoin" in s) or ("BroadcastHashJoin" in s)
