@@ -931,6 +931,129 @@ def probe_cdf_split(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_curation2(spark) -> None:
+    """Round-5 curation ops at 1M docs / 200k vectors — the REAL query
+    code over synthetic parquet (written where load_table reads), so the
+    probe exercises exactly the registered pipelines:
+    - doc_repetition (gram-count shuffle) and dup_spans (span-hash
+      aggregate join) at 200k and 1M docs: wall should scale ~linearly
+      with corpus tokens, and the planted periodic spans make dup_spans
+      do real cross-doc work;
+    - the SemDeDup SHAPE at 200k × 64-dim vectors with k=512 clusters
+      (the paper's regime: k grows with n, per-cluster pair work
+      bounded): vectorized assignment + within-cluster pair join with
+      planted near-twins."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_doc_repetition,
+        q_dup_spans,
+    )
+
+    root = tempfile.mkdtemp(prefix="cur2_")
+    try:
+        for n in (200_000, 1_000_000):
+            sf = os.path.join(root, f"sf{n}")
+            os.makedirs(sf, exist_ok=True)
+            # 100 words/doc: half unique, half periodic (every 499th doc
+            # shares them → cross-doc duplicated spans genuinely fire)
+            spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.lit("synth").alias("source"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"u{j}_"), F.col("id").cast("string"))
+                        if j % 2
+                        else F.concat(
+                            F.lit(f"p{j}_"), (F.col("id") % 499).cast("string")
+                        )
+                        for j in range(100)
+                    ],
+                ).alias("text"),
+            ).repartition(32).write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            for name, fn in (
+                ("doc_repetition", q_doc_repetition),
+                ("dup_spans", q_dup_spans),
+            ):
+                t0 = time.perf_counter()
+                cnt = fn(spark, sf).count()
+                dt = time.perf_counter() - t0
+                print(
+                    f"curation2[{name} n={n/1e3:.0f}k]: {dt:.1f}s "
+                    f"({cnt/1e3:.0f}k docs out)",
+                    flush=True,
+                )
+
+        # SemDeDup shape at scale: k scales with n (512 lists over 200k
+        # vectors → ~390/cluster → ~76k pairs/cluster, bounded)
+        from crypto_market_tracker_etl_spark.functions.vector import (
+            cosine_with_norms,
+            norm as vnorm,
+        )
+        from crypto_market_tracker_etl_spark.operators.ivf import (
+            corpus_assign_udf,
+            seed_centroids,
+        )
+
+        nvec, dim, k = 200_000, 64, 512
+        vecs = spark.range(nvec).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda j: (
+                    F.pmod(F.xxhash64(F.col("id") - F.col("id") % 97, j), F.lit(1000))
+                    / 500.0
+                    - 1.0
+                    # every 97-block shares a base vector; small per-id
+                    # jitter ⇒ planted semantic near-twins within blocks
+                    + F.pmod(F.xxhash64(F.col("id"), j, F.lit(7)), F.lit(100))
+                    / 5000.0
+                ),
+            ).alias("embedding"),
+        ).repartition(32)
+        vecs.write.mode("overwrite").parquet(os.path.join(root, "vec.parquet"))
+        vecs = spark.read.parquet(os.path.join(root, "vec.parquet"))
+        t0 = time.perf_counter()
+        cents = seed_centroids(vecs, k)
+        assigned = (
+            vecs.withColumn("a", corpus_assign_udf(cents)(F.col("embedding")))
+            .select("vec_id", F.col("a.list_id").alias("list_id"), "embedding")
+            .withColumn("nrm", vnorm(F.col("embedding")))
+            .persist()
+        )
+        a, b = assigned.alias("a"), assigned.alias("b")
+        dups = (
+            a.join(
+                b,
+                (F.col("a.list_id") == F.col("b.list_id"))
+                & (F.col("b.vec_id") < F.col("a.vec_id")),
+            )
+            .filter(
+                cosine_with_norms(
+                    F.col("a.embedding"), F.col("b.embedding"),
+                    F.col("a.nrm"), F.col("b.nrm"),
+                )
+                >= 0.995
+            )
+            .select(F.col("a.vec_id"))
+            .distinct()
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        assigned.unpersist()
+        print(
+            f"curation2[semdedup n={nvec/1e3:.0f}k k={k}]: {dt:.1f}s, "
+            f"{dups/1e3:.1f}k dropped (planted twins found)",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_manifest(spark) -> None:
     """Manifest-scalability probe (round-5 directive): the per-commit JSON
     manifest carries per-FILE stats; at millions of files the manifest
@@ -1123,6 +1246,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_MANIFEST"):
         probe_manifest(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_CURATION2"):
+        probe_curation2(spark)
         spark.stop()
         return
     if os.environ.get("SCALE_BLOOM"):
