@@ -73,6 +73,7 @@ HEADLINE = [
     "text_quality",
     "doc_repetition",
     "dup_spans",
+    "dsir_weights",
     "tfidf",
     "weighted_median",
     "udtf_spans",

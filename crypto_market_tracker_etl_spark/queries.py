@@ -2504,7 +2504,7 @@ ATTESTATION_ORDER: list[str] = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
     "tpch_q14", "tpch_q4",
     # -- added after the r5 window was locked (schedule into r6) ----------
-    "doc_repetition", "dup_spans", "semdedup",
+    "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
 ]
 
 

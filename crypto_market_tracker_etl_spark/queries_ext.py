@@ -1646,6 +1646,115 @@ FROM c GROUP BY doc_id
 """
 
 
+DSIR_B = 64  # hashed-feature buckets (the paper uses 10k for real corpora)
+DSIR_TARGET = "src0"  # the target-domain sliver (DSIR selects raw docs
+# whose hashed-feature distribution looks like this domain)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] DSIR — Data Selection via Importance Resampling
+    (Xie et al.): score every raw document by how target-like its hashed
+    unigram-bucket distribution is. Buckets are the portable md5 hash
+    mod B; bucket log-ratios ln(p_target[b]) − ln(p_raw[b]) come from
+    Laplace-smoothed corpus counts, and a doc's weight is its
+    length-normalized Σ c_doc[b]·lr[b] (per-token log importance), with
+    a deterministic rank for top-quantile selection. Scale shape: token
+    explode → TWO bounded aggregates (B-row bucket table broadcast back;
+    corpus totals ride a broadcast 1-row anchor, the views' collect-free
+    pattern) → per-doc conditional aggregate. Everything is corpus-token
+    linear; the only driver-sized object is the B-row ratio table.
+    The final global rank runs over DOC-grain aggregate rows (one per
+    doc, not per token) — fine to ~10⁸ docs; at larger scale the
+    selection threshold comes from approx_percentile on logw instead of
+    an exact global rank (the rank here is the oracle configuration).
+    Float caveat: ln-based like char_entropy (hash-green precedent);
+    rounded to 4."""
+    from .functions.hashing import md5_long
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source", normalize_ws(F.col("text")).alias("t")
+    )
+    bt = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("t"), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (md5_long(F.col("w")) % DSIR_B).alias("b"),
+    )
+    buckets = bt.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(
+            F.when(F.col("source") == DSIR_TARGET, 1).otherwise(0)
+        ).alias("tg"),
+    )
+    tot = buckets.agg(
+        F.sum("r").alias("tot_r"), F.sum("tg").alias("tot_t")
+    )
+    lr = (
+        buckets.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("tg") + 1) / (F.col("tot_t") + DSIR_B))
+                - F.log((F.col("r") + 1) / (F.col("tot_r") + DSIR_B))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        bt.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 4).alias(
+                "logw"
+            ),
+        )
+    )
+    win = Window.orderBy(F.desc("logw"), F.desc("doc_id"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "logw",
+        F.row_number().over(win).cast("int").alias("rank"),
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH d AS (SELECT doc_id, source, {SQL_NORM} AS t FROM documents),
+w AS (
+  SELECT doc_id, source,
+         ({hex_prefix_to_long_sql("md5(ww)", 12, "duckdb")}) % {DSIR_B} AS b
+  FROM (SELECT doc_id, source, unnest(regexp_split_to_array(t, ' ')) AS ww
+        FROM d)
+),
+bk AS (
+  SELECT b, count(*) AS r,
+         SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS tg
+  FROM w GROUP BY b
+),
+tot AS (SELECT SUM(r) AS tot_r, SUM(tg) AS tot_t FROM bk),
+lr AS (
+  SELECT b, ln((tg + 1) / CAST(tot_t + {DSIR_B} AS DOUBLE))
+           - ln((r + 1) / CAST(tot_r + {DSIR_B} AS DOUBLE)) AS lr
+  FROM bk, tot
+),
+db AS (SELECT doc_id, b, count(*) AS c FROM w GROUP BY 1, 2),
+pd AS (
+  SELECT db.doc_id, CAST(SUM(db.c) AS BIGINT) AS n_tokens,
+         round(SUM(db.c * lr.lr) / SUM(db.c), 4) AS logw
+  FROM db JOIN lr USING (b) GROUP BY db.doc_id
+)
+SELECT doc_id, n_tokens, logw,
+       CAST(row_number() OVER (ORDER BY logw DESC, doc_id DESC) AS INT)
+         AS rank
+FROM pd
+"""
+
+
 SEMDEDUP_TAU = 0.35  # within-cluster cosine dup threshold (data-scaled:
 # the synthetic corpus has no planted exact twins; 0.35 flags the ~0.5%
 # most semantically redundant within-cluster pairs)
@@ -2005,6 +2114,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

@@ -544,3 +544,15 @@ def test_semdedup_pairs_within_clusters_only(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert ("SortMergeJoin" in s) or ("BroadcastHashJoin" in s)
+
+
+def test_dsir_weights_broadcast_ratio_table(spark):
+    """DSIR's scale shape: the B-row bucket log-ratio table and the
+    1-row totals anchor are BROADCAST back to the token stream -- the
+    corpus joins only against bounded aggregates, never shuffles for
+    them, and nothing degenerates to a cartesian over docs."""
+    s = plan_of(spark, "dsir_weights")
+    assert "BroadcastHashJoin" in s  # the B-row lr table
+    assert "CartesianProduct" not in s
+    assert "SortMergeJoin" not in s
+    assert "partial_count" in s or "partial_sum" in s
