@@ -176,19 +176,63 @@ def manifest_load_file_stats(
             for d, e in doc.get("stats", {}).items()
             if "files" in e and (want is None or d in want)
         }
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(path, "_manifests", name))
-    if days is not None:
-        t = t.filter(pc.is_in(t["day"], pa.array(list(days), type=pa.string())))
+    p = os.path.join(path, "_manifests", name)
+    if days is None:
+        # full resolve (commit carry-forward, pruned_files): cache it —
+        # the sidecar is immutable per version and the per-row
+        # json.loads is the expensive part (same rationale as
+        # _DOC_CACHE; a DV commit on a 1M-file table would otherwise
+        # re-parse the whole sidecar per call)
+        st = os.stat(p)
+        key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+        cached = _FILES_CACHE.get(key)
+        if cached is not None:
+            return {d: dict(f) for d, f in cached.items()}
+        t = pq.read_table(p)
+    else:
+        # day-filtered fetch (the read() planning path): real predicate
+        # pushdown — the sidecar is written day-sorted with bounded row
+        # groups, so the filter prunes row groups before decode and the
+        # fetch is O(candidate days), not O(table files)
+        t = pq.read_table(p, filters=[("day", "in", list(days))])
     out: dict[str, dict] = {}
     for d, f, payload in zip(
         t["day"].to_pylist(), t["file"].to_pylist(), t["payload"].to_pylist()
     ):
         out.setdefault(d, {})[f] = json.loads(payload)
+    if days is None:
+        if len(_FILES_CACHE) >= _DOC_CACHE_MAX:
+            _FILES_CACHE.pop(next(iter(_FILES_CACHE)))
+        _FILES_CACHE[key] = {d: dict(f) for d, f in out.items()}
     return out
+
+
+_FILES_CACHE: dict[tuple, dict] = {}
+
+
+def files_checkpoint_table(stats: dict[str, dict]):
+    """The files-checkpoint sidecar as an Arrow table — day-SORTED
+    (with bounded row groups at write time this is what makes the
+    day-filtered read prune row groups) with the file entry as a JSON
+    payload so stat-value types never constrain the parquet schema.
+    Module-level single source of the layout: the writer and the
+    manifest probe both build rows here."""
+    import pyarrow as pa
+
+    rows = sorted(
+        (d, f, json.dumps(entry))
+        for d, e in stats.items()
+        for f, entry in (e.get("files") or {}).items()
+    )
+    return pa.table(
+        {
+            "day": pa.array([r[0] for r in rows], type=pa.string()),
+            "file": pa.array([r[1] for r in rows], type=pa.string()),
+            "payload": pa.array([r[2] for r in rows], type=pa.string()),
+        }
+    )
 
 
 def _stat_val(v):
@@ -443,6 +487,13 @@ class ManifestParquetSink:
         ``manifest_load_file_stats``)."""
         return manifest_load_file_stats(self.path, version, days=days)
 
+    def _files_checkpoint_name(self, version: int) -> str | None:
+        """The version's files-checkpoint sidecar name, or None when its
+        file grain (if any) lives inline."""
+        if version == 0:
+            return None
+        return _manifest_doc(self.path, version).get("files_checkpoint")
+
     def _try_commit(
         self,
         base_version: int,
@@ -450,6 +501,7 @@ class ManifestParquetSink:
         stats: dict[str, dict] | None = None,
         op: str = "commit",
         dvs: dict[str, str] | None = None,
+        files_checkpoint: str | None = None,
     ) -> bool:
         """CAS: install ``partitions`` as v{base+1} iff still unclaimed.
         The temp manifest is fsync'd BEFORE the link and the manifest dir
@@ -465,9 +517,16 @@ class ManifestParquetSink:
             "op": op,
             "committed_at": time.time(),
         }
+        if files_checkpoint is not None:
+            # metadata-only commit (delete_fast) on a checkpointed table:
+            # the file grain is UNCHANGED, so the new manifest re-points
+            # at the existing immutable sidecar instead of resolving and
+            # rewriting O(table files) rows — vacuum's live-checkpoint
+            # set already handles one sidecar serving many versions
+            doc["files_checkpoint"] = files_checkpoint
         if stats:
             n_files = sum(len(e.get("files") or {}) for e in stats.values())
-            if n_files > self.checkpoint_files_threshold:
+            if files_checkpoint is None and n_files > self.checkpoint_files_threshold:
                 # files-checkpoint: per-file stats move to a parquet
                 # sidecar (complete snapshot per commit, Delta-checkpoint
                 # style); the JSON keeps only the day-level section. The
@@ -504,28 +563,17 @@ class ManifestParquetSink:
         self, name: str, stats: dict[str, dict]
     ) -> None:
         """Write the file-grain sections of ``stats`` as the parquet
-        sidecar ``_manifests/<name>`` (columns day/file/payload; the
-        payload is the file entry's JSON, so stat-value types never
-        constrain the parquet schema), fsync'd like the manifest
-        itself."""
-        import pyarrow as pa
+        sidecar ``_manifests/<name>`` — day-sorted with bounded row
+        groups, so the read side's ``day IN (...)`` filter prunes row
+        groups via their statistics before decoding anything (the
+        O(candidate days) fetch the planning path relies on) — fsync'd
+        like the manifest itself."""
         import pyarrow.parquet as pq
 
-        days, fnames, payloads = [], [], []
-        for d, e in stats.items():
-            for f, entry in (e.get("files") or {}).items():
-                days.append(d)
-                fnames.append(f)
-                payloads.append(json.dumps(entry))
-        table = pa.table(
-            {
-                "day": pa.array(days, type=pa.string()),
-                "file": pa.array(fnames, type=pa.string()),
-                "payload": pa.array(payloads, type=pa.string()),
-            }
-        )
         p = os.path.join(self._manifest_dir, name)
-        pq.write_table(table, p)
+        pq.write_table(
+            files_checkpoint_table(stats), p, row_group_size=10_000
+        )
         fd = os.open(p, os.O_RDONLY)
         try:
             os.fsync(fd)
@@ -1337,10 +1385,14 @@ class ManifestParquetSink:
             new_dvs = dict(dvs)
             for d in written:
                 new_dvs[d] = os.path.join("data", commit_id, f"dt_part={d}")
-            # partitions and stats are untouched — that's the point
+            # partitions and stats are untouched — that's the point. On a
+            # checkpointed base the sidecar is re-pointed, not resolved +
+            # rewritten (a 1M-file table's DV commit stays metadata-sized)
+            ckpt = self._files_checkpoint_name(base)
             if self._try_commit(
-                base, manifest, self._load_stats(base) or None,
-                op="delete_fast", dvs=new_dvs,
+                base, manifest,
+                self._load_stats(base, files=ckpt is None) or None,
+                op="delete_fast", dvs=new_dvs, files_checkpoint=ckpt,
             ):
                 return base + 1
         raise CommitConflictError(
@@ -1611,7 +1663,8 @@ class ManifestParquetSink:
         deleting it would corrupt the table the moment that commit lands.
         Only dirs older than the threshold are reclaimed; keep it above
         the longest plausible write+commit duration. Returns the removed
-        data-dir names."""
+        names: data-dir commit ids plus any reclaimed files-checkpoint
+        sidecar file names (``files-*.parquet``)."""
         import shutil
         import time
 

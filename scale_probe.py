@@ -956,18 +956,24 @@ def probe_curation2(spark) -> None:
         for n in (200_000, 1_000_000):
             sf = os.path.join(root, f"sf{n}")
             os.makedirs(sf, exist_ok=True)
-            # 100 words/doc: half unique, half periodic (every 499th doc
-            # shares them → cross-doc duplicated spans genuinely fire)
+            # 100 words/doc: the FIRST 50 tokens are a contiguous
+            # periodic run (every 499th doc shares the whole run, so its
+            # 8-token windows hash identically across docs and cross-doc
+            # duplicated spans genuinely fire — an alternating layout
+            # would put a doc-unique token in every window and make the
+            # nd>=2 branch dead, review r5), the last 50 are doc-unique
             spark.range(n).select(
                 F.col("id").alias("doc_id"),
                 F.lit("synth").alias("source"),
                 F.concat_ws(
                     " ",
                     *[
-                        F.concat(F.lit(f"u{j}_"), F.col("id").cast("string"))
-                        if j % 2
-                        else F.concat(
+                        F.concat(
                             F.lit(f"p{j}_"), (F.col("id") % 499).cast("string")
+                        )
+                        if j < 50
+                        else F.concat(
+                            F.lit(f"u{j}_"), F.col("id").cast("string")
                         )
                         for j in range(100)
                     ],
@@ -975,18 +981,30 @@ def probe_curation2(spark) -> None:
             ).repartition(32).write.mode("overwrite").parquet(
                 os.path.join(sf, "documents.parquet")
             )
-            for name, fn in (
-                ("doc_repetition", q_doc_repetition),
-                ("dup_spans", q_dup_spans),
-            ):
-                t0 = time.perf_counter()
-                cnt = fn(spark, sf).count()
-                dt = time.perf_counter() - t0
-                print(
-                    f"curation2[{name} n={n/1e3:.0f}k]: {dt:.1f}s "
-                    f"({cnt/1e3:.0f}k docs out)",
-                    flush=True,
-                )
+            t0 = time.perf_counter()
+            cnt = q_doc_repetition(spark, sf).count()
+            dt = time.perf_counter() - t0
+            print(
+                f"curation2[doc_repetition n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({cnt/1e3:.0f}k docs out)",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            agg = q_dup_spans(spark, sf).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum((F.col("cross_dup_spans") > 0).cast("int")).alias("hit"),
+                F.avg("cross_dup_frac").alias("frac"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            # the planted periodic run must actually fire the nd>=2
+            # branch, or the timing validates nothing (review r5)
+            assert agg["hit"] > 0, "planted cross-doc spans never fired"
+            print(
+                f"curation2[dup_spans n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({agg['docs']/1e3:.0f}k docs, {agg['hit']/agg['docs']:.0%} "
+                f"with cross-dups, mean frac {agg['frac']:.2f})",
+                flush=True,
+            )
 
         # SemDeDup shape at scale: k scales with n (512 lists over 200k
         # vectors → ~390/cluster → ~76k pairs/cluster, bounded)
@@ -1123,19 +1141,20 @@ def probe_manifest(spark) -> None:
 
         # the CHECKPOINTED layout over the same stats: slim JSON + a
         # parquet files sidecar; planning reads the file grain only for
-        # its candidate days (day-filtered sidecar read)
-        import pyarrow as _pa
+        # its candidate days (day-filtered sidecar read). The sidecar is
+        # built by the SAME layout function the sink's write path uses
+        # (day-sorted, bounded row groups) so these numbers always
+        # describe the shipped format.
         import pyarrow.parquet as _pq
 
-        dd, ff, pp = [], [], []
-        for d, e in doc["stats"].items():
-            for fname, entry in e["files"].items():
-                dd.append(d)
-                ff.append(fname)
-                pp.append(json.dumps(entry))
+        from crypto_market_tracker_etl_spark.operators.txn_sink import (
+            files_checkpoint_table,
+        )
+
         _pq.write_table(
-            _pa.table({"day": dd, "file": ff, "payload": pp}),
+            files_checkpoint_table(doc["stats"]),
             os.path.join(root, "_manifests", "files-probe.parquet"),
+            row_group_size=10_000,
         )
         slim = {
             "partitions": doc["partitions"],

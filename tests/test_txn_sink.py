@@ -827,6 +827,17 @@ def test_files_checkpoint_roundtrip_and_pruning(spark, tmp_path):
     assert {r["k"] for r in ckpt.read(
         version=v, where_eq={"k": "u0042"}).collect()} == {"u0042"}
 
+    # metadata-only DV commit RE-POINTS the existing sidecar instead of
+    # resolving + rewriting it (review r5): same checkpoint name, stats
+    # file grain intact, suppressed key gone from reads
+    before = ckpt._files_checkpoint_name(ckpt.current_version())
+    v_dv = ckpt.delete_fast(
+        spark.createDataFrame([("u0007", DAY1, 1, 0.0)], SCHEMA)
+    )
+    assert ckpt._files_checkpoint_name(v_dv) == before
+    assert ckpt.read(where_eq={"k": "u0007"}).count() == 0
+    assert any("files" in e for e in ckpt._load_stats(v_dv).values())
+
 
 def test_files_checkpoint_vacuum_reclaims_orphans(spark, tmp_path):
     """Vacuum removes files-checkpoint sidecars no surviving manifest
