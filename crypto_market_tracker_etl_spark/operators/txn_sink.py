@@ -49,9 +49,11 @@ LogStore / Iceberg's catalog. The protocol above is unchanged.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import re
+import threading
 import uuid
 from collections.abc import Sequence
 from functools import reduce
@@ -82,6 +84,9 @@ def manifest_current_version(path: str) -> int:
 
 _DOC_CACHE: dict[tuple, dict] = {}
 _DOC_CACHE_MAX = 8
+# guards eviction in both module caches — a streaming planning thread and
+# a concurrent snapshot read share them on one driver
+_CACHE_LOCK = threading.Lock()
 
 
 def _manifest_doc(path: str, version: int) -> dict:
@@ -100,9 +105,15 @@ def _manifest_doc(path: str, version: int) -> dict:
     if doc is None:
         with open(p) as f:
             doc = json.load(f)
-        if len(_DOC_CACHE) >= _DOC_CACHE_MAX:
-            _DOC_CACHE.pop(next(iter(_DOC_CACHE)))
-        _DOC_CACHE[key] = doc
+        # under _CACHE_LOCK: two threads (streaming planning + a
+        # concurrent snapshot read) evicting simultaneously could both
+        # select the same oldest key and the second unconditional pop
+        # would raise KeyError (review r5, low); pop(key, None) keeps
+        # even a future lock-free path from crashing a good read
+        with _CACHE_LOCK:
+            if len(_DOC_CACHE) >= _DOC_CACHE_MAX:
+                _DOC_CACHE.pop(next(iter(_DOC_CACHE), None), None)
+            _DOC_CACHE[key] = doc
     return doc
 
 
@@ -110,8 +121,9 @@ def manifest_load(path: str, version: int) -> dict[str, str]:
     """{iso_day: commit-relative data dir} for ``version`` (empty at 0)."""
     if version == 0:
         return {}
-    # shallow copy: callers pop/assign at the day level, and a mutation
-    # reaching the cached doc would poison every later load
+    # copy: callers pop/assign days, and a mutation reaching the cached
+    # doc would poison every later load (values are plain strings, so a
+    # top-level copy IS a deep copy here)
     return dict(_manifest_doc(path, version)["partitions"])
 
 
@@ -143,7 +155,11 @@ def manifest_load_stats(
     if version == 0:
         return {}
     doc = _manifest_doc(path, version)
-    stats = {d: dict(e) for d, e in doc.get("stats", {}).items()}
+    # deep copy, not {d: dict(e)}: the nested objects (e["cols"], inline
+    # e["files"] entries) would otherwise stay shared with the cached
+    # doc, so a caller mutating below the day level would silently
+    # poison every later load for this (path, version) (review r5, low)
+    stats = {d: copy.deepcopy(e) for d, e in doc.get("stats", {}).items()}
     if not files:
         for e in stats.values():
             e.pop("files", None)
@@ -171,8 +187,10 @@ def manifest_load_file_stats(
     name = doc.get("files_checkpoint")
     if name is None:
         want = None if days is None else set(days)
+        # deep copy — the per-file entry dicts (and their "cols") live in
+        # the cached doc; see manifest_load_stats
         return {
-            d: dict(e["files"])
+            d: copy.deepcopy(e["files"])
             for d, e in doc.get("stats", {}).items()
             if "files" in e and (want is None or d in want)
         }
@@ -189,7 +207,10 @@ def manifest_load_file_stats(
         key = (os.path.abspath(p), st.st_mtime_ns, st.st_size)
         cached = _FILES_CACHE.get(key)
         if cached is not None:
-            return {d: dict(f) for d, f in cached.items()}
+            # deep copy — {d: dict(f)} would share the per-file entry
+            # dicts with the cache, so a caller mutating one would
+            # poison every later full resolve (review r5, low)
+            return copy.deepcopy(cached)
         t = pq.read_table(p)
     else:
         # day-filtered fetch (the read() planning path): real predicate
@@ -203,9 +224,12 @@ def manifest_load_file_stats(
     ):
         out.setdefault(d, {})[f] = json.loads(payload)
     if days is None:
-        if len(_FILES_CACHE) >= _DOC_CACHE_MAX:
-            _FILES_CACHE.pop(next(iter(_FILES_CACHE)))
-        _FILES_CACHE[key] = {d: dict(f) for d, f in out.items()}
+        with _CACHE_LOCK:
+            if len(_FILES_CACHE) >= _DOC_CACHE_MAX:
+                _FILES_CACHE.pop(next(iter(_FILES_CACHE), None), None)
+            # deep copy into the cache: `out` is returned to the caller,
+            # and the per-file entry dicts must not be shared with it
+            _FILES_CACHE[key] = copy.deepcopy(out)
     return out
 
 
@@ -714,15 +738,19 @@ class ManifestParquetSink:
         """(bloom_bits, bloom_hashes) the commit owning ``rel`` was
         written with — read from the sidecar's _params.json so probes are
         computed under the WRITER's sizing regardless of how this
-        instance was constructed. Legacy sidecars (pre-params) fall back
-        to the constructor values; a present-but-corrupt params file
-        raises (wrong-(m, k) probing silently loses rows, so fail loud)."""
+        instance was constructed. ONLY a missing file means "legacy
+        sidecar, fall back to constructor values"; any other I/O failure
+        (EACCES, EIO, a network-FS hiccup) propagates — falling back
+        there could substitute a DIFFERENT (m, k) than the writer's and
+        silently prune files that contain matching rows, exactly the
+        row loss this method exists to prevent. A present-but-corrupt
+        params file raises for the same reason (fail loud)."""
         head, _ = os.path.split(rel)
         p = os.path.join(self.path, head, "_bloom", "_params.json")
         try:
             with open(p) as fh:
                 doc = json.load(fh)
-        except OSError:
+        except FileNotFoundError:
             return self.bloom_bits, self.bloom_hashes
         return int(doc["bloom_bits"]), int(doc["bloom_hashes"])
 

@@ -2452,17 +2452,36 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r5 window (positions 1-50, per the ATTESTATION.md schedule): the 36
-# r2-vintage core queries (the last cohort without a recent driver row —
-# every query's driver row is then ≤3 rounds old), the new knn_ivfadc
-# micro-oracle, and re-attestation of the r3 window's top 13 (the §2.11
-# EXT family; 36 + 1 + 13 = 50) — which starts the steady-state rolling
-# 3-round re-attestation cycle.
-# Positions 51-100: the r4 window (green in CORRECTNESS_r04.json).
-# Positions 101+: the rest of the r3 window — scheduled as the r6 window.
+# r6 window (positions 1-50, per the ATTESTATION.md schedule): the 4
+# queries added after the r5 window was locked — never-attested code goes
+# FIRST by policy — then the rest of the r3 cohort (its top 13 was
+# re-attested in r5): array/map funcs, the 10 EXT2 curation ops, the 17
+# late-core queries, the 8 TPC-H flagships, and the r4 window's top 9 to
+# fill the window (4 + 2 + 10 + 17 + 8 + 9 = 50). This continues the
+# steady-state rolling 3-round re-attestation cycle.
+# Positions 51-100: the r5 window (green in CORRECTNESS_r05.json).
+# Positions 101+: the rest of the r4 window — scheduled as the r7 window.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r5 window: positions 1-50 ======================================
-    # -- the 36 r2-vintage core queries (fresh driver rows) ---------------
+    # ==== r6 window: positions 1-50 ======================================
+    # -- added after the r5 window was locked (never attested) ------------
+    "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
+    # -- rest of the r3 cohort: array/map funcs + EXT2 curation -----------
+    "array_funcs", "map_funcs",
+    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
+    "drift_report", "weighted_sample_stratified", "rrf_fusion",
+    "contamination", "sequence_packing", "recursive_cte",
+    # -- rest of the r3 cohort: the 17 late-core queries ------------------
+    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
+    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
+    "basket_lift", "session_islands", "late_arrivals", "twap",
+    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
+    # -- rest of the r3 cohort: the 8 TPC-H flagships ----------------------
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
+    "tpch_q14", "tpch_q4",
+    # -- r4 window top 9, periodic re-attestation -------------------------
+    "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
+    "cdc_apply", "cosine_topk_filtered", "weighted_median", "udtf_spans",
+    # ==== r5 window (green in CORRECTNESS_r05.json): positions 51-100 ====
     "search_filter",
     "coalesce_fill", "kpis", "ts_convert", "date_format",
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
@@ -2473,15 +2492,11 @@ ATTESTATION_ORDER: list[str] = [
     "datetime_parts", "window_frame_values", "decimal_pipeline",
     "time_interval_join", "gap_fill", "funnel", "cohort_retention",
     "stats_battery", "profile",
-    # -- new this round: the residual-ADC micro-oracle (never attested) ---
     "knn_ivfadc",
-    # -- r3 window top 13, periodic re-attestation ------------------------
     "knn_ivf", "tfidf", "near_dup_pairs_fast", "simhash_fast", "pii_redact",
     "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
     "binary_chunks", "dedup_keep_best", "dedup_clusters", "image_meta",
-    # ==== r4 window (green in CORRECTNESS_r04.json): positions 51-100 ====
-    "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
-    "cdc_apply", "cosine_topk_filtered", "weighted_median", "udtf_spans",
+    # ==== rest of the r4 window (r7 window): positions 101+ ==============
     "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21",
@@ -2492,19 +2507,6 @@ ATTESTATION_ORDER: list[str] = [
     "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
     "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
     "sparkline_7d", "series_align", "order_nulls_last",
-    # ==== rest of the r3 window (r6 window): positions 101+ ==============
-    "array_funcs", "map_funcs",
-    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
-    "drift_report", "weighted_sample_stratified", "rrf_fusion",
-    "contamination", "sequence_packing", "recursive_cte",
-    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
-    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
-    "basket_lift", "session_islands", "late_arrivals", "twap",
-    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
-    "tpch_q14", "tpch_q4",
-    # -- added after the r5 window was locked (schedule into r6) ----------
-    "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
 ]
 
 

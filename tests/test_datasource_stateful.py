@@ -397,17 +397,16 @@ def test_running_stats_processor_contract():
 def test_running_stats_tws_engine_if_available(spark, tmp_path):
     """End-to-end transformWithState run (RocksDB state store,
     checkpointed restart, stream≡batch equality) — executes only where
-    google.protobuf exists, i.e. on real clusters. In this container the
-    body reduces to the import guard BY DESIGN, as a runtime branch and
-    not a pytest skip (judge-r4 directive #5: 0 skipped); the processor
-    arithmetic is covered un-gated by
-    test_running_stats_processor_contract, and this test preserves the
-    engine-level coverage (plan-builder args, state carry across
-    restart) wherever the dependency is present (review r5)."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        return
+    google.protobuf exists, i.e. on real clusters. In this container it
+    SKIPS (visibly — advisor r5: an early `return` made this a silent
+    pass, so '0 skipped' overstated coverage; the suite report must show
+    that the e2e branch did not run). The processor arithmetic is covered
+    un-gated by test_running_stats_processor_contract."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState e2e needs protobuf (real clusters "
+        "only); processor contract covered un-gated",
+    )
 
     from crypto_market_tracker_etl_spark.streaming.stateful_v2 import (
         running_stats_tws,
