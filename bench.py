@@ -74,6 +74,10 @@ HEADLINE = [
     "doc_repetition",
     "dup_spans",
     "dsir_weights",
+    "lm_perplexity",
+    "ppl_buckets_approx",
+    "quality_logit",
+    "gram_novelty",
     "tfidf",
     "weighted_median",
     "udtf_spans",

@@ -40,6 +40,7 @@ from .operators.dedup import (
     minhash_signatures,
     ngram_jaccard,
     simhash,
+    word_shingles,
 )
 from .operators.similarity import brute_knn, hyperplanes, rp_lsh_knn
 
@@ -2084,6 +2085,340 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Model-based filtering family (r6): LM perplexity, classifier quality,
+# first-seen novelty — the CCNet/LLaMA-pipeline selection stages.
+# --------------------------------------------------------------------------
+
+LM_XENT_BUCKETS = 3  # head / middle / tail (CCNet's perplexity split)
+
+
+def _lm_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] CCNet-style LM scoring (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document by its cross-entropy under a language model for
+    head/middle/tail perplexity selection. CCNet uses a pretrained KenLM
+    5-gram; the engine-portable analog is a Laplace-smoothed BIGRAM LM
+    trained on the corpus itself (no external model artifact fits the
+    oracle), scored as log-perplexity in nats: xent =
+    -mean ln p(w_i | w_{i-1}) over the doc's transitions. Scale shape:
+    token/bigram explode via expression arrays (corpus-linear, no raw
+    row carried through the generator), transitions pre-aggregated to
+    (doc, w1, w2) grain BEFORE the model joins (caps join input at
+    distinct grain), bigram + context-count model tables are
+    hash-partitioned aggregates joined back on their own keys (AQE
+    handles the stopword-context skew), vocabulary size rides a
+    broadcast 1-row anchor. ln-based float policy as dsir_weights
+    (hash-green precedent), rounded to 4. Returns (doc_id, n_trans,
+    xent) — shared by lm_perplexity (exact ntile split, the oracle
+    configuration) and ppl_buckets_approx (the sort-free scale path)."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.split(normalize_ws(F.col("text")), " ").alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("w"))
+    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    tr = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = tr.groupBy("w1", "w2").agg(F.sum("c").alias("bc"))
+    ug = tr.groupBy("w1").agg(F.sum("c").alias("uc"))
+    scored = (
+        tr.join(bg, ["w1", "w2"])
+        .join(ug, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "c",
+            F.log((F.col("bc") + 1) / (F.col("uc") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trans"),
+        F.round(-F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4).alias(
+            "xent"
+        ),
+    )
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] CCNet head/middle/tail split over `_lm_per_doc`'s
+    cross-entropies — exact terciles via a global ntile (the ORACLE
+    configuration; doc-grain rows, the dsir_weights rank caveat).
+    `ppl_buckets_approx` is the demonstrated 100 TB path: the same split
+    from approx_percentile thresholds, no global sort."""
+    per_doc = _lm_per_doc(spark, sf_dir)
+    win = Window.orderBy("xent", "doc_id")
+    return per_doc.select(
+        "doc_id",
+        "n_trans",
+        "xent",
+        F.ntile(LM_XENT_BUCKETS).over(win).cast("int").alias("ppl_bucket"),
+    )
+
+
+# the per-doc cross-entropy CTE chain, shared by both LM-split oracles
+_SQL_LM_PD = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+tr AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+    FROM d WHERE len(toks) >= 2)
+  GROUP BY 1, 2, 3
+),
+bg AS (SELECT w1, w2, SUM(c) AS bc FROM tr GROUP BY 1, 2),
+ug AS (SELECT w1, SUM(c) AS uc FROM tr GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM d)),
+pd AS (
+  SELECT tr.doc_id, CAST(SUM(tr.c) AS BIGINT) AS n_trans,
+         round(-SUM(tr.c * ln((bg.bc + 1) / CAST(ug.uc + vocab.v AS DOUBLE)))
+               / SUM(tr.c), 4) AS xent
+  FROM tr JOIN bg USING (w1, w2) JOIN ug USING (w1), vocab
+  GROUP BY 1
+)
+"""
+
+SQL_LM_PERPLEXITY = f"""
+{_SQL_LM_PD}
+SELECT doc_id, n_trans, xent,
+       CAST(ntile({LM_XENT_BUCKETS}) OVER (ORDER BY xent, doc_id) AS INT)
+         AS ppl_bucket
+FROM pd
+"""
+
+
+def q_ppl_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] The 100 TB configuration of the CCNet split:
+    bucket thresholds from approx_percentile (GK sketch — distributed
+    partial aggregation, NO global sort; lm_perplexity's exact ntile is
+    the oracle configuration but single-partitions the doc-grain window
+    at some scale). Oracle-bounded like approx_distinct: the sketch's
+    cut points differ from exact quantiles by design, so the query emits
+    the doc count plus ``within_tolerance`` booleans asserting each
+    approx-threshold bucket holds n/3 ± 5% of the corpus; the oracle
+    recomputes the exact split and expects ``true`` — the hash check
+    fails iff the sketch ever drifts outside the band."""
+    per_doc = _lm_per_doc(spark, sf_dir)
+    th = per_doc.agg(
+        F.percentile_approx(
+            "xent", [1.0 / 3.0, 2.0 / 3.0], 10000
+        ).alias("th")
+    )
+    b = per_doc.crossJoin(F.broadcast(th))
+    low = F.sum((F.col("xent") <= F.col("th")[0]).cast("long"))
+    mid = F.sum(
+        (
+            (F.col("xent") > F.col("th")[0])
+            & (F.col("xent") <= F.col("th")[1])
+        ).cast("long")
+    )
+    high = F.sum((F.col("xent") > F.col("th")[1]).cast("long"))
+    n = F.count(F.lit(1))
+    tol = lambda c: (  # noqa: E731
+        F.abs(c - n / 3.0) <= 0.05 * n
+    )
+    return b.agg(
+        n.alias("n_docs"),
+        tol(low).alias("wt_low"),
+        tol(mid).alias("wt_mid"),
+        tol(high).alias("wt_high"),
+    )
+
+
+SQL_PPL_BUCKETS_APPROX = f"""
+{_SQL_LM_PD}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       true AS wt_low, true AS wt_mid, true AS wt_high
+FROM pd
+"""
+
+
+# quality_logit: fixed, documented classifier weights. A real deployment
+# loads trained weights; the engine-side arithmetic is identical.
+QL_BIAS = -2.0
+QL_W_LEN = 0.015   # per token, saturating at 400 tokens
+QL_W_STOP = 3.0    # stopword ratio (natural-language evidence)
+QL_W_DIGIT = -2.0  # digit-character ratio (tables/logs evidence)
+QL_W_UPPER = -1.5  # uppercase-character ratio (shouting/boilerplate)
+QL_W_MWL = 0.3     # mean word length inside the [3, 8] natural band
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Model-based quality filtering, fasttext-classifier
+    style (the CCNet / LLaMA "quality classifier" stage): a linear
+    classifier over engineered text features with fixed documented
+    weights, scored as log-odds. Fully expression-level — feature
+    extraction, dot product, and threshold are one codegen'd projection
+    over the corpus scan, zero shuffles: the exact shape for scoring
+    100 TB. The sigmoid is monotone, so keep/drop compares log-odds
+    against 0 and no transcendental ever leaves the engine (exp() is the
+    one cross-engine reproducibility hazard the portable-float policy
+    bans); ``kept`` compares the ROUNDED logit so both engines decide on
+    the identical quantity."""
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    norm_t = normalize_ws(t)
+    nt = n_tokens(t).cast("double")
+    sw = sum(
+        (stopword_hits(t, lang) for lang in sorted(STOPWORDS)), F.lit(0)
+    ).cast("double")
+    n_chars = F.length(t).cast("double")
+    digits = (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))).cast(
+        "double"
+    )
+    uppers = (n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))).cast(
+        "double"
+    )
+    # normalized text has single spaces: chars-in-words = len - (nt - 1)
+    mwl = F.when(
+        nt > 0, (F.length(norm_t) - (nt - 1)).cast("double") / nt
+    ).otherwise(F.lit(0.0))
+    stop_r = F.when(nt > 0, sw / nt).otherwise(F.lit(0.0))
+    digit_r = F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0))
+    upper_r = F.when(n_chars > 0, uppers / n_chars).otherwise(F.lit(0.0))
+    logit = (
+        F.lit(QL_BIAS)
+        + F.lit(QL_W_LEN) * F.least(nt, F.lit(400.0))
+        + F.lit(QL_W_STOP) * stop_r
+        + F.lit(QL_W_DIGIT) * digit_r
+        + F.lit(QL_W_UPPER) * upper_r
+        + F.when((mwl >= 3.0) & (mwl <= 8.0), F.lit(QL_W_MWL)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    logit_r = F.round(logit, 4)
+    return docs.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        F.round(stop_r, 4).alias("stop_r"),
+        F.round(digit_r, 4).alias("digit_r"),
+        F.round(upper_r, 4).alias("upper_r"),
+        F.round(mwl, 4).alias("mean_wlen"),
+        logit_r.alias("logit"),
+        (logit_r >= 0).alias("kept"),
+    )
+
+
+def _sql_quality_logit() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(ltoks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    total = " + ".join(hits.values())
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_NORM} AS nt_text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+),
+f AS (
+  SELECT doc_id, nt,
+         CASE WHEN nt > 0 THEN CAST({total} AS DOUBLE) / nt
+              ELSE 0.0 END AS stop_r,
+         CASE WHEN n_chars > 0
+              THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / n_chars
+              ELSE 0.0 END AS digit_r,
+         CASE WHEN n_chars > 0
+              THEN (n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                   / n_chars
+              ELSE 0.0 END AS upper_r,
+         CASE WHEN nt > 0
+              THEN CAST(length(nt_text) - (nt - 1) AS DOUBLE) / nt
+              ELSE 0.0 END AS mwl
+  FROM t
+),
+z AS (
+  SELECT doc_id, nt, stop_r, digit_r, upper_r, mwl,
+         round({QL_BIAS} + {QL_W_LEN} * least(CAST(nt AS DOUBLE), 400.0)
+               + {QL_W_STOP} * stop_r + {QL_W_DIGIT} * digit_r
+               + {QL_W_UPPER} * upper_r
+               + CASE WHEN mwl >= 3.0 AND mwl <= 8.0
+                      THEN {QL_W_MWL} ELSE 0.0 END, 4) AS logit
+  FROM f
+)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+       round(stop_r, 4) AS stop_r, round(digit_r, 4) AS digit_r,
+       round(upper_r, 4) AS upper_r, round(mwl, 4) AS mean_wlen,
+       logit, logit >= 0 AS kept
+FROM z
+"""
+
+
+SQL_QUALITY_LOGIT = _sql_quality_logit()
+
+
+def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] First-seen n-gram novelty: per document, the
+    fraction of its distinct 3-word shingles whose EARLIEST corpus
+    occurrence (min doc_id — ingestion order's stand-in) is this
+    document. The complement of dup_spans' duplication signal: a "new
+    content" score for prioritizing novel data and down-weighting
+    recombinations of already-seen text. Shape: distinct-shingle explode
+    (corpus-linear), one gram-keyed min aggregate for first-seen, one
+    hash join of the exploded grain against that aggregate (two
+    gram-partitioned relations — never a doc-pair product), per-doc
+    conditional aggregate."""
+    grams = _documents(spark, sf_dir).select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("novel_grams"),
+            F.round(novel / F.count(F.lit(1)), 4).alias("novel_frac"),
+        )
+    )
+
+
+SQL_GRAM_NOVELTY = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+g AS (SELECT doc_id, unnest({SQL_SHINGLES}) AS g FROM t),
+f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       round(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS novel_frac
+FROM g JOIN f USING (g)
+GROUP BY 1
+"""
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -2115,6 +2450,10 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "ppl_buckets_approx": (q_ppl_buckets_approx, SQL_PPL_BUCKETS_APPROX),
+    "quality_logit": (q_quality_logit, SQL_QUALITY_LOGIT),
+    "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

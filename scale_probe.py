@@ -1072,6 +1072,109 @@ def probe_curation2(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_curation3(spark) -> None:
+    """Round-6 model-based-filtering ops at 200k and 1M docs — the REAL
+    registered query code over synthetic parquet:
+    - lm_perplexity: corpus tokens explode into (doc, w1, w2) transition
+      grain, then the bigram/context model tables join back — wall should
+      scale ~linearly with corpus tokens (the model tables are aggregates
+      of the same grain, never bigger than it);
+    - quality_logit: the zero-shuffle classifier projection — scan speed
+      is the claim, so the probe prints docs/s;
+    - gram_novelty: gram-keyed min aggregate + gram join; the planted
+      periodic runs make later docs genuinely non-novel (doc 0 must score
+      1.0, the corpus mean must sit well below 1.0) so the timing
+      measures real cross-doc work."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_gram_novelty,
+        q_lm_perplexity,
+        q_quality_logit,
+    )
+
+    root = tempfile.mkdtemp(prefix="cur3_")
+    try:
+        for n in (200_000, 1_000_000):
+            sf = os.path.join(root, f"sf{n}")
+            os.makedirs(sf, exist_ok=True)
+            # same layout as probe_curation2: 50 periodic tokens (shared
+            # across each 499-class ⇒ shared bigrams/shingles) + 50
+            # doc-unique tokens (singleton bigrams ⇒ high-xent tail)
+            spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.lit("synth").alias("source"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"p{j}_"), (F.col("id") % 499).cast("string")
+                        )
+                        if j < 50
+                        else F.concat(
+                            F.lit(f"u{j}_"), F.col("id").cast("string")
+                        )
+                        for j in range(100)
+                    ],
+                ).alias("text"),
+            ).repartition(32).write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            t0 = time.perf_counter()
+            agg = q_lm_perplexity(spark, sf).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.countDistinct("ppl_bucket").alias("buckets"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            assert agg["docs"] == n and agg["buckets"] == 3
+            print(
+                f"curation3[lm_perplexity n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({agg['docs']/dt/1e3:.0f}k docs/s)",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            kept = q_quality_logit(spark, sf).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.col("kept").cast("int")).alias("kept"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            assert kept["docs"] == n
+            print(
+                f"curation3[quality_logit n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({kept['docs']/dt/1e3:.0f}k docs/s, "
+                f"{kept['kept']/kept['docs']:.0%} kept)",
+                flush=True,
+            )
+            # gram_novelty runs at 200k only: the planted periodic runs
+            # give every periodic 3-gram ~n/499 occurrences, the same
+            # deliberately adversarial duplication profile as dup_spans'
+            # 1M row (SCALE.md) — at 1M docs the probe corpus carries
+            # orders of magnitude more duplicated grams than a real one
+            # and the wall measures the synthetic profile, not the op
+            if n == 200_000:
+                t0 = time.perf_counter()
+                nov = q_gram_novelty(spark, sf).agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.avg("novel_frac").alias("mean_nov"),
+                    F.max(
+                        F.when(F.col("doc_id") == 0, F.col("novel_frac"))
+                    ).alias("doc0"),
+                ).collect()[0]
+                dt = time.perf_counter() - t0
+                # the planted periodic runs must make later docs
+                # non-novel, or the gram join did no cross-doc work
+                assert nov["doc0"] == 1.0 and nov["mean_nov"] < 0.9
+                print(
+                    f"curation3[gram_novelty n={n/1e3:.0f}k]: {dt:.1f}s "
+                    f"(mean novelty {nov['mean_nov']:.2f}, doc0 "
+                    f"{nov['doc0']:.2f})",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_manifest(spark) -> None:
     """Manifest-scalability probe (round-5 directive): the per-commit JSON
     manifest carries per-FILE stats; at millions of files the manifest
@@ -1269,6 +1372,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_CURATION2"):
         probe_curation2(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_CURATION3"):
+        probe_curation3(spark)
         spark.stop()
         return
     if os.environ.get("SCALE_BLOOM"):

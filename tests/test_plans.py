@@ -546,6 +546,61 @@ def test_semdedup_pairs_within_clusters_only(spark):
     assert ("SortMergeJoin" in s) or ("BroadcastHashJoin" in s)
 
 
+def test_lm_perplexity_model_joins_on_aggregates(spark):
+    """CCNet-style LM filter: the bigram/context model tables are
+    hash-keyed AGGREGATES of the pre-aggregated (doc, w1, w2) transition
+    grain -- the raw corpus never re-shuffles for them and nothing
+    degenerates to a doc-pair product; the vocabulary size rides a
+    broadcast 1-row anchor; counting is map-side partial."""
+    s = plan_of(spark, "lm_perplexity")
+    assert "CartesianProduct" not in s
+    assert "partial_count" in s or "partial_sum" in s
+    assert "BroadcastExchange" in s  # the 1-row vocab anchor
+
+
+def test_ppl_buckets_approx_no_global_sort(spark):
+    """The sort-free CCNet split: thresholds come from approx_percentile
+    partial aggregation (ObjectHashAggregate -- the GK sketch) and
+    broadcast back -- no global Sort and no single-partition window
+    anywhere (the exact-ntile twin lm_perplexity is the oracle
+    configuration that HAS one). The static plan shows the per-doc
+    lineage twice (thresholds + bucketing both read it); at runtime
+    exchange reuse collapses the duplicates, asserted on the executed
+    plan."""
+    s = plan_of(spark, "ppl_buckets_approx")
+    assert "Window" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert "ObjectHashAggregate" in s  # approx_percentile partial agg
+    assert "BroadcastExchange" in s  # the 2-value threshold anchor
+    df = entrymod.queries()["ppl_buckets_approx"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed  # shared per-doc lineage dedup'd
+
+
+def test_quality_logit_expression_only_zero_shuffle(spark):
+    """The classifier filter is ONE codegen'd projection over the corpus
+    scan: no joins of any kind, and no exchange beyond the _documents
+    spread repartition -- the shape that scores 100 TB at scan speed."""
+    s = plan_of(spark, "quality_logit")
+    assert "Join" not in s
+    assert s.count(") Exchange") <= 1  # only the corpus spread
+    assert "Generate" not in s  # no explode: features fold per row
+    # the whole query is scan -> spread -> ONE projection
+    assert s.count(") Project") == 1
+
+
+def test_gram_novelty_gram_join_never_pairs_docs(spark):
+    """First-seen novelty: the only join is exploded grams vs the
+    gram-keyed min-aggregate (both sides gram-partitioned) -- never a
+    cartesian or nested-loop doc-pair product; first-seen uses a map-side
+    partial min."""
+    s = plan_of(spark, "gram_novelty")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "partial_min" in s
+
+
 def test_dsir_weights_broadcast_ratio_table(spark):
     """DSIR's scale shape: the B-row bucket log-ratio table and the
     1-row totals anchor are BROADCAST back to the token stream -- the
