@@ -78,6 +78,8 @@ HEADLINE = [
     "ppl_buckets_approx",
     "quality_logit",
     "gram_novelty",
+    "html_strip",
+    "winnowing",
     "tfidf",
     "weighted_median",
     "udtf_spans",

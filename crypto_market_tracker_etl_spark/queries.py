@@ -2452,12 +2452,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r6 window (positions 1-50, per the ATTESTATION.md schedule): the 4
+# r6 window (positions 1-50, per the ATTESTATION.md schedule): the 6
 # queries NEW this round plus the 4 added after the r5 window was locked —
 # never-attested code goes FIRST by policy — then the rest of the r3
 # cohort (its top 13 was re-attested in r5): array/map funcs, the 10 EXT2
 # curation ops, the 17 late-core queries, the 8 TPC-H flagships, and the
-# r4 window's top 5 to fill (4 + 4 + 2 + 10 + 17 + 8 + 5 = 50). This
+# r4 window's top 3 to fill (6 + 4 + 2 + 10 + 17 + 8 + 3 = 50). This
 # continues the steady-state rolling 3-round re-attestation cycle.
 # Positions 51-100: the r5 window (green in CORRECTNESS_r05.json).
 # Positions 101+: the rest of the r4 window — scheduled as the r7 window.
@@ -2465,6 +2465,7 @@ ATTESTATION_ORDER: list[str] = [
     # ==== r6 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
     "lm_perplexity", "ppl_buckets_approx", "quality_logit", "gram_novelty",
+    "html_strip", "winnowing",
     # -- added after the r5 window was locked (never attested) ------------
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
     # -- rest of the r3 cohort: array/map funcs + EXT2 curation -----------
@@ -2480,12 +2481,14 @@ ATTESTATION_ORDER: list[str] = [
     # -- rest of the r3 cohort: the 8 TPC-H flagships ----------------------
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
     "tpch_q14", "tpch_q4",
-    # -- r4 window top 5, periodic re-attestation (the four r6 additions
-    # above pushed cdc_apply/cosine_topk_filtered/weighted_median/
-    # udtf_spans to position 51+; they move to the r7 window) -------------
-    "knn_pq", "knn_ivfpq", "hash_split", "domain_mix", "boilerplate_strip",
+    # -- r4 window top 3, periodic re-attestation (the six r6 additions
+    # above pushed domain_mix/boilerplate_strip/cdc_apply/
+    # cosine_topk_filtered/weighted_median/udtf_spans to position 51+;
+    # they move to the r7 window) -----------------------------------------
+    "knn_pq", "knn_ivfpq", "hash_split",
     # ==== positions 51+: r4-top remainder, then the r5 window ============
-    "cdc_apply", "cosine_topk_filtered", "weighted_median", "udtf_spans",
+    "domain_mix", "boilerplate_strip", "cdc_apply", "cosine_topk_filtered",
+    "weighted_median", "udtf_spans",
     # ==== r5 window (green in CORRECTNESS_r05.json) =======================
     "search_filter",
     "coalesce_fill", "kpis", "ts_convert", "date_format",

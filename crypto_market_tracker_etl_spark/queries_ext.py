@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .functions.hashing import hex_prefix_to_long_sql
+from .functions.hashing import hex_prefix_to_long_sql, md5_long
 from .queries import E_CTE, _events  # oracle/Spark events (µs truncation)
 from .functions.textstats import (
     STOPWORDS,
@@ -2373,6 +2373,216 @@ FROM z
 SQL_QUALITY_LOGIT = _sql_quality_logit()
 
 
+WIN_K = 3  # winnowing k-gram size (words)
+WIN_W = 4  # winnowing window over consecutive gram hashes
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Winnowing document fingerprints (Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm): hash every k-word gram, slide a w-window over
+    the hash sequence, keep each window's minimum — the selected
+    fingerprints GUARANTEE any shared run of ≥ w+k-1 tokens between two
+    docs shares at least one fingerprint, at ~2/(w+1) sampling density.
+    The sparser, guarantee-carrying alternative to dup_spans' every-window
+    hashing (dup_spans keeps all windows; winnowing keeps ~1/w of them
+    with the same detection floor for long matches). The window-min
+    selection is RELATIONAL — gram hashes posexplode to rows and the
+    per-window minimum is ``min() OVER (ROWS BETWEEN CURRENT ROW AND w-1
+    FOLLOWING)`` riding the doc_id partitioning — NOT an
+    array-slice-inside-transform: nested higher-order functions fall off
+    codegen into interpreted evaluation and the outer lambda re-evaluates
+    the inner gram-array expression per window, an O(tokens·w) cliff that
+    turned this 5k-doc corpus into minutes (the PQ interpreted-HOF lesson,
+    SCALE.md §PQ). Cross-doc matching is the dup_spans shape — a
+    fingerprint-keyed aggregate joined back to the exploded fingerprint
+    grain, never a doc-pair product. Hashes are portable md5-prefix longs
+    (functions/hashing.py) so the oracle reproduces them bit-for-bit;
+    value-min tie-break (not the paper's rightmost-position rule) keeps
+    selection order-free and engine-portable — ties between DISTINCT
+    grams are md5 collisions, i.e. negligible."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.split(normalize_ws(F.col("text")), " ").alias("toks")
+    )
+    k, w = WIN_K, WIN_W
+    gram_expr = (
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> concat_ws(' ', element_at(toks, i), "
+        f"element_at(toks, i + 1), element_at(toks, i + 2)))"
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(F.expr(gram_expr), lambda g: md5_long(g)),
+            ).otherwise(F.array(md5_long(F.concat_ws(" ", F.col("toks")))))
+        ).alias("pos", "h"),
+    )
+    doc_win = Window.partitionBy("doc_id")
+    frame = doc_win.orderBy("pos").rowsBetween(0, w - 1)
+    fp = (
+        grams.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(frame).alias("wmin"),
+            F.max("pos").over(doc_win).alias("last"),
+        )
+        # full windows only (docs with < w grams keep their single
+        # partial-window min at pos 0 — the whole-doc fallback)
+        .where(
+            (F.col("pos") <= F.col("last") - (w - 1)) | (F.col("pos") == 0)
+        )
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    per_fp = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        fp.join(per_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            shared.alias("shared_fp"),
+            F.round(shared / F.count(F.lit(1)), 4).alias("shared_frac"),
+        )
+    )
+
+
+def _sql_winnowing() -> str:
+    from .functions.hashing import hex_prefix_to_long_sql
+
+    h = hex_prefix_to_long_sql("md5(g)", 12, "duckdb")
+    h_whole = hex_prefix_to_long_sql(
+        "md5(array_to_string(toks, ' '))", 12, "duckdb"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {WIN_K}
+           THEN list_transform(
+                  list_transform(range(1, len(toks) - {WIN_K} + 2),
+                    i -> array_to_string(list_slice(toks, i, i + {WIN_K} - 1), ' ')),
+                  g -> {h})
+           ELSE [{h_whole}] END AS grams
+  FROM d
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(grams) >= {WIN_W}
+           THEN list_transform(range(1, len(grams) - {WIN_W} + 2),
+                  j -> list_min(list_slice(grams, j, j + {WIN_W} - 1)))
+           ELSE [list_min(grams)] END) AS fp_list
+  FROM g
+),
+fp AS (SELECT doc_id, unnest(fp_list) AS fp FROM fps),
+pf AS (SELECT fp, count(*) AS nd FROM fp GROUP BY 1)
+SELECT fp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_fp,
+       CAST(SUM(CASE WHEN pf.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_fp,
+       round(SUM(CASE WHEN pf.nd >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS shared_frac
+FROM fp JOIN pf USING (fp)
+GROUP BY 1
+"""
+
+
+SQL_WINNOWING = _sql_winnowing()
+
+
+# entity decode: literal entities LAST so '&amp;lt;' round-trips to
+# '&lt;' and never double-decodes to '<' (the classic strip-order bug)
+HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+# deterministic markup tail with entities so the decode path is exercised
+# on every row (the synthetic corpus itself carries no HTML)
+HTML_MARKUP_TAIL = (
+    ' on &quot;tags &amp; entities&quot;, &lt;3 &#39;quoted&#39;'
+    "&nbsp;tail</p></div>"
+)
+
+
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] HTML text extraction — the WARC→text stage every
+    web-crawl pipeline runs before any other filter (the trafilatura /
+    CCNet-WET role): extract link structure, strip tags, decode
+    entities, normalize whitespace. The corpus carries no markup, so the
+    query constructs it deterministically per row (the _augmented_corpus
+    pattern: both engines build identical input, making strip+decode
+    non-trivial and hash-checkable; links use the IANA-reserved
+    example.org, nothing real). Fully expression-level regex/replace —
+    one codegen'd projection over the scan, zero shuffles, the
+    scan-speed shape for 100 TB of raw crawl. Entity decode replaces
+    literal entities LAST (&amp; after &lt; etc.) so '&amp;lt;' never
+    double-decodes — order is part of the contract and the oracle."""
+    docs = _documents(spark, sf_dir)
+    markup = F.concat(
+        F.lit('<div class="doc"><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="body">'),
+        F.col("text"),
+        F.lit(' <a href="https://s'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">link</a>'),
+        F.lit(HTML_MARKUP_TAIL),
+    )
+    tag_count = F.size(F.regexp_extract_all(markup, F.lit("<[^>]+>"), 0))
+    clean = F.regexp_replace(markup, "<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.regexp_replace(F.trim(clean), r"\s+", " ")
+    links = F.regexp_extract_all(markup, F.lit('href="([^"]+)"'), 1)
+    return docs.select(
+        "doc_id",
+        tag_count.alias("tag_count"),
+        F.size(links).alias("n_links"),
+        F.regexp_extract(
+            F.element_at(links, 1), "^https?://([^/]+)", 1
+        ).alias("link_host"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+def _sql_html_strip() -> str:
+    clean = "regexp_replace(markup, '<[^>]+>', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        e, c = ent.replace("'", "''"), ch.replace("'", "''")
+        clean = f"replace({clean}, '{e}', '{c}')"
+    clean = f"regexp_replace(trim({clean}), '\\s+', ' ', 'g')"
+    tail = HTML_MARKUP_TAIL.replace("'", "''")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         '<div class="doc"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p class="body">' || text
+         || ' <a href="https://s' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '">link</a>'
+         || '{tail}' AS markup
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(markup, '<[^>]+>')) AS tag_count,
+       len(regexp_extract_all(markup, 'href="([^"]+)"', 1)) AS n_links,
+       regexp_extract(regexp_extract_all(markup, 'href="([^"]+)"', 1)[1],
+                      '^https?://([^/]+)', 1) AS link_host,
+       length({clean}) AS clean_len,
+       md5({clean}) AS clean_fp
+FROM m
+"""
+
+
+SQL_HTML_STRIP = _sql_html_strip()
+
+
 def q_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[LLM curation] First-seen n-gram novelty: per document, the
     fraction of its distinct 3-word shingles whose EARLIEST corpus
@@ -2454,6 +2664,8 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "ppl_buckets_approx": (q_ppl_buckets_approx, SQL_PPL_BUCKETS_APPROX),
     "quality_logit": (q_quality_logit, SQL_QUALITY_LOGIT),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
+    "html_strip": (q_html_strip, SQL_HTML_STRIP),
+    "winnowing": (q_winnowing, SQL_WINNOWING),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

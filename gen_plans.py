@@ -113,6 +113,28 @@ SHOWCASE = {
         "pushed-filter scan; one input row fans out to its spans with "
         "no join or shuffle."
     ),
+    "lm_perplexity": (
+        "CCNet LM filter: transitions pre-aggregated to (doc, w1, w2) "
+        "grain, then the bigram/context model tables (aggregates of that "
+        "same grain) join back on their own keys; the vocabulary size is "
+        "a broadcast 1-row anchor. The corpus explodes exactly once per "
+        "model arm and never re-shuffles for the model."
+    ),
+    "quality_logit": (
+        "Classifier quality filter: scan -> corpus-spread Exchange -> ONE "
+        "Project carrying the whole feature extraction + dot product + "
+        "threshold. Zero joins, zero generators -- 100 TB of raw text "
+        "scores at scan speed."
+    ),
+    "winnowing": (
+        "MOSS fingerprinting: gram hashes posexplode to rows and the "
+        "window minimum is min() OVER a row frame riding the doc_id "
+        "partitioning -- the array-slice-inside-transform formulation "
+        "fell off codegen (interpreted nested HOFs re-evaluate the gram "
+        "array per window: minutes at 5k docs, caught by the bench "
+        "loop). Cross-doc matching joins the fingerprint grain to an "
+        "fp-keyed aggregate; no doc-pair relation exists."
+    ),
 }
 
 

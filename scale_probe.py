@@ -1090,8 +1090,10 @@ def probe_curation3(spark) -> None:
 
     from crypto_market_tracker_etl_spark.queries_ext import (
         q_gram_novelty,
+        q_html_strip,
         q_lm_perplexity,
         q_quality_logit,
+        q_winnowing,
     )
 
     root = tempfile.mkdtemp(prefix="cur3_")
@@ -1146,13 +1148,42 @@ def probe_curation3(spark) -> None:
                 f"{kept['kept']/kept['docs']:.0%} kept)",
                 flush=True,
             )
-            # gram_novelty runs at 200k only: the planted periodic runs
-            # give every periodic 3-gram ~n/499 occurrences, the same
-            # deliberately adversarial duplication profile as dup_spans'
-            # 1M row (SCALE.md) — at 1M docs the probe corpus carries
-            # orders of magnitude more duplicated grams than a real one
-            # and the wall measures the synthetic profile, not the op
+            t0 = time.perf_counter()
+            hs = q_html_strip(spark, sf).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_links").alias("links"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            assert hs["docs"] == n and hs["links"] == n  # 1 link planted/doc
+            print(
+                f"curation3[html_strip n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({hs['docs']/dt/1e3:.0f}k docs/s)",
+                flush=True,
+            )
+            # gram_novelty and winnowing run at 200k only: the planted
+            # periodic runs give every periodic 3-gram ~n/499
+            # occurrences, the same deliberately adversarial duplication
+            # profile as dup_spans' 1M row (SCALE.md) — at 1M docs the
+            # probe corpus carries orders of magnitude more duplicated
+            # grams than a real one and the wall measures the synthetic
+            # profile, not the op
             if n == 200_000:
+                t0 = time.perf_counter()
+                wn = q_winnowing(spark, sf).agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.avg("n_fp").alias("fp_per_doc"),
+                    F.avg("shared_frac").alias("shared"),
+                ).collect()[0]
+                dt = time.perf_counter() - t0
+                # winnowing density ~2/(w+1): far fewer rows than
+                # dup_spans' every-window hashing on the same corpus
+                assert wn["docs"] == n and wn["shared"] > 0
+                print(
+                    f"curation3[winnowing n={n/1e3:.0f}k]: {dt:.1f}s "
+                    f"({wn['fp_per_doc']:.1f} fp/doc, shared frac "
+                    f"{wn['shared']:.2f})",
+                    flush=True,
+                )
                 t0 = time.perf_counter()
                 nov = q_gram_novelty(spark, sf).agg(
                     F.count(F.lit(1)).alias("docs"),

@@ -590,6 +590,33 @@ def test_quality_logit_expression_only_zero_shuffle(spark):
     assert s.count(") Project") == 1
 
 
+def test_winnowing_fp_join_never_pairs_docs(spark):
+    """Winnowing: the window-min selection is RELATIONAL (posexplode +
+    min over a row frame riding the doc_id partitioning) -- the
+    slice-inside-transform formulation re-evaluated the gram array per
+    window in interpreted mode (minutes at 5k docs; the PQ
+    interpreted-HOF lesson); and the only join is the fingerprint grain
+    vs the fp-keyed count aggregate -- never a cartesian or nested-loop
+    doc-pair product."""
+    s = plan_of(spark, "winnowing")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Generate" in s  # posexplode: gram hashes as ROWS
+    assert "Window" in s  # sliding min as a frame, not nested HOFs
+    assert "partial_count" in s  # map-side combine on fp counts
+
+
+def test_html_strip_expression_only_zero_shuffle(spark):
+    """HTML extraction is one codegen'd regex/replace projection over the
+    corpus scan -- no joins, no generator, no exchange beyond the
+    _documents spread: raw 100 TB crawl processes at scan speed."""
+    s = plan_of(spark, "html_strip")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1  # only the corpus spread
+    assert s.count(") Project") == 1
+
+
 def test_gram_novelty_gram_join_never_pairs_docs(spark):
     """First-seen novelty: the only join is exploded grams vs the
     gram-keyed min-aggregate (both sides gram-partitioned) -- never a
