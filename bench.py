@@ -80,6 +80,10 @@ HEADLINE = [
     "gram_novelty",
     "html_strip",
     "winnowing",
+    "lang_id",
+    "url_normalize",
+    "link_graph",
+    "c4_filters",
     "tfidf",
     "weighted_median",
     "udtf_spans",

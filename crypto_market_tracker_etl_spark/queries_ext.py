@@ -2629,6 +2629,467 @@ GROUP BY 1
 """
 
 
+# --- Wave-6 (round 6) curation operators: language ID, URL curation, -------
+# --- link graph, C4 line filters --------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Language identification — the first routing decision
+    of every multilingual curation pipeline (CCNet/fasttext role). The
+    engine-portable analog of an n-gram classifier: per-language stopword
+    hit counts (functions/textstats.py STOPWORDS — the scoring table is
+    data, not code), argmax with alphabetical tiebreak, 'und' when no
+    list matches (the zh rows, by design — the corpus has a language the
+    classifier does not know). Confidence = best/total hits. One
+    codegen'd projection over the scan, zero shuffles — the scan-speed
+    shape for routing 100 TB by language."""
+    docs = _documents(spark, sf_dir)
+    t = F.col("text")
+    scores = {lg: stopword_hits(t, lg) for lg in sorted(STOPWORDS)}
+    total = sum(scores.values(), F.lit(0)).cast("double")
+    best = F.greatest(*scores.values()).cast("double")
+    return docs.select(
+        "doc_id",
+        *[scores[lg].alias(f"s_{lg}") for lg in sorted(STOPWORDS)],
+        lang_id(t).alias("lang_guess"),
+        F.when(total > 0, F.round(best / total, 4))
+        .otherwise(F.lit(0.0))
+        .alias("conf"),
+        (lang_id(t) == F.col("lang")).alias("is_match"),
+    )
+
+
+def _sql_lang_id() -> str:
+    hits = {
+        lg: "len(list_filter(toks, x -> x IN ({})))".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        )
+        for lg in sorted(STOPWORDS)
+    }
+    cols = ",\n         ".join(f"{hits[lg]} AS s_{lg}" for lg in sorted(STOPWORDS))
+    names = [f"s_{lg}" for lg in sorted(STOPWORDS)]
+    m = "greatest({})".format(", ".join(names))
+    # argmax with alphabetical tiebreak: first lang (sorted) attaining the max
+    guess = "CASE WHEN {m} = 0 THEN 'und' {arms} END".format(
+        m=m,
+        arms=" ".join(
+            f"WHEN s_{lg} = {m} THEN '{lg}'" for lg in sorted(STOPWORDS)
+        ),
+    )
+    total = " + ".join(names)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {cols}
+  FROM t
+)
+SELECT doc_id, {", ".join(f"CAST({n} AS INT) AS {n}" for n in names)},
+       {guess} AS lang_guess,
+       CASE WHEN {total} > 0
+            THEN round(CAST({m} AS DOUBLE) / ({total}), 4)
+            ELSE 0.0 END AS conf,
+       ({guess}) = lang AS is_match
+FROM s
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+# URL tracking params dropped by the normalizer (the C4/RefinedWeb
+# URL-curation stage); the mini public-suffix list makes registered-domain
+# extraction non-trivial without shipping the full PSL (data, not code).
+URL_TRACKING_PREFIXES = ["utm_", "gclid=", "fbclid="]
+URL_MULTI_LABEL_SUFFIXES = ["co.uk", "ac.uk", "com.au"]
+URL_BLOCKLIST = ["tracker.org", "spam.example"]
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] URL normalization + domain curation — the
+    RefinedWeb/C4 URL-filter stage: canonicalize (lowercase scheme/host,
+    strip default ports and www., drop fragments, drop tracking params,
+    sort surviving params, collapse trailing slashes), extract the
+    registered domain against a mini public-suffix list, and flag
+    blocklisted domains. The corpus carries no URLs, so the query
+    constructs them deterministically per row (the _augmented_corpus
+    pattern; hosts use IANA-reserved names) with every normalization
+    hazard present: mixed-case scheme/host, default and non-default
+    ports, tracking params, fragments, trailing slashes, multi-label
+    public suffixes. Fully expression-level — one codegen'd projection,
+    zero shuffles: URL curation at scan speed over 100 TB of crawl
+    metadata."""
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(
+            F.concat(F.lit("s"), (d % 5).cast("string"), F.lit("."))
+        ),
+        F.element_at(
+            F.array(
+                F.lit("Example.COM"),
+                F.lit("Sample.CO.UK"),
+                F.lit("mirror.example.NET"),
+                F.lit("Tracker.ORG"),
+            ),
+            (d % 4 + 1).cast("int"),
+        ),
+        F.when(d % 2 == 0, F.lit(":443"))
+        .when(d % 9 == 0, F.lit(":80"))
+        .when(d % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Doc/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=26&a="),
+        (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.concat(F.lit("&gclid=g"), d.cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.lit("&fbclid=fb")).otherwise(F.lit("")),
+        F.lit("#sec"),
+        (d % 3).cast("string"),
+    )
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r":[0-9]+$", ""), r"^www\.", ""
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    p2 = F.regexp_replace(path, r"/+$", "")
+    norm_path = F.when(p2 == "", F.lit("/")).otherwise(p2)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    raw_params = F.filter(F.split(qs, "&"), lambda x: x != "")
+    kept_params = F.filter(
+        raw_params,
+        lambda x: ~(
+            x.startswith("utm_") | x.startswith("gclid=") | x.startswith("fbclid=")
+        ),
+    )
+    kept_qs = F.array_join(F.array_sort(kept_params), "&")
+    labels = F.split(host, r"\.")
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    suffixes = F.array(*[F.lit(s) for s in URL_MULTI_LABEL_SUFFIXES])
+    reg_domain = F.when(
+        F.array_contains(suffixes, last2) & (F.size(labels) >= 3),
+        F.concat_ws(".", F.element_at(labels, -3), last2),
+    ).otherwise(last2)
+    norm_url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        norm_path,
+        F.when(kept_qs != "", F.concat(F.lit("?"), kept_qs)).otherwise(F.lit("")),
+    )
+    blocklist = F.array(*[F.lit(b) for b in URL_BLOCKLIST])
+    return docs.select(
+        "doc_id",
+        norm_url.alias("norm_url"),
+        host.alias("host"),
+        reg_domain.alias("reg_domain"),
+        F.array_contains(blocklist, reg_domain).alias("is_blocked"),
+        (F.size(raw_params) - F.size(kept_params)).alias("n_dropped"),
+    )
+
+
+def _sql_url_normalize() -> str:
+    # prefix_match mirrors URL_TRACKING_PREFIXES; prefix() avoids LIKE's
+    # treatment of '_' as a wildcard in 'utm_%'
+    track = " OR ".join(
+        f"prefix(x, '{p}')" for p in URL_TRACKING_PREFIXES
+    )
+    suffixes = ", ".join(f"'{s}'" for s in URL_MULTI_LABEL_SUFFIXES)
+    block = ", ".join(f"'{b}'" for b in URL_BLOCKLIST)
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                  ELSE 's' || CAST(doc_id % 5 AS VARCHAR) || '.' END)
+         || (['Example.COM', 'Sample.CO.UK', 'mirror.example.NET',
+              'Tracker.ORG'])[CAST(doc_id % 4 AS INT) + 1]
+         || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+                  WHEN doc_id % 9 = 0 THEN ':80'
+                  WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+         || '/Doc/' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || '?utm_source=feed&z=26&a=' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 1 THEN '&fbclid=fb' ELSE '' END)
+         || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM u
+),
+norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path, '/+$', '') END AS norm_path,
+         list_filter(string_split(qs, '&'), x -> x <> '') AS raw_params,
+         list_filter(string_split(qs, '&'),
+                     x -> x <> '' AND NOT ({track})) AS kept_params
+  FROM parts
+),
+dom AS (
+  SELECT *,
+         string_split(host, '.') AS labels,
+         array_to_string(list_sort(kept_params), '&') AS kept_qs,
+         (port <> '' AND NOT ((scheme = 'https' AND port = '443')
+                              OR (scheme = 'http' AND port = '80')))
+           AS keep_port
+  FROM norm
+),
+reg AS (
+  SELECT *,
+         labels[len(labels) - 1] || '.' || labels[len(labels)] AS last2
+  FROM dom
+)
+SELECT doc_id,
+       scheme || '://' || host
+       || (CASE WHEN keep_port THEN ':' || port ELSE '' END)
+       || norm_path
+       || (CASE WHEN kept_qs <> '' THEN '?' || kept_qs ELSE '' END)
+         AS norm_url,
+       host,
+       CASE WHEN last2 IN ({suffixes}) AND len(labels) >= 3
+            THEN labels[len(labels) - 2] || '.' || last2
+            ELSE last2 END AS reg_domain,
+       (CASE WHEN last2 IN ({suffixes}) AND len(labels) >= 3
+             THEN labels[len(labels) - 2] || '.' || last2
+             ELSE last2 END) IN ({block}) AS is_blocked,
+       CAST(len(raw_params) - len(kept_params) AS INT) AS n_dropped
+FROM reg
+"""
+
+
+SQL_URL_NORMALIZE = _sql_url_normalize()
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Host-level link graph — the web-graph aggregation
+    behind crawl-quality signals (harmonic centrality / in-degree
+    ranking à la Common Crawl): extract hrefs from markup, explode to
+    link grain, aggregate per target host. Markup is constructed
+    deterministically (the _augmented_corpus pattern; hosts use
+    IANA-reserved names) with 2-3 links per doc so in-degree, distinct
+    sources, and the conditional third link are all non-trivial. Shape:
+    scan → Generate (explode) → one host-keyed aggregate with map-side
+    partials — the host domain is small (13 here, millions at web
+    scale), so the single shuffle moves partial aggregates, not the
+    link stream."""
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    markup = F.concat(
+        F.lit('<p><a href="https://s'),
+        (d % 7).cast("string"),
+        F.lit(".example.org/doc/"),
+        d.cast("string"),
+        F.lit('">a</a> '),
+        F.col("text"),
+        F.lit(' <a href="https://t'),
+        ((d * 3) % 5).cast("string"),
+        F.lit(".example.net/ref/"),
+        (d % 11).cast("string"),
+        F.lit('">b</a>'),
+        F.when(
+            d % 4 == 0, F.lit(' <a href="https://hub.example.com/">hub</a>')
+        ).otherwise(F.lit("")),
+        F.lit("</p>"),
+    )
+    links = F.regexp_extract_all(markup, F.lit('href="([^"]+)"'), 1)
+    exploded = docs.select(d.alias("doc_id"), F.explode(links).alias("link"))
+    return (
+        exploded.select(
+            "doc_id",
+            F.regexp_extract(F.col("link"), "^https?://([^/]+)", 1).alias("host"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("in_degree"),
+            F.countDistinct("doc_id").alias("n_src_docs"),
+            F.min("doc_id").alias("first_src"),
+        )
+    )
+
+
+SQL_LINK_GRAPH = """
+WITH m AS (
+  SELECT doc_id,
+         '<p><a href="https://s' || CAST(doc_id % 7 AS VARCHAR)
+         || '.example.org/doc/' || CAST(doc_id AS VARCHAR) || '">a</a> '
+         || text
+         || ' <a href="https://t' || CAST((doc_id * 3) % 5 AS VARCHAR)
+         || '.example.net/ref/' || CAST(doc_id % 11 AS VARCHAR) || '">b</a>'
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN ' <a href="https://hub.example.com/">hub</a>'
+                  ELSE '' END)
+         || '</p>' AS markup
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(markup, 'href="([^"]+)"', 1)) AS link
+  FROM m
+)
+SELECT regexp_extract(link, '^https?://([^/]+)', 1) AS host,
+       count(*) AS in_degree,
+       count(DISTINCT doc_id) AS n_src_docs,
+       min(doc_id) AS first_src
+FROM l
+GROUP BY 1
+"""
+
+
+# C4 line-filter rules (Raffel et al., "Colossal Clean Crawled Corpus"):
+# keep a line iff it ends in terminal punctuation AND has >= 5 words;
+# page-level flags for curly braces and the 'lorem ipsum' placeholder.
+C4_MIN_WORDS = 5
+C4_LINE_TOKENS = 5  # synthetic line construction: tokens per line
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] C4 rule-based line filtering (Raffel et al. §2.2) —
+    the cheap-heuristic cleaning pass that precedes every model-based
+    filter: split a page into lines, keep lines ending in terminal
+    punctuation with >= 5 words, flag pages containing curly braces or
+    'lorem ipsum', and fingerprint the cleaned page. The corpus has no
+    line structure, so the query constructs it deterministically
+    (5-token lines; every third line per (doc_id + line-index) lacks
+    terminal punctuation; docs at doc_id % 11 / % 13 get injected
+    placeholder / code lines) so every rule fires on a known subset.
+    Expression-only: line construction is ONE transform over a
+    materialized token array (no nested HOFs — the winnowing lesson:
+    inner arrays must be attributes, not re-evaluated expressions), the
+    rule counts are filters over the materialized lines array. Zero
+    shuffles beyond the corpus spread — C4 cleaning at scan speed."""
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    step1 = docs.select("doc_id", "text", toks.alias("toks"))
+    n_lines_body = F.ceil(F.size(F.col("toks")) / F.lit(C4_LINE_TOKENS)).cast(
+        "int"
+    )
+    body = F.transform(
+        F.sequence(F.lit(0), n_lines_body - 1),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(F.col("toks"), i * C4_LINE_TOKENS + 1, C4_LINE_TOKENS),
+                " ",
+            ),
+            F.when((d + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    lines = F.concat(
+        body,
+        F.when(
+            d % 11 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet placeholder.")),
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(
+            d % 13 == 0,
+            F.array(F.lit("var f = function() { return x }.")),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    step2 = step1.select("doc_id", lines.alias("lines"))
+    ln = F.col("lines")
+    punct_ok = lambda x: x.rlike('[.!?"]$')  # noqa: E731
+    words_ok = lambda x: F.size(F.split(x, " ")) >= C4_MIN_WORDS  # noqa: E731
+    kept = F.filter(ln, lambda x: punct_ok(x) & words_ok(x))
+    n_all = F.size(ln)
+    n_punct_pass = F.size(F.filter(ln, punct_ok))
+    n_kept = F.size(kept)
+    has_brace = F.exists(ln, lambda x: x.contains("{") | x.contains("}"))
+    has_badword = F.exists(ln, lambda x: F.lower(x).contains("lorem ipsum"))
+    return step2.select(
+        "doc_id",
+        n_all.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        (n_all - n_punct_pass).alias("n_drop_punct"),
+        (n_punct_pass - n_kept).alias("n_drop_short"),
+        F.round(n_kept.cast("double") / n_all, 4).alias("kept_frac"),
+        ((n_kept >= 3) & ~has_brace & ~has_badword).alias("page_ok"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_fp"),
+    )
+
+
+SQL_C4_FILTERS = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(toks) / {C4_LINE_TOKENS}.0) AS INT)),
+           i -> array_to_string(
+                  list_slice(toks, i * {C4_LINE_TOKENS} + 1,
+                             i * {C4_LINE_TOKENS} + {C4_LINE_TOKENS}), ' ')
+                || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
+         ) AS body
+  FROM t
+),
+l AS (
+  SELECT doc_id,
+         list_concat(list_concat(
+           body,
+           CASE WHEN doc_id % 11 = 0
+                THEN ['lorem ipsum dolor sit amet placeholder.']
+                ELSE [] END),
+           CASE WHEN doc_id % 13 = 0
+                THEN ['var f = function() {{ return x }}.']
+                ELSE [] END
+         ) AS lines
+  FROM b
+),
+c AS (
+  SELECT doc_id, lines,
+         len(lines) AS n_lines,
+         len(list_filter(lines, x -> regexp_matches(x, '[.!?"]$')))
+           AS n_punct_pass,
+         list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+                                 AND len(string_split(x, ' ')) >= {C4_MIN_WORDS})
+           AS kept,
+         len(list_filter(lines, x -> contains(x, '{{') OR contains(x, '}}')))
+           > 0 AS has_brace,
+         len(list_filter(lines, x -> contains(lower(x), 'lorem ipsum')))
+           > 0 AS has_badword
+  FROM l
+)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(n_lines - n_punct_pass AS INT) AS n_drop_punct,
+       CAST(n_punct_pass - len(kept) AS INT) AS n_drop_short,
+       round(CAST(len(kept) AS DOUBLE) / n_lines, 4) AS kept_frac,
+       (len(kept) >= 3 AND NOT has_brace AND NOT has_badword) AS page_ok,
+       md5(array_to_string(kept, chr(10))) AS clean_fp
+FROM c
+"""
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
@@ -2666,6 +3127,10 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
     "html_strip": (q_html_strip, SQL_HTML_STRIP),
     "winnowing": (q_winnowing, SQL_WINNOWING),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "link_graph": (q_link_graph, SQL_LINK_GRAPH),
+    "c4_filters": (q_c4_filters, SQL_C4_FILTERS),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

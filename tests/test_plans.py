@@ -638,3 +638,57 @@ def test_dsir_weights_broadcast_ratio_table(spark):
     assert "CartesianProduct" not in s
     assert "SortMergeJoin" not in s
     assert "partial_count" in s or "partial_sum" in s
+
+
+def test_lang_id_expression_only_zero_shuffle(spark):
+    """Language ID is ONE codegen'd projection over the corpus scan (the
+    stopword scoring table folds into the expression tree): no joins, no
+    explode, no exchange beyond the _documents spread -- language routing
+    for 100 TB at scan speed."""
+    s = plan_of(spark, "lang_id")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1  # only the corpus spread
+    assert s.count(") Project") == 1
+
+
+def test_url_normalize_expression_only_zero_shuffle(spark):
+    """URL canonicalization + registered-domain extraction is one
+    codegen'd regex/array projection -- no joins (the public-suffix and
+    block lists fold in as literals), no explode, no exchange beyond the
+    corpus spread."""
+    s = plan_of(spark, "url_normalize")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1
+    assert s.count(") Project") == 1
+
+
+def test_link_graph_single_host_shuffle_with_partials(spark):
+    """The link graph aggregates at host grain with map-side partial
+    aggregation BEFORE its single agg shuffle (the distinct-source count
+    partials ride the same exchange): scan -> Generate (href explode) ->
+    partial aggs -> ONE exchange -> final. Never a doc-pair product."""
+    s = plan_of(spark, "link_graph")
+    assert "Generate" in s  # href explode to link grain
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert s.count(") Exchange") <= 2  # corpus spread + ONE agg shuffle
+    # partial (pre-shuffle) aggregation present: more HashAggregates than
+    # the single post-exchange final
+    assert s.count(") HashAggregate") >= 3
+
+
+def test_c4_filters_expression_only_no_nested_hof_regression(spark):
+    """C4 line filtering stays expression-only with the token array
+    MATERIALIZED in its own projection before the line transform and the
+    rule filters (the winnowing lesson: HOFs over re-evaluated inner
+    expressions fall off codegen into quadratic interpreted evaluation).
+    No joins, no explode, no exchange beyond the corpus spread; the
+    multi-step Project chain is the materialization boundary."""
+    s = plan_of(spark, "c4_filters")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1
+    # toks / lines materialize in their own Projects (>= 2 stages)
+    assert s.count(") Project") >= 2
