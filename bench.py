@@ -84,6 +84,9 @@ HEADLINE = [
     "url_normalize",
     "link_graph",
     "c4_filters",
+    "audio_meta",
+    "mime_sniff",
+    "epoch_shuffle",
     "tfidf",
     "weighted_median",
     "udtf_spans",

@@ -262,3 +262,118 @@ def image_meta(payload: F.Column) -> F.Column:
         .otherwise(null_i)
         .alias("height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio headers + MIME routing (r6): the RIFF/WAV twin of the PNG/GIF
+# parsers above, plus magic-byte content-type dispatch — all expression-
+# level, so the ingestion router and the metadata backfill never leave
+# whole-stage codegen and blobs never enter Python.
+# ---------------------------------------------------------------------------
+
+WAV_RIFF_HEX = "52494646"  # "RIFF"
+WAV_WAVEFMT_HEX = "57415645666D7420"  # "WAVEfmt "
+JPEG_SIG_HEX = "FFD8FF"
+PDF_SIG_HEX = "25504446"  # "%PDF"
+ZIP_SIG_HEX = "504B0304"  # PK\x03\x04
+GZIP_SIG_HEX = "1F8B"
+
+
+def _le_hex(n: F.Column, nbytes: int) -> F.Column:
+    """``nbytes``-wide little-endian hex of an int column (RIFF fields)."""
+    byte = lambda b: F.lpad(F.conv(b.cast("string"), 10, 16), 2, "0")  # noqa: E731
+    return F.concat(
+        *[byte((n / F.lit(256**i)).cast("long") % 256) for i in range(nbytes)]
+    )
+
+
+def synth_wav(
+    sample_rate: F.Column, channels: F.Column, bits: F.Column, n_frames: F.Column
+) -> F.Column:
+    """A real 44-byte canonical WAV header (RIFF + fmt + data chunk
+    descriptor, PCM) carrying the given stream parameters — parseable by
+    any RIFF reader (the stdlib ``wave`` module opens it:
+    tests/test_multimodal_audio.py). The payload carries no samples;
+    this is the metadata slice of audio ingestion, exactly like
+    synth_png/synth_gif for images."""
+    block_align = ((channels * bits) / 8).cast("long")
+    byte_rate = sample_rate * block_align
+    data_size = n_frames * block_align
+    return F.unhex(
+        F.concat(
+            F.lit(WAV_RIFF_HEX),
+            _le_hex(data_size + 36, 4),  # RIFF chunk size
+            F.lit(WAV_WAVEFMT_HEX),  # "WAVE" + "fmt "
+            F.lit("10000000"),  # fmt chunk size 16 (LE)
+            F.lit("0100"),  # audio format 1 = PCM (LE)
+            _le_hex(channels, 2),
+            _le_hex(sample_rate, 4),
+            _le_hex(byte_rate, 4),
+            _le_hex(block_align, 2),
+            _le_hex(bits, 2),
+            F.lit("64617461"),  # "data"
+            _le_hex(data_size, 4),
+        )
+    )
+
+
+def _le4_int(payload: F.Column, pos: int) -> F.Column:
+    """32-bit little-endian int at 1-based byte offset ``pos``."""
+    b = lambda i: F.conv(_bytes_hex(payload, pos + i, 1), 16, 10).cast("long")  # noqa: E731
+    return b(0) + b(1) * 256 + b(2) * 65536 + b(3) * 16777216
+
+
+def audio_meta(payload: F.Column) -> F.Column:
+    """Parse (mime_type, channels, sample_rate_hz, bits_per_sample,
+    duration_ms) from a WAV payload's RIFF header — pure JVM expressions,
+    no codec, no Python; the audio twin of ``image_meta``.
+
+    Canonical-layout WAV (RIFF + "WAVE" + 16-byte fmt + data): channels
+    LE16@23, sample rate LE32@25, byte rate LE32@29, bits LE16@35, data
+    size LE32@41 (1-based offsets). duration_ms =
+    floor(data_size·1000/byte_rate) — integer-exact cross-engine. Non-WAV
+    payloads yield ('application/octet-stream', NULL…), never an error,
+    so one malformed blob cannot fail a backfill — the image_meta
+    contract."""
+    is_wav = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
+        _bytes_hex(payload, 9, 8) == WAV_WAVEFMT_HEX
+    )
+    null_i = F.lit(None).cast("int")
+    byte_rate = _le4_int(payload, 29)
+    data_size = _le4_int(payload, 41)
+    return F.struct(
+        F.when(is_wav, F.lit("audio/x-wav"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime_type"),
+        F.when(is_wav, _le2_int(payload, 23)).otherwise(null_i).alias("channels"),
+        F.when(is_wav, _le4_int(payload, 25).cast("int"))
+        .otherwise(null_i)
+        .alias("sample_rate_hz"),
+        F.when(is_wav, _le2_int(payload, 35))
+        .otherwise(null_i)
+        .alias("bits_per_sample"),
+        F.when(is_wav, F.floor(data_size * 1000 / byte_rate).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("duration_ms"),
+    )
+
+
+def sniff_mime(payload: F.Column) -> F.Column:
+    """Magic-byte content-type detection: the ingestion router that sends
+    each blob to the right decode pipeline (image/audio/document/archive).
+    First-match dispatch on leading signatures — the RIFF check also
+    requires "WAVE" at offset 9 so other RIFF containers (AVI) are not
+    misrouted. Unknown bytes yield 'application/octet-stream', never an
+    error."""
+    sig = lambda hexs: _bytes_hex(payload, 1, len(hexs) // 2) == hexs  # noqa: E731
+    is_wav = sig(WAV_RIFF_HEX) & (_bytes_hex(payload, 9, 8) == WAV_WAVEFMT_HEX)
+    return (
+        F.when(sig(PNG_SIG_HEX), F.lit("image/png"))
+        .when(sig(GIF_SIG_HEX), F.lit("image/gif"))
+        .when(is_wav, F.lit("audio/x-wav"))
+        .when(sig(JPEG_SIG_HEX), F.lit("image/jpeg"))
+        .when(sig(PDF_SIG_HEX), F.lit("application/pdf"))
+        .when(sig(ZIP_SIG_HEX), F.lit("application/zip"))
+        .when(sig(GZIP_SIG_HEX), F.lit("application/gzip"))
+        .otherwise(F.lit("application/octet-stream"))
+    )

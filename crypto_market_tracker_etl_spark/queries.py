@@ -2464,6 +2464,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 ATTESTATION_ORDER: list[str] = [
     # ==== r6 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
+    "audio_meta", "mime_sniff", "epoch_shuffle",
     "lang_id", "url_normalize", "link_graph", "c4_filters",
     "lm_perplexity", "ppl_buckets_approx", "quality_logit", "gram_novelty",
     "html_strip", "winnowing",
@@ -2479,14 +2480,14 @@ ATTESTATION_ORDER: list[str] = [
     "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
     "basket_lift", "session_islands", "late_arrivals", "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    # -- rest of the r3 cohort: the TPC-H flagships (q4 → position 51) ----
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
-    "tpch_q14",
-    # (the ten r6 additions above pushed tpch_q4/knn_pq/knn_ivfpq/
-    # hash_split/domain_mix/boilerplate_strip/cdc_apply/
-    # cosine_topk_filtered/weighted_median/udtf_spans past position 50;
+    # -- rest of the r3 cohort: the TPC-H flagships ------------------------
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    # (the thirteen r6 additions above pushed tpch_q18/q10/q14/q4, knn_pq,
+    # knn_ivfpq, hash_split, domain_mix, boilerplate_strip, cdc_apply,
+    # cosine_topk_filtered, weighted_median, udtf_spans past position 50;
     # all move to the r7 window) ------------------------------------------
     # ==== positions 51+: r4-top remainder, then the r5 window ============
+    "tpch_q18", "tpch_q10", "tpch_q14",
     "tpch_q4", "knn_pq", "knn_ivfpq", "hash_split",
     "domain_mix", "boilerplate_strip", "cdc_apply", "cosine_topk_filtered",
     "weighted_median", "udtf_spans",

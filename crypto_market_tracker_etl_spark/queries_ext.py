@@ -2085,6 +2085,123 @@ FROM documents
 """
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Audio-format metadata WITHOUT a codec: RIFF/WAV header
+    parsing (channels, sample rate, bit depth, duration) as pure JVM
+    expressions — the audio twin of image_meta, covering the metadata
+    backfill every audio pipeline runs before any sample is decoded.
+
+    Payloads are genuine 44-byte WAV headers synthesized per doc (the
+    stdlib ``wave`` module opens them — tests/test_multimodal_audio.py);
+    every fifth doc carries a PNG instead so the parser's unknown-format
+    path (octet-stream + NULLs, never an error) runs in the same plan.
+    The oracle knows the synthesis formulas and checks the parse
+    analytically — a differential test of the parser. Integer arithmetic
+    only (duration is floor(data_size·1000/byte_rate)); bit-identical in
+    any engine. One zero-shuffle projection (plan-asserted)."""
+    from .multimodal.binary import audio_meta, synth_png, synth_wav
+
+    docs = _documents(spark, sf_dir)
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    bits = F.when(F.col("doc_id") % 3 == 0, F.lit(16)).otherwise(F.lit(8))
+    frames = (F.lit(1000) + (F.col("doc_id") * 37) % 44100).cast("long")
+    is_png_row = F.col("doc_id") % 5 == 4
+    payload = F.when(
+        is_png_row, synth_png(F.lit(320).cast("int"), F.lit(240).cast("int"))
+    ).otherwise(synth_wav(sr, ch, bits, frames))
+    meta = audio_meta(payload)
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        meta.getField("mime_type").alias("mime_type"),
+        meta.getField("channels").alias("channels"),
+        meta.getField("sample_rate_hz").alias("sample_rate_hz"),
+        meta.getField("bits_per_sample").alias("bits_per_sample"),
+        meta.getField("duration_ms").alias("duration_ms"),
+    )
+
+
+SQL_AUDIO_META = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 5 = 4 AS is_png,
+         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+         CAST(doc_id % 2 + 1 AS INT) AS ch,
+         CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
+         1000 + (doc_id * 37) % 44100 AS frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN is_png THEN 29 ELSE 44 END AS INT) AS n_bytes,
+       CASE WHEN is_png THEN 'application/octet-stream'
+            ELSE 'audio/x-wav' END AS mime_type,
+       CASE WHEN is_png THEN NULL ELSE ch END AS channels,
+       CAST(CASE WHEN is_png THEN NULL ELSE sr END AS INT) AS sample_rate_hz,
+       CAST(CASE WHEN is_png THEN NULL ELSE bits END AS INT) AS bits_per_sample,
+       CAST(CASE WHEN is_png THEN NULL
+            ELSE (frames * (ch * bits // 8) * 1000) // (sr * (ch * bits // 8))
+            END AS BIGINT) AS duration_ms
+FROM p
+"""
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Magic-byte MIME routing over a mixed binary column —
+    the ingestion fan-out that decides which decode pipeline (image /
+    audio / document / archive) each blob enters, before any codec runs.
+    Every route is exercised: payloads cycle PNG, GIF, WAV, JPEG, PDF,
+    ZIP, GZIP by doc_id % 7 (real container prefixes — the PNG/GIF/WAV
+    ones are the same synthesizers the parsers consume; the rest are
+    literal signature bytes). The oracle knows the cycle and checks the
+    routing analytically. One zero-shuffle projection (plan-asserted);
+    blobs never enter Python."""
+    from .multimodal.binary import sniff_mime, synth_gif, synth_png, synth_wav
+
+    docs = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 7
+    w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
+    h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
+    payload = (
+        F.when(m == 0, synth_png(w, h))
+        .when(m == 1, synth_gif(w, h))
+        .when(
+            m == 2,
+            synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)),
+        )
+        .when(m == 3, F.unhex(F.lit("FFD8FFE000104A464946")))  # JFIF prefix
+        .when(m == 4, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
+        .when(m == 5, F.unhex(F.lit("504B03041400")))  # ZIP local header
+        .otherwise(F.unhex(F.lit("1F8B08000000")))  # gzip deflate
+    )
+    mime = sniff_mime(payload)
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        mime.alias("mime_type"),
+        mime.startswith("image/").alias("is_image"),
+        (mime.startswith("image/") | mime.startswith("audio/")).alias("is_media"),
+    )
+
+
+SQL_MIME_SNIFF = """
+SELECT doc_id,
+       CAST(CASE doc_id % 7 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
+            WHEN 3 THEN 10 WHEN 4 THEN 8 ELSE 6 END AS INT) AS n_bytes,
+       CASE doc_id % 7 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'image/jpeg'
+            WHEN 4 THEN 'application/pdf' WHEN 5 THEN 'application/zip'
+            ELSE 'application/gzip' END AS mime_type,
+       doc_id % 7 IN (0, 1, 3) AS is_image,
+       doc_id % 7 IN (0, 1, 2, 3) AS is_media
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Model-based filtering family (r6): LM perplexity, classifier quality,
 # first-seen novelty — the CCNet/LLaMA-pipeline selection stages.
@@ -3092,6 +3209,8 @@ FROM c
 
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
+    "audio_meta": (q_audio_meta, SQL_AUDIO_META),
+    "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP_PAIRS),

@@ -1090,7 +1090,73 @@ FROM off WHERE tok <> ''
 """
 
 
+SHUFFLE_SEED = "shuf-r6"
+SHUFFLE_SHARDS = 8
+SHUFFLE_EPOCHS = ("e0", "e1")
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[training-data] Deterministic epoch shuffling: the global random
+    document order every training run needs, as a pure function of
+    (seed, epoch, doc_id) — reproducible across reruns, backfills, and
+    cluster sizes, with NO global sort. Each doc's 48-bit md5 key routes
+    it to a shard (shard = key % S: the file a distributed writer would
+    emit via partitionBy) and orders it within the shard (pos = rank of
+    key, doc_id tie-break); readers stream shards round-robin for the
+    epoch order. Two epochs materialize side by side (different key →
+    different permutation) — the multi-epoch schedule in one plan.
+    Scale shape: the ONLY exchange is the shard-keyed hash partition
+    (plan-asserted: no range partitioning anywhere — a sortBy-style
+    total order would be a cluster-wide range shuffle); within-shard
+    ordering is a local sort. Rows 2·n_docs by design."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    ep = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in SHUFFLE_EPOCHS])).alias("epoch"),
+    )
+    key = md5_long(
+        F.concat(F.col("epoch"), F.lit(":"), F.col("doc_id").cast("string")),
+        seed=SHUFFLE_SEED,
+        n_hex=12,
+    )
+    keyed = ep.select(
+        "epoch",
+        "doc_id",
+        key.alias("k"),
+        (key % SHUFFLE_SHARDS).cast("int").alias("shard_id"),
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("k", "doc_id")
+    return keyed.select(
+        "epoch",
+        "shard_id",
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+_SHUF_KEY = hex_prefix_to_long_sql(
+    f"md5('{SHUFFLE_SEED}' || epoch || ':' || CAST(doc_id AS VARCHAR))", 12, "duckdb"
+)
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH e AS (
+  SELECT doc_id, epoch
+  FROM documents, (VALUES {", ".join(f"('{e}')" for e in SHUFFLE_EPOCHS)}) v(epoch)
+), k AS (
+  SELECT doc_id, epoch, {_SHUF_KEY} AS k FROM e
+)
+SELECT epoch,
+       CAST(k % {SHUFFLE_SHARDS} AS INT) AS shard_id,
+       doc_id,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY epoch, k % {SHUFFLE_SHARDS}
+            ORDER BY k, doc_id) AS INT) AS pos
+FROM k
+"""
+
+
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),

@@ -692,3 +692,42 @@ def test_c4_filters_expression_only_no_nested_hof_regression(spark):
     assert s.count(") Exchange") <= 1
     # toks / lines materialize in their own Projects (>= 2 stages)
     assert s.count(") Project") >= 2
+
+
+def test_audio_meta_expression_only_zero_shuffle(spark):
+    """RIFF/WAV header parsing is ONE codegen'd projection over the scan
+    (synthesis + parse + unknown-format dispatch all fold into the
+    expression tree): no joins, no explode, no exchange beyond the
+    corpus spread -- metadata backfill at scan speed, blobs never in
+    Python."""
+    s = plan_of(spark, "audio_meta")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1
+    assert s.count(") Project") == 1
+
+
+def test_mime_sniff_expression_only_zero_shuffle(spark):
+    """Magic-byte MIME routing is one codegen'd projection -- the
+    signature dispatch is a CASE chain over byte slices, so the
+    ingestion router costs one scan."""
+    s = plan_of(spark, "mime_sniff")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1
+    assert s.count(") Project") == 1
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """Epoch shuffling must NOT be a total-order sort: the only exchange
+    is the shard-keyed hash partition (the writer's partitionBy), and
+    within-shard ordering is a local sort under the window. A
+    rangepartitioning anywhere means someone reintroduced the
+    cluster-wide global sort this operator exists to avoid."""
+    s = plan_of(spark, "epoch_shuffle")
+    assert "rangepartitioning" not in s.lower()
+    assert "CartesianProduct" not in s
+    assert "Window" in s
+    assert "Generate" in s  # the epoch fan-out
+    assert "hashpartitioning" in s
+    assert s.count(") Exchange") <= 2  # corpus spread + ONE shard shuffle
