@@ -86,7 +86,11 @@ HEADLINE = [
     "c4_filters",
     "audio_meta",
     "mime_sniff",
+    "video_meta",
     "epoch_shuffle",
+    "vocab_stats",
+    "tokenize_count",
+    "curation_pipeline",
     "tfidf",
     "weighted_median",
     "udtf_spans",

@@ -358,6 +358,113 @@ def audio_meta(payload: F.Column) -> F.Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Video containers (r6): ISO-BMFF / MP4 box parsing — ftyp brand + mvhd
+# timescale/duration/track-count — completes the image/audio/video metadata
+# triad. Box offsets are discovered at runtime (instr on the payload hex),
+# so the parser is not layout-pinned like the WAV one; still pure JVM
+# expressions, no codec, no Python.
+# ---------------------------------------------------------------------------
+
+MP4_FTYP_HEX = "66747970"  # "ftyp"
+MP4_MVHD_HEX = "6D766864"  # "mvhd"
+
+
+def synth_mp4(
+    brand: F.Column, timescale: F.Column, duration: F.Column, n_tracks: F.Column
+) -> F.Column:
+    """A real ISO-BMFF prefix: 20-byte ftyp (major brand, minor version,
+    one compatible brand) + moov header + 108-byte version-0 mvhd carrying
+    the given timescale / duration / next_track_ID — 136 bytes, walkable
+    by any box parser (tests/test_multimodal_video.py walks it with an
+    independent pure-python reader). The payload carries no mdat samples;
+    this is the metadata slice of video ingestion, exactly like
+    synth_png / synth_wav for the other modalities."""
+    return F.unhex(
+        F.concat(
+            F.lit("00000014"),  # ftyp box size 20 (BE)
+            F.lit(MP4_FTYP_HEX),
+            F.hex(F.encode(brand, "UTF-8")),  # major brand (4 ASCII chars)
+            F.lit("00000200"),  # minor version
+            F.lit("6D703431"),  # compatible brand "mp41"
+            F.lit("00000074"),  # moov box size 116 = 8 + mvhd 108 (BE)
+            F.lit("6D6F6F76"),  # "moov"
+            F.lit("0000006C"),  # mvhd box size 108 (BE)
+            F.lit(MP4_MVHD_HEX),
+            F.lit("00000000"),  # version 0 + flags
+            F.lit("00000000"),  # creation_time
+            F.lit("00000000"),  # modification_time
+            _be4_hex(timescale),
+            _be4_hex(duration),
+            F.lit("00010000"),  # rate 1.0 (16.16 fixed)
+            F.lit("0100"),  # volume 1.0 (8.8 fixed)
+            F.lit("0000"),  # reserved
+            F.lit("0000000000000000"),  # reserved[2] (2×u32)
+            # unity display matrix (9×u32)
+            F.lit("000100000000000000000000"),
+            F.lit("000000000001000000000000"),
+            F.lit("000000000000000040000000"),
+            F.lit("0" * 48),  # pre_defined[6] (6×u32)
+            _be4_hex(n_tracks + 1),  # next_track_ID
+        )
+    )
+
+
+def _be4_int_at(payload: F.Column, pos: F.Column) -> F.Column:
+    """32-bit big-endian int at a RUNTIME 1-based byte offset (Column) —
+    ``Column.substr`` accepts column offsets where ``F.substring`` wants
+    literals, which is what lets the box walk happen in expressions."""
+    return F.conv(F.hex(payload.substr(pos, F.lit(4))), 16, 10).cast("long")
+
+
+def video_meta(payload: F.Column) -> F.Column:
+    """Parse (mime_type, brand, timescale, duration_ms, n_tracks) from an
+    ISO-BMFF/MP4 payload — pure JVM expressions, no codec, no Python; the
+    video leg of the image_meta / audio_meta triad.
+
+    ftyp is recognized at its mandated first-box position (tag at byte
+    5); the mvhd box is then LOCATED AT RUNTIME by scanning the payload
+    hex for its tag at a byte-aligned offset (``instr`` + odd-position
+    check), so moov may sit anywhere after ftyp and carry any siblings —
+    unlike the fixed-layout WAV parser this one tolerates layout drift.
+    Version-0 mvhd fields: timescale BE32 @tag+16, duration BE32 @tag+20,
+    next_track_ID BE32 @tag+100 (n_tracks = next_track_ID − 1).
+    duration_ms = floor(duration·1000/timescale) — integer-exact
+    cross-engine. Version-1 (64-bit) mvhd, missing mvhd, or non-MP4 bytes
+    yield ('application/octet-stream', NULL…), never an error — the
+    image_meta contract: one malformed blob cannot fail a backfill."""
+    is_mp4 = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
+    hexpos = F.instr(F.hex(payload), MP4_MVHD_HEX)
+    aligned = (hexpos > 0) & (hexpos % 2 == 1)
+    p = ((hexpos + 1) / 2).cast("int")  # 1-based byte offset of the tag
+    version_ok = aligned & (_be_int_dyn(payload, p + 4, 1) == 0)
+    ok = is_mp4 & version_ok
+    timescale = _be4_int_at(payload, p + 16)
+    duration = _be4_int_at(payload, p + 20)
+    next_track = _be4_int_at(payload, p + 100)
+    null_l = F.lit(None).cast("long")
+    return F.struct(
+        F.when(is_mp4, F.lit("video/mp4"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime_type"),
+        F.when(is_mp4, F.substring(payload, 9, 4).cast("string"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("brand"),
+        F.when(ok, timescale).otherwise(null_l).alias("timescale"),
+        F.when(ok & (timescale > 0), F.floor(duration * 1000 / timescale))
+        .otherwise(null_l)
+        .alias("duration_ms"),
+        F.when(ok, (next_track - 1).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("n_tracks"),
+    )
+
+
+def _be_int_dyn(payload: F.Column, pos: F.Column, n: int) -> F.Column:
+    """Big-endian int of ``n`` bytes at a runtime 1-based offset."""
+    return F.conv(F.hex(payload.substr(pos, F.lit(n))), 16, 10).cast("long")
+
+
 def sniff_mime(payload: F.Column) -> F.Column:
     """Magic-byte content-type detection: the ingestion router that sends
     each blob to the right decode pipeline (image/audio/document/archive).
@@ -371,6 +478,7 @@ def sniff_mime(payload: F.Column) -> F.Column:
         F.when(sig(PNG_SIG_HEX), F.lit("image/png"))
         .when(sig(GIF_SIG_HEX), F.lit("image/gif"))
         .when(is_wav, F.lit("audio/x-wav"))
+        .when(_bytes_hex(payload, 5, 4) == MP4_FTYP_HEX, F.lit("video/mp4"))
         .when(sig(JPEG_SIG_HEX), F.lit("image/jpeg"))
         .when(sig(PDF_SIG_HEX), F.lit("application/pdf"))
         .when(sig(ZIP_SIG_HEX), F.lit("application/zip"))

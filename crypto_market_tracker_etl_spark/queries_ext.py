@@ -1385,6 +1385,317 @@ FROM (
 """
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Corpus vocabulary profile — the dataset-card numbers
+    every pretraining corpus ships with: token/type counts, type-token
+    ratio, hapax-legomena fraction (the misspelling/noise signal), and
+    the Zipf slope (regr_slope of ln freq ~ ln rank over the frequency
+    head — natural text sits near −1; a flat or cliff-shaped slope flags
+    boilerplate or spam floods).
+
+    Scale shape: ONE wordcount shuffle to vocabulary grain (map-side
+    combining), then two bounded reductions — the corpus-wide moments are
+    a pure partial aggregate over the vocab, and the Zipf fit ranks only
+    the TOP-1000 head via TakeOrderedAndProject (the Zipf regime IS the
+    head; ranking the full vocabulary would be a global sort that grows
+    with type count, so the fit is bounded by construction — the window
+    that numbers the head runs over exactly 1000 rows). The two 1-row
+    results meet in a broadcast cross join. No driver collect."""
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    moments = vocab.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("freq"), 4).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 4
+        ).alias("hapax_frac"),
+    )
+    head = vocab.orderBy(F.desc("freq"), F.col("w")).limit(1000)
+    ranked = head.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.col("w")))
+    )
+    slope = ranked.agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope")
+    )
+    return moments.crossJoin(F.broadcast(slope))
+
+
+SQL_VOCAB_STATS = f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS w FROM documents
+),
+v AS (SELECT w, count(*) AS freq FROM tok WHERE w <> '' GROUP BY w),
+moments AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         round(count(*) / CAST(sum(freq) AS DOUBLE), 4) AS ttr,
+         round(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 4) AS hapax_frac
+  FROM v
+),
+head AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rank
+         FROM v ORDER BY freq DESC, w LIMIT 1000),
+slope AS (
+  SELECT round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                          ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope
+  FROM head
+)
+SELECT * FROM moments, slope
+"""
+
+
+TOKENIZER_VOCAB_K = 512  # bounded → the vocab side always broadcasts
+
+
+def q_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Vocabulary-aware token accounting — the pretraining
+    cost estimate that decides corpus budgets: words in the top-K corpus
+    vocabulary tokenize to ONE subword token; out-of-vocabulary words
+    fall back to per-character tokens (the byte-fallback floor every
+    BPE-family tokenizer bottoms out at). Per doc: word count, subword
+    token count under that model, and the OOV rate (the domain-shift
+    signal — prose scores low, code/URLs/typos score high).
+
+    Scale shape: the corpus collapses to (doc, word, count) grain FIRST
+    (one explode shuffle with map-side combining — the join never sees
+    raw token instances); the vocabulary is K-bounded by construction
+    (TakeOrderedAndProject, no global sort, no collect) so the
+    vocab⋈words join always BROADCASTS the vocab side; the per-doc
+    rollup rides the (doc, word) grain back down. No driver collect."""
+    docs = _documents(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = wc.groupBy("w").agg(F.sum("cnt").alias("freq"))
+    topv = (
+        vocab.orderBy(F.desc("freq"), F.col("w"))
+        .limit(TOKENIZER_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    joined = wc.join(F.broadcast(topv), "w", "left")
+    return joined.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.sum(
+            F.when(F.col("in_vocab").isNotNull(), F.col("cnt")).otherwise(
+                F.length("w") * F.col("cnt")
+            )
+        ).alias("n_tokens_sub"),
+        F.round(
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            4,
+        ).alias("oov_rate"),
+    )
+
+
+SQL_TOKENIZE_COUNT = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS cnt FROM tok WHERE w <> ''
+       GROUP BY doc_id, w),
+v AS (SELECT w, sum(cnt) AS freq FROM wc GROUP BY w),
+topv AS (SELECT w FROM v ORDER BY freq DESC, w LIMIT {TOKENIZER_VOCAB_K})
+SELECT wc.doc_id,
+       CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN t.w IS NOT NULL THEN wc.cnt
+                ELSE len(wc.w) * wc.cnt END) AS BIGINT) AS n_tokens_sub,
+       round(sum(CASE WHEN t.w IS NULL THEN wc.cnt ELSE 0 END)
+             / CAST(sum(wc.cnt) AS DOUBLE), 4) AS oov_rate
+FROM wc LEFT JOIN topv t ON wc.w = t.w
+GROUP BY wc.doc_id
+"""
+
+
+CURATION_BUDGET_TOKENS = 8_000  # absolute token budget of the final sample
+CURATION_PRI_SEED = "budget:"
+# The pipeline's quality gate: [quality_logit]'s kept-threshold (0) is the
+# classifier's own operating point; the funnel gates at the corpus's ~40th
+# logit percentile instead so every stage passes a meaningful fraction and
+# the downstream stages (dedup keep-best, budget cut) do real work.
+QL_PIPELINE_MIN = -0.8
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] The END-TO-END curation funnel — the composition
+    every pretraining data pipeline actually runs, as ONE dataflow:
+    raw corpus → language gate (stopword classifier: keep docs a known
+    language matches) → quality gate (the attested linear classifier's
+    rounded logit ≥ QL_PIPELINE_MIN — shared expression with
+    [quality_logit] via _quality_features, operating point moved to the
+    corpus's ~40th percentile so the funnel stages all do real work) →
+    exact-dedup keep-best (md5 content fingerprint;
+    highest logit, then lowest doc_id wins) → token-budget sample
+    (seeded 24-bit hash priority: accept iff pri·total_tokens <
+    budget·2²⁴ — EXPECTED budget, integer-exact, rerun/backfill-stable;
+    an exact prefix-sum cut would need a global sort, the thing the
+    hash-priority design avoids at 100 TB). Emits the funnel: docs and
+    tokens surviving each stage, one row.
+
+    The corpus has no exact duplicates, so every third doc is unioned
+    back as an exact copy (doc_id + 200000) — the dedup stage has real
+    work and the keep-best tiebreak is exercised (copies share fp AND
+    logit). Scale shape: one scan computes every per-doc feature
+    (language hits, logit, fingerprint, token count) in a single
+    codegen'd projection; ONE fp-keyed shuffle ranks duplicates; the
+    budget anchor is a 1-row broadcast; the funnel is a partial-agg
+    reduction. No driver collect."""
+    raw = _documents(spark, sf_dir).select("doc_id", "text")
+    copies = raw.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    aug = raw.unionByName(copies)
+    t = F.col("text")
+    feats = _quality_features(t)
+    hits_total = sum((stopword_hits(t, lg) for lg in sorted(STOPWORDS)), F.lit(0))
+    base = aug.select(
+        "doc_id",
+        feats["nt"].cast("long").alias("nt"),
+        hits_total.alias("hits_total"),
+        feats["logit_r"].alias("logit"),
+        F.md5(normalize_ws(t)).alias("fp"),
+    )
+    flags = base.withColumn("pass_lang", F.col("hits_total") > 0).withColumn(
+        "pass_qual",
+        (F.col("hits_total") > 0) & (F.col("logit") >= F.lit(QL_PIPELINE_MIN)),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.desc("pass_qual"), F.desc("logit"), F.col("doc_id")
+    )
+    d = flags.withColumn("rn", F.row_number().over(w)).withColumn(
+        "pass_dedup", F.col("pass_qual") & (F.col("rn") == 1)
+    )
+    tot = d.agg(
+        F.sum(F.when(F.col("pass_dedup"), F.col("nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("total_toks")
+    )
+    pri = md5_long(F.col("doc_id").cast("string"), seed=CURATION_PRI_SEED, n_hex=6)
+    fin = d.crossJoin(F.broadcast(tot)).withColumn(
+        "pass_budget",
+        F.col("pass_dedup")
+        & (pri * F.col("total_toks") < F.lit(CURATION_BUDGET_TOKENS * (1 << 24))),
+    )
+
+    def n_of(c: str) -> F.Column:
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+
+    def toks_of(c: str) -> F.Column:
+        return F.sum(F.when(F.col(c), F.col("nt")).otherwise(F.lit(0))).cast("long")
+
+    return fin.agg(
+        F.count(F.lit(1)).cast("long").alias("raw_docs"),
+        F.sum("nt").cast("long").alias("raw_toks"),
+        n_of("pass_lang").alias("lang_docs"),
+        toks_of("pass_lang").alias("lang_toks"),
+        n_of("pass_qual").alias("qual_docs"),
+        toks_of("pass_qual").alias("qual_toks"),
+        n_of("pass_dedup").alias("dedup_docs"),
+        toks_of("pass_dedup").alias("dedup_toks"),
+        n_of("pass_budget").alias("budget_docs"),
+        toks_of("pass_budget").alias("budget_toks"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(ltoks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    total_hits = " + ".join(hits.values())
+    pri = hex_prefix_to_long_sql(
+        f"md5(concat('{CURATION_PRI_SEED}', CAST(doc_id AS VARCHAR)))", 6, "duckdb"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+t AS (
+  SELECT doc_id, text, {SQL_NORM} AS nt_text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM aug
+),
+f AS (
+  SELECT doc_id, nt, md5(nt_text) AS fp,
+         CAST({total_hits} AS BIGINT) AS hits_total,
+         CASE WHEN nt > 0 THEN CAST({total_hits} AS DOUBLE) / nt
+              ELSE 0.0 END AS stop_r,
+         CASE WHEN n_chars > 0
+              THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / n_chars
+              ELSE 0.0 END AS digit_r,
+         CASE WHEN n_chars > 0
+              THEN (n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                   / n_chars
+              ELSE 0.0 END AS upper_r,
+         CASE WHEN nt > 0
+              THEN CAST(length(nt_text) - (nt - 1) AS DOUBLE) / nt
+              ELSE 0.0 END AS mwl
+  FROM t
+),
+z AS (
+  SELECT doc_id, nt, fp, hits_total,
+         round({QL_BIAS} + {QL_W_LEN} * least(CAST(nt AS DOUBLE), 400.0)
+               + {QL_W_STOP} * stop_r + {QL_W_DIGIT} * digit_r
+               + {QL_W_UPPER} * upper_r
+               + CASE WHEN mwl >= 3.0 AND mwl <= 8.0
+                      THEN {QL_W_MWL} ELSE 0.0 END, 4) AS logit
+  FROM f
+),
+flags AS (
+  SELECT *, hits_total > 0 AS pass_lang,
+         hits_total > 0 AND logit >= {QL_PIPELINE_MIN} AS pass_qual
+  FROM z
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fp
+             ORDER BY pass_qual DESC, logit DESC, doc_id) AS rn
+  FROM flags
+),
+d AS (SELECT *, pass_qual AND rn = 1 AS pass_dedup FROM ranked),
+tot AS (SELECT CAST(sum(CASE WHEN pass_dedup THEN nt ELSE 0 END) AS BIGINT)
+               AS total_toks FROM d),
+fin AS (
+  SELECT d.*,
+         pass_dedup AND ({pri}) * tot.total_toks
+                        < {CURATION_BUDGET_TOKENS * (1 << 24)} AS pass_budget
+  FROM d, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+       CAST(sum(nt) AS BIGINT) AS raw_toks,
+       CAST(sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_docs,
+       CAST(sum(CASE WHEN pass_lang THEN nt ELSE 0 END) AS BIGINT) AS lang_toks,
+       CAST(sum(CASE WHEN pass_qual THEN 1 ELSE 0 END) AS BIGINT) AS qual_docs,
+       CAST(sum(CASE WHEN pass_qual THEN nt ELSE 0 END) AS BIGINT) AS qual_toks,
+       CAST(sum(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS BIGINT) AS dedup_docs,
+       CAST(sum(CASE WHEN pass_dedup THEN nt ELSE 0 END) AS BIGINT) AS dedup_toks,
+       CAST(sum(CASE WHEN pass_budget THEN 1 ELSE 0 END) AS BIGINT) AS budget_docs,
+       CAST(sum(CASE WHEN pass_budget THEN nt ELSE 0 END) AS BIGINT) AS budget_toks
+FROM fin
+"""
+
+
+# NOTE: SQL_CURATION_PIPELINE is assigned after the QL_* constants are
+# defined (next to SQL_QUALITY_LOGIT) — the generator reads them at
+# module-import time.
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the shingle arrays: filter /
     transform / exists / forall / aggregate — the lambda-expression surface
@@ -2154,16 +2465,22 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[multimodal] Magic-byte MIME routing over a mixed binary column —
     the ingestion fan-out that decides which decode pipeline (image /
     audio / document / archive) each blob enters, before any codec runs.
-    Every route is exercised: payloads cycle PNG, GIF, WAV, JPEG, PDF,
-    ZIP, GZIP by doc_id % 7 (real container prefixes — the PNG/GIF/WAV
-    ones are the same synthesizers the parsers consume; the rest are
-    literal signature bytes). The oracle knows the cycle and checks the
-    routing analytically. One zero-shuffle projection (plan-asserted);
-    blobs never enter Python."""
-    from .multimodal.binary import sniff_mime, synth_gif, synth_png, synth_wav
+    Every route is exercised: payloads cycle PNG, GIF, WAV, MP4, JPEG,
+    PDF, ZIP, GZIP by doc_id % 8 (real container prefixes — the
+    PNG/GIF/WAV/MP4 ones are the same synthesizers the parsers consume;
+    the rest are literal signature bytes). The oracle knows the cycle and
+    checks the routing analytically. One zero-shuffle projection
+    (plan-asserted); blobs never enter Python."""
+    from .multimodal.binary import (
+        sniff_mime,
+        synth_gif,
+        synth_mp4,
+        synth_png,
+        synth_wav,
+    )
 
     docs = _documents(spark, sf_dir)
-    m = F.col("doc_id") % 7
+    m = F.col("doc_id") % 8
     w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
     h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
     payload = (
@@ -2173,9 +2490,13 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             m == 2,
             synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)),
         )
-        .when(m == 3, F.unhex(F.lit("FFD8FFE000104A464946")))  # JFIF prefix
-        .when(m == 4, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
-        .when(m == 5, F.unhex(F.lit("504B03041400")))  # ZIP local header
+        .when(
+            m == 3,
+            synth_mp4(F.lit("isom"), F.lit(600), F.lit(6000), F.lit(1).cast("int")),
+        )
+        .when(m == 4, F.unhex(F.lit("FFD8FFE000104A464946")))  # JFIF prefix
+        .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
+        .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
         .otherwise(F.unhex(F.lit("1F8B08000000")))  # gzip deflate
     )
     mime = sniff_mime(payload)
@@ -2184,21 +2505,97 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).alias("n_bytes"),
         mime.alias("mime_type"),
         mime.startswith("image/").alias("is_image"),
-        (mime.startswith("image/") | mime.startswith("audio/")).alias("is_media"),
+        (
+            mime.startswith("image/")
+            | mime.startswith("audio/")
+            | mime.startswith("video/")
+        ).alias("is_media"),
     )
 
 
 SQL_MIME_SNIFF = """
 SELECT doc_id,
-       CAST(CASE doc_id % 7 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
-            WHEN 3 THEN 10 WHEN 4 THEN 8 ELSE 6 END AS INT) AS n_bytes,
-       CASE doc_id % 7 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-            WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'image/jpeg'
-            WHEN 4 THEN 'application/pdf' WHEN 5 THEN 'application/zip'
+       CAST(CASE doc_id % 8 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
+            WHEN 3 THEN 136 WHEN 4 THEN 10 WHEN 5 THEN 8
+            ELSE 6 END AS INT) AS n_bytes,
+       CASE doc_id % 8 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
+            WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
+            WHEN 6 THEN 'application/zip'
             ELSE 'application/gzip' END AS mime_type,
-       doc_id % 7 IN (0, 1, 3) AS is_image,
-       doc_id % 7 IN (0, 1, 2, 3) AS is_media
+       doc_id % 8 IN (0, 1, 4) AS is_image,
+       doc_id % 8 IN (0, 1, 2, 3, 4) AS is_media
 FROM documents
+"""
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Video-container metadata WITHOUT a codec: ISO-BMFF/MP4
+    box parsing (ftyp major brand, mvhd timescale / duration / track
+    count) as pure JVM expressions — completes the image/audio/video
+    metadata triad, covering the container-inspection backfill every
+    video pipeline runs before any frame is decoded.
+
+    Payloads are genuine 136-byte MP4 prefixes (ftyp + moov/mvhd)
+    synthesized per doc, walkable by an independent box parser
+    (tests/test_multimodal_video.py); every seventh doc carries a WAV
+    header instead so the parser's unknown-format path (octet-stream +
+    NULLs, never an error) runs in the same plan. Unlike the fixed-layout
+    WAV parser, mvhd is LOCATED AT RUNTIME (byte-aligned instr scan), so
+    the box walk itself is exercised, not a fixed offset table. The
+    oracle knows the synthesis formulas and checks the parse analytically
+    — a differential test of the parser. Integer arithmetic only
+    (duration_ms = floor(duration·1000/timescale)); bit-identical in any
+    engine. One zero-shuffle projection (plan-asserted); blobs never
+    enter Python."""
+    from .multimodal.binary import synth_mp4, synth_wav, video_meta
+
+    docs = _documents(spark, sf_dir)
+    ts = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(30000), F.lit(90000)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    ).cast("int")
+    dur = (F.lit(1000) + (F.col("doc_id") * 53) % 900000).cast("int")
+    tracks = (F.col("doc_id") % 3 + 1).cast("int")
+    brand = F.when(F.col("doc_id") % 2 == 0, F.lit("isom")).otherwise(F.lit("mp42"))
+    is_wav_row = F.col("doc_id") % 7 == 6
+    payload = F.when(
+        is_wav_row,
+        synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)),
+    ).otherwise(synth_mp4(brand, ts, dur, tracks))
+    meta = video_meta(payload)
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        meta.getField("mime_type").alias("mime_type"),
+        meta.getField("brand").alias("brand"),
+        meta.getField("timescale").alias("timescale"),
+        meta.getField("duration_ms").alias("duration_ms"),
+        meta.getField("n_tracks").alias("n_tracks"),
+    )
+
+
+SQL_VIDEO_META = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 7 = 6 AS is_wav,
+         CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                         WHEN 2 THEN 30000 ELSE 90000 END AS ts,
+         1000 + (doc_id * 53) % 900000 AS dur,
+         CAST(doc_id % 3 + 1 AS INT) AS tracks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN is_wav THEN 44 ELSE 136 END AS INT) AS n_bytes,
+       CASE WHEN is_wav THEN 'application/octet-stream'
+            ELSE 'video/mp4' END AS mime_type,
+       CASE WHEN is_wav THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+       CAST(CASE WHEN is_wav THEN NULL ELSE ts END AS BIGINT) AS timescale,
+       CAST(CASE WHEN is_wav THEN NULL
+            ELSE (dur * 1000) // ts END AS BIGINT) AS duration_ms,
+       CASE WHEN is_wav THEN NULL ELSE tracks END AS n_tracks
+FROM p
 """
 
 
@@ -2378,32 +2775,19 @@ QL_W_UPPER = -1.5  # uppercase-character ratio (shouting/boilerplate)
 QL_W_MWL = 0.3     # mean word length inside the [3, 8] natural band
 
 
-def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[LLM curation] Model-based quality filtering, fasttext-classifier
-    style (the CCNet / LLaMA "quality classifier" stage): a linear
-    classifier over engineered text features with fixed documented
-    weights, scored as log-odds. Fully expression-level — feature
-    extraction, dot product, and threshold are one codegen'd projection
-    over the corpus scan, zero shuffles: the exact shape for scoring
-    100 TB. The sigmoid is monotone, so keep/drop compares log-odds
-    against 0 and no transcendental ever leaves the engine (exp() is the
-    one cross-engine reproducibility hazard the portable-float policy
-    bans); ``kept`` compares the ROUNDED logit so both engines decide on
-    the identical quantity."""
-    docs = _documents(spark, sf_dir)
-    t = F.col("text")
+def _quality_features(t: F.Column) -> dict[str, F.Column]:
+    """The quality classifier's feature/logit expressions, shared verbatim
+    by [quality_logit] (which emits them) and [curation_pipeline] (which
+    filters on the rounded logit) — one definition so the pipeline's
+    quality gate IS the attested classifier."""
     norm_t = normalize_ws(t)
     nt = n_tokens(t).cast("double")
     sw = sum(
         (stopword_hits(t, lang) for lang in sorted(STOPWORDS)), F.lit(0)
     ).cast("double")
     n_chars = F.length(t).cast("double")
-    digits = (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))).cast(
-        "double"
-    )
-    uppers = (n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))).cast(
-        "double"
-    )
+    digits = (n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double")
+    uppers = (n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))).cast("double")
     # normalized text has single spaces: chars-in-words = len - (nt - 1)
     mwl = F.when(
         nt > 0, (F.length(norm_t) - (nt - 1)).cast("double") / nt
@@ -2417,11 +2801,35 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(QL_W_STOP) * stop_r
         + F.lit(QL_W_DIGIT) * digit_r
         + F.lit(QL_W_UPPER) * upper_r
-        + F.when((mwl >= 3.0) & (mwl <= 8.0), F.lit(QL_W_MWL)).otherwise(
-            F.lit(0.0)
-        )
+        + F.when((mwl >= 3.0) & (mwl <= 8.0), F.lit(QL_W_MWL)).otherwise(F.lit(0.0))
     )
-    logit_r = F.round(logit, 4)
+    return {
+        "nt": nt,
+        "stop_r": stop_r,
+        "digit_r": digit_r,
+        "upper_r": upper_r,
+        "mwl": mwl,
+        "logit_r": F.round(logit, 4),
+    }
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Model-based quality filtering, fasttext-classifier
+    style (the CCNet / LLaMA "quality classifier" stage): a linear
+    classifier over engineered text features with fixed documented
+    weights, scored as log-odds. Fully expression-level — feature
+    extraction, dot product, and threshold are one codegen'd projection
+    over the corpus scan, zero shuffles: the exact shape for scoring
+    100 TB. The sigmoid is monotone, so keep/drop compares log-odds
+    against 0 and no transcendental ever leaves the engine (exp() is the
+    one cross-engine reproducibility hazard the portable-float policy
+    bans); ``kept`` compares the ROUNDED logit so both engines decide on
+    the identical quantity."""
+    docs = _documents(spark, sf_dir)
+    f = _quality_features(F.col("text"))
+    nt, stop_r, digit_r, upper_r, mwl, logit_r = (
+        f["nt"], f["stop_r"], f["digit_r"], f["upper_r"], f["mwl"], f["logit_r"]
+    )
     return docs.select(
         "doc_id",
         nt.cast("long").alias("n_tokens"),
@@ -2488,6 +2896,7 @@ FROM z
 
 
 SQL_QUALITY_LOGIT = _sql_quality_logit()
+SQL_CURATION_PIPELINE = _sql_curation_pipeline()
 
 
 WIN_K = 3  # winnowing k-gram size (words)
@@ -3211,6 +3620,10 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
+    "video_meta": (q_video_meta, SQL_VIDEO_META),
+    "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
+    "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP_PAIRS),
