@@ -212,3 +212,47 @@ def windowed_ohlc_stream(
         "close",
         "n_obs",
     )
+
+
+def tokenize_count_stream(
+    docs_stream: DataFrame, frozen_vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Frozen-vocabulary token accounting over a DOCUMENT STREAM — the
+    production shape of [tokenize_count]: a tokenizer vocabulary is a
+    frozen artifact (trained once, then applied to every new crawl
+    snapshot), so the streaming side needs NO stateful operator at all —
+    the vocabulary arrives as a stream-static cross join of a 1-row
+    vocab-array anchor, and the per-document accounting (word count,
+    subword count under 1-token-per-vocab-word + per-character OOV
+    fallback, OOV rate) is a pure higher-order-function projection over
+    each arriving row. Stateless ⇒ append mode, no watermark, identical
+    math per row whether the doc arrives in a backfill batch or a
+    micro-batch (tests/test_operators.py asserts stream ≡ batch).
+
+    ``frozen_vocab`` is a 1-column ('w') bounded DataFrame — at 100 TB the
+    vocab anchor is a few KB broadcast to every task; documents never
+    shuffle."""
+    from ..functions.textstats import normalize_ws
+
+    vocab_arr = frozen_vocab.agg(
+        F.array_sort(F.collect_list("w")).alias("vocab_arr")
+    )
+    toks = F.filter(
+        F.split(normalize_ws(F.col(text_col)), " "), lambda t: t != ""
+    )
+    with_vocab = docs_stream.crossJoin(F.broadcast(vocab_arr))
+    in_vocab = lambda t: F.array_contains(F.col("vocab_arr"), t)  # noqa: E731
+    return with_vocab.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.when(in_vocab(t), F.lit(1)).otherwise(F.length(t)),
+        ).alias("n_tokens_sub"),
+        F.round(
+            F.size(F.filter(toks, lambda t: ~in_vocab(t)))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )

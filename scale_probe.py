@@ -1206,6 +1206,123 @@ def probe_curation3(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_curation4(spark) -> None:
+    """Round-6 wave-7/9 ops at 200k and 1M docs — the REAL registered
+    query code over synthetic parquet:
+    - curation_pipeline: the end-to-end funnel (one scan + ONE fp
+      shuffle + broadcast anchor) — wall should scale ~linearly in
+      corpus bytes; the probe plants stopwords so the language/quality
+      gates pass and asserts the hash-priority budget cut lands near the
+      8k-token target at EVERY corpus size (the expected-budget claim);
+    - vocab_stats: two bounded reductions over the wordcount — the
+      Zipf head is TakeOrdered-bounded so wall tracks the wordcount
+      shuffle, not the type count;
+    - tokenize_count: (doc, word, count) grain + broadcast top-512
+      vocab join riding doc_id partitioning;
+    - video_meta: the zero-shuffle expression-level box parse — scan
+      speed is the claim, so the probe prints docs/s."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        CURATION_BUDGET_TOKENS,
+        q_curation_pipeline,
+        q_tokenize_count,
+        q_video_meta,
+        q_vocab_stats,
+    )
+
+    root = tempfile.mkdtemp(prefix="cur4_")
+    try:
+        for n in (200_000, 1_000_000):
+            sf = os.path.join(root, f"sf{n}")
+            os.makedirs(sf, exist_ok=True)
+            # probe_curation3's layout (50 periodic + 50 unique tokens)
+            # plus 16 planted English stopwords: the synthetic tokens are
+            # digit-heavy (digit_r ~0.35 → −0.7 logit), so the stopword
+            # ratio must carry the quality gate past QL_PIPELINE_MIN for
+            # the funnel's later stages to see rows
+            spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.lit("synth").alias("source"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"p{j}_"), (F.col("id") % 499).cast("string")
+                        )
+                        if j < 50
+                        else F.concat(
+                            F.lit(f"u{j}_"), F.col("id").cast("string")
+                        )
+                        for j in range(100)
+                    ],
+                    F.lit(" ".join(["the and is of"] * 4)),
+                ).alias("text"),
+            ).repartition(32).write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            t0 = time.perf_counter()
+            fun = q_curation_pipeline(spark, sf).collect()[0]
+            dt = time.perf_counter() - t0
+            n_copies = (n + 2) // 3  # ids ≡ 0 (mod 3) in [0, n)
+            assert fun["raw_docs"] == n + n_copies
+            assert fun["lang_docs"] == fun["raw_docs"]  # stopwords planted
+            assert fun["qual_docs"] > 0, fun  # the gate must pass rows
+            assert fun["dedup_docs"] <= fun["qual_docs"]
+            # the expected-budget claim: the hash-priority cut lands near
+            # the absolute token target at EVERY corpus size
+            assert (
+                0.5 * CURATION_BUDGET_TOKENS
+                <= fun["budget_toks"]
+                <= 2.0 * CURATION_BUDGET_TOKENS
+            ), fun["budget_toks"]
+            print(
+                f"curation4[curation_pipeline n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({fun['raw_docs']/dt/1e3:.0f}k docs/s, budget_toks "
+                f"{fun['budget_toks']} vs target {CURATION_BUDGET_TOKENS})",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            vs = q_vocab_stats(spark, sf).collect()[0]
+            dt = time.perf_counter() - t0
+            assert vs["n_tokens"] == n * 116  # 100 synth + 16 stopwords
+            assert vs["zipf_slope"] is not None
+            print(
+                f"curation4[vocab_stats n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"(types {vs['n_types']}, zipf {vs['zipf_slope']})",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            tc = q_tokenize_count(spark, sf).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.avg("oov_rate").alias("oov"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            assert tc["docs"] == n
+            print(
+                f"curation4[tokenize_count n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({tc['docs']/dt/1e3:.0f}k docs/s, mean OOV {tc['oov']:.2f})",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            vm = q_video_meta(spark, sf).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(
+                    (F.col("mime_type") == "video/mp4").cast("int")
+                ).alias("mp4"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            assert vm["docs"] == n and vm["mp4"] == n - (n + 0) // 7
+            print(
+                f"curation4[video_meta n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({vm['docs']/dt/1e3:.0f}k docs/s)",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_manifest(spark) -> None:
     """Manifest-scalability probe (round-5 directive): the per-commit JSON
     manifest carries per-FILE stats; at millions of files the manifest
@@ -1407,6 +1524,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_CURATION3"):
         probe_curation3(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_CURATION4"):
+        probe_curation4(spark)
         spark.stop()
         return
     if os.environ.get("SCALE_BLOOM"):

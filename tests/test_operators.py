@@ -901,6 +901,59 @@ def test_windowed_ohlc_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_tokenize_count_stream_matches_batch(spark, tmp_path):
+    """Frozen-vocab token accounting over a document stream must equal the
+    batch [tokenize_count] per doc: the vocabulary is a frozen artifact,
+    so the stream side is a stateless HOF projection (append mode, no
+    watermark) — a backfill and a micro-batch produce identical math."""
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        TOKENIZER_VOCAB_K,
+        _documents,
+        q_tokenize_count,
+    )
+    from crypto_market_tracker_etl_spark.streaming.incremental import (
+        tokenize_count_stream,
+    )
+    from crypto_market_tracker_etl_spark.functions.textstats import normalize_ws
+
+    docs = _documents(spark, SF_DIR).select("doc_id", "text")
+    # the same top-K vocabulary q_tokenize_count derives
+    vocab = (
+        docs.select(
+            F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.col("w"))
+        .limit(TOKENIZER_VOCAB_K)
+        .select("w")
+    )
+    src = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = tokenize_count_stream(stream, vocab)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tok_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens_sub"], r["oov_rate"])
+        for r in spark.sql(
+            "select * from tok_stream where n_words > 0"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_tokens_sub"], r["oov_rate"])
+        for r in q_tokenize_count(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_stream_asof_join_matches_batch(spark, tmp_path):
     """Streaming as-of join (interval join + windowed max_by, two chained
     stateful ops) must equal the batch asof_join restricted to matched
