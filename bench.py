@@ -91,6 +91,7 @@ HEADLINE = [
     "vocab_stats",
     "tokenize_count",
     "curation_pipeline",
+    "cms_heavy_hitters",
     "tfidf",
     "weighted_median",
     "udtf_spans",

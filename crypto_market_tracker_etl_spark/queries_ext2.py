@@ -1155,7 +1155,128 @@ FROM k
 """
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch: the fixed-size frequency sketch
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows (δ = e^-D ≈ 1.8%)
+CMS_W = 1024  # buckets per row (ε = e/W ≈ 0.27% of stream length)
+
+
+def _cms_buckets(token: F.Column) -> F.Column:
+    """The D (row, bucket) pairs of a token under the portable md5 hash
+    family — shared by the sketch build and the point estimate so both
+    sides hash identically (and so does the DuckDB oracle)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                (md5_long(token, seed=f"cms{i}:", n_hex=6) % CMS_W).alias("b"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[sketch] Count-min sketch (Cormode & Muthukrishnan) — the
+    fixed-size frequency summary that completes the repo's sketch family
+    (HLL [approx_distinct] for cardinality, GK [ppl_buckets_approx] for
+    quantiles, CMS here for point frequencies): D×W counters estimate any
+    token's count with one-sided error ≤ ε·N (ε = e/W) at confidence
+    1−e^−D, REGARDLESS of vocabulary size. The sketch build is a single
+    groupBy of at most D·W = 4 096 keys with map-side combining — at
+    100 TB the shuffle carries ~4 096 rows per map partition no matter
+    how many distinct tokens exist, which is the entire point: exact
+    wordcount state grows with the vocabulary, CMS state is a constant.
+
+    The query verifies the sketch against ground truth on the top-20
+    exact heavy hitters (the exact count exists here only to GRADE the
+    estimate — production reads the sketch precisely to avoid it):
+    estimate = min over D rows of the joined counters, always ≥ true
+    (one-sided), and `within_eps` checks est − true ≤ 3N/W in pure
+    integer arithmetic. Everything is md5-derived and integer-exact, so
+    the DuckDB oracle reproduces the sketch bit-for-bit — estimates
+    included, not just the bounds. Scale shape: one explode feeding TWO
+    partial aggregates (sketch + exact), broadcast sketch join to the
+    20-row candidate set, 1-row broadcast total anchor."""
+    from .functions.textstats import normalize_ws
+
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cms = (
+        tok.select(F.explode(_cms_buckets(F.col("token"))).alias("db"))
+        .select("db.d", "db.b")
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    cand = exact.orderBy(F.desc("true_n"), F.col("token")).limit(20)
+    cand_b = cand.select(
+        "token", "true_n", F.explode(_cms_buckets(F.col("token"))).alias("db")
+    ).select("token", "true_n", "db.d", "db.b")
+    est = (
+        cand_b.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("token", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "token",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overest"),
+        (
+            (F.col("est_n") - F.col("true_n")) * CMS_W <= 3 * F.col("n_tok")
+        ).alias("within_eps"),
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    def hexpr(i: int) -> str:
+        return hex_prefix_to_long_sql(f"md5(concat('cms{i}:', token))", 6, "duckdb")
+
+    def bucket_union(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT token, {i} AS d, ({hexpr(i)}) % {CMS_W} AS b FROM {src}"
+            for i in range(CMS_D)
+        )
+
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS token FROM documents
+),
+tok2 AS (SELECT token FROM tok WHERE token <> ''),
+buckets AS (
+{bucket_union("tok2")}
+),
+cms AS (SELECT d, b, count(*) AS cnt FROM buckets GROUP BY d, b),
+exact AS (SELECT token, count(*) AS true_n FROM tok2 GROUP BY token),
+cand AS (SELECT token, true_n FROM exact ORDER BY true_n DESC, token LIMIT 20),
+cb AS (
+{bucket_union("cand")}
+),
+est AS (
+  SELECT cb.token, c.true_n, min(cms.cnt) AS est_n
+  FROM cb JOIN cand c ON cb.token = c.token
+          JOIN cms ON cb.d = cms.d AND cb.b = cms.b
+  GROUP BY cb.token, c.true_n
+),
+tot AS (SELECT count(*) AS n_tok FROM tok2)
+SELECT token, CAST(true_n AS BIGINT) AS true_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - true_n AS BIGINT) AS overest,
+       (est_n - true_n) * {CMS_W} <= 3 * n_tok AS within_eps
+FROM est, tot
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
+
+
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),

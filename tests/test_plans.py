@@ -764,6 +764,20 @@ def test_tokenize_count_broadcasts_bounded_vocab(spark):
     assert "rangepartitioning" not in s.lower()
 
 
+def test_cms_sketch_bounded_state_broadcast_probe(spark):
+    """The sketch build must be a two-phase aggregate over a key space
+    capped at D*W = 4096 (partial map-side counters -- the constant-state
+    claim), the candidate probe must BROADCAST the bounded sketch (never
+    shuffle it against the 20-row candidate set), and nothing may range
+    partition."""
+    s = plan_of(spark, "cms_heavy_hitters")
+    assert "partial_count" in s  # map-side sketch counters
+    assert "BroadcastHashJoin" in s  # bounded sketch side broadcasts
+    assert "SortMergeJoin" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert "CartesianProduct" not in s  # the 1-row total anchor is BNLJ
+
+
 def test_curation_pipeline_one_scan_one_shuffle(spark):
     """The end-to-end funnel must stay one dataflow: every per-doc feature
     (language hits, logit, fingerprint, token count) computes in the scan
