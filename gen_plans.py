@@ -135,6 +135,38 @@ SHOWCASE = {
         "loop). Cross-doc matching joins the fingerprint grain to an "
         "fp-keyed aggregate; no doc-pair relation exists."
     ),
+    "curation_pipeline": (
+        "End-to-end funnel in ONE dataflow: every per-doc feature "
+        "(language hits, quality logit, fingerprint, token count) in the "
+        "scan projection; the only data-sized exchange is the fp hash for "
+        "dedup ranking; the token-budget anchor joins via "
+        "BroadcastNestedLoopJoin; runtime ReusedExchange collapses the "
+        "anchor's duplicate lineage."
+    ),
+    "cms_heavy_hitters": (
+        "Count-min sketch: partial map-side counters over a key space "
+        "capped at D*W=4096 regardless of vocabulary size, then the "
+        "bounded sketch BROADCASTS to the 20-row candidate probe -- "
+        "constant sketch state, no SortMergeJoin anywhere."
+    ),
+    "vocab_stats": (
+        "Zipf fit stays bounded: TakeOrderedAndProject(1000) selects the "
+        "frequency head (never a vocabulary-wide rangepartitioning sort); "
+        "corpus moments are a pure partial-agg reduction; the two 1-row "
+        "results meet in a broadcast cross join."
+    ),
+    "tokenize_count": (
+        "The top-512 vocabulary is bounded by construction "
+        "(TakeOrderedAndProject) so the words-vocab join always "
+        "broadcasts; (doc, word, count) grain and the per-doc rollup both "
+        "ride the doc_id partitioning."
+    ),
+    "video_meta": (
+        "Two Projects on purpose: the payload synthesis is an alias "
+        "barrier CollapseProject must not inline (583 vs 37 expression "
+        "nodes, ~7x planning+codegen -- SCALE.md planning-cost lesson); "
+        "the ISO-BMFF box parse itself is expression-only, zero shuffles."
+    ),
 }
 
 

@@ -488,3 +488,39 @@ def test_manifest_sink_dv_script_matches_python_model(spark, script):
         assert observed() == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """The property that makes CMS a DISTRIBUTED sketch: counters built
+    on disjoint partitions of the corpus and summed cell-wise must equal
+    the whole-corpus sketch exactly — so per-executor (or per-day, or
+    per-source) sketches can be maintained independently and merged at
+    read time with no accuracy loss beyond the one-shot bound."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from crypto_market_tracker_etl_spark.queries_ext import _documents
+    from crypto_market_tracker_etl_spark.queries_ext2 import _cms_buckets
+    from crypto_market_tracker_etl_spark.functions.textstats import normalize_ws
+
+    docs = _documents(spark, SF_DIR).select("doc_id", "text")
+
+    def sketch(df):
+        tok = df.select(
+            F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        return (
+            tok.select(F.explode(_cms_buckets(F.col("token"))).alias("db"))
+            .select("db.d", "db.b")
+            .groupBy("d", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    whole = {(r["d"], r["b"]): r["cnt"] for r in sketch(docs).collect()}
+    merged: dict = {}
+    for part in (docs.where(F.col("doc_id") % 2 == 0),
+                 docs.where(F.col("doc_id") % 2 == 1)):
+        for r in sketch(part).collect():
+            k = (r["d"], r["b"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == whole
