@@ -92,6 +92,7 @@ HEADLINE = [
     "tokenize_count",
     "curation_pipeline",
     "cms_heavy_hitters",
+    "media_catalog",
     "tfidf",
     "weighted_median",
     "udtf_spans",
@@ -195,8 +196,19 @@ def main() -> None:
     print(json.dumps(detail), flush=True)
 
     # FINAL line — the one the driver parses. Must fit the driver's ~2000-
-    # byte stdout tail with margin; drop the per-query map (already emitted
-    # above and in BENCH_DETAIL.json) if it ever outgrows that.
+    # byte stdout tail with margin. Graded guard: (1) full per-query map;
+    # (2) if that outgrows the cap, the TOP-N by time (the regression-triage
+    # set) plus an omitted count — the full map was already emitted above
+    # and lives in BENCH_DETAIL.json; (3) only if even that overflows, drop
+    # the map and keep the totals.
+    line = _build_summary_line(total, timings, iterative, sf_val)
+    print(line, flush=True)
+
+
+SUMMARY_TOP = 40  # per-query entries the final line keeps under pressure
+
+
+def _build_summary_line(total, timings, iterative, sf_val) -> str:
     summary = {
         "metric": "headline_queries_total",
         "value": total,
@@ -207,10 +219,17 @@ def main() -> None:
     }
     line = json.dumps(summary)
     if len(line) > 1800:
-        summary.pop("queries")
+        top = dict(
+            sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:SUMMARY_TOP]
+        )
+        summary["queries"] = {k: round(v, 2) for k, v in top.items()}
+        summary["queries_omitted"] = len(timings) - len(top)
         summary["detail"] = "BENCH_DETAIL.json"
         line = json.dumps(summary)
-    print(line, flush=True)
+    if len(line) > 1800:
+        summary.pop("queries")
+        line = json.dumps(summary)
+    return line
 
 
 if __name__ == "__main__":

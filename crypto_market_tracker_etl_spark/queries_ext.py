@@ -2606,6 +2606,121 @@ FROM p
 """
 
 
+def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] The ingestion CATALOG — the binary-side composition
+    twin of [curation_pipeline]: route every blob by magic bytes
+    (sniff_mime), dispatch to the modality-specific header parser
+    (image_meta / audio_meta / video_meta), and emit ONE unified row per
+    blob with the union schema (modality, dims, sample rate, duration)
+    — the media-catalog table every multimodal pipeline materializes
+    before any decode job runs. All three parsers + the router fuse into
+    a single codegen'd projection over the scan (zero shuffles,
+    plan-asserted); blobs never enter Python; the payload synthesis sits
+    behind the alias barrier (the audio_meta planning-cost lesson).
+
+    Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP by
+    doc_id % 8 with per-doc parameters, so every route, every parser,
+    and the unified-schema NULL pattern (JPEG: known modality, no
+    parseable header fields without a codec; PDF/ZIP/GZIP: document /
+    archive) are exercised in one plan. The oracle knows the synthesis
+    formulas and checks routing + parsing analytically."""
+    from .multimodal.binary import (
+        audio_meta,
+        image_meta,
+        sniff_mime,
+        synth_gif,
+        synth_mp4,
+        synth_png,
+        synth_wav,
+        video_meta,
+    )
+
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    m = d % 8
+    w = (F.lit(100) + d % 800).cast("int")
+    h = (F.lit(100) + (d * 7) % 800).cast("int")
+    frames = (F.lit(16000) + (d * 11) % 8000).cast("long")
+    dur = (F.lit(1000) + d % 60000).cast("int")
+    tracks = (d % 2 + 1).cast("int")
+    payload = (
+        F.when(m == 0, synth_png(w, h))
+        .when(m == 1, synth_gif(w, h))
+        .when(m == 2, synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), frames))
+        .when(m == 3, synth_mp4(F.lit("isom"), F.lit(1000), dur, tracks))
+        .when(m == 4, F.unhex(F.lit("FFD8FFE000104A464946")))  # JFIF prefix
+        .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
+        .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
+        .otherwise(F.unhex(F.lit("1F8B08000000")))  # gzip deflate
+    )
+    p = F.col("payload")
+    mime = sniff_mime(p)
+    modality = (
+        F.when(mime.startswith("image/"), F.lit("image"))
+        .when(mime.startswith("audio/"), F.lit("audio"))
+        .when(mime.startswith("video/"), F.lit("video"))
+        .when(mime == "application/pdf", F.lit("document"))
+        .when(mime.isin("application/zip", "application/gzip"), F.lit("archive"))
+        .otherwise(F.lit("other"))
+    )
+    img = image_meta(p)
+    aud = audio_meta(p)
+    vid = video_meta(p)
+    is_img = mime.isin("image/png", "image/gif")  # header-parseable images
+    is_aud = mime == "audio/x-wav"
+    is_vid = mime == "video/mp4"
+    null_i = F.lit(None).cast("int")
+    return docs.select("doc_id", payload.alias("payload")).select(
+        "doc_id",
+        F.octet_length(p).alias("n_bytes"),
+        mime.alias("mime_type"),
+        modality.alias("modality"),
+        F.when(is_img, img.getField("width")).otherwise(null_i).alias("width"),
+        F.when(is_img, img.getField("height")).otherwise(null_i).alias("height"),
+        F.when(is_aud, aud.getField("sample_rate_hz"))
+        .otherwise(null_i)
+        .alias("sample_rate_hz"),
+        F.when(is_aud, aud.getField("duration_ms"))
+        .when(is_vid, vid.getField("duration_ms"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("duration_ms"),
+        F.when(is_vid, vid.getField("n_tracks")).otherwise(null_i).alias("n_tracks"),
+    )
+
+
+SQL_MEDIA_CATALOG = """
+WITH p AS (
+  SELECT doc_id, doc_id % 8 AS m,
+         CAST(100 + doc_id % 800 AS INT) AS w,
+         CAST(100 + (doc_id * 7) % 800 AS INT) AS h,
+         16000 + (doc_id * 11) % 8000 AS frames,
+         1000 + doc_id % 60000 AS dur,
+         CAST(doc_id % 2 + 1 AS INT) AS tracks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE m WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
+            WHEN 3 THEN 136 WHEN 4 THEN 10 WHEN 5 THEN 8
+            ELSE 6 END AS INT) AS n_bytes,
+       CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
+            WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
+            WHEN 6 THEN 'application/zip'
+            ELSE 'application/gzip' END AS mime_type,
+       CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+            WHEN 3 THEN 'video' WHEN 4 THEN 'image' WHEN 5 THEN 'document'
+            ELSE 'archive' END AS modality,
+       CASE WHEN m IN (0, 1) THEN w END AS width,
+       CASE WHEN m IN (0, 1) THEN h END AS height,
+       CAST(CASE WHEN m = 2 THEN 16000 END AS INT) AS sample_rate_hz,
+       CAST(CASE WHEN m = 2 THEN (frames * 1000) // 16000
+                 WHEN m = 3 THEN (dur * 1000) // 1000
+            END AS BIGINT) AS duration_ms,
+       CASE WHEN m = 3 THEN tracks END AS n_tracks
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Model-based filtering family (r6): LM perplexity, classifier quality,
 # first-seen novelty — the CCNet/LLaMA-pipeline selection stages.
@@ -3628,6 +3743,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "video_meta": (q_video_meta, SQL_VIDEO_META),
+    "media_catalog": (q_media_catalog, SQL_MEDIA_CATALOG),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),

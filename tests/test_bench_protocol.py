@@ -18,31 +18,22 @@ def _summary_line(per_query_sec: float = 999.999) -> str:
     """The FINAL stdout line main() would print, worst-case widths: every
     timing at the widest realistic rendering (999.99 after the 2-digit
     round) so the guard is tested against an upper bound, not today's
-    lucky values."""
+    lucky values. Uses bench's OWN line builder so the test can't drift
+    from main()."""
     timings = {name: per_query_sec for name in bench.HEADLINE}
     iterative = {name: per_query_sec for name in bench.ITERATIVE}
-    summary = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "iterative_total": round(sum(iterative.values()), 3),
-        "sf": 0.1,
-    }
-    line = json.dumps(summary)
-    if len(line) > 1800:
-        summary.pop("queries")
-        summary["detail"] = "BENCH_DETAIL.json"
-        line = json.dumps(summary)
-    return line
+    return bench._build_summary_line(
+        round(sum(timings.values()), 3), timings, iterative, 0.1
+    )
 
 
 def test_final_summary_line_fits_driver_tail():
     """With the CURRENT query count, the final line (worst-case value
     widths) must stay under 1800 bytes — margin inside the driver's
-    ~2000-byte stdout tail. If this fails after adding headline queries,
-    bench.py's guard will drop the per-query map at runtime; that is the
-    moment to trim HEADLINE instead of losing per-query visibility."""
+    ~2000-byte stdout tail — and must still carry a per-query map: the
+    graded guard bounds it to the SUMMARY_TOP heaviest queries (the
+    regression-triage set; the full map lives in BENCH_DETAIL.json and
+    the detail stdout line) before it would ever drop the map entirely."""
     line = _summary_line()
     assert len(line) <= 1800, (
         f"final bench line {len(line)}B > 1800B with "
@@ -50,32 +41,32 @@ def test_final_summary_line_fits_driver_tail():
     )
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total"
-    assert "queries" in parsed, "size guard tripped: per-query map dropped"
+    assert "queries" in parsed, "guard dropped the map entirely"
+    assert len(parsed["queries"]) >= min(len(bench.HEADLINE), bench.SUMMARY_TOP)
+    if "queries_omitted" in parsed:
+        assert parsed["queries_omitted"] == len(bench.HEADLINE) - len(
+            parsed["queries"]
+        )
+        assert parsed["detail"] == "BENCH_DETAIL.json"
 
 
-def test_size_guard_drops_map_not_totals():
-    """If the line EVER outgrows the cap, the guard must drop the
-    per-query map and keep every total — the driver always gets a
-    parseable metric line."""
+def test_size_guard_bounds_map_keeps_totals():
+    """If the line EVER outgrows the cap, the graded guard must first
+    bound the map to the heaviest SUMMARY_TOP queries (+ omitted count),
+    and in the extreme drop it — but ALWAYS keep every total so the
+    driver gets a parseable metric line."""
     import bench as b
 
-    timings = {f"q{i:03d}_{'x' * 30}": 999.99 for i in range(200)}
-    summary = {
-        "metric": "headline_queries_total",
-        "value": 1.0,
-        "unit": "sec",
-        "queries": timings,
-        "iterative_total": 2.0,
-        "sf": 0.1,
-    }
-    line = json.dumps(summary)
-    assert len(line) > 1800  # the scenario the guard exists for
-    summary.pop("queries")
-    summary["detail"] = "BENCH_DETAIL.json"
-    line = json.dumps(summary)
+    timings = {f"q{i:03d}_{'x' * 30}": 999.99 - i for i in range(200)}
+    line = b._build_summary_line(1.0, timings, {"pagerank": 2.0}, 0.1)
     assert len(line) <= 1800
     parsed = json.loads(line)
     assert parsed["value"] == 1.0 and parsed["iterative_total"] == 2.0
+    if "queries" in parsed:
+        # bounded to the heaviest entries, heaviest-first by construction
+        assert len(parsed["queries"]) <= b.SUMMARY_TOP
+        assert parsed["queries_omitted"] == 200 - len(parsed["queries"])
+        assert "q000_" + "x" * 30 in parsed["queries"]  # heaviest kept
     assert parsed["detail"] == "BENCH_DETAIL.json"
     assert b.RUNS >= 3  # min-of-N protocol stays
 

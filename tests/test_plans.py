@@ -764,6 +764,18 @@ def test_tokenize_count_broadcasts_bounded_vocab(spark):
     assert "rangepartitioning" not in s.lower()
 
 
+def test_media_catalog_expression_only_zero_shuffle(spark):
+    """Routing + all three modality parsers fuse into one codegen'd
+    projection behind the payload alias barrier: no joins, no explode,
+    no exchange beyond the corpus spread -- the whole-catalog backfill
+    runs at scan speed and blobs never enter Python."""
+    s = plan_of(spark, "media_catalog")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1
+    assert s.count(") Project") == 2  # payload alias barrier (audio_meta)
+
+
 def test_cms_sketch_bounded_state_broadcast_probe(spark):
     """The sketch build must be a two-phase aggregate over a key space
     capped at D*W = 4096 (partial map-side counters -- the constant-state
