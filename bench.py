@@ -93,6 +93,8 @@ HEADLINE = [
     "curation_pipeline",
     "cms_heavy_hitters",
     "media_catalog",
+    "bm25_topk",
+    "collocations",
     "tfidf",
     "weighted_median",
     "udtf_spans",

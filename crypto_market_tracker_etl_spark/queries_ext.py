@@ -1696,6 +1696,195 @@ FROM fin
 # module-import time.
 
 
+BM25_K1 = 1.2  # TF saturation
+BM25_B = 0.75  # length normalization
+BM25_TERMS = 5  # probe terms (highest-df corpus terms)
+BM25_TOPK = 3  # docs returned per term
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text retrieval] Okapi BM25 top-k — the standard lexical ranking
+    function, completing the retrieval ladder (tf·idf scoring → BM25's
+    saturated-TF + length-normalized ranking → [rrf_fusion], which fuses
+    ranked lists): score = idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    idf = ln(1+(N−df+0.5)/(df+0.5)), k1=1.2, b=0.75. Probe terms are the
+    BM25_TERMS highest-df corpus terms (deterministic, so the oracle can
+    derive them); output is the top-3 docs per term.
+
+    Scale shape: one explode shuffle to (doc, term) TF grain with
+    map-side combining (the per-doc length rides the same pass); DF is a
+    term-grain aggregate of the TF table; N and avgdl are 1-row
+    broadcast anchors (never a driver collect); the probe-term set is
+    bounded by construction (TakeOrdered) and BROADCASTS into the TF
+    join; per-term top-k is a WindowGroupLimit rank on the ROUNDED score
+    (both engines rank the identical quantity — the tfidf precedent),
+    never a global sort."""
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    probes = dfreq.orderBy(F.desc("df"), F.col("term")).limit(BM25_TERMS)
+    anchors = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.count(F.lit(1)) / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(probes), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(anchors))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.round(idf * F.col("tf") * (BM25_K1 + 1) / denom, 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("score"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select("term", "doc_id", "tf", "score", F.col("rank").cast("int"))
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS term
+  FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+probes AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT {BM25_TERMS}),
+anchors AS (SELECT count(DISTINCT doc_id) AS n_docs,
+                   count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE) AS avgdl
+            FROM tok2),
+scored AS (
+  SELECT p.term, tf.doc_id, tf.tf,
+         round(ln(1 + (a.n_docs - p.df + 0.5) / (p.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                       + {BM25_B} * dl.dl / a.avgdl)), 4)
+           AS score
+  FROM tf JOIN probes p ON tf.term = p.term
+          JOIN dl ON tf.doc_id = dl.doc_id, anchors a
+)
+SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {BM25_TOPK}
+"""
+
+
+PMI_MIN_COUNT = 5  # collocation support floor (kills singleton noise)
+PMI_TOPK = 20
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[text analysis] Collocation mining by pointwise mutual information
+    — the corpus-statistics step behind phrase vocabularies and tokenizer
+    merge tables: for adjacent word pairs with support ≥ PMI_MIN_COUNT,
+    PMI = ln(p(w1,w2)/(p(w1)·p(w2))) with p() from bigram/unigram totals;
+    top-20 by (PMI desc, w1, w2). High-PMI pairs are the multi-word units
+    ("new york") a word-level pipeline would otherwise split.
+
+    Scale shape: the corpus collapses to bigram grain in ONE explode
+    shuffle with map-side combining (the same transition-grain trick as
+    [lm_perplexity]); unigram totals are a second, vocabulary-sized
+    aggregate; the two total anchors ride a 1-row broadcast; the final
+    top-20 is a TakeOrderedAndProject on the ROUNDED score (both engines
+    rank the identical quantity), never a global sort."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.split(normalize_ws(F.col("text")), " ").alias("toks")
+    )
+    bg = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ug = (
+        docs.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    anchors = bg.agg(F.sum("c12").alias("nb")).crossJoin(
+        ug.agg(F.sum("c").alias("nu"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("nb"))
+            / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+        ),
+        4,
+    )
+    return (
+        bg.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(ug.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(ug.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(anchors))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.col("w1"), F.col("w2"))
+        .limit(PMI_TOPK)
+    )
+
+
+SQL_COLLOCATIONS = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+bg AS (
+  SELECT w1, w2, count(*) AS c12
+  FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1])),
+                  recursive := true)
+    FROM d WHERE len(toks) >= 2
+  )
+  GROUP BY w1, w2
+),
+ug AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM d)
+  WHERE w <> '' GROUP BY w
+),
+anchors AS (
+  SELECT (SELECT sum(c12) FROM bg) AS nb, (SELECT sum(c) FROM ug) AS nu
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       round(ln((c12 / CAST(nb AS DOUBLE))
+                / ((u1.c / CAST(nu AS DOUBLE))
+                   * (u2.c / CAST(nu AS DOUBLE)))), 4) AS pmi
+FROM bg JOIN ug u1 ON bg.w1 = u1.w
+        JOIN ug u2 ON bg.w2 = u2.w, anchors
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over the shingle arrays: filter /
     transform / exists / forall / aggregate — the lambda-expression surface
@@ -3744,6 +3933,8 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "video_meta": (q_video_meta, SQL_VIDEO_META),
     "media_catalog": (q_media_catalog, SQL_MEDIA_CATALOG),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),

@@ -764,6 +764,31 @@ def test_tokenize_count_broadcasts_bounded_vocab(spark):
     assert "rangepartitioning" not in s.lower()
 
 
+def test_bm25_broadcasts_probes_and_anchors(spark):
+    """BM25's probe-term set is bounded by construction (TakeOrdered) and
+    must BROADCAST into the TF join; N/avgdl ride a broadcast 1-row
+    anchor; the per-term top-k is a WindowGroupLimit rank, never a
+    range-partitioned global sort."""
+    s = plan_of(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in s
+    assert "WindowGroupLimit" in s
+    assert "CartesianProduct" not in s
+    assert "rangepartitioning" not in s.lower()
+
+
+def test_collocations_bigram_grain_no_global_sort(spark):
+    """PMI mining must collapse the corpus to bigram grain before any
+    join (partial map-side combining), join unigram counts on their own
+    keys, and select the top-20 via TakeOrderedAndProject -- a
+    range-partitioned sort of the bigram table means the bounded top-k
+    regressed to a global sort."""
+    s = plan_of(spark, "collocations")
+    assert "partial_count" in s
+    assert "TakeOrderedAndProject" in s
+    assert "rangepartitioning" not in s.lower()
+    assert "CartesianProduct" not in s
+
+
 def test_media_catalog_expression_only_zero_shuffle(spark):
     """Routing + all three modality parsers fuse into one codegen'd
     projection behind the payload alias barrier: no joins, no explode,
