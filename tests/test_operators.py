@@ -1656,3 +1656,46 @@ def test_np_kernels_match_sequential_fold():
             x = -(num / (vn * math.sqrt(cn_acc)))
             expect = math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
             assert nd[i, j] == expect, (i, j)
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """The CMS counters maintained as a STREAMING aggregation (update
+    mode, groupBy (d, b) — bounded state: ≤ D·W rows regardless of
+    corpus size) must equal the batch-built sketch after an availableNow
+    drain: the sketch is a commutative monoid, so continuous maintenance
+    and batch rebuild are the same object."""
+    from crypto_market_tracker_etl_spark.queries_ext import _documents
+    from crypto_market_tracker_etl_spark.queries_ext2 import _cms_buckets
+    from crypto_market_tracker_etl_spark.functions.textstats import normalize_ws
+
+    docs = _documents(spark, SF_DIR).select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(src)
+
+    def counters(df):
+        tok = df.select(
+            F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("token")
+        ).filter(F.col("token") != "")
+        return (
+            tok.select(F.explode(_cms_buckets(F.col("token"))).alias("db"))
+            .select("db.d", "db.b")
+            .groupBy("d", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        counters(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["d"], r["b"]): r["cnt"]
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    want = {(r["d"], r["b"]): r["cnt"] for r in counters(docs).collect()}
+    assert got == want
