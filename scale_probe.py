@@ -1323,6 +1323,100 @@ def probe_curation4(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_curation5(spark) -> None:
+    """Round-6 wave-11/13 ops at 200k and 1M docs — the REAL registered
+    query code over synthetic parquet (same corpus as probe_curation4):
+    - cms_heavy_hitters: the constant-state claim — the sketch build's
+      aggregate key space is D*W = 4096 at EVERY corpus size, so wall
+      should track the token explode, not the vocabulary (which grows
+      linearly in this adversarial corpus); the probe asserts the
+      one-sided overestimate and the eps*N bound on every probe term;
+    - bm25_topk: TF grain + broadcast probes — wall tracks the one
+      (doc, term) shuffle;
+    - collocations: bigram-grain collapse; the periodic layout plants
+      genuine collocations (p{j}_k -> p{j+1}_k always adjacent) so the
+      PMI head is real signal, not noise;
+    - media_catalog: the fused router+parsers projection — scan speed."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_bm25_topk,
+        q_collocations,
+        q_media_catalog,
+    )
+    from crypto_market_tracker_etl_spark.queries_ext2 import q_cms_heavy_hitters
+
+    root = tempfile.mkdtemp(prefix="cur5_")
+    try:
+        for n in (200_000, 1_000_000):
+            sf = os.path.join(root, f"sf{n}")
+            os.makedirs(sf, exist_ok=True)
+            spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.lit("synth").alias("source"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"p{j}_"), (F.col("id") % 499).cast("string")
+                        )
+                        if j < 50
+                        else F.concat(
+                            F.lit(f"u{j}_"), F.col("id").cast("string")
+                        )
+                        for j in range(100)
+                    ],
+                    F.lit(" ".join(["the and is of"] * 4)),
+                ).alias("text"),
+            ).repartition(32).write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            t0 = time.perf_counter()
+            cms = q_cms_heavy_hitters(spark, sf).collect()
+            dt = time.perf_counter() - t0
+            assert len(cms) == 20
+            assert all(r["overest"] >= 0 for r in cms)  # one-sided
+            assert all(r["within_eps"] for r in cms)  # eps*N bound holds
+            print(
+                f"curation5[cms_heavy_hitters n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"(max overest {max(r['overest'] for r in cms)}, "
+                f"sketch keys <= 4096 at every size)",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            bm = q_bm25_topk(spark, sf).collect()
+            dt = time.perf_counter() - t0
+            assert len(bm) == 15  # 5 probe terms x top-3
+            print(
+                f"curation5[bm25_topk n={n/1e3:.0f}k]: {dt:.1f}s",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            col = q_collocations(spark, sf).collect()
+            dt = time.perf_counter() - t0
+            assert len(col) == 20 and all(r["c12"] >= 5 for r in col)
+            print(
+                f"curation5[collocations n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"(top PMI {col[0]['pmi']:.2f})",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+            mc = q_media_catalog(spark, sf).agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.countDistinct("modality").alias("modalities"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            assert mc["docs"] == n and mc["modalities"] == 5
+            print(
+                f"curation5[media_catalog n={n/1e3:.0f}k]: {dt:.1f}s "
+                f"({mc['docs']/dt/1e3:.0f}k docs/s)",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_manifest(spark) -> None:
     """Manifest-scalability probe (round-5 directive): the per-commit JSON
     manifest carries per-FILE stats; at millions of files the manifest
@@ -1528,6 +1622,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_CURATION4"):
         probe_curation4(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_CURATION5"):
+        probe_curation5(spark)
         spark.stop()
         return
     if os.environ.get("SCALE_BLOOM"):
