@@ -230,6 +230,7 @@ def _build_summary_line(total, timings, iterative, sf_val) -> str:
         line = json.dumps(summary)
     if len(line) > 1800:
         summary.pop("queries")
+        summary["queries_omitted"] = len(timings)  # ALL dropped, not N-40
         line = json.dumps(summary)
     return line
 

@@ -417,25 +417,57 @@ def _be4_int_at(payload: F.Column, pos: F.Column) -> F.Column:
     return F.conv(F.hex(payload.substr(pos, F.lit(4))), 16, 10).cast("long")
 
 
+def _aligned_locate(hx: F.Column, pat_hex: str, start: F.Column | None = None):
+    """1-based HEX position of the first BYTE-ALIGNED occurrence of
+    ``pat_hex`` in the hex string ``hx``, at or after hex position
+    ``start`` (a column); 0 when absent. Alignment is structural, not
+    checked after the fact: the hex is spaced into byte triplets
+    ("AB CD EF…") and the pattern is spaced the same way, so a match can
+    only start on a byte boundary — a misaligned straddle can never mask
+    a later aligned occurrence (plain ``instr`` returns only the first
+    match, aligned or not)."""
+    pat = " ".join(pat_hex[i : i + 2] for i in range(0, len(pat_hex), 2))
+    sp = F.regexp_replace(hx, "(..)", "$1 ")
+    if start is None:
+        s = F.locate(pat, sp)
+    else:
+        b0 = ((start + 1) / 2).cast("int")  # byte offset of `start`
+        sstart = (b0 - 1) * 3 + 1  # same position in spaced coords
+        rel = F.locate(pat, sp.substr(sstart, F.length(sp)))
+        s = F.when(rel > 0, rel + sstart - 1).otherwise(F.lit(0))
+    byte = ((s + 2) / 3).cast("int")  # spaced pos → 1-based byte offset
+    return F.when(s > 0, (byte - 1) * 2 + 1).otherwise(F.lit(0))
+
+
 def video_meta(payload: F.Column) -> F.Column:
     """Parse (mime_type, brand, timescale, duration_ms, n_tracks) from an
     ISO-BMFF/MP4 payload — pure JVM expressions, no codec, no Python; the
     video leg of the image_meta / audio_meta triad.
 
     ftyp is recognized at its mandated first-box position (tag at byte
-    5); the mvhd box is then LOCATED AT RUNTIME by scanning the payload
-    hex for its tag at a byte-aligned offset (``instr`` + odd-position
-    check), so moov may sit anywhere after ftyp and carry any siblings —
-    unlike the fixed-layout WAV parser this one tolerates layout drift.
-    Version-0 mvhd fields: timescale BE32 @tag+16, duration BE32 @tag+20,
-    next_track_ID BE32 @tag+100 (n_tracks = next_track_ID − 1).
-    duration_ms = floor(duration·1000/timescale) — integer-exact
-    cross-engine. Version-1 (64-bit) mvhd, missing mvhd, or non-MP4 bytes
-    yield ('application/octet-stream', NULL…), never an error — the
-    image_meta contract: one malformed blob cannot fail a backfill."""
+    5); the mvhd box is then LOCATED AT RUNTIME with a moov-ANCHORED
+    scan — first find the byte-aligned 'moov' tag, then the first
+    byte-aligned 'mvhd' AFTER it (``locate`` with a start offset) — so
+    moov may sit anywhere after ftyp, carry any siblings, and a stray
+    'mvhd' byte pattern in data BEFORE moov (free/udta payloads,
+    brand lists) cannot mislead the parse. This is still a heuristic,
+    not a full box walk (expressions cannot loop over box sizes): a
+    deceptive aligned 'mvhd' between the moov header and the real child
+    box would win — the version-0 guard and the timescale>0 guard then
+    bound the damage to NULLs. Version-0 mvhd fields: timescale BE32
+    @tag+16, duration BE32 @tag+20, next_track_ID BE32 @tag+100
+    (n_tracks = next_track_ID − 1). duration_ms =
+    floor(duration·1000/timescale) — integer-exact cross-engine.
+    Version-1 (64-bit) mvhd, missing moov/mvhd, or non-MP4 bytes yield
+    ('application/octet-stream', NULL…), never an error — the image_meta
+    contract: one malformed blob cannot fail a backfill."""
     is_mp4 = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
-    hexpos = F.instr(F.hex(payload), MP4_MVHD_HEX)
-    aligned = (hexpos > 0) & (hexpos % 2 == 1)
+    hx = F.hex(payload)
+    moov_hexpos = _aligned_locate(hx, "6D6F6F76")  # "moov"; 0 when absent
+    hexpos = F.when(
+        moov_hexpos > 0, _aligned_locate(hx, MP4_MVHD_HEX, start=moov_hexpos)
+    ).otherwise(F.lit(0))
+    aligned = hexpos > 0
     p = ((hexpos + 1) / 2).cast("int")  # 1-based byte offset of the tag
     version_ok = aligned & (_be_int_dyn(payload, p + 4, 1) == 0)
     ok = is_mp4 & version_ok
@@ -473,7 +505,12 @@ def sniff_mime(payload: F.Column) -> F.Column:
     misrouted. Unknown bytes yield 'application/octet-stream', never an
     error."""
     sig = lambda hexs: _bytes_hex(payload, 1, len(hexs) // 2) == hexs  # noqa: E731
-    is_wav = sig(WAV_RIFF_HEX) & (_bytes_hex(payload, 9, 8) == WAV_WAVEFMT_HEX)
+    # routing requires only "WAVE" at offset 9 (sufficient to exclude
+    # AVI/other RIFF): real WAVs often carry bext/LIST/JUNK chunks before
+    # "fmt ", and the ROUTER must still send them to the audio pipeline —
+    # the fixed-layout audio_meta parser separately requires the canonical
+    # "fmt "-first layout and NULLs out anything else
+    is_wav = sig(WAV_RIFF_HEX) & (_bytes_hex(payload, 9, 4) == "57415645")
     return (
         F.when(sig(PNG_SIG_HEX), F.lit("image/png"))
         .when(sig(GIF_SIG_HEX), F.lit("image/gif"))

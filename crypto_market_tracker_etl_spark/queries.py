@@ -2460,8 +2460,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # (21 + 4 + 2 + 10 + 13 = 50; heavy_hitters, histogram, unpivot, and
 # grouping_sets slide to positions 51-54 → the r7 window). This continues
 # the steady-state rolling 3-round re-attestation cycle.
-# Positions 51-100: the r5 window (green in CORRECTNESS_r05.json).
-# Positions 101+: the rest of the r4 window — scheduled as the r7 window.
+# Positions 51+ (in order): the 21 queries the r6 additions displaced
+# (late-core overflow, TPC-H flagships, r4-top remainder — all r7-window
+# material), then the r5 window (green in CORRECTNESS_r05.json), then the
+# rest of the r4 window (also r7-window material). The inline section
+# markers below are authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
     # ==== r6 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------

@@ -1516,6 +1516,9 @@ GROUP BY wc.doc_id
 
 CURATION_BUDGET_TOKENS = 8_000  # absolute token budget of the final sample
 CURATION_PRI_SEED = "budget:"
+# Exact-copy ids live 10^12 above the originals: far outside any real
+# doc_id at every probe scale, so a copy can never alias a genuine doc.
+CURATION_COPY_OFFSET = 1_000_000_000_000
 # The pipeline's quality gate: [quality_logit]'s kept-threshold (0) is the
 # classifier's own operating point; the funnel gates at the corpus's ~40th
 # logit percentile instead so every stage passes a meaningful fraction and
@@ -1540,16 +1543,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens surviving each stage, one row.
 
     The corpus has no exact duplicates, so every third doc is unioned
-    back as an exact copy (doc_id + 200000) — the dedup stage has real
-    work and the keep-best tiebreak is exercised (copies share fp AND
-    logit). Scale shape: one scan computes every per-doc feature
+    back as an exact copy (doc_id + 10¹² — far above any real doc_id at
+    every probe scale, so a copy can never alias a genuine document and
+    per-doc identities like the budget hash priority stay injective) —
+    the dedup stage has real work and the keep-best tiebreak is
+    exercised (copies share fp AND logit). Scale shape: one scan computes every per-doc feature
     (language hits, logit, fingerprint, token count) in a single
     codegen'd projection; ONE fp-keyed shuffle ranks duplicates; the
     budget anchor is a 1-row broadcast; the funnel is a partial-agg
     reduction. No driver collect."""
     raw = _documents(spark, sf_dir).select("doc_id", "text")
     copies = raw.where(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        (F.col("doc_id") + CURATION_COPY_OFFSET).alias("doc_id"), "text"
     )
     aug = raw.unionByName(copies)
     t = F.col("text")
@@ -1605,15 +1610,6 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_curation_pipeline() -> str:
-    hits = {
-        lang: (
-            "len(list_filter(ltoks, x -> list_contains(["
-            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-            + "], x)))"
-        )
-        for lang in sorted(STOPWORDS)
-    }
-    total_hits = " + ".join(hits.values())
     pri = hex_prefix_to_long_sql(
         f"md5(concat('{CURATION_PRI_SEED}', CAST(doc_id AS VARCHAR)))", 6, "duckdb"
     )
@@ -1621,43 +1617,10 @@ def _sql_curation_pipeline() -> str:
 WITH aug AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  SELECT doc_id + {CURATION_COPY_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 0
 ),
-t AS (
-  SELECT doc_id, text, {SQL_NORM} AS nt_text,
-         regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
-         CAST(length(text) AS DOUBLE) AS n_chars
-  FROM aug
-),
-f AS (
-  SELECT doc_id, nt, md5(nt_text) AS fp,
-         CAST({total_hits} AS BIGINT) AS hits_total,
-         CASE WHEN nt > 0 THEN CAST({total_hits} AS DOUBLE) / nt
-              ELSE 0.0 END AS stop_r,
-         CASE WHEN n_chars > 0
-              THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))
-                   / n_chars
-              ELSE 0.0 END AS digit_r,
-         CASE WHEN n_chars > 0
-              THEN (n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))
-                   / n_chars
-              ELSE 0.0 END AS upper_r,
-         CASE WHEN nt > 0
-              THEN CAST(length(nt_text) - (nt - 1) AS DOUBLE) / nt
-              ELSE 0.0 END AS mwl
-  FROM t
-),
-z AS (
-  SELECT doc_id, nt, fp, hits_total,
-         round({QL_BIAS} + {QL_W_LEN} * least(CAST(nt AS DOUBLE), 400.0)
-               + {QL_W_STOP} * stop_r + {QL_W_DIGIT} * digit_r
-               + {QL_W_UPPER} * upper_r
-               + CASE WHEN mwl >= 3.0 AND mwl <= 8.0
-                      THEN {QL_W_MWL} ELSE 0.0 END, 4) AS logit
-  FROM f
-),
+{_sql_quality_feature_ctes("aug", with_fp_hits=True)},
 flags AS (
   SELECT *, hits_total > 0 AS pass_lang,
          hits_total > 0 AND logit >= {QL_PIPELINE_MIN} AS pass_qual
@@ -3153,7 +3116,13 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_quality_logit() -> str:
+def _sql_quality_feature_ctes(src: str, with_fp_hits: bool = False) -> str:
+    """The t/f/z feature+logit CTE chain — ONE definition shared by
+    SQL_QUALITY_LOGIT and SQL_CURATION_PIPELINE (the oracle-side twin of
+    the Spark-side ``_quality_features`` sharing), so a weight or formula
+    tweak can never desynchronize the pipeline's quality gate from the
+    attested classifier. ``with_fp_hits`` adds the content fingerprint
+    and the language-gate hit total the funnel needs."""
     hits = {
         lang: (
             "len(list_filter(ltoks, x -> list_contains(["
@@ -3163,17 +3132,23 @@ def _sql_quality_logit() -> str:
         for lang in sorted(STOPWORDS)
     }
     total = " + ".join(hits.values())
-    return f"""
-WITH t AS (
+    f_extra = (
+        f"\n         md5(nt_text) AS fp,"
+        f"\n         CAST({total} AS BIGINT) AS hits_total,"
+        if with_fp_hits
+        else ""
+    )
+    z_extra = " fp, hits_total," if with_fp_hits else ""
+    return f"""t AS (
   SELECT doc_id, text, {SQL_NORM} AS nt_text,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt,
          CAST(length(text) AS DOUBLE) AS n_chars
-  FROM documents
+  FROM {src}
 ),
 f AS (
-  SELECT doc_id, nt,
+  SELECT doc_id, nt,{f_extra}
          CASE WHEN nt > 0 THEN CAST({total} AS DOUBLE) / nt
               ELSE 0.0 END AS stop_r,
          CASE WHEN n_chars > 0
@@ -3190,14 +3165,19 @@ f AS (
   FROM t
 ),
 z AS (
-  SELECT doc_id, nt, stop_r, digit_r, upper_r, mwl,
+  SELECT doc_id, nt,{z_extra} stop_r, digit_r, upper_r, mwl,
          round({QL_BIAS} + {QL_W_LEN} * least(CAST(nt AS DOUBLE), 400.0)
                + {QL_W_STOP} * stop_r + {QL_W_DIGIT} * digit_r
                + {QL_W_UPPER} * upper_r
                + CASE WHEN mwl >= 3.0 AND mwl <= 8.0
                       THEN {QL_W_MWL} ELSE 0.0 END, 4) AS logit
   FROM f
-)
+)"""
+
+
+def _sql_quality_logit() -> str:
+    return f"""
+WITH {_sql_quality_feature_ctes("documents")}
 SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
        round(stop_r, 4) AS stop_r, round(digit_r, 4) AS digit_r,
        round(upper_r, 4) AS upper_r, round(mwl, 4) AS mean_wlen,
@@ -3242,10 +3222,15 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(normalize_ws(F.col("text")), " ").alias("toks")
     )
     k, w = WIN_K, WIN_W
+    # the k-gram terms are GENERATED from WIN_K (as the SQL oracle's are)
+    # so changing the constant can never diverge the two sides silently
+    gram_terms = ", ".join(
+        "element_at(toks, i)" if j == 0 else f"element_at(toks, i + {j})"
+        for j in range(k)
+    )
     gram_expr = (
         f"transform(sequence(1, size(toks) - {k - 1}), "
-        f"i -> concat_ws(' ', element_at(toks, i), "
-        f"element_at(toks, i + 1), element_at(toks, i + 2)))"
+        f"i -> concat_ws(' ', {gram_terms}))"
     )
     grams = docs.select(
         "doc_id",
@@ -3607,12 +3592,15 @@ def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_path = F.when(p2 == "", F.lit("/")).otherwise(p2)
     qs = F.regexp_extract(url, r"\?([^#]*)", 1)
     raw_params = F.filter(F.split(qs, "&"), lambda x: x != "")
-    kept_params = F.filter(
-        raw_params,
-        lambda x: ~(
-            x.startswith("utm_") | x.startswith("gclid=") | x.startswith("fbclid=")
-        ),
-    )
+    # built from URL_TRACKING_PREFIXES (as the SQL oracle's filter is) so
+    # extending the list can never diverge the two sides silently
+    def _is_tracking(x):
+        cond = F.lit(False)
+        for pref in URL_TRACKING_PREFIXES:
+            cond = cond | x.startswith(pref)
+        return cond
+
+    kept_params = F.filter(raw_params, lambda x: ~_is_tracking(x))
     kept_qs = F.array_join(F.array_sort(kept_params), "&")
     labels = F.split(host, r"\.")
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))

@@ -227,7 +227,9 @@ def tokenize_count_stream(
     fallback, OOV rate) is a pure higher-order-function projection over
     each arriving row. Stateless ⇒ append mode, no watermark, identical
     math per row whether the doc arrives in a backfill batch or a
-    micro-batch (tests/test_operators.py asserts stream ≡ batch).
+    micro-batch. Zero-token documents emit NO row — the batch
+    [tokenize_count] row-set contract, so stream ≡ batch holds per doc
+    including WHICH docs appear (tests/test_operators.py).
 
     ``frozen_vocab`` is a 1-column ('w') bounded DataFrame — at 100 TB the
     vocab anchor is a few KB broadcast to every task; documents never
@@ -242,17 +244,19 @@ def tokenize_count_stream(
     )
     with_vocab = docs_stream.crossJoin(F.broadcast(vocab_arr))
     in_vocab = lambda t: F.array_contains(F.col("vocab_arr"), t)  # noqa: E731
-    return with_vocab.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_words"),
-        F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + F.when(in_vocab(t), F.lit(1)).otherwise(F.length(t)),
-        ).alias("n_tokens_sub"),
-        F.round(
-            F.size(F.filter(toks, lambda t: ~in_vocab(t)))
-            / F.greatest(F.size(toks), F.lit(1)),
-            4,
-        ).alias("oov_rate"),
+    return (
+        with_vocab.where(F.size(toks) > 0)  # batch row-set contract
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_words"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.when(in_vocab(t), F.lit(1)).otherwise(F.length(t)),
+            ).alias("n_tokens_sub"),
+            F.round(
+                F.size(F.filter(toks, lambda t: ~in_vocab(t))) / F.size(toks), 4
+            ).alias("oov_rate"),
+        )
     )

@@ -78,6 +78,10 @@ def test_sniff_mime_signatures(spark):
         (bytes.fromhex("1F8B08"), "application/gzip"),
         (b"plain text", "application/octet-stream"),
         (b"RIFF1234WAVEfmt rest", "audio/x-wav"),
+        # broadcast-WAV shape: bext/LIST chunks precede "fmt " — the ROUTER
+        # must still send it to the audio pipeline (the fixed-layout
+        # audio_meta parser separately NULLs non-canonical layouts)
+        (b"RIFF1234WAVEbext" + b"\x00" * 8, "audio/x-wav"),
         (b"RIFF1234AVI LIST", "application/octet-stream"),  # RIFF-not-WAVE
         (b"", "application/octet-stream"),
     ]

@@ -110,6 +110,38 @@ def test_video_meta_runtime_box_scan_tolerates_layout_drift(spark):
     assert m.n_tracks == 2
 
 
+def test_video_meta_decoy_mvhd_before_moov_ignored(spark):
+    """The mvhd scan is moov-ANCHORED: 'mvhd' bytes appearing in data
+    BEFORE the moov box (here: inside a free box payload) must not
+    mislead the parse — and a MISALIGNED decoy cannot mask the real
+    aligned tag either (the spaced-hex locate is structurally
+    byte-aligned)."""
+    base = (
+        spark.range(1)
+        .select(
+            synth_mp4(
+                F.lit("isom"), F.lit(600), F.lit(54321), F.lit(3).cast("int")
+            ).alias("p")
+        )
+        .collect()[0]
+        .p
+    )
+    raw = bytes(base)
+    # free box whose payload contains an ALIGNED decoy 'mvhd' + fake fields
+    decoy_aligned = struct.pack(">I4s", 24, b"free") + b"mvhd" + b"\x99" * 12
+    # free box whose payload contains a MISALIGNED decoy (offset by 1 byte)
+    decoy_misaligned = struct.pack(">I4s", 24, b"free") + b"\x00mvhd" + b"\x88" * 11
+    for decoy in (decoy_aligned, decoy_misaligned):
+        shifted = raw[:20] + decoy + raw[20:]
+        assert [t for t, _ in walk_boxes(shifted)] == ["ftyp", "free", "moov"]
+        df = spark.createDataFrame([(shifted,)], "payload binary")
+        m = df.select(video_meta(F.col("payload")).alias("m")).collect()[0].m
+        assert m.mime_type == "video/mp4"
+        assert m.timescale == 600
+        assert m.duration_ms == 54321 * 1000 // 600
+        assert m.n_tracks == 3
+
+
 def test_video_meta_unknown_bytes_never_error(spark):
     df = spark.createDataFrame(
         [(b"\x00",), (b"",), (b"ftypnot at offset 5",), (b"not video at all",)],

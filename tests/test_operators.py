@@ -941,11 +941,11 @@ def test_tokenize_count_stream_matches_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
+    # NO row filter: the stream must reproduce batch's exact row SET too
+    # (zero-token docs appear in neither side)
     got = {
         r["doc_id"]: (r["n_words"], r["n_tokens_sub"], r["oov_rate"])
-        for r in spark.sql(
-            "select * from tok_stream where n_words > 0"
-        ).collect()
+        for r in spark.sql("select * from tok_stream").collect()
     }
     want = {
         r["doc_id"]: (r["n_words"], r["n_tokens_sub"], r["oov_rate"])
