@@ -119,10 +119,13 @@ HEADLINE = [
     "tpch_q18",
 ]
 
-# multi-pass/iterative queries: timed identically but totalled separately so
-# the headline total stays sensitive to single-pass regressions
+# multi-pass/iterative/enumeration-heavy queries: timed identically but
+# totalled separately so the headline total stays sensitive to single-pass
+# regressions (pagerank: 3 join+agg power steps; triangle_count: the wedge
+# enumeration over the 1.2M-edge co-order graph — 1.9M triangles at sf0.1)
 ITERATIVE = [
     "pagerank",
+    "triangle_count",
 ]
 
 RUNS = 3  # min-of-3 protocol (BENCH_BASELINE.md)

@@ -139,3 +139,58 @@ def pagerank(
         contrib_edges.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census over a SYMMETRIC edge set (both directions
+    present, no self-loops): (n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering), one row.
+
+    Scale shape — the degree-orientation trick (Cohen / "MapReduce
+    triangle enumeration"): every undirected edge is kept ONCE, oriented
+    from the (degree, id)-smaller endpoint to the larger, so each wedge
+    is generated exactly once at its lowest-ranked vertex and the
+    self-join fan-out is bounded by arboricity, not by max degree — a
+    celebrity node with 10⁷ neighbors produces ZERO wedges at itself
+    under orientation, versus 10¹⁴ unoriented. The rank is packed into
+    one BIGINT (deg·2³² + id) so orientation and the wedge ordering are
+    single integer compares in any engine. n_wedges (the clustering
+    denominator) is Σ C(deg,2) from the degree table — an aggregate, not
+    an enumeration. Triangles = wedge(x,y) ⋈ oriented-edge(x,y): one
+    equi-join on the pair key."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    rank = deg.select(
+        F.col("src").alias("v"),
+        (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("src")).alias("rk"),
+    )
+    und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    oriented = (
+        und.join(rank.select(F.col("v").alias("a"), F.col("rk").alias("ra")), "a")
+        .join(rank.select(F.col("v").alias("b"), F.col("rk").alias("rb")), "b")
+        .where(F.col("ra") < F.col("rb"))
+        .select("a", "b", "rb")
+    )
+    e1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("rb").alias("rx"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("rb").alias("ry"))
+    wedges = e1.join(e2, "a").where(F.col("rx") < F.col("ry")).select("x", "y")
+    closures = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    tri = closures.agg(F.count(F.lit(1)).alias("n_triangles"))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3 * F.col("n_triangles") / F.greatest(F.col("n_wedges"), F.lit(1)), 4
+            ).alias("global_clustering"),
+        )
+    )

@@ -1155,6 +1155,60 @@ FROM k
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph extension] Triangle census + global clustering coefficient
+    over the part co-order graph — the standard distributed-graph
+    benchmark op and the community-structure signal behind graph-based
+    curation. Uses DEGREE ORIENTATION (operators/graph.py::triangle_stats):
+    each undirected edge kept once, oriented low→high (degree, id) rank,
+    so wedge fan-out is bounded by arboricity — the difference between
+    feasible and hopeless on power-law graphs (a 10⁷-degree hub
+    generates zero wedges at itself oriented, 10¹⁴ unoriented). Wedge
+    DENOMINATOR (Σ C(deg,2)) comes from the degree aggregate, never an
+    enumeration. The orientation rank packs into one BIGINT so the
+    DuckDB oracle replicates it with plain integer compares."""
+    from .operators.graph import co_occurrence_edges, triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_stats(edges.select("src", "dst"))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH li AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+edges AS (
+  SELECT a.item AS src, b.item AS dst
+  FROM li a JOIN li b ON a.g = b.g AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+rk AS (SELECT src AS v, deg * 4294967296 + src AS rk FROM deg),
+oriented AS (
+  SELECT e.src AS a, e.dst AS b, r2.rk AS rb
+  FROM edges e JOIN rk r1 ON e.src = r1.v JOIN rk r2 ON e.dst = r2.v
+  WHERE r1.rk < r2.rk
+),
+wedges AS (
+  SELECT e1.b AS x, e2.b AS y
+  FROM oriented e1 JOIN oriented e2 ON e1.a = e2.a AND e1.rb < e2.rb
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN oriented o ON w.x = o.a AND w.y = o.b
+),
+base AS (
+  SELECT count(*) AS n_nodes,
+         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, n_edges, n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       round(3.0 * n_triangles / greatest(n_wedges, 1), 4) AS global_clustering
+FROM base, tri
+"""
+
+
 # --------------------------------------------------------------------------
 # Count-min sketch: the fixed-size frequency sketch
 # --------------------------------------------------------------------------
@@ -1277,6 +1331,7 @@ SQL_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
 
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),

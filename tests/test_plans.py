@@ -801,6 +801,20 @@ def test_media_catalog_expression_only_zero_shuffle(spark):
     assert s.count(") Project") == 2  # payload alias barrier (audio_meta)
 
 
+def test_triangle_count_degree_oriented(spark):
+    """Triangle enumeration must stay degree-oriented: no cartesian
+    products, no range partitioning, and the wedge/closure work is
+    equi-joins (hash) over the oriented edge set -- an unoriented
+    formulation would show itself as explosive wedge counts, not a plan
+    node, so the plan test pins the join discipline and the aggregate
+    denominator (partial_sum of C(deg,2))."""
+    s = plan_of(spark, "triangle_count")
+    assert "CartesianProduct" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert "partial_sum" in s  # sum C(deg,2) combines map-side
+    assert "BroadcastNestedLoopJoin" in s  # the 1-row triangle anchor
+
+
 def test_cms_sketch_bounded_state_broadcast_probe(spark):
     """The sketch build must be a two-phase aggregate over a key space
     capped at D*W = 4096 (partial map-side counters -- the constant-state
