@@ -126,6 +126,7 @@ HEADLINE = [
 ITERATIVE = [
     "pagerank",
     "triangle_count",
+    "setsim_join",
 ]
 
 RUNS = 3  # min-of-3 protocol (BENCH_BASELINE.md)

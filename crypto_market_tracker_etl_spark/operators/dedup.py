@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import fast_long, md5_long
@@ -383,4 +383,74 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def set_similarity_join(tokens: DataFrame, tau: float) -> DataFrame:
+    """EXACT all-pairs set-similarity join, Jaccard ≥ ``tau``, via
+    PPJoin-style PREFIX FILTERING (Xiao, Wang, Lin & Yu) — the exact
+    counterpart to MinHash-LSH: LSH trades false negatives for speed,
+    prefix filtering guarantees NONE while still never enumerating all
+    pairs.
+
+    ``tokens``: (doc_id, w) DISTINCT membership rows. The filter: order
+    each doc's tokens by global rarity ((corpus freq, token) — the order
+    only has to be CONSISTENT, so no global rank is materialized: the
+    per-doc ordering is a window riding the doc grain); any pair with
+    J ≥ tau MUST share a token inside both docs' first
+    |s| − ceil(tau·|s|) + 1 tokens, so candidates come from a self-join
+    of the PREFIX rows only — rare tokens have tiny postings, and the
+    frequent tokens that would explode the join are exactly the ones the
+    prefix order pushes out. Candidates are then verified with the exact
+    overlap count: J = o / (|a| + |b| − o), emitted rounded to 4.
+
+    Scale: candidate generation is a token-keyed equi-join over prefix
+    rows (postings-list sized, not corpus²); verification joins only the
+    candidate pairs back to the membership table. 100 TB shape: partition
+    by token for the candidate step, by pair for the verify step — both
+    plain shuffles the engine plans."""
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = tokens.join(freq, "w")
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("freq", "w")
+    )
+    prefix = (
+        ordered.withColumn("rn", rn)
+        .join(sizes, "doc_id")
+        .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1)
+        .select("doc_id", "w")
+    )
+    cand = (
+        prefix.alias("p1")
+        .join(prefix.alias("p2"), "w")
+        .where(F.col("p1.doc_id") < F.col("p2.doc_id"))
+        .select(
+            F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tokens.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tokens.select(F.col("doc_id").alias("doc_b"), "w")
+    overlap = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("o") / (F.col("sza") + F.col("szb") - F.col("o")) >= F.lit(tau)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("o") / (F.col("sza") + F.col("szb") - F.col("o")), 4
+            ).alias("jaccard"),
+        )
     )

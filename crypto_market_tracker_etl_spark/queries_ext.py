@@ -1385,6 +1385,56 @@ FROM (
 """
 
 
+SETSIM_TAU = 0.5  # Jaccard threshold for the exact similarity join
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[near-dup, exact] PPJoin-style set-similarity self-join over
+    3-word SHINGLE sets of the augmented corpus (originals +
+    first-2-words-dropped copies): all pairs with Jaccard ≥ 0.5, EXACTLY
+    — the zero-false-negative counterpart to the MinHash-LSH family
+    ([near_dup_pairs] trades recall for banding; this trades nothing and
+    still never enumerates corpus² thanks to rare-token prefix
+    filtering, see operators/dedup.py::set_similarity_join). Shingles,
+    not words, are the set elements — the same representation the LSH
+    family uses, and the one that makes prefix filtering effective: a
+    3-word shingle is nearly unique, so even mid-prefix postings stay
+    tiny (the word-set formulation was measured 100×+ slower — common
+    words land in half the prefixes and their postings self-join).
+    The DuckDB oracle computes the join BRUTE-FORCE (element-keyed pair
+    generation with no prefix filter), so hash parity is a differential
+    proof that the filter loses no pairs — the filter's correctness
+    argument, machine-checked at every attestation."""
+    from .operators.dedup import set_similarity_join, word_shingles
+
+    docs = _augmented_corpus(spark, sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("w")
+    )
+    return set_similarity_join(tokens, SETSIM_TAU)
+
+
+SQL_SETSIM_JOIN = f"""
+WITH {SQL_AUG},
+tk AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS toks FROM aug),
+tok AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest({SQL_SHINGLES}) AS w FROM tk)
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+o AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS o
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(o / CAST(sa.sz + sb.sz - o AS DOUBLE), 4) AS jaccard
+FROM o JOIN sz sa ON o.doc_a = sa.doc_id
+       JOIN sz sb ON o.doc_b = sb.doc_id
+WHERE o / CAST(sa.sz + sb.sz - o AS DOUBLE) >= {SETSIM_TAU}
+"""
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[LLM curation] Corpus vocabulary profile — the dataset-card numbers
     every pretraining corpus ships with: token/type counts, type-token
@@ -3923,6 +3973,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "media_catalog": (q_media_catalog, SQL_MEDIA_CATALOG),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "setsim_join": (q_setsim_join, SQL_SETSIM_JOIN),
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),

@@ -801,6 +801,18 @@ def test_media_catalog_expression_only_zero_shuffle(spark):
     assert s.count(") Project") == 2  # payload alias barrier (audio_meta)
 
 
+def test_setsim_join_prefix_filter_no_cartesian(spark):
+    """The exact similarity join must stay prefix-filtered: candidates
+    come from equi-joins (hash) on the shingle key, the per-doc prefix
+    rank is a window riding the doc grain (no global rangepartitioning
+    rank), and nothing may produce a cartesian corpus-squared product."""
+    s = plan_of(spark, "setsim_join")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s  # no unconditioned join
+    assert "rangepartitioning" not in s.lower()
+    assert "Window" in s  # the per-doc prefix rank
+
+
 def test_triangle_count_degree_oriented(spark):
     """Triangle enumeration must stay degree-oriented: no cartesian
     products, no range partitioning, and the wedge/closure work is
