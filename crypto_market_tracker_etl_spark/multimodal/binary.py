@@ -439,7 +439,22 @@ def _aligned_locate(hx: F.Column, pat_hex: str, start: F.Column | None = None):
     return F.when(s > 0, (byte - 1) * 2 + 1).otherwise(F.lit(0))
 
 
-def video_meta(payload: F.Column) -> F.Column:
+def mvhd_offset(payload: F.Column) -> F.Column:
+    """1-based byte offset of the mvhd tag, located by the moov-anchored
+    byte-aligned scan (see video_meta); 0 when absent. Exposed separately
+    so queries can MATERIALIZE it once as a column — the locate chain is
+    the expensive part of the parse tree, and staging it behind an alias
+    keeps it out of every per-field expression (planning/codegen cost,
+    the audio_meta alias-barrier lesson one level deeper)."""
+    hx = F.hex(payload)
+    moov_hexpos = _aligned_locate(hx, "6D6F6F76")  # "moov"; 0 when absent
+    hexpos = F.when(
+        moov_hexpos > 0, _aligned_locate(hx, MP4_MVHD_HEX, start=moov_hexpos)
+    ).otherwise(F.lit(0))
+    return ((hexpos + 1) / 2).cast("int")  # hex pos → byte pos; 0 stays 0
+
+
+def video_meta(payload: F.Column, p: F.Column | None = None) -> F.Column:
     """Parse (mime_type, brand, timescale, duration_ms, n_tracks) from an
     ISO-BMFF/MP4 payload — pure JVM expressions, no codec, no Python; the
     video leg of the image_meta / audio_meta triad.
@@ -462,14 +477,9 @@ def video_meta(payload: F.Column) -> F.Column:
     ('application/octet-stream', NULL…), never an error — the image_meta
     contract: one malformed blob cannot fail a backfill."""
     is_mp4 = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
-    hx = F.hex(payload)
-    moov_hexpos = _aligned_locate(hx, "6D6F6F76")  # "moov"; 0 when absent
-    hexpos = F.when(
-        moov_hexpos > 0, _aligned_locate(hx, MP4_MVHD_HEX, start=moov_hexpos)
-    ).otherwise(F.lit(0))
-    aligned = hexpos > 0
-    p = ((hexpos + 1) / 2).cast("int")  # 1-based byte offset of the tag
-    version_ok = aligned & (_be_int_dyn(payload, p + 4, 1) == 0)
+    if p is None:
+        p = mvhd_offset(payload)
+    version_ok = (p > 0) & (_be_int_dyn(payload, p + 4, 1) == 0)
     ok = is_mp4 & version_ok
     timescale = _be4_int_at(payload, p + 16)
     duration = _be4_int_at(payload, p + 20)

@@ -2771,16 +2771,33 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_wav_row,
         synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)),
     ).otherwise(synth_mp4(brand, ts, dur, tracks))
-    # two-step select: the audio_meta alias barrier (see its comment)
-    meta = video_meta(F.col("payload"))
-    return docs.select("doc_id", payload.alias("payload")).select(
-        "doc_id",
-        F.octet_length("payload").alias("n_bytes"),
-        meta.getField("mime_type").alias("mime_type"),
-        meta.getField("brand").alias("brand"),
-        meta.getField("timescale").alias("timescale"),
-        meta.getField("duration_ms").alias("duration_ms"),
-        meta.getField("n_tracks").alias("n_tracks"),
+    # THREE-step select: the audio_meta alias barrier for the payload,
+    # plus a second barrier for the mvhd OFFSET — the moov-anchored scan
+    # (spaced-hex locate) is the expensive part of the parse tree, and
+    # without its own alias it is re-derived inside every output column
+    # (measured ~5s of per-build planning+codegen at the bench's
+    # fresh-DataFrame-per-rep protocol; staged, the field extracts are
+    # cheap subtrees over two column refs).
+    from .multimodal.binary import mvhd_offset
+
+    meta = video_meta(F.col("payload"), F.col("p"))
+    return (
+        docs.select("doc_id", payload.alias("payload"))
+        .select(
+            "doc_id",
+            "payload",
+            F.octet_length("payload").alias("n_bytes"),
+            mvhd_offset(F.col("payload")).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            meta.getField("mime_type").alias("mime_type"),
+            meta.getField("brand").alias("brand"),
+            meta.getField("timescale").alias("timescale"),
+            meta.getField("duration_ms").alias("duration_ms"),
+            meta.getField("n_tracks").alias("n_tracks"),
+        )
     )
 
 
@@ -2865,28 +2882,46 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(mime.isin("application/zip", "application/gzip"), F.lit("archive"))
         .otherwise(F.lit("other"))
     )
-    img = image_meta(p)
-    aud = audio_meta(p)
-    vid = video_meta(p)
-    is_img = mime.isin("image/png", "image/gif")  # header-parseable images
-    is_aud = mime == "audio/x-wav"
-    is_vid = mime == "video/mp4"
     null_i = F.lit(None).cast("int")
-    return docs.select("doc_id", payload.alias("payload")).select(
-        "doc_id",
-        F.octet_length(p).alias("n_bytes"),
-        mime.alias("mime_type"),
-        modality.alias("modality"),
-        F.when(is_img, img.getField("width")).otherwise(null_i).alias("width"),
-        F.when(is_img, img.getField("height")).otherwise(null_i).alias("height"),
-        F.when(is_aud, aud.getField("sample_rate_hz"))
-        .otherwise(null_i)
-        .alias("sample_rate_hz"),
-        F.when(is_aud, aud.getField("duration_ms"))
-        .when(is_vid, vid.getField("duration_ms"))
-        .otherwise(F.lit(None).cast("long"))
-        .alias("duration_ms"),
-        F.when(is_vid, vid.getField("n_tracks")).otherwise(null_i).alias("n_tracks"),
+    is_img = F.col("mime_type").isin("image/png", "image/gif")  # parseable
+    is_aud = F.col("mime_type") == "audio/x-wav"
+    is_vid = F.col("mime_type") == "video/mp4"
+    # THREE-step select: payload alias barrier, then the mvhd offset +
+    # the three parsed STRUCTS as aliases (video_meta's moov-anchored
+    # scan is an expensive tree — re-derived per output column it costs
+    # seconds of planning, the q_video_meta lesson), then the unified
+    # catalog row.
+    from .multimodal.binary import mvhd_offset
+
+    return (
+        docs.select("doc_id", payload.alias("payload"))
+        .select(
+            "doc_id",
+            F.octet_length(p).alias("n_bytes"),
+            mime.alias("mime_type"),
+            modality.alias("modality"),
+            image_meta(p).alias("img"),
+            audio_meta(p).alias("aud"),
+            video_meta(p, mvhd_offset(p)).alias("vid"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes",
+            "mime_type",
+            "modality",
+            F.when(is_img, F.col("img.width")).otherwise(null_i).alias("width"),
+            F.when(is_img, F.col("img.height")).otherwise(null_i).alias("height"),
+            F.when(is_aud, F.col("aud.sample_rate_hz"))
+            .otherwise(null_i)
+            .alias("sample_rate_hz"),
+            F.when(is_aud, F.col("aud.duration_ms"))
+            .when(is_vid, F.col("vid.duration_ms"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("duration_ms"),
+            F.when(is_vid, F.col("vid.n_tracks"))
+            .otherwise(null_i)
+            .alias("n_tracks"),
+        )
     )
 
 
