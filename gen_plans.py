@@ -162,10 +162,24 @@ SHOWCASE = {
         "ride the doc_id partitioning."
     ),
     "video_meta": (
-        "Two Projects on purpose: the payload synthesis is an alias "
-        "barrier CollapseProject must not inline (583 vs 37 expression "
-        "nodes, ~7x planning+codegen -- SCALE.md planning-cost lesson); "
-        "the ISO-BMFF box parse itself is expression-only, zero shuffles."
+        "Three Projects on purpose: payload synthesis AND the "
+        "moov-anchored mvhd locate are alias barriers CollapseProject "
+        "must not inline (SCALE.md planning-cost lesson); the ISO-BMFF "
+        "box parse itself is expression-only, zero shuffles."
+    ),
+    "triangle_count": (
+        "Degree-oriented triangle enumeration: rank = deg*2^32 + id "
+        "packed into one BIGINT, wedges generated only at each edge's "
+        "low-rank endpoint (fan-out bounded by arboricity), closure via "
+        "one pair-keyed equi-join; the clustering denominator is a "
+        "degree aggregate, never an enumeration."
+    ),
+    "setsim_join": (
+        "PPJoin prefix filtering: per-doc rarity-ordered prefixes (a "
+        "window riding the doc grain -- no global rank) bound candidate "
+        "generation to rare-shingle postings; exact overlap verify joins "
+        "only candidate pairs; the brute-force DuckDB oracle makes hash "
+        "parity a differential proof of zero false negatives."
     ),
 }
 
