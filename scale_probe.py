@@ -262,6 +262,38 @@ def probe_graph(spark) -> None:
         force(connected_components(pairs))
         t_cc = time.perf_counter() - t0
         print(f"cc pairs={n}: {t_cc:.1f}s", flush=True)
+    # triangle census at generated scale — the degree-orientation claim:
+    # the same bounded-fanout co-occurrence graphs as the pagerank cells,
+    # plus a HUB-SPIKED variant (one item in every 50th group) where the
+    # unoriented formulation would enumerate hub-degree² wedges and the
+    # oriented one provably cannot.
+    from crypto_market_tracker_etl_spark.operators.graph import triangle_stats
+
+    for n, hub in ((2_000_000, False), (10_000_000, False), (2_000_000, True)):
+        item = F.pmod(F.xxhash64("id"), F.lit(n // 10))
+        if hub:
+            item = F.when(
+                (F.pmod((F.col("id") / 5).cast("long"), F.lit(50)) == 0)
+                & (F.pmod(F.col("id"), F.lit(5)) == 0),
+                F.lit(0),
+            ).otherwise(item)
+        li = (
+            spark.range(n)
+            .select((F.col("id") / 5).cast("long").alias("g"), item.alias("item"))
+            .persist()
+        )
+        li.count()
+        edges = co_occurrence_edges(li, "g", "item").select("src", "dst")
+        t0 = time.perf_counter()
+        row = triangle_stats(edges).collect()[0]
+        dt = time.perf_counter() - t0
+        print(
+            f"triangles n={n} hub={hub}: {dt:.1f}s "
+            f"(nodes {row['n_nodes']}, edges {row['n_edges']}, "
+            f"triangles {row['n_triangles']}, cc {row['global_clustering']})",
+            flush=True,
+        )
+        li.unpersist()
 
 
 def probe_ann(spark) -> None:
