@@ -524,3 +524,39 @@ def test_cms_sketch_is_mergeable(spark):
             k = (r["d"], r["b"])
             merged[k] = merged.get(k, 0) + r["cnt"]
     assert merged == whole
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    tau=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_set_similarity_join_matches_brute_force(spark, sets, tau):
+    """The PPJoin prefix filter must find EXACTLY the brute-force pair set
+    (zero false negatives is the algorithm's whole claim; zero false
+    positives comes from exact verification) on randomized small set
+    collections across thresholds — the pure-Python model here is the
+    third independent check beyond the DuckDB brute-force oracle and the
+    planted-duplicate corpus."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    rows = [(i, f"e{e}") for i, s in enumerate(sets) for e in s]
+    tokens = spark.createDataFrame(rows, "doc_id long, w string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in set_similarity_join(tokens, tau).collect()
+    }
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            o = len(sets[a] & sets[b])
+            j = o / len(sets[a] | sets[b])
+            if j >= tau:
+                want[(a, b)] = round(j, 4)
+    assert got == want, (got, want, sets, tau)
