@@ -386,7 +386,9 @@ def simhash_near_dups(
     )
 
 
-def set_similarity_join(tokens: DataFrame, tau: float) -> DataFrame:
+def set_similarity_join(
+    tokens: DataFrame, tau: float, persist: bool = True
+) -> DataFrame:
     """EXACT all-pairs set-similarity join, Jaccard ≥ ``tau``, via
     PPJoin-style PREFIX FILTERING (Xiao, Wang, Lin & Yu) — the exact
     counterpart to MinHash-LSH: LSH trades false negatives for speed,
@@ -408,17 +410,30 @@ def set_similarity_join(tokens: DataFrame, tau: float) -> DataFrame:
     rows (postings-list sized, not corpus²); verification joins only the
     candidate pairs back to the membership table. 100 TB shape: partition
     by token for the candidate step, by pair for the verify step — both
-    plain shuffles the engine plans."""
+    plain shuffles the engine plans. The membership table feeds FIVE
+    consumers (sizes, frequencies, the ordered prefix, both verify
+    sides), so ``persist=True`` (default) caches it rather than
+    re-running the upstream explode per consumer — at warehouse scale
+    pass ``persist=False`` and materialize ``tokens`` as a table
+    instead."""
+    if persist:
+        tokens = tokens.persist()
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     freq = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     ordered = tokens.join(freq, "w")
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("freq", "w")
     )
+    # ceil() over double(tau)·sz OVERSHOOTS when tau·sz is an exact integer
+    # whose double product rounds high (e.g. tau=0.07, sz=100 → 8 not 7),
+    # shortening the prefix and creating REAL false negatives. The epsilon
+    # errs only toward a longer prefix — more candidates, never fewer —
+    # preserving the zero-false-negative guarantee for any tau.
+    ceil_tau_sz = F.ceil(F.lit(tau) * F.col("sz") - F.lit(1e-9))
     prefix = (
         ordered.withColumn("rn", rn)
         .join(sizes, "doc_id")
-        .where(F.col("rn") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1)
+        .where(F.col("rn") <= F.col("sz") - ceil_tau_sz + 1)
         .select("doc_id", "w")
     )
     cand = (

@@ -152,16 +152,29 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     is generated exactly once at its lowest-ranked vertex and the
     self-join fan-out is bounded by arboricity, not by max degree — a
     celebrity node with 10⁷ neighbors produces ZERO wedges at itself
-    under orientation, versus 10¹⁴ unoriented. The rank is packed into
-    one BIGINT (deg·2³² + id) so orientation and the wedge ordering are
-    single integer compares in any engine. n_wedges (the clustering
-    denominator) is Σ C(deg,2) from the degree table — an aggregate, not
-    an enumeration. Triangles = wedge(x,y) ⋈ oriented-edge(x,y): one
+    under orientation, versus 10¹⁴ unoriented. The (degree, id) rank is
+    packed into one BIGINT (deg·2³² + id — single integer compares, the
+    same number in any engine) with a FAIL-LOUD domain guard: node ids
+    must be in [0, 2³²) or the packing would silently collide (a negative
+    or ≥2³² hash-derived id folds into the degree bits, dropping edges
+    and undercounting triangles) — ``assert_true`` raises instead, at
+    zero cost on the valid path. n_wedges (the clustering denominator)
+    is Σ C(deg,2) from the degree table — an aggregate, not an
+    enumeration. Triangles = wedge(x,y) ⋈ oriented-edge(x,y): one
     equi-join on the pair key."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    in_range = (F.col("src") >= 0) & (F.col("src") < F.lit(1 << 32))
+    guard = F.coalesce(
+        F.assert_true(
+            in_range, "triangle_stats: node ids must be in [0, 2^32)"
+        ).cast("long"),
+        F.lit(0),
+    )
     rank = deg.select(
         F.col("src").alias("v"),
-        (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("src")).alias("rk"),
+        (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("src") + guard).alias(
+            "rk"
+        ),
     )
     und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     oriented = (

@@ -2886,39 +2886,44 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_img = F.col("mime_type").isin("image/png", "image/gif")  # parseable
     is_aud = F.col("mime_type") == "audio/x-wav"
     is_vid = F.col("mime_type") == "video/mp4"
-    # THREE-step select: payload alias barrier, then the mvhd offset +
-    # the three parsed STRUCTS as aliases (video_meta's moov-anchored
-    # scan is an expensive tree — re-derived per output column it costs
-    # seconds of planning, the q_video_meta lesson), then the unified
-    # catalog row.
+    # THREE-step select: payload alias barrier, then the mvhd OFFSET as
+    # its own alias (the moov-anchored locate is the one expensive parse
+    # subtree — inlined per field it costs seconds of per-build planning,
+    # the q_video_meta lesson), then the unified catalog row: with the
+    # offset staged, every parser's per-field extract is a cheap subtree
+    # over column refs.
     from .multimodal.binary import mvhd_offset
 
+    img = image_meta(p)
+    aud = audio_meta(p)
+    vid = video_meta(p, F.col("mp"))
     return (
         docs.select("doc_id", payload.alias("payload"))
         .select(
             "doc_id",
+            "payload",
+            mvhd_offset(p).alias("mp"),
             F.octet_length(p).alias("n_bytes"),
             mime.alias("mime_type"),
             modality.alias("modality"),
-            image_meta(p).alias("img"),
-            audio_meta(p).alias("aud"),
-            video_meta(p, mvhd_offset(p)).alias("vid"),
         )
         .select(
             "doc_id",
             "n_bytes",
             "mime_type",
             "modality",
-            F.when(is_img, F.col("img.width")).otherwise(null_i).alias("width"),
-            F.when(is_img, F.col("img.height")).otherwise(null_i).alias("height"),
-            F.when(is_aud, F.col("aud.sample_rate_hz"))
+            F.when(is_img, img.getField("width")).otherwise(null_i).alias("width"),
+            F.when(is_img, img.getField("height"))
+            .otherwise(null_i)
+            .alias("height"),
+            F.when(is_aud, aud.getField("sample_rate_hz"))
             .otherwise(null_i)
             .alias("sample_rate_hz"),
-            F.when(is_aud, F.col("aud.duration_ms"))
-            .when(is_vid, F.col("vid.duration_ms"))
+            F.when(is_aud, aud.getField("duration_ms"))
+            .when(is_vid, vid.getField("duration_ms"))
             .otherwise(F.lit(None).cast("long"))
             .alias("duration_ms"),
-            F.when(is_vid, F.col("vid.n_tracks"))
+            F.when(is_vid, vid.getField("n_tracks"))
             .otherwise(null_i)
             .alias("n_tracks"),
         )

@@ -1165,8 +1165,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     feasible and hopeless on power-law graphs (a 10⁷-degree hub
     generates zero wedges at itself oriented, 10¹⁴ unoriented). Wedge
     DENOMINATOR (Σ C(deg,2)) comes from the degree aggregate, never an
-    enumeration. The orientation rank packs into one BIGINT so the
-    DuckDB oracle replicates it with plain integer compares."""
+    enumeration. The orientation rank packs into one BIGINT the DuckDB
+    oracle replicates; a fail-loud assert_true guards the id-domain
+    precondition ([0, 2³²)) the packing needs."""
     from .operators.graph import co_occurrence_edges, triangle_stats
 
     li = load_table(spark, sf_dir, "lineitem")

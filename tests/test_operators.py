@@ -1699,3 +1699,45 @@ def test_cms_sketch_stream_matches_batch(spark, tmp_path):
     }
     want = {(r["d"], r["b"]): r["cnt"] for r in counters(docs).collect()}
     assert got == want
+
+
+def test_setsim_prefix_length_float_boundary(spark):
+    """ceil(double(tau)*sz) overshoots when tau*sz is an exact integer
+    whose double product rounds high (tau=0.07, sz=100 → 8 not 7),
+    shortening the prefix and silently LOSING pairs. Construction: x has
+    100 elements, y is exactly x's 7 rarity-order-LAST elements
+    (J = 7/100 = tau); the correct 94-prefix of x reaches them, the buggy
+    93-prefix does not. The epsilon-guarded bound must find the pair."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    # x's 93 private elements sort FIRST in x's rarity order (freq 1 vs
+    # the shared elements' freq 2), so the shared block sits at positions
+    # 94-100 — outside the buggy prefix, inside the correct one.
+    rows = [(0, f"a{i:03d}") for i in range(93)]
+    rows += [(0, f"z{i}") for i in range(7)]
+    rows += [(1, f"z{i}") for i in range(7)]
+    tokens = spark.createDataFrame(rows, "doc_id long, w string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in set_similarity_join(tokens, 0.07).collect()
+    }
+    assert got == {(0, 1): 0.07}
+
+
+def test_triangle_stats_rejects_out_of_range_ids(spark):
+    """The packed (deg, id) rank needs ids in [0, 2^32); violating the
+    precondition must FAIL LOUD (assert_true), never silently drop edges
+    and undercount."""
+    import pytest
+
+    from crypto_market_tracker_etl_spark.operators.graph import triangle_stats
+
+    bad = spark.createDataFrame(
+        [(-1, 2), (2, -1), (2, 3), (3, 2), (-1, 3), (3, -1)],
+        "src long, dst long",
+    )
+    with pytest.raises(Exception) as exc:
+        triangle_stats(bad).collect()
+    assert "node ids must be in" in str(exc.value)
