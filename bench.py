@@ -95,6 +95,7 @@ HEADLINE = [
     "media_catalog",
     "bm25_topk",
     "collocations",
+    "k_anonymity",
     "tfidf",
     "weighted_median",
     "udtf_spans",

@@ -2452,15 +2452,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r6 window (positions 1-50, per the ATTESTATION.md schedule): the 23
+# r6 window (positions 1-50, per the ATTESTATION.md schedule): the 24
 # queries NEW this round plus the 4 added after the r5 window was locked —
 # never-attested code goes FIRST by policy — then the rest of the r3
 # cohort (its top 13 was re-attested in r5): array/map funcs, the 10 EXT2
-# curation ops, and 11 of the 17 late-core queries
-# (23 + 4 + 2 + 10 + 11 = 50; late_arrivals, twap, heavy_hitters,
-# histogram, unpivot, and grouping_sets slide to positions 51-56 → the
-# r7 window). This continues the steady-state rolling 3-round
-# re-attestation cycle.
+# curation ops, and 10 of the 17 late-core queries
+# (24 + 4 + 2 + 10 + 10 = 50; session_islands, late_arrivals, twap,
+# heavy_hitters, histogram, unpivot, and grouping_sets slide to
+# positions 51-57 → the r7 window). This continues the steady-state
+# rolling 3-round re-attestation cycle.
 # Positions 51+ (in order): the 21 queries the r6 additions displaced
 # (late-core overflow, TPC-H flagships, r4-top remainder — all r7-window
 # material), then the r5 window (green in CORRECTNESS_r05.json), then the
@@ -2469,6 +2469,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 ATTESTATION_ORDER: list[str] = [
     # ==== r6 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
+    "k_anonymity",
     "setsim_join", "triangle_count",
     "bm25_topk", "collocations",
     "media_catalog", "cms_heavy_hitters",
@@ -2489,9 +2490,9 @@ ATTESTATION_ORDER: list[str] = [
     "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
     "basket_lift", "session_islands", "late_arrivals", "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    # (the twenty-three r6 additions above pushed late_arrivals, twap,
-    # heavy_hitters, histogram, unpivot, grouping_sets, all 8 TPC-H
-    # flagships
+    # (the twenty-four r6 additions above pushed session_islands,
+    # late_arrivals, twap, heavy_hitters, histogram, unpivot,
+    # grouping_sets, all 8 TPC-H flagships
     # (q1/q3/q5/q6/q18/q10/q14/q4), knn_pq, knn_ivfpq, hash_split,
     # domain_mix, boilerplate_strip, cdc_apply, cosine_topk_filtered,
     # weighted_median, udtf_spans past position 50; all move to the r7

@@ -1155,6 +1155,45 @@ FROM k
 """
 
 
+K_ANON = 5  # minimum group size for a quasi-identifier tuple
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation/privacy] k-anonymity audit — the data-governance gate
+    run before a corpus ships: group documents by their QUASI-IDENTIFIER
+    tuple (source, language, length decile — attributes that jointly
+    re-identify even after direct identifiers are redacted by
+    [pii_redact]) and flag every equivalence class smaller than k=5;
+    docs in flagged classes need suppression or generalization before
+    release. Emits the class table (qid tuple, size, at_risk) plus the
+    corpus-level risk summary every audit report leads with. Scale: ONE
+    groupBy with map-side partial aggregation — the length decile comes
+    from fixed-width integer bucketing (n_chars/100), not a quantile
+    sort, so the audit runs at aggregation speed over 100 TB."""
+    docs = _documents(spark, sf_dir)
+    bucket = F.floor(F.col("n_chars") / 100).cast("int")
+    cls = (
+        docs.groupBy(
+            F.col("source"), F.col("lang"), bucket.alias("len_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("at_risk", F.col("n_docs") < K_ANON)
+    )
+    return cls.select(
+        "source", "lang", "len_bucket", "n_docs", "at_risk"
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT source, lang,
+       CAST(floor(n_chars / 100.0) AS INT) AS len_bucket,
+       count(*) AS n_docs,
+       count(*) < {K_ANON} AS at_risk
+FROM documents
+GROUP BY source, lang, CAST(floor(n_chars / 100.0) AS INT)
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[graph extension] Triangle census + global clustering coefficient
     over the part co-order graph — the standard distributed-graph
@@ -1333,6 +1372,7 @@ SQL_CMS_HEAVY_HITTERS = _sql_cms_heavy_hitters()
 REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
