@@ -395,27 +395,49 @@ def set_similarity_join(
     prefix filtering guarantees NONE while still never enumerating all
     pairs.
 
-    ``tokens``: (doc_id, w) DISTINCT membership rows. The filter: order
-    each doc's tokens by global rarity ((corpus freq, token) — the order
-    only has to be CONSISTENT, so no global rank is materialized: the
-    per-doc ordering is a window riding the doc grain); any pair with
-    J ≥ tau MUST share a token inside both docs' first
-    |s| − ceil(tau·|s|) + 1 tokens, so candidates come from a self-join
-    of the PREFIX rows only — rare tokens have tiny postings, and the
-    frequent tokens that would explode the join are exactly the ones the
-    prefix order pushes out. Candidates are then verified with the exact
-    overlap count: J = o / (|a| + |b| − o), emitted rounded to 4.
+    ``tokens``: (doc_id, w) DISTINCT membership rows. Three PPJoin filters,
+    all zero-false-negative by construction:
+
+    1. PREFIX filter — order each doc's tokens by global rarity
+       ((corpus freq, token); the order only has to be CONSISTENT, so no
+       global rank is materialized: the per-doc ordering is a window
+       riding the doc grain). Any pair with J ≥ tau MUST share a token
+       inside both docs' first |s| − ceil(tau·|s|) + 1 tokens, so
+       candidates come from a self-join of the PREFIX rows only — rare
+       tokens have tiny postings, and the frequent tokens that would
+       explode the join are exactly the ones the prefix order pushes out.
+    2. LENGTH filter — J ≥ tau ⇒ o/(sza+szb−o) ≥ tau with o ≤ min(sz),
+       so min(sza,szb) ≥ tau·max(sza,szb); a pair of incompatible sizes
+       is dropped BEFORE the distinct/verify shuffle. Sizes ride the
+       prefix rows (one column), so this is a predicate, not a new join.
+    3. POSITIONAL filter — at the pair's globally-first common token
+       (positions pa, pb in the rarity order) the overlap is bounded by
+       1 + min(sza−pa, szb−pb); require that bound ≥ o_min =
+       ceil(tau/(1+tau)·(sza+szb)), the minimal overlap J ≥ tau implies.
+       Applied per matched prefix row BEFORE distinct: a true pair always
+       survives via its first common token's row (no common token can
+       precede it — the global order makes 'first in both prefixes' and
+       'first overall' coincide), while candidate rows matching only on
+       late prefix positions are dropped.
+
+    Verification computes the exact overlap: J = o / (|a| + |b| − o),
+    emitted rounded to 4.
 
     Scale: candidate generation is a token-keyed equi-join over prefix
-    rows (postings-list sized, not corpus²); verification joins only the
-    candidate pairs back to the membership table. 100 TB shape: partition
-    by token for the candidate step, by pair for the verify step — both
-    plain shuffles the engine plans. The membership table feeds FIVE
-    consumers (sizes, frequencies, the ordered prefix, both verify
-    sides), so ``persist=True`` (default) caches it rather than
-    re-running the upstream explode per consumer — at warehouse scale
-    pass ``persist=False`` and materialize ``tokens`` as a table
-    instead."""
+    rows (postings-list sized, not corpus²) with the length+positional
+    predicates cutting the candidate set before it is shuffled for
+    dedup/verify; verification joins only the candidate pairs back to the
+    membership table. 100 TB shape: partition by token for the candidate
+    step, by pair for the verify step — both plain shuffles the engine
+    plans. The membership table feeds FOUR consumers (sizes, frequencies
+    → the ordered prefix, both verify sides), so ``persist=True``
+    (default) caches it rather than re-running the upstream explode per
+    consumer. CALLER OWNS CLEANUP of that cache: materialize the result
+    (the bench protocol does), then ``spark.catalog.clearCache()`` or
+    re-invoke with ``persist=False`` — repeated persist=True invocations
+    in one session otherwise accumulate cached copies until LRU eviction.
+    At warehouse scale pass ``persist=False`` and materialize ``tokens``
+    as a table instead."""
     if persist:
         tokens = tokens.persist()
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -428,20 +450,35 @@ def set_similarity_join(
     # whose double product rounds high (e.g. tau=0.07, sz=100 → 8 not 7),
     # shortening the prefix and creating REAL false negatives. The epsilon
     # errs only toward a longer prefix — more candidates, never fewer —
-    # preserving the zero-false-negative guarantee for any tau.
+    # preserving the zero-false-negative guarantee for any tau. The same
+    # epsilon direction applies to the length and positional bounds below:
+    # each is relaxed by 1e-9 so double rounding can only ADMIT an extra
+    # candidate, never drop a qualifying pair.
     ceil_tau_sz = F.ceil(F.lit(tau) * F.col("sz") - F.lit(1e-9))
     prefix = (
         ordered.withColumn("rn", rn)
         .join(sizes, "doc_id")
         .where(F.col("rn") <= F.col("sz") - ceil_tau_sz + 1)
-        .select("doc_id", "w")
+        .select("doc_id", "w", "rn", "sz")
+    )
+    sza, szb = F.col("p1.sz"), F.col("p2.sz")
+    length_ok = F.least(sza, szb) >= F.lit(tau) * F.greatest(sza, szb) - F.lit(
+        1e-9
+    )
+    o_min = F.ceil(F.lit(tau / (1.0 + tau)) * (sza + szb) - F.lit(1e-9))
+    pos_ok = (
+        F.lit(1) + F.least(sza - F.col("p1.rn"), szb - F.col("p2.rn")) >= o_min
     )
     cand = (
         prefix.alias("p1")
         .join(prefix.alias("p2"), "w")
         .where(F.col("p1.doc_id") < F.col("p2.doc_id"))
+        .where(length_ok & pos_ok)
         .select(
-            F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b")
+            F.col("p1.doc_id").alias("doc_a"),
+            F.col("p2.doc_id").alias("doc_b"),
+            sza.alias("sza"),
+            szb.alias("szb"),
         )
         .distinct()
     )
@@ -450,15 +487,11 @@ def set_similarity_join(
     overlap = (
         cand.join(ta, "doc_a")
         .join(tb, ["doc_b", "w"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sza", "szb")
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        overlap.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(
+        overlap.where(
             F.col("o") / (F.col("sza") + F.col("szb") - F.col("o")) >= F.lit(tau)
         )
         .select(
