@@ -155,18 +155,26 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     under orientation, versus 10¹⁴ unoriented. The (degree, id) rank is
     packed into one BIGINT (deg·2³² + id — single integer compares, the
     same number in any engine) with a FAIL-LOUD domain guard: node ids
-    must be in [0, 2³²) or the packing would silently collide (a negative
-    or ≥2³² hash-derived id folds into the degree bits, dropping edges
-    and undercounting triangles) — ``assert_true`` raises instead, at
-    zero cost on the valid path. n_wedges (the clustering denominator)
-    is Σ C(deg,2) from the degree table — an aggregate, not an
-    enumeration. Triangles = wedge(x,y) ⋈ oriented-edge(x,y): one
-    equi-join on the pair key."""
+    must be in [0, 2³²) AND degrees below 2³¹, or the packing would
+    silently collide/overflow (a negative or ≥2³² hash-derived id folds
+    into the degree bits; deg ≥ 2³¹ overflows BIGINT in deg·2³² —
+    dropping edges and undercounting triangles either way) —
+    ``assert_true`` raises instead, at zero cost on the valid path.
+    n_wedges (the clustering denominator) is Σ C(deg,2) from the degree
+    table, computed in INTEGER arithmetic (deg·(deg−1) is even, so
+    shiftright-by-1 halves exactly; double division loses exactness past
+    2⁵³ on billion-degree-sum graphs). Triangles = wedge(x,y) ⋈
+    oriented-edge(x,y): one equi-join on the pair key."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    in_range = (F.col("src") >= 0) & (F.col("src") < F.lit(1 << 32))
+    in_range = (
+        (F.col("src") >= 0)
+        & (F.col("src") < F.lit(1 << 32))
+        & (F.col("deg") < F.lit(1 << 31))
+    )
     guard = F.coalesce(
         F.assert_true(
-            in_range, "triangle_stats: node ids must be in [0, 2^32)"
+            in_range,
+            "triangle_stats: node ids must be in [0, 2^32) and deg < 2^31",
         ).cast("long"),
         F.lit(0),
     )
@@ -192,8 +200,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     tri = closures.agg(F.count(F.lit(1)).alias("n_triangles"))
     base = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum("deg") / 2).cast("long").alias("n_edges"),
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+        # Σdeg is even (symmetric edge set) and deg·(deg−1) is always even:
+        # shiftright(·, 1) is an exact integer halving with no double hop
+        F.shiftright(F.sum("deg"), 1).alias("n_edges"),
+        F.sum(
+            F.shiftright(F.col("deg") * (F.col("deg") - F.lit(1)), 1)
+        ).alias("n_wedges"),
     )
     return (
         base.crossJoin(F.broadcast(tri))

@@ -560,3 +560,104 @@ def test_set_similarity_join_matches_brute_force(spark, sets, tau):
             if j >= tau:
                 want[(a, b)] = round(j, 4)
     assert got == want, (got, want, sets, tau)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edge_set=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_stats_matches_brute_force(spark, edge_set):
+    """triangle_stats vs an O(n³) pure-Python census on random small
+    graphs: the degree-orientation packing (deg·2³² + id, rank-domain
+    guards) is subtle enough to deserve the same third independent check
+    the setsim join has (the id-domain guard bug was found by exactly
+    this kind of test)."""
+    from itertools import combinations
+
+    from crypto_market_tracker_etl_spark.operators.graph import triangle_stats
+
+    und = {(a, b) for a, b in edge_set if a != b}
+    und = {(min(a, b), max(a, b)) for a, b in und}
+    if not und:
+        return
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = triangle_stats(edges).collect()[0]
+
+    nodes = sorted({v for e in und for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    n_tri = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    n_wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in nodes)
+    assert got["n_nodes"] == len(nodes)
+    assert got["n_edges"] == len(und)
+    assert got["n_wedges"] == n_wedges
+    assert got["n_triangles"] == n_tri
+    want_cc = round(3 * n_tri / max(n_wedges, 1), 4)
+    assert abs(got["global_clustering"] - want_cc) < 1e-9, (got, und)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnoprstuvwy.',0123456789",
+            min_size=1,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_bpe_segment_matches_python_model(spark, words):
+    """The Spark replace-cascade BPE must reproduce the pure-Python model
+    of the same documented semantics (rank order, two-pass boundary-space
+    replace) on arbitrary words — including ones far outside the training
+    corpus (digits, punctuation), where everything stays characters."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        bpe_encode_py,
+        bpe_token_count,
+        bpe_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: (list(r["toks"]), r["n"])
+        for r in df.select(
+            "w",
+            bpe_tokens(F.col("w")).alias("toks"),
+            bpe_token_count(F.col("w")).alias("n"),
+        ).collect()
+    }
+    for w in words:
+        want = bpe_encode_py(w)
+        assert got[w] == (want, len(want)), (w, got[w], want)
+
+
+def test_bpe_known_merges(spark):
+    """Corpus-frequent words collapse to single tokens under the learned
+    table; chained merges compose (customer = c+ustomer after 3 internal
+    merges); unseen words bottom out at characters."""
+    from crypto_market_tracker_etl_spark.functions.bpe import bpe_encode_py
+
+    assert bpe_encode_py("customer") == ["customer"]
+    assert bpe_encode_py("table") == ["table"]
+    assert bpe_encode_py("batch") == ["batch"]
+    assert bpe_encode_py("xyz") == ["x", "y", "z"]
+    # partial coverage: known stem + leftover chars
+    assert "filter" in bpe_encode_py("filtering")
