@@ -512,8 +512,15 @@ def sniff_mime(payload: F.Column) -> F.Column:
     each blob to the right decode pipeline (image/audio/document/archive).
     First-match dispatch on leading signatures — the RIFF check also
     requires "WAVE" at offset 9 so other RIFF containers (AVI) are not
-    misrouted. Unknown bytes yield 'application/octet-stream', never an
-    error."""
+    misrouted. ISO-BMFF containers (ftyp at offset 5) are routed by MAJOR
+    BRAND (bytes 9-12): heic/heix → image/heic, mif1/msf1 → image/heif,
+    avif/avis → image/avif, "M4A "/"M4B " → audio/mp4 — these are images
+    and audiobooks in an MP4 shell, and a brand-blind video/mp4 default
+    would send them to the frame-sampling pipeline. Unrecognized brands
+    (isom, mp41/42, qt, ...) default to video/mp4: the movie brands
+    outnumber enumerable stills, so video is the router's documented
+    BMFF fallback. Unknown bytes yield 'application/octet-stream', never
+    an error."""
     sig = lambda hexs: _bytes_hex(payload, 1, len(hexs) // 2) == hexs  # noqa: E731
     # routing requires only "WAVE" at offset 9 (sufficient to exclude
     # AVI/other RIFF): real WAVs often carry bext/LIST/JUNK chunks before
@@ -521,11 +528,29 @@ def sniff_mime(payload: F.Column) -> F.Column:
     # the fixed-layout audio_meta parser separately requires the canonical
     # "fmt "-first layout and NULLs out anything else
     is_wav = sig(WAV_RIFF_HEX) & (_bytes_hex(payload, 9, 4) == "57415645")
+    is_bmff = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
+    brand = _bytes_hex(payload, 9, 4)  # ftyp major brand, ASCII hex
     return (
         F.when(sig(PNG_SIG_HEX), F.lit("image/png"))
         .when(sig(GIF_SIG_HEX), F.lit("image/gif"))
         .when(is_wav, F.lit("audio/x-wav"))
-        .when(_bytes_hex(payload, 5, 4) == MP4_FTYP_HEX, F.lit("video/mp4"))
+        .when(
+            is_bmff & brand.isin("68656963", "68656978"),  # heic, heix
+            F.lit("image/heic"),
+        )
+        .when(
+            is_bmff & brand.isin("6D696631", "6D736631"),  # mif1, msf1
+            F.lit("image/heif"),
+        )
+        .when(
+            is_bmff & brand.isin("61766966", "61766973"),  # avif, avis
+            F.lit("image/avif"),
+        )
+        .when(
+            is_bmff & brand.isin("4D344120", "4D344220"),  # "M4A ", "M4B "
+            F.lit("audio/mp4"),
+        )
+        .when(is_bmff, F.lit("video/mp4"))
         .when(sig(JPEG_SIG_HEX), F.lit("image/jpeg"))
         .when(sig(PDF_SIG_HEX), F.lit("application/pdf"))
         .when(sig(ZIP_SIG_HEX), F.lit("application/zip"))

@@ -174,3 +174,28 @@ def test_sniff_mime_routes_mp4(spark):
     df = spark.createDataFrame([(p,) for p, _ in cases], "payload binary")
     got = [r[0] for r in df.select(sniff_mime(F.col("payload"))).collect()]
     assert got == [m for _, m in cases]
+
+
+def test_sniff_mime_routes_bmff_brands(spark):
+    """ISO-BMFF major-brand routing: HEIC/AVIF stills and M4A audio must
+    NOT fall through to the video pipeline (ADVICE r6); movie brands and
+    unknown brands keep the documented video/mp4 default."""
+    def bmff(brand: bytes) -> bytes:
+        return b"\x00\x00\x00\x14ftyp" + brand + b"\x00\x00\x00\x00isom"
+
+    cases = [
+        (bmff(b"heic"), "image/heic"),
+        (bmff(b"heix"), "image/heic"),
+        (bmff(b"mif1"), "image/heif"),
+        (bmff(b"msf1"), "image/heif"),
+        (bmff(b"avif"), "image/avif"),
+        (bmff(b"avis"), "image/avif"),
+        (bmff(b"M4A "), "audio/mp4"),
+        (bmff(b"M4B "), "audio/mp4"),
+        (bmff(b"isom"), "video/mp4"),
+        (bmff(b"mp42"), "video/mp4"),
+        (bmff(b"qt  "), "video/mp4"),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in cases], "payload binary")
+    got = [r[0] for r in df.select(sniff_mime(F.col("payload"))).collect()]
+    assert got == [m for _, m in cases]
