@@ -90,6 +90,9 @@ HEADLINE = [
     "epoch_shuffle",
     "vocab_stats",
     "tokenize_count",
+    "bpe_tokenize",
+    "dup_extents",
+    "k_anonymity_summary",
     "curation_pipeline",
     "cms_heavy_hitters",
     "media_catalog",
@@ -163,6 +166,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     registry = qmod.queries()
+    # bench times the RAW xxhash64 fast pipelines (the portable-hash-tax
+    # measurement vs near_dup_pairs/simhash); their registry twins wrap
+    # the same pipelines in a differential within_tolerance oracle and
+    # would double-count the portable side here
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        near_dup_pairs_fast_raw,
+        simhash_fast_raw,
+    )
+
+    registry = {
+        **registry,
+        "near_dup_pairs_fast": near_dup_pairs_fast_raw,
+        "simhash_fast": simhash_fast_raw,
+    }
 
     # warmup: spin up codegen/shuffle machinery on a small plan
     force(registry["kpis"](spark, SF_DIR))
