@@ -1165,8 +1165,9 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-identify even after direct identifiers are redacted by
     [pii_redact]) and flag every equivalence class smaller than k=5;
     docs in flagged classes need suppression or generalization before
-    release. Emits the class table (qid tuple, size, at_risk) plus the
-    corpus-level risk summary every audit report leads with. Scale: ONE
+    release. Emits the class table (qid tuple, size, at_risk); the
+    corpus-level roll-up every audit report leads with is the companion
+    [k_anonymity_summary]. Scale: ONE
     groupBy with map-side partial aggregation — the length decile comes
     from fixed-width integer bucketing (n_chars/100), not a quantile
     sort, so the audit runs at aggregation speed over 100 TB."""
@@ -1194,6 +1195,41 @@ GROUP BY source, lang, CAST(floor(n_chars / 100.0) AS INT)
 """
 
 
+def q_k_anonymity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation/privacy] Corpus-level k-anonymity roll-up — the one-row
+    headline every audit report leads with: how many equivalence classes
+    exist, how many are below k, and how many DOCUMENTS sit in at-risk
+    classes (the suppression workload). A second aggregation over the
+    class table of [k_anonymity]: class grain is tiny (quasi-identifier
+    cardinality, not corpus cardinality), so the roll-up is a broadcast-
+    scale aggregate no matter the corpus size."""
+    cls = q_k_anonymity(spark, sf_dir)
+    at_risk_docs = F.when(F.col("at_risk"), F.col("n_docs")).otherwise(F.lit(0))
+    return cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.col("at_risk").cast("long")).alias("n_at_risk_classes"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(at_risk_docs).alias("docs_at_risk"),
+        F.round(F.sum(at_risk_docs) / F.sum("n_docs"), 4).alias(
+            "risk_fraction"
+        ),
+    )
+
+
+SQL_K_ANONYMITY_SUMMARY = f"""
+WITH cls AS ({SQL_K_ANONYMITY})
+SELECT count(*) AS n_classes,
+       CAST(sum(CASE WHEN at_risk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_risk_classes,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN at_risk THEN n_docs ELSE 0 END) AS BIGINT)
+         AS docs_at_risk,
+       round(sum(CASE WHEN at_risk THEN n_docs ELSE 0 END)
+             / CAST(sum(n_docs) AS DOUBLE), 4) AS risk_fraction
+FROM cls
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[graph extension] Triangle census + global clustering coefficient
     over the part co-order graph — the standard distributed-graph
@@ -1205,8 +1241,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     generates zero wedges at itself oriented, 10¹⁴ unoriented). Wedge
     DENOMINATOR (Σ C(deg,2)) comes from the degree aggregate, never an
     enumeration. The orientation rank packs into one BIGINT the DuckDB
-    oracle replicates; a fail-loud assert_true guards the id-domain
-    precondition ([0, 2³²)) the packing needs."""
+    oracle replicates; a fail-loud assert_true guards the preconditions
+    the packing needs (ids in [0, 2³²), degree < 2³¹)."""
     from .operators.graph import co_occurrence_edges, triangle_stats
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1373,6 +1409,7 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "k_anonymity_summary": (q_k_anonymity_summary, SQL_K_ANONYMITY_SUMMARY),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
