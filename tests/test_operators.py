@@ -1741,3 +1741,38 @@ def test_triangle_stats_rejects_out_of_range_ids(spark):
     with pytest.raises(Exception) as exc:
         triangle_stats(bad).collect()
     assert "node ids must be in" in str(exc.value)
+
+
+def test_dup_extents_merges_planted_run(spark, tmp_path):
+    """Two docs sharing one contiguous 12-token run must yield exactly one
+    maximal extent per doc of 12 tokens = 5 overlapping 8-token windows —
+    not 5 separate spans — and disjoint shared runs must stay separate
+    extents."""
+    import pyspark.sql.functions as F
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token duplicated run
+    shared2 = " ".join(f"z{i}" for i in range(8))  # second, disjoint run
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {filler_a} {shared2}", "s1"),
+            (2, f"{filler_b} {shared} x9 {shared2}", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    from crypto_market_tracker_etl_spark.queries_ext import q_dup_extents
+
+    got = {
+        (r.doc_id, r.start_tok): (r.end_tok, r.n_tokens, r.n_windows)
+        for r in q_dup_extents(spark, sf).collect()
+    }
+    # doc 1: run at tokens 1-12 (5 windows), run2 at tokens 23-30 (1 window)
+    # doc 2: run at tokens 11-22, run2 at tokens 24-31
+    assert got[(1, 1)] == (12, 12, 5)
+    assert got[(1, 23)] == (30, 8, 1)
+    assert got[(2, 11)] == (22, 12, 5)
+    assert got[(2, 24)] == (31, 8, 1)
+    assert len(got) == 4
