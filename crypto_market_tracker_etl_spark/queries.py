@@ -2467,42 +2467,36 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # rest of the r4 window (also r7-window material). The inline section
 # markers below are authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r6 window: positions 1-50 ======================================
+    # ==== r7 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
-    "k_anonymity",
-    "setsim_join", "triangle_count",
-    "bm25_topk", "collocations",
-    "media_catalog", "cms_heavy_hitters",
-    "curation_pipeline", "video_meta", "vocab_stats", "tokenize_count",
-    "audio_meta", "mime_sniff", "epoch_shuffle",
-    "lang_id", "url_normalize", "link_graph", "c4_filters",
-    "lm_perplexity", "ppl_buckets_approx", "quality_logit", "gram_novelty",
-    "html_strip", "winnowing",
-    # -- added after the r5 window was locked (never attested) ------------
-    "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
-    # -- rest of the r3 cohort: array/map funcs + EXT2 curation -----------
-    "array_funcs", "map_funcs",
-    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
-    "drift_report", "weighted_sample_stratified", "rrf_fusion",
-    "contamination", "sequence_packing", "recursive_cte",
-    # -- rest of the r3 cohort: the 17 late-core queries ------------------
-    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
-    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
-    "basket_lift", "session_islands", "late_arrivals", "twap",
+    "bpe_tokenize", "dup_extents", "k_anonymity_summary",
+    # -- changed this round: the fast twins gained differential
+    #    within_tolerance oracles (output schema changed) -----------------
+    "near_dup_pairs_fast", "simhash_fast",
+    # -- changed this round: PPJoin length+positional filters (plan),
+    #    integer wedge arithmetic, BMFF brand routing ---------------------
+    "setsim_join", "triangle_count", "mime_sniff", "media_catalog",
+    # -- the 24 displaced from the r6 window (r3-vintage rows) ------------
+    "session_islands", "late_arrivals", "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    # (the twenty-four r6 additions above pushed session_islands,
-    # late_arrivals, twap, heavy_hitters, histogram, unpivot,
-    # grouping_sets, all 8 TPC-H flagships
-    # (q1/q3/q5/q6/q18/q10/q14/q4), knn_pq, knn_ivfpq, hash_split,
-    # domain_mix, boilerplate_strip, cdc_apply, cosine_topk_filtered,
-    # weighted_median, udtf_spans past position 50; all move to the r7
-    # window) --------------------------------------------------------------
-    # ==== positions 51+: r4-top remainder, then the r5 window ============
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
-    "tpch_q14",
-    "tpch_q4", "knn_pq", "knn_ivfpq", "hash_split",
+    "tpch_q14", "tpch_q4",
+    "knn_pq", "knn_ivfpq", "hash_split",
     "domain_mix", "boilerplate_strip", "cdc_apply", "cosine_topk_filtered",
     "weighted_median", "udtf_spans",
+    # -- rest of the r4 cohort (r4-vintage rows, scheduled refresh) -------
+    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q21",
+    "approx_distinct",
+    "dedup_exact", "near_dup_pairs",
+    # ==== positions 51+: r4-cohort remainder (the r8 window front) =======
+    "simhash", "cosine_topk", "knn_lsh",
+    "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
+    "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
+    "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
+    "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
+    "sparkline_7d", "series_align", "order_nulls_last",
     # ==== r5 window (green in CORRECTNESS_r05.json) =======================
     "search_filter",
     "coalesce_fill", "kpis", "ts_convert", "date_format",
@@ -2515,20 +2509,26 @@ ATTESTATION_ORDER: list[str] = [
     "time_interval_join", "gap_fill", "funnel", "cohort_retention",
     "stats_battery", "profile",
     "knn_ivfadc",
-    "knn_ivf", "tfidf", "near_dup_pairs_fast", "simhash_fast", "pii_redact",
+    "knn_ivf", "tfidf", "pii_redact",
     "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
     "binary_chunks", "dedup_keep_best", "dedup_clusters", "image_meta",
-    # ==== rest of the r4 window (r7 window): positions 101+ ==============
-    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q20", "tpch_q21",
-    "approx_distinct",
-    "dedup_exact", "near_dup_pairs", "simhash", "cosine_topk", "knn_lsh",
-    "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
-    "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
-    "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
-    "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
-    "sparkline_7d", "series_align", "order_nulls_last",
+    # ==== r6 window remainder (green in CORRECTNESS_r06.json) ============
+    "k_anonymity",
+    "bm25_topk", "collocations",
+    "cms_heavy_hitters",
+    "curation_pipeline", "video_meta", "vocab_stats", "tokenize_count",
+    "audio_meta", "epoch_shuffle",
+    "lang_id", "url_normalize", "link_graph", "c4_filters",
+    "lm_perplexity", "ppl_buckets_approx", "quality_logit", "gram_novelty",
+    "html_strip", "winnowing",
+    "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
+    "array_funcs", "map_funcs",
+    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
+    "drift_report", "weighted_sample_stratified", "rrf_fusion",
+    "contamination", "sequence_packing", "recursive_cte",
+    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
+    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
+    "basket_lift",
 ]
 
 
