@@ -120,9 +120,8 @@ def run_curation(
     )
     gated = stats.filter(F.col("quality") >= quality_min)
 
-    survivors_exact = gated.join(
-        exact_dedup(gated).select("doc_id"), "doc_id", "left_semi"
-    )
+    kept_exact = exact_dedup(gated).select("doc_id")
+    survivors_exact = gated.join(kept_exact, "doc_id", "left_semi")
 
     sigs = minhash_signatures(
         survivors_exact, num_hashes=num_hashes, portable=portable
@@ -193,10 +192,40 @@ def run_curation(
     )
 
     result = CurationResult(stats=stats, clean=clean, splits=splits, packs=packs)
+    # ONE dedicated aggregation computes the whole funnel — 1 corpus scan
+    # where the r6 funnel ran 4 standalone .count() actions. Each stage is
+    # a boolean flag on the doc grain (quality predicate; left joins
+    # against the exact-dedup keeper set and the broadcast near-dup loser
+    # set), so raw/quality/exact/clean are four conditional sums of one
+    # pass. Observations were tried first and rejected: a frame observed
+    # then SELF-JOINED (gated ⋈ exact_dedup(gated)) duplicates the
+    # CollectMetrics node, and the copy that lands downstream of the
+    # persisted signature scan never executes — the JVM completes the
+    # observation with an empty, schema-less row and Observation.get
+    # throws (PythonSQLUtils.toPyRow assertion).
+    pass_q = F.col("quality") >= F.lit(quality_min)
+    kept_e = pass_q & F.coalesce(F.col("kept_e"), F.lit(False))
+    kept_nd = kept_e & ~F.coalesce(F.col("lost_nd"), F.lit(False))
+    funnel_row = (
+        stats.select("doc_id", "quality")
+        .join(kept_exact.select("doc_id", F.lit(True).alias("kept_e")), "doc_id", "left")
+        .join(
+            F.broadcast(losers.select("doc_id", F.lit(True).alias("lost_nd"))),
+            "doc_id",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("raw"),
+            F.sum(pass_q.cast("long")).alias("quality"),
+            F.sum(kept_e.cast("long")).alias("exact"),
+            F.sum(kept_nd.cast("long")).alias("clean"),
+        )
+        .collect()[0]
+    )
     result._funnel = [
-        ("raw", docs.count()),
-        ("quality", gated.count()),
-        ("exact", survivors_exact.count()),
-        ("clean", clean.count()),
+        ("raw", int(funnel_row["raw"])),
+        ("quality", int(funnel_row["quality"])),
+        ("exact", int(funnel_row["exact"])),
+        ("clean", int(funnel_row["clean"])),
     ]
     return result

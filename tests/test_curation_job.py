@@ -145,3 +145,32 @@ def test_curation_with_boilerplate_stage(spark):
     # exact copies make every original+copy segment recur: those docs are
     # stripped to empty and cannot pass a positive quality gate
     assert funnel["quality"] < funnel["raw"]
+
+
+def test_curation_funnel_is_single_pass(spark):
+    """The r6 funnel ran four standalone corpus .count() scans; the funnel
+    is now ONE dedicated flag-aggregation action — zero DataFrame.count()
+    calls on corpus-shaped frames inside run_curation (the only remaining
+    counts are connected_components' limit(1) convergence probes on the
+    small node/component label table). The four numbers must still equal
+    the independently recomputed stage counts."""
+    from unittest import mock
+
+    corpus = _corpus(spark)
+    cls = type(corpus)  # the concrete (classic) DataFrame class
+    real_count = cls.count
+    corpus_counts = []
+
+    def counting(self):
+        if "text" in self.columns:
+            corpus_counts.append(self.columns)
+        return real_count(self)
+
+    with mock.patch.object(cls, "count", counting):
+        res = run_curation(spark, corpus, capacity=CAP)
+        f = res.funnel()
+    assert corpus_counts == [], corpus_counts
+    assert f["raw"] >= f["quality"] >= f["exact"] >= f["clean"] > 0
+    # ground truth: the flag aggregation must equal the real stage counts
+    assert f["raw"] == corpus.count()
+    assert f["clean"] == res.clean.count()
