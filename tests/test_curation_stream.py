@@ -1,0 +1,78 @@
+"""Streaming twin of the curation funnel (plans/curation_stream.py):
+the accumulated stores must resolve to EXACTLY the batch funnel's
+survivor set, independent of arrival order, and the foreachBatch wiring
+must produce the same state as direct process_batch calls."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_market_tracker_etl_spark.plans.curation_job import run_curation
+from crypto_market_tracker_etl_spark.plans.curation_stream import CurationStream
+from tests.test_curation_job import _corpus
+
+
+def _clean_ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_curation_stream_equals_batch(spark, tmp_path):
+    """Three batches — fed in an order where a LATER batch carries the
+    lower-id exact copy winners (arrival-order stress for the
+    merge-on-read exact dedup) — must resolve to the batch funnel's
+    survivor set and funnel numbers."""
+    corpus = _corpus(spark)
+    batch_res = run_curation(spark, corpus)
+    want_clean = _clean_ids(batch_res.clean)
+    want_funnel = batch_res.funnel()
+
+    cs = CurationStream(spark, str(tmp_path / "store"))
+    # mod-3 split, fed HIGH remainder first: the +200000 exact copies of
+    # a doc often land in an earlier batch than the original
+    for rem in (2, 1, 0):
+        cs.process_batch(corpus.filter(F.col("doc_id") % 3 == rem))
+
+    assert _clean_ids(cs.clean()) == want_clean
+    got = cs.funnel()
+    assert got["raw"] == want_funnel["raw"]
+    assert got["quality"] == want_funnel["quality"]
+    assert got["exact"] == want_funnel["exact"]
+    assert got["clean"] == want_funnel["clean"]
+    # the cross-batch budget signal: surviving tokens = sum over clean
+    want_tok = (
+        batch_res.splits.agg(F.sum("n_tok").alias("t")).collect()[0]["t"]
+    )
+    assert got["clean_tokens"] == int(want_tok)
+
+
+def test_curation_stream_foreachbatch_wiring(spark, tmp_path):
+    """End-to-end through a real Structured Streaming source: a file
+    stream with one input file per trigger, attached via
+    CurationStream.attach, must leave the same store state (clean set)
+    as direct process_batch calls."""
+    corpus = _corpus(spark)
+    src = tmp_path / "in"
+    for rem in (0, 1, 2):
+        corpus.filter(F.col("doc_id") % 3 == rem).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    cs = CurationStream(spark, str(tmp_path / "store"))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cs.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want = _clean_ids(run_curation(spark, corpus).clean)
+    assert _clean_ids(cs.clean()) == want
+    # ingest counters accumulated across micro-batches
+    f = cs.funnel()
+    assert f["raw"] == corpus.count()
+    assert f["clean"] == len(want)
