@@ -92,6 +92,7 @@ HEADLINE = [
     "tokenize_count",
     "bpe_tokenize",
     "dup_extents",
+    "dedup_cut_spans",
     "k_anonymity_summary",
     "curation_pipeline",
     "cms_heavy_hitters",

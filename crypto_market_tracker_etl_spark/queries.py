@@ -2469,7 +2469,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 ATTESTATION_ORDER: list[str] = [
     # ==== r7 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
-    "bpe_tokenize", "dup_extents", "k_anonymity_summary",
+    "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
     # -- changed this round: the fast twins gained differential
     #    within_tolerance oracles (output schema changed) -----------------
     "near_dup_pairs_fast", "simhash_fast",

@@ -354,9 +354,13 @@ def q_near_dup_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable = q_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
     return portable.join(fast, ["id_a", "id_b"], "left").agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
-        (
+        # coalesce: zero portable pairs → sum is NULL → vacuously true
+        # (the oracle emits literal true; an empty pair set can't fail
+        # a recall bound)
+        F.coalesce(
             F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            >= F.lit(0.9) * F.count(F.lit(1))
+            >= F.lit(0.9) * F.count(F.lit(1)),
+            F.lit(True),
         ).alias("within_tolerance"),
     )
 
@@ -393,7 +397,10 @@ def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "id_b")
         .agg(
             F.count(F.lit(1)).alias("n_true_pairs"),
-            (F.avg(ham) <= F.lit(12.0)).alias("within_tolerance"),
+            # coalesce: zero portable pairs → avg is NULL → vacuously true
+            F.coalesce(F.avg(ham) <= F.lit(12.0), F.lit(True)).alias(
+                "within_tolerance"
+            ),
         )
     )
 
@@ -2675,6 +2682,107 @@ GROUP BY doc_id, grp
 """
 
 
+def q_dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] APPLY span-level dedup: emit each doc with every
+    maximal cross-duplicated extent ([dup_extents]) cut out — the actual
+    rewrite step of Lee et al.'s substring dedup (this engine's variant
+    removes every occurrence of cross-duplicated material; the
+    keep-one-occurrence policy is a doc-selection layer on top, same as
+    dedup_keep_best over exact dups). Output per doc: token counts
+    before/after, extents cut, and the md5 fingerprint of the cleaned
+    token stream (fingerprint, not full text — the differential check
+    needs identity, not bytes).
+
+    Scale shape: extents collapse to one array per doc (collect_list on
+    the tiny extent grain), join back on doc_id, and the cut is a pure
+    expression — filter over the token array with a per-position
+    exists() probe against the doc's own extent list. No token-instance
+    shuffle beyond dup_extents' own aggregates; the corpus is rewritten
+    in one projection."""
+    w = DUP_SPAN_W
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", normalize_ws(F.col("text")).alias("t")
+    )
+    tok_df = docs.select("doc_id", F.split(F.col("t"), " ").alias("toks"))
+    cuts = (
+        q_dup_extents(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("start_tok", "end_tok")).alias("cuts"),
+        )
+    )
+    joined = tok_df.join(cuts, "doc_id", "left")
+    kept = F.when(
+        F.col("cuts").isNull(), F.col("toks")
+    ).otherwise(
+        F.expr(
+            "filter(toks, (tok, i) -> NOT exists(cuts, "
+            "c -> i + 1 >= c.start_tok AND i + 1 <= c.end_tok))"
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok_before"),
+        F.size(kept).cast("long").alias("n_tok_after"),
+        F.coalesce(F.size("cuts"), F.lit(0)).cast("long").alias("n_cuts"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    )
+
+
+SQL_DEDUP_CUT_SPANS = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tk AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS toks FROM d),
+arr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {DUP_SPAN_W}
+           THEN list_transform(range(1, len(toks) - {DUP_SPAN_W} + 2),
+                i -> md5(array_to_string(
+                     list_slice(toks, i, i + {DUP_SPAN_W} - 1), ' ')))
+           ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM tk
+),
+s AS (
+  SELECT doc_id, unnest(range(0, len(hs))) AS pos, unnest(hs) AS h
+  FROM arr
+),
+hot AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM s) dh
+  GROUP BY h HAVING count(*) >= 2
+),
+dw AS (SELECT s.doc_id, s.pos FROM s JOIN hot USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dw
+),
+ext AS (
+  SELECT doc_id, min(pos) + 1 AS start_tok, max(pos) + {DUP_SPAN_W} AS end_tok
+  FROM isl GROUP BY doc_id, grp
+),
+cuts AS (
+  SELECT doc_id,
+         list(struct_pack(s := start_tok, e := end_tok)) AS cuts
+  FROM ext GROUP BY doc_id
+),
+cut AS (
+  SELECT tk.doc_id, tk.toks, cuts.cuts,
+         CASE WHEN cuts.cuts IS NULL THEN tk.toks
+              ELSE [tk.toks[i] FOR i IN range(1, len(tk.toks) + 1)
+                    IF len(list_filter(cuts.cuts,
+                        c -> i >= c.s AND i <= c.e)) = 0]
+         END AS kept
+  FROM tk LEFT JOIN cuts USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tok_before,
+       CAST(len(kept) AS BIGINT) AS n_tok_after,
+       CAST(coalesce(len(cuts), 0) AS BIGINT) AS n_cuts,
+       -- DuckDB: array_to_string([]) is NULL (Spark concat_ws gives '')
+       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_fp
+FROM cut
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[storage scale] Symmetric int8 quantization of the embedding
     column: per-vector scale, code checksum (proves the 64 codes match
@@ -4283,6 +4391,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "dup_extents": (q_dup_extents, SQL_DUP_EXTENTS),
+    "dedup_cut_spans": (q_dedup_cut_spans, SQL_DEDUP_CUT_SPANS),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),

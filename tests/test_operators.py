@@ -1776,3 +1776,39 @@ def test_dup_extents_merges_planted_run(spark, tmp_path):
     assert got[(2, 11)] == (22, 12, 5)
     assert got[(2, 24)] == (31, 8, 1)
     assert len(got) == 4
+
+
+def test_dedup_cut_spans_removes_planted_runs(spark, tmp_path):
+    """The cut rewrite must remove exactly the flagged extents: with the
+    planted two-doc corpus, each doc loses its two shared runs and keeps
+    its unique filler, and a doc with no duplicated material is
+    untouched (n_cuts=0, fingerprint of the original tokens)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    shared2 = " ".join(f"z{i}" for i in range(8))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(10))
+    solo = " ".join(f"u{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {filler_a} {shared2}", "s1"),
+            (2, f"{filler_b} {shared} x9 {shared2}", "s2"),
+            (3, solo, "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    from crypto_market_tracker_etl_spark.queries_ext import q_dedup_cut_spans
+
+    got = {
+        r.doc_id: (r.n_tok_before, r.n_tok_after, r.n_cuts, r.clean_fp)
+        for r in q_dedup_cut_spans(spark, sf).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1] == (30, 10, 2, md5(filler_a))
+    assert got[2] == (31, 11, 2, md5(f"{filler_b} x9"))
+    assert got[3] == (9, 9, 0, md5(solo))

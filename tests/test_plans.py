@@ -881,3 +881,49 @@ def test_epoch_shuffle_no_global_sort(spark):
     assert "Generate" in s  # the epoch fan-out
     assert "hashpartitioning" in s
     assert s.count(") Exchange") <= 2  # corpus spread + ONE shard shuffle
+
+
+def test_bpe_tokenize_vocab_grain_no_product(spark):
+    """The ~260-replace BPE cascade must run on the DISTINCT-WORD grain
+    (a StringReplace chain inside a codegen'd projection, visible as
+    'replace(' in the plan) and join token counts back on the word key —
+    never a pairwise product, never a Python UDF."""
+    s = plan_of(spark, "bpe_tokenize")
+    assert "replace(" in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "partial_sum" in s  # per-doc rollup combines map-side
+
+
+def test_dup_extents_no_doc_pair_relation(spark):
+    """Extent merging must ride dup_spans' hash aggregates: a LEFT SEMI
+    join of the (doc, pos, hash) grain against the duplicated-hash set
+    plus ONE window over (doc, pos) — no doc-pair product anywhere."""
+    s = plan_of(spark, "dup_extents")
+    assert "LeftSemi" in s
+    assert "Window" in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_dedup_cut_spans_expression_rewrite(spark):
+    """The cut is a pure expression over the token array (a filter with
+    an exists() probe against the doc's own extent list) — extents
+    collapse per doc and join back on doc_id; the corpus is rewritten in
+    one projection with no pairwise relation and no Python."""
+    s = plan_of(spark, "dedup_cut_spans")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "exists(" in s and "filter(" in s
+
+
+def test_k_anonymity_summary_aggregation_only(spark):
+    """The roll-up is two hash aggregations (class table, then the 1-row
+    summary) — no sort, no join, no window."""
+    s = plan_of(spark, "k_anonymity_summary")
+    assert "SortMergeJoin" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert "Window" not in s
+    assert "HashAggregate" in s
