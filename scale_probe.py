@@ -1593,6 +1593,96 @@ def _splice_probe_section(body: str) -> None:
         fh.write(out)
 
 
+def probe_r7(spark) -> None:
+    """r7 additions at generated scale: the BPE replace-cascade on the
+    distinct-word grain, dup_extents' islands merge over planted
+    duplicated runs, and the completed (length+positional) PPJoin.
+    Synth corpora are written as documents.parquet so the probes run the
+    REGISTERED query functions, not reimplementations."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        set_similarity_join,
+    )
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_bpe_tokenize,
+        q_dup_extents,
+    )
+
+    base = tempfile.mkdtemp(prefix="scale_r7_")
+    try:
+        for n in (200_000, 1_000_000):
+            # every 10th doc carries a shared 16-token run (one planted
+            # maximal extent) in the middle of otherwise-distinct text
+            shared = " ".join(f"dup{i}" for i in range(16))
+            docs = (
+                synth_long_docs(spark, n, words=80)
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("doc_id") % 10 == 0,
+                        F.concat_ws(
+                            " ",
+                            F.col("text"),
+                            F.lit(shared),
+                            F.reverse(F.col("text")),
+                        ),
+                    )
+                    .otherwise(F.col("text"))
+                    .alias("text"),
+                    F.lit("s").alias("source"),
+                )
+            )
+            sf = os.path.join(base, f"n{n}")
+            docs.write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            t = force(q_bpe_tokenize(spark, sf))
+            print(
+                f"bpe_tokenize n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
+                flush=True,
+            )
+            t = force(q_dup_extents(spark, sf))
+            print(
+                f"dup_extents n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
+                flush=True,
+            )
+        # PPJoin: 12-token sets; every 20th doc's successor shares 11 of
+        # its 12 tokens (planted J=11/13≈0.85 pairs), the rest are random
+        # 2000-universe draws that almost never reach tau — so the probe
+        # measures BOTH the filters' pruning power and real match output
+        for n in (20_000, 50_000):
+            base = spark.range(n * 12).select(
+                (F.col("id") % n).alias("doc_id"),
+                (F.col("id") - F.col("id") % n).alias("slot"),
+                F.col("id").alias("i"),
+            )
+            src = F.when(
+                (F.col("doc_id") % 20 == 1) & (F.col("slot") < n * 11),
+                F.col("i") - 1,  # copy predecessor's token
+            ).otherwise(F.col("i"))
+            toks = base.select(
+                "doc_id",
+                F.concat(
+                    F.lit("e"),
+                    F.pmod(F.xxhash64(src.cast("string")), F.lit(2000)).cast(
+                        "string"
+                    ),
+                ).alias("w"),
+            ).distinct()
+            t0 = time.perf_counter()
+            cnt = set_similarity_join(toks, 0.8, persist=True).count()
+            t = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            print(
+                f"setsim_join n={n} tau=0.8: {t:.1f}s pairs={cnt}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     # single-JVM local mode: the driver heap IS executor memory — size it
     # for the 50M-row sweep (must be set before the JVM starts)
@@ -1662,6 +1752,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_BLOOM"):
         probe_bloom(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_R7"):
+        probe_r7(spark)
         spark.stop()
         return
     if os.environ.get("SCALE_DV"):
