@@ -52,6 +52,31 @@ from ..operators.dedup import (
 )
 
 
+def keep_best_losers(pairs: DataFrame, lens: DataFrame) -> DataFrame:
+    """Cluster the near-dup pair graph (connected components) and return
+    the LOSER doc ids: every cluster member except the longest (tie:
+    lowest id). ``lens``: (node, len). Shared by the batch funnel and
+    the streaming twin (plans/curation_stream.py) so the keep-best rule
+    can never silently diverge between them — the stream≡batch equality
+    test leans on this being ONE implementation."""
+    comps = connected_components(pairs)
+    best = (
+        comps.join(lens, "node")
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                F.col("node"),
+                F.struct(F.col("len"), (-F.col("node")).alias("nn")),
+            ).alias("keep")
+        )
+    )
+    return (
+        comps.join(F.broadcast(best), "component")
+        .filter(F.col("node") != F.col("keep"))
+        .select(F.col("node").alias("doc_id"))
+    )
+
+
 @dataclass
 class CurationResult:
     """Stage outputs (lazy DataFrames) + an eager funnel of stage counts."""
@@ -138,29 +163,13 @@ def run_curation(
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b")
         )
-        comps = connected_components(nd)
         lens = survivors_exact.select(
             F.col("doc_id").alias("node"),
             F.length(normalize_ws(t)).alias("len"),
         )
-        best = (
-            comps.join(lens, "node")
-            .groupBy("component")
-            .agg(
-                F.max_by(
-                    F.col("node"),
-                    F.struct(F.col("len"), (-F.col("node")).alias("nn")),
-                ).alias("keep")
-            )
-        )
-        losers = (
-            comps.join(F.broadcast(best), "component")
-            .filter(F.col("node") != F.col("keep"))
-            .select(F.col("node").alias("doc_id"))
-            # eager: materialize the (duplicate-bounded) loser set NOW so
-            # the signature cache can be released before returning
-            .localCheckpoint()
-        )
+        # eager: materialize the (duplicate-bounded) loser set NOW so
+        # the signature cache can be released before returning
+        losers = keep_best_losers(nd, lens).localCheckpoint()
     finally:
         sigs.unpersist()
     clean = survivors_exact.join(F.broadcast(losers), "doc_id", "left_anti")

@@ -10,52 +10,74 @@ is asserted in tests/test_curation_stream.py.
 Per-batch work (``process_batch`` — attachable via ``attach`` to any
 Structured Streaming source):
 
-1. quality gate (stateless — same expressions as run_curation);
-2. within-batch exact dedup (lowest id per content fingerprint), then an
-   APPEND of the gated batch to the corpus store — cross-batch exact
-   dedup is resolved merge-on-read (min doc_id per fingerprint at
-   ``clean()`` time), which is what makes the stream arrival-order-proof:
-   a later batch can deliver a lower-id copy and still win, exactly as
-   the batch funnel would have chosen it;
+1. quality gate (stateless — same expressions as run_curation), with the
+   batch's raw/quality counts collected in ONE aggregation over the
+   persisted stats projection (the batch lineage executes once for the
+   counts, once for each store write — not once per counter);
+2. within-batch exact dedup via the SAME ``exact_dedup`` operator the
+   batch funnel uses, then an APPEND of the gated batch to the corpus
+   store — cross-batch exact dedup is resolved merge-on-read (min doc_id
+   per stored fingerprint at ``clean()`` time), which is what makes the
+   stream arrival-order-proof: a later batch can deliver a lower-id copy
+   and still win, exactly as the batch funnel would have chosen it;
 3. incremental MinHash signing + banded pair search against the
    accumulated index (operators/incremental_dedup.py — the union of
    per-batch pair outputs equals the from-scratch candidate set), pairs
-   appended to a pair store.
+   appended to a pair store;
+4. the batch's ingest counts appended to a durable funnel LEDGER keyed
+   by batch id — NOT in-memory counters: a restarted stream (same
+   store_dir, fresh CurationStream) reports the same funnel, and an
+   at-least-once foreachBatch RETRY re-appends under the same batch id,
+   which the read-side latest-per-key collapse makes idempotent (the
+   same self-healing the signature store gets from merge-on-read).
 
 ``clean()`` derives the final survivor set from the stores: resolve
-exact dedup (min id per fingerprint), restrict accumulated candidate
-pairs to same-source exact-survivors (run_curation blocks LSH by source;
-the incremental index is unblocked, so blocking is re-applied here),
-verify with exact shingle Jaccard on just the candidate docs, cluster
-with connected components, and keep the longest member per cluster (tie:
-lowest id) — the SAME keep-best rule as run_curation, evaluated over the
-same pair graph, hence the equality. ``funnel()`` reports cumulative
-raw/quality counts across batches plus the store-resolved exact/clean
-counts and the surviving token total (the budget signal tracked across
-batches).
+exact dedup (min id per stored fingerprint), restrict accumulated
+candidate pairs to same-source exact-survivors (run_curation blocks LSH
+by source; the incremental index is unblocked, so blocking is re-applied
+here), verify with exact shingle Jaccard on just the candidate docs
+(``word_shingles`` directly — the verify stage needs shingles, not
+minhash permutations), and drop ``keep_best_losers`` — the SAME
+shared implementation the batch funnel calls, hence the equality.
+``funnel()`` reports the ledger-summed raw/quality counts plus the
+store-resolved exact/clean counts and the surviving token total (the
+budget signal tracked across batches).
 
-Scale shape: each batch is O(|batch| + collisions) — one fingerprint
-projection, one anti-join probe into the signature store, one broadcast
-band join; the stores are append-only LSM-style parquet (merge-on-read,
-compactable). ``clean()`` touches the corpus store once and re-shingles
-only candidate-pair docs.
+Scale shape: each batch is O(|batch| + collisions) — one persisted
+stats projection, one anti-join probe into the signature store, one
+broadcast band join; the stores are append-only LSM-style parquet
+(merge-on-read, compactable). ``clean()`` touches the corpus store once
+and re-shingles only candidate-pair docs.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textstats import lang_id, n_tokens, normalize_ws, quality_score
-from ..operators.dedup import connected_components, ngram_jaccard
+from ..operators.dedup import exact_dedup, ngram_jaccard, word_shingles
 from ..operators.incremental_dedup import MinHashSignatureStore
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a store, returning None ONLY for the not-yet-written case;
+    any other read failure (corrupt footer, schema clash) raises — a
+    silent empty fallback would drop near-duplicates from the output."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
 
 
 class CurationStream:
     """Accumulating curation state: corpus store + signature store +
-    candidate-pair store, fed one batch at a time."""
+    candidate-pair store + funnel ledger, fed one batch at a time."""
 
     def __init__(
         self,
@@ -72,6 +94,7 @@ class CurationStream:
         self.jaccard_threshold = jaccard_threshold
         self.corpus_path = os.path.join(store_dir, "corpus")
         self.pairs_path = os.path.join(store_dir, "pairs")
+        self.ledger_path = os.path.join(store_dir, "funnel_ledger")
         self.sigs = MinHashSignatureStore(
             spark,
             os.path.join(store_dir, "sigs"),
@@ -79,14 +102,19 @@ class CurationStream:
             band_size=band_size,
             portable=portable,
         )
-        self._raw = 0
-        self._quality = 0
+        ledger = _read_or_none(spark, self.ledger_path)
+        self._seq = (
+            (ledger.agg(F.max("bkey")).collect()[0][0] or 0) + 1
+            if ledger is not None
+            else 0
+        )
 
     # ------------------------------------------------------------ ingest
 
     def process_batch(self, batch: DataFrame, batch_id: int | None = None) -> dict:
         """Curate one batch of (doc_id, source, text); returns per-batch
-        counts. Safe to call directly or from foreachBatch."""
+        counts. Safe to call directly or from foreachBatch (batch_id
+        keys the ledger row, making at-least-once retries idempotent)."""
         t = F.col("text")
         stats = batch.select(
             "doc_id",
@@ -96,23 +124,32 @@ class CurationStream:
             lang_id(t).alias("lang"),
             n_tokens(t).alias("n_tok"),
             F.md5(normalize_ws(t)).alias("content_fp"),
-        )
-        gated = stats.filter(F.col("quality") >= F.lit(self.quality_min))
-        # within-batch exact dedup; cross-batch resolution is merge-on-read
-        w = Window.partitionBy("content_fp").orderBy("doc_id")
-        batch_kept = (
-            gated.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        n_raw = batch.count()
-        n_gated = gated.count()
-        self._raw += n_raw
-        self._quality += n_gated
-        batch_kept.write.mode("append").parquet(self.corpus_path)
-        new_sigs = self.sigs.upsert_batch(batch_kept.select("doc_id", "text"))
-        pairs = self.sigs.incremental_pairs(new_sigs)
-        pairs.write.mode("append").parquet(self.pairs_path)
+        ).persist()
+        try:
+            counts = stats.agg(
+                F.count(F.lit(1)).alias("raw"),
+                F.sum(
+                    (F.col("quality") >= F.lit(self.quality_min)).cast("long")
+                ).alias("quality"),
+            ).collect()[0]
+            n_raw, n_gated = int(counts["raw"]), int(counts["quality"] or 0)
+            gated = stats.filter(F.col("quality") >= F.lit(self.quality_min))
+            # within-batch exact dedup — the batch funnel's own operator;
+            # cross-batch resolution is merge-on-read at clean() time
+            batch_kept = gated.join(
+                exact_dedup(gated).select("doc_id"), "doc_id", "left_semi"
+            )
+            batch_kept.write.mode("append").parquet(self.corpus_path)
+            new_sigs = self.sigs.upsert_batch(batch_kept.select("doc_id", "text"))
+            pairs = self.sigs.incremental_pairs(new_sigs)
+            pairs.write.mode("append").parquet(self.pairs_path)
+        finally:
+            stats.unpersist()
+        bkey = int(batch_id) if batch_id is not None else self._seq
+        self._seq = max(self._seq, bkey) + 1
+        self.spark.createDataFrame(
+            [(bkey, n_raw, n_gated)], "bkey long, raw long, quality long"
+        ).write.mode("append").parquet(self.ledger_path)
         return {"raw": n_raw, "quality": n_gated}
 
     def attach(self, stream: DataFrame, checkpoint: str, **opts):
@@ -128,27 +165,35 @@ class CurationStream:
     # ----------------------------------------------------- derived state
 
     def _corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.corpus_path)
+        # merge-on-read for the append-only store: an at-least-once RETRY
+        # re-appends the same immutable rows, so a doc_id may appear in
+        # two batch files with identical content — one keyed collapse
+        # makes every read retry-idempotent (the LSM discipline the
+        # signature store gets from latest_per_key)
+        return self.spark.read.parquet(self.corpus_path).dropDuplicates(
+            ["doc_id"]
+        )
 
     def exact_survivors(self) -> DataFrame:
-        """Cross-batch exact dedup, merge-on-read: min doc_id per
-        content fingerprint — arrival-order-independent, so it matches
-        the batch funnel's global choice."""
+        """Cross-batch exact dedup, merge-on-read: min doc_id per STORED
+        content fingerprint (no re-normalization of the corpus) —
+        arrival-order-independent, so it matches the batch funnel's
+        global choice."""
         c = self._corpus()
-        w = Window.partitionBy("content_fp").orderBy("doc_id")
-        return (
-            c.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        keep = c.groupBy("content_fp").agg(F.min("doc_id").alias("doc_id"))
+        return c.join(keep.select("doc_id"), "doc_id", "left_semi")
 
     def clean(self) -> DataFrame:
         """The survivor set ≡ run_curation(union of batches).clean."""
-        surv = self.exact_survivors()
-        try:
-            cand = self.spark.read.parquet(self.pairs_path).distinct()
-        except Exception:  # no pairs written yet
+        return self._clean_from(self.exact_survivors())
+
+    def _clean_from(self, surv: DataFrame) -> DataFrame:
+        from .curation_job import keep_best_losers
+
+        cand = _read_or_none(self.spark, self.pairs_path)
+        if cand is None:
             return surv
+        cand = cand.distinct()
         meta = surv.select("doc_id", "source")
         cand = (
             cand.join(
@@ -166,56 +211,57 @@ class CurationStream:
             .filter(F.col("src_a") == F.col("src_b"))  # re-apply blocking
             .select("id_a", "id_b")
         )
-        # verify on candidate docs only: re-shingle just that subset
-        from ..operators.dedup import minhash_signatures
-
+        # verify on candidate docs only: shingles, not minhash — the
+        # verify stage never consumes the permutations
         touched = (
             cand.select(F.col("id_a").alias("doc_id"))
             .union(cand.select("id_b"))
             .distinct()
         )
-        cand_docs = surv.join(touched, "doc_id", "left_semi")
-        sh = minhash_signatures(cand_docs.select("doc_id", "text"))
+        sh = surv.join(touched, "doc_id", "left_semi").select(
+            "doc_id", word_shingles(F.col("text")).alias("shingles")
+        )
         nd = (
             ngram_jaccard(cand, sh)
             .filter(F.col("jaccard") >= self.jaccard_threshold)
             .select("id_a", "id_b")
         )
-        comps = connected_components(nd)
         lens = surv.select(
             F.col("doc_id").alias("node"),
             F.length(normalize_ws(F.col("text"))).alias("len"),
         )
-        best = (
-            comps.join(lens, "node")
-            .groupBy("component")
-            .agg(
-                F.max_by(
-                    F.col("node"),
-                    F.struct(F.col("len"), (-F.col("node")).alias("nn")),
-                ).alias("keep")
-            )
-        )
-        losers = (
-            comps.join(F.broadcast(best), "component")
-            .filter(F.col("node") != F.col("keep"))
-            .select(F.col("node").alias("doc_id"))
-        )
+        losers = keep_best_losers(nd, lens)
         return surv.join(F.broadcast(losers), "doc_id", "left_anti")
 
     def funnel(self) -> dict[str, int]:
-        """Cumulative funnel across every processed batch: ingest counters
-        plus the store-resolved exact/clean counts and surviving tokens
-        (the cross-batch budget signal)."""
-        clean = self.clean()
-        row = clean.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok"),
-        ).collect()[0]
+        """Cumulative funnel across every processed batch: ledger-summed
+        ingest counts (restart- and retry-proof) plus the store-resolved
+        exact/clean counts and surviving tokens (the cross-batch budget
+        signal)."""
+        ledger = self.spark.read.parquet(self.ledger_path)
+        ing = (
+            ledger.groupBy("bkey")  # retries re-append same values: collapse
+            .agg(F.first("raw").alias("raw"), F.first("quality").alias("q"))
+            .agg(F.sum("raw").alias("raw"), F.sum("q").alias("quality"))
+            .collect()[0]
+        )
+        surv = self.exact_survivors().persist()
+        try:
+            n_exact = surv.count()
+            row = (
+                self._clean_from(surv)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("n_tok"), F.lit(0)).alias("tok"),
+                )
+                .collect()[0]
+            )
+        finally:
+            surv.unpersist()
         return {
-            "raw": self._raw,
-            "quality": self._quality,
-            "exact": self.exact_survivors().count(),
+            "raw": int(ing["raw"]),
+            "quality": int(ing["quality"]),
+            "exact": n_exact,
             "clean": int(row["n"]),
             "clean_tokens": int(row["tok"]),
         }

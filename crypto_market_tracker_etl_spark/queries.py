@@ -2489,8 +2489,9 @@ ATTESTATION_ORDER: list[str] = [
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21",
     "approx_distinct",
-    "dedup_exact", "near_dup_pairs",
+    "dedup_exact",
     # ==== positions 51+: r4-cohort remainder (the r8 window front) =======
+    "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
     "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",

@@ -3018,9 +3018,12 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingestion fan-out that decides which decode pipeline (image /
     audio / document / archive) each blob enters, before any codec runs.
     Every route is exercised: payloads cycle PNG, GIF, WAV, MP4, JPEG,
-    PDF, ZIP, GZIP by doc_id % 8 (real container prefixes — the
-    PNG/GIF/WAV/MP4 ones are the same synthesizers the parsers consume;
-    the rest are literal signature bytes). The oracle knows the cycle and
+    PDF, ZIP, GZIP, HEIC, M4A by doc_id % 10 (real container prefixes —
+    the PNG/GIF/WAV/BMFF ones are the same synthesizers the parsers
+    consume; the rest are literal signature bytes). The HEIC and M4A
+    payloads are genuine ISO-BMFF prefixes whose MAJOR BRAND differs —
+    they attest the brand routing (image/heic, audio/mp4) the r7 fix
+    added, not just the ftyp check. The oracle knows the cycle and
     checks the routing analytically. One zero-shuffle projection
     (plan-asserted); blobs never enter Python."""
     from .multimodal.binary import (
@@ -3032,7 +3035,7 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir)
-    m = F.col("doc_id") % 8
+    m = F.col("doc_id") % 10
     w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
     h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
     payload = (
@@ -3049,7 +3052,14 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, F.unhex(F.lit("FFD8FFE000104A464946")))  # JFIF prefix
         .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
         .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
-        .otherwise(F.unhex(F.lit("1F8B08000000")))  # gzip deflate
+        .when(m == 7, F.unhex(F.lit("1F8B08000000")))  # gzip deflate
+        .when(
+            m == 8,  # genuine BMFF, HEIC major brand → image pipeline
+            synth_mp4(F.lit("heic"), F.lit(600), F.lit(6000), F.lit(1).cast("int")),
+        )
+        .otherwise(  # genuine BMFF, M4A major brand → audio pipeline
+            synth_mp4(F.lit("M4A "), F.lit(600), F.lit(6000), F.lit(1).cast("int"))
+        )
     )
     # two-step select: the audio_meta alias barrier (see its comment)
     mime = sniff_mime(F.col("payload"))
@@ -3068,16 +3078,17 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MIME_SNIFF = """
 SELECT doc_id,
-       CAST(CASE doc_id % 8 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
-            WHEN 3 THEN 136 WHEN 4 THEN 10 WHEN 5 THEN 8
-            ELSE 6 END AS INT) AS n_bytes,
-       CASE doc_id % 8 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+       CAST(CASE doc_id % 10 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
+            WHEN 3 THEN 136 WHEN 4 THEN 10 WHEN 5 THEN 8 WHEN 6 THEN 6
+            WHEN 7 THEN 6 ELSE 136 END AS INT) AS n_bytes,
+       CASE doc_id % 10 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
-            WHEN 6 THEN 'application/zip'
-            ELSE 'application/gzip' END AS mime_type,
-       doc_id % 8 IN (0, 1, 4) AS is_image,
-       doc_id % 8 IN (0, 1, 2, 3, 4) AS is_media
+            WHEN 6 THEN 'application/zip' WHEN 7 THEN 'application/gzip'
+            WHEN 8 THEN 'image/heic'
+            ELSE 'audio/mp4' END AS mime_type,
+       doc_id % 10 IN (0, 1, 4, 8) AS is_image,
+       doc_id % 10 IN (0, 1, 2, 3, 4, 8, 9) AS is_media
 FROM documents
 """
 

@@ -1653,7 +1653,7 @@ def probe_r7(spark) -> None:
         # 2000-universe draws that almost never reach tau — so the probe
         # measures BOTH the filters' pruning power and real match output
         for n in (20_000, 50_000):
-            base = spark.range(n * 12).select(
+            ids = spark.range(n * 12).select(
                 (F.col("id") % n).alias("doc_id"),
                 (F.col("id") - F.col("id") % n).alias("slot"),
                 F.col("id").alias("i"),
@@ -1662,7 +1662,7 @@ def probe_r7(spark) -> None:
                 (F.col("doc_id") % 20 == 1) & (F.col("slot") < n * 11),
                 F.col("i") - 1,  # copy predecessor's token
             ).otherwise(F.col("i"))
-            toks = base.select(
+            toks = ids.select(
                 "doc_id",
                 F.concat(
                     F.lit("e"),

@@ -76,3 +76,31 @@ def test_curation_stream_foreachbatch_wiring(spark, tmp_path):
     f = cs.funnel()
     assert f["raw"] == corpus.count()
     assert f["clean"] == len(want)
+
+
+def test_curation_stream_restart_and_retry_proof(spark, tmp_path):
+    """The funnel ledger must survive a restart (a FRESH CurationStream
+    on the same store_dir reports the same funnel — no in-memory
+    counters) and an at-least-once foreachBatch RETRY (re-delivering a
+    batch under the same batch_id re-appends the same ledger row, which
+    the latest-per-key collapse makes idempotent; the signature store's
+    content-fingerprint anti-join absorbs the re-signing)."""
+    corpus = _corpus(spark)
+    store = str(tmp_path / "store")
+    cs = CurationStream(spark, store)
+    batches = {
+        bid: corpus.filter(F.col("doc_id") % 3 == bid) for bid in (0, 1, 2)
+    }
+    for bid, b in batches.items():
+        cs.process_batch(b, batch_id=bid)
+    before = cs.funnel()
+
+    # restart: fresh object, same stores
+    cs2 = CurationStream(spark, store)
+    assert cs2.funnel() == before
+
+    # retry: batch 1 re-delivered under its original batch_id
+    cs2.process_batch(batches[1], batch_id=1)
+    after = cs2.funnel()
+    assert after == before
+    assert _clean_ids(cs2.clean()) == _clean_ids(cs.clean())

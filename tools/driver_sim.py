@@ -57,7 +57,7 @@ def main() -> int:
     import __spark_entry__ as m
 
     rows = m.entry(spark).collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0, "entry() returned zero rows"
     print(f"entry() smoke: {len(rows)} rows OK", flush=True)
 
     qs, osql = m.queries(), m.oracle_sql()
