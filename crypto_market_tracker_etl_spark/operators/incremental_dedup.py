@@ -11,9 +11,9 @@ for what changed:
 - **Append-only batches, merge-on-read** (the LSM shape): each batch lands
   in its own ``batch=N`` partition — nothing is rewritten at write time,
   regardless of corpus size. ``read()`` collapses to the latest signature
-  per doc (one keyed window; at deployment scale, ``compact()``-style
-  folding of old batches amortizes this — same trade ParquetUpsertSink
-  documents).
+  per doc (one keyed window); ``compact()`` folds old batches into one
+  when the partition count grows — same trade ParquetUpsertSink
+  documents, invariance pinned by test.
 - **Incremental pair search**: new-batch band keys (small side, broadcast)
   equi-join the accumulated band index — emitted pairs are exactly those
   touching a new doc. Old×old pairs were emitted by earlier runs, so the
@@ -127,6 +127,33 @@ class MinHashSignatureStore:
             os.path.join(self.path, f"batch={seq}")
         )
         return self.spark.read.parquet(os.path.join(self.path, f"batch={seq}"))
+
+    def compact(self) -> int:
+        """Fold every batch partition into one latest-per-doc batch (the
+        LSM compaction the module docstring promises): read() collapses
+        N partitions through a keyed window on every call, so a
+        long-running stream pays O(total appended rows) per read until
+        someone folds. Compaction writes the collapsed view as the NEXT
+        batch number (readers always see a complete store — the fold is
+        an append like any other), then unlinks the old partitions;
+        read()'s latest-per-key keeps working mid-compaction because the
+        new batch shadows everything older. Returns the number of
+        partitions folded. Invariants pinned by test: read() is
+        row-identical before/after, and incremental_pairs over a
+        post-compaction upsert equals the uncompacted run."""
+        import shutil
+
+        batches = self._batches()
+        if len(batches) <= 1:
+            return 0
+        folded = self.read()
+        seq = batches[-1] + 1
+        folded.drop("batch").write.mode("errorifexists").parquet(
+            os.path.join(self.path, f"batch={seq}")
+        )
+        for b in batches:
+            shutil.rmtree(os.path.join(self.path, f"batch={b}"))
+        return len(batches)
 
     # ------------------------------------------------------ pair search
 

@@ -1812,3 +1812,47 @@ def test_dedup_cut_spans_removes_planted_runs(spark, tmp_path):
     assert got[1] == (30, 10, 2, md5(filler_a))
     assert got[2] == (31, 11, 2, md5(f"{filler_b} x9"))
     assert got[3] == (9, 9, 0, md5(solo))
+
+
+def test_minhash_store_compaction_invariance(spark, tmp_path):
+    """compact() must be invisible to every consumer: read() returns the
+    same (doc, fingerprint, signature) rows, a re-delivered unchanged
+    batch still signs nothing, and the pair-union invariant (incremental
+    == from-scratch) keeps holding for batches upserted AFTER the fold."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from crypto_market_tracker_etl_spark.operators.incremental_dedup import (
+        MinHashSignatureStore,
+    )
+
+    corpus = _near_dup_corpus(spark)
+    a = corpus.filter(F.col("doc_id") % 3 == 0)
+    b = corpus.filter(F.col("doc_id") % 3 == 1)
+    c = corpus.filter(F.col("doc_id") % 3 == 2)
+    store = MinHashSignatureStore(spark, str(tmp_path / "sigs"))
+    got = set()
+    for batch in (a, b):
+        got |= {
+            (r.id_a, r.id_b)
+            for r in store.incremental_pairs(store.upsert_batch(batch)).collect()
+        }
+
+    def snapshot(df):
+        return {
+            (r.doc_id, r.content_fp, tuple(r.minhash)) for r in df.collect()
+        }
+
+    before = snapshot(store.read())
+    assert store.compact() == 2
+    assert snapshot(store.read()) == before
+    assert store.compact() == 0  # single batch left: nothing to fold
+    assert store.upsert_batch(a).count() == 0  # unchanged redelivery
+
+    got |= {
+        (r.id_a, r.id_b)
+        for r in store.incremental_pairs(store.upsert_batch(c)).collect()
+    }
+    full = lsh_candidate_pairs(minhash_signatures(corpus))
+    assert got == {(r.id_a, r.id_b) for r in full.collect()}
