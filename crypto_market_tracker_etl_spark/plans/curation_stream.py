@@ -162,6 +162,44 @@ class CurationStream:
             .options(**opts)
         )
 
+    def compact(self) -> None:
+        """Fold all four stores (the LSM maintenance pass a long-running
+        stream schedules off-peak): signature batches fold latest-per-doc
+        (MinHashSignatureStore.compact), and the corpus / pair / ledger
+        stores rewrite as their own merge-on-read views (doc-unique
+        corpus, distinct pairs, one row per batch key) — every derived
+        result (clean(), funnel()) is invariant across the fold, pinned
+        by test. Stage-and-swap per store: write the collapsed view to a
+        sibling dir, then atomically rename over the old one."""
+        import shutil
+
+        self.sigs.compact()
+        folds = [
+            (self.corpus_path, self._corpus()),
+            (
+                self.pairs_path,
+                _read_or_none(self.spark, self.pairs_path),
+            ),
+            (
+                self.ledger_path,
+                _read_or_none(self.spark, self.ledger_path),
+            ),
+        ]
+        for path, view in folds:
+            if view is None:
+                continue
+            if path == self.pairs_path:
+                view = view.distinct()
+            elif path == self.ledger_path:
+                view = view.groupBy("bkey").agg(
+                    F.first("raw").alias("raw"),
+                    F.first("quality").alias("quality"),
+                )
+            staged = path + ".compacting"
+            view.write.mode("overwrite").parquet(staged)
+            shutil.rmtree(path)
+            os.rename(staged, path)
+
     # ----------------------------------------------------- derived state
 
     def _corpus(self) -> DataFrame:

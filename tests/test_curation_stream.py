@@ -104,3 +104,31 @@ def test_curation_stream_restart_and_retry_proof(spark, tmp_path):
     after = cs2.funnel()
     assert after == before
     assert _clean_ids(cs2.clean()) == _clean_ids(cs.clean())
+
+
+def test_curation_stream_compaction_invariance(spark, tmp_path):
+    """compact() (all four stores: signature fold, doc-unique corpus,
+    distinct pairs, one ledger row per batch) must be invisible to every
+    derived result — clean set and funnel identical across the fold,
+    even when a prior retry left physical duplicates in the stores — and
+    ingestion must keep working after it."""
+    corpus = _corpus(spark)
+    store = str(tmp_path / "store")
+    cs = CurationStream(spark, store)
+    b0 = corpus.filter(F.col("doc_id") % 3 == 0)
+    b1 = corpus.filter(F.col("doc_id") % 3 == 1)
+    b2 = corpus.filter(F.col("doc_id") % 3 == 2)
+    cs.process_batch(b0, batch_id=0)
+    cs.process_batch(b1, batch_id=1)
+    cs.process_batch(b1, batch_id=1)  # retry: physical duplicates on disk
+    before_clean = _clean_ids(cs.clean())
+    before_funnel = cs.funnel()
+
+    cs.compact()
+    assert _clean_ids(cs.clean()) == before_clean
+    assert cs.funnel() == before_funnel
+
+    # the fold is an append like any other: ingestion continues
+    cs.process_batch(b2, batch_id=2)
+    want = _clean_ids(run_curation(spark, corpus).clean)
+    assert _clean_ids(cs.clean()) == want
