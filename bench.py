@@ -75,6 +75,7 @@ HEADLINE = [
     "dup_spans",
     "dsir_weights",
     "lm_perplexity",
+    "lm_perplexity_kn",
     "ppl_buckets_approx",
     "quality_logit",
     "gram_novelty",

@@ -2470,6 +2470,7 @@ ATTESTATION_ORDER: list[str] = [
     # ==== r7 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
     "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
+    "lm_perplexity_kn",
     # -- changed this round: the fast twins gained differential
     #    within_tolerance oracles (output schema changed) -----------------
     "near_dup_pairs_fast", "simhash_fast",
@@ -2489,9 +2490,8 @@ ATTESTATION_ORDER: list[str] = [
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21",
     "approx_distinct",
-    "dedup_exact",
     # ==== positions 51+: r4-cohort remainder (the r8 window front) =======
-    "near_dup_pairs",
+    "dedup_exact", "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
     "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",

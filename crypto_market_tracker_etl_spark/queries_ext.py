@@ -3327,6 +3327,28 @@ FROM p
 LM_XENT_BUCKETS = 3  # head / middle / tail (CCNet's perplexity split)
 
 
+def _lm_transitions(docs: DataFrame) -> DataFrame:
+    """(doc, w1, w2, count) transition grain — the pre-aggregation both
+    LM scorers share: the model joins never see raw token instances."""
+    return (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS w1, "
+                    "element_at(toks, i + 1) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def _lm_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[LLM curation] CCNet-style LM scoring (Wenzek et al., "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"):
@@ -3351,23 +3373,7 @@ def _lm_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = docs.select("doc_id", F.explode("toks").alias("w"))
     vocab = tok.agg(F.countDistinct("w").alias("v"))
-    tr = (
-        docs.where(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1), "
-                    "i -> struct(element_at(toks, i) AS w1, "
-                    "element_at(toks, i + 1) AS w2))"
-                )
-            ).alias("bg"),
-        )
-        .groupBy(
-            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    tr = _lm_transitions(docs)
     bg = tr.groupBy("w1", "w2").agg(F.sum("c").alias("bc"))
     ug = tr.groupBy("w1").agg(F.sum("c").alias("uc"))
     scored = (
@@ -3404,6 +3410,61 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KN_DISCOUNT = 0.75  # Chen & Goodman's standard absolute discount
+
+
+def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Interpolated Kneser-Ney bigram cross-entropy — the
+    smoothing that actually powers KenLM-style CCNet filtering (Kneser &
+    Ney 1995; Chen & Goodman 1999 found interpolated KN dominates
+    additive smoothing everywhere): instead of pretending unseen events
+    got +1 counts, KN discounts every seen bigram by a fixed d and backs
+    off to the CONTINUATION unigram — how many distinct contexts a word
+    follows — so 'francisco' (frequent but only after 'san') stops
+    stealing probability from genuinely versatile words. Per transition:
+
+        P(w2|w1) = (c(w1,w2) − d)/c(w1)
+                 + (d·N1+(w1,·)/c(w1)) · (N1+(·,w2)/|bigram types|)
+
+    Every scored bigram has c ≥ 1 > d, so P > 0 without any unseen-mass
+    bookkeeping. Doc score: xent_kn = −mean ln P over transitions.
+
+    Scale shape identical to [lm_perplexity]: transition pre-aggregation
+    to (doc, w1, w2) grain, then THREE model tables — (w1): total count
+    + distinct-continuation count in ONE aggregate; (w2): distinct-
+    predecessor count; 1-row bigram-type total as a broadcast anchor —
+    each a hash-partitioned aggregate joined back on its own key. The
+    oracle replays the identical arithmetic (same operation order, so
+    doubles match bit-for-bit before the round-4)."""
+    d = KN_DISCOUNT
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.split(normalize_ws(F.col("text")), " ").alias("toks")
+    )
+    tr = _lm_transitions(docs)
+    bg = tr.groupBy("w1", "w2").agg(F.sum("c").alias("bc"))
+    ctx = bg.groupBy("w1").agg(
+        F.sum("bc").alias("uc"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1c"))
+    nbt = bg.agg(F.count(F.lit(1)).alias("nbt"))
+    p = (F.col("bc") - F.lit(d)) / F.col("uc") + (
+        (F.lit(d) * F.col("n1f")) / F.col("uc")
+    ) * (F.col("n1c") / F.col("nbt").cast("double"))
+    scored = (
+        tr.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbt))
+        .select("doc_id", "c", F.log(p).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trans"),
+        F.round(-F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 4).alias(
+            "xent_kn"
+        ),
+    )
+
+
 # the per-doc cross-entropy CTE chain, shared by both LM-split oracles
 _SQL_LM_PD = f"""
 WITH d AS (
@@ -3436,6 +3497,32 @@ SELECT doc_id, n_trans, xent,
        CAST(ntile({LM_XENT_BUCKETS}) OVER (ORDER BY xent, doc_id) AS INT)
          AS ppl_bucket
 FROM pd
+"""
+
+SQL_LM_PERPLEXITY_KN = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array({SQL_NORM}, ' ') AS toks FROM documents
+),
+tr AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+    FROM d WHERE len(toks) >= 2)
+  GROUP BY 1, 2, 3
+),
+bg AS (SELECT w1, w2, SUM(c) AS bc FROM tr GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(bc) AS uc, COUNT(*) AS n1f FROM bg GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n1c FROM bg GROUP BY 1),
+nbt AS (SELECT COUNT(*) AS nbt FROM bg)
+SELECT tr.doc_id, CAST(SUM(tr.c) AS BIGINT) AS n_trans,
+       round(-SUM(tr.c * ln(
+           (bg.bc - {KN_DISCOUNT}) / ctx.uc
+           + (({KN_DISCOUNT} * ctx.n1f) / ctx.uc)
+             * (cont.n1c / CAST(nbt.nbt AS DOUBLE))
+       )) / SUM(tr.c), 4) AS xent_kn
+FROM tr JOIN bg USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2), nbt
+GROUP BY 1
 """
 
 
@@ -4406,6 +4493,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
     "ppl_buckets_approx": (q_ppl_buckets_approx, SQL_PPL_BUCKETS_APPROX),
     "quality_logit": (q_quality_logit, SQL_QUALITY_LOGIT),
     "gram_novelty": (q_gram_novelty, SQL_GRAM_NOVELTY),
