@@ -1683,6 +1683,58 @@ def probe_r7(spark) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_r7b(spark) -> None:
+    """Late-r7 additions at generated scale: KN perplexity (three model
+    tables vs Laplace's two) and the dup-extent cut rewrite, on the same
+    planted-run corpora as probe_r7."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_dedup_cut_spans,
+        q_lm_perplexity_kn,
+    )
+
+    base = tempfile.mkdtemp(prefix="scale_r7b_")
+    try:
+        for n in (200_000, 1_000_000):
+            shared = " ".join(f"dup{i}" for i in range(16))
+            docs = (
+                synth_long_docs(spark, n, words=80)
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.col("doc_id") % 10 == 0,
+                        F.concat_ws(
+                            " ",
+                            F.col("text"),
+                            F.lit(shared),
+                            F.reverse(F.col("text")),
+                        ),
+                    )
+                    .otherwise(F.col("text"))
+                    .alias("text"),
+                    F.lit("s").alias("source"),
+                )
+            )
+            sf = os.path.join(base, f"n{n}")
+            docs.write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            t = force(q_lm_perplexity_kn(spark, sf))
+            print(
+                f"lm_perplexity_kn n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
+                flush=True,
+            )
+            t = force(q_dedup_cut_spans(spark, sf))
+            print(
+                f"dedup_cut_spans n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     # single-JVM local mode: the driver heap IS executor memory — size it
     # for the 50M-row sweep (must be set before the JVM starts)
@@ -1756,6 +1808,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_R7"):
         probe_r7(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_R7B"):
+        probe_r7b(spark)
         spark.stop()
         return
     if os.environ.get("SCALE_DV"):
