@@ -1856,3 +1856,60 @@ def test_minhash_store_compaction_invariance(spark, tmp_path):
     }
     full = lsh_candidate_pairs(minhash_signatures(corpus))
     assert got == {(r.id_a, r.id_b) for r in full.collect()}
+
+
+def test_lm_perplexity_kn_matches_python_model(spark, tmp_path):
+    """Interpolated-KN scoring vs a from-the-paper pure-Python model on a
+    tiny planted corpus (third independent check beyond the DuckDB
+    arithmetic replay): P(w2|w1) = (c-d)/c(w1) + d*N1+(w1,.)/c(w1) *
+    N1+(.,w2)/|bigram types|, d=0.75."""
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, "a b a c a b", "s"),
+        (2, "b a c c a", "s"),
+        (3, "c a b a c a", "s"),
+        (4, "solo", "s"),  # <2 tokens: contributes no transitions
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    d = 0.75
+    tr = Counter()
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        for i in range(len(toks) - 1):
+            tr[(doc_id, toks[i], toks[i + 1])] += 1
+    bg = Counter()
+    for (_, w1, w2), c in tr.items():
+        bg[(w1, w2)] += c
+    uc = Counter()
+    n1f = Counter()
+    n1c = Counter()
+    for (w1, w2), c in bg.items():
+        uc[w1] += c
+        n1f[w1] += 1
+        n1c[w2] += 1
+    nbt = len(bg)
+    want = {}
+    for doc_id in {k[0] for k in tr}:
+        num, den = 0.0, 0
+        for (did, w1, w2), c in tr.items():
+            if did != doc_id:
+                continue
+            p = (bg[(w1, w2)] - d) / uc[w1] + ((d * n1f[w1]) / uc[w1]) * (
+                n1c[w2] / nbt
+            )
+            num += c * math.log(p)
+            den += c
+        want[doc_id] = (den, round(-num / den, 4))
+
+    from crypto_market_tracker_etl_spark.queries_ext import q_lm_perplexity_kn
+
+    got = {
+        r.doc_id: (r.n_trans, r.xent_kn)
+        for r in q_lm_perplexity_kn(spark, sf).collect()
+    }
+    assert got == want, (got, want)

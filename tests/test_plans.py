@@ -927,3 +927,15 @@ def test_k_anonymity_summary_aggregation_only(spark):
     assert "rangepartitioning" not in s.lower()
     assert "Window" not in s
     assert "HashAggregate" in s
+
+
+def test_lm_perplexity_kn_model_tables_on_own_keys(spark):
+    """KN scoring must join its three model tables back on their own keys
+    with the 1-row bigram-type total riding a broadcast anchor — no
+    corpus product, no range partitioning, map-side partial aggregation
+    on the per-doc rollup."""
+    s = plan_of(spark, "lm_perplexity_kn")
+    assert "BroadcastNestedLoopJoin" in s  # the 1-row nbt anchor
+    assert "CartesianProduct" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert "partial_sum" in s
