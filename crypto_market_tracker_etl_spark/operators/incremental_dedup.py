@@ -66,14 +66,31 @@ class MinHashSignatureStore:
 
     # ------------------------------------------------------------- storage
 
-    def _batches(self) -> list[int]:
+    def _batch_dirs(self, committed_only: bool) -> list[int]:
         if not os.path.isdir(self.path):
             return []
         return sorted(
             int(m.group(1))
             for name in os.listdir(self.path)
             if (m := re.fullmatch(r"batch=(\d+)", name))
+            and (
+                not committed_only
+                or os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
+            )
         )
+
+    def _batches(self) -> list[int]:
+        """COMMITTED batch partitions only (_SUCCESS present): a write
+        that died mid-flight leaves a partial dir that must stay
+        invisible to readers — otherwise one crashed compact()/upsert
+        wedges every subsequent read with a schema-inference error."""
+        return self._batch_dirs(committed_only=True)
+
+    def _next_seq(self) -> int:
+        """Next batch number, counting PARTIAL dirs too: numbering past a
+        crashed write's leftover keeps errorifexists from colliding."""
+        dirs = self._batch_dirs(committed_only=False)
+        return (dirs[-1] + 1) if dirs else 0
 
     def read(self) -> DataFrame:
         """Latest signature per doc across all batches (later batch wins —
@@ -121,7 +138,7 @@ class MinHashSignatureStore:
             todo = incoming.join(known, [self.id_col, "content_fp"], "left_anti")
         else:
             todo = incoming
-        seq = (batches[-1] + 1) if batches else 0
+        seq = self._next_seq()
         signed = self._sign(todo)
         signed.write.mode("errorifexists").parquet(
             os.path.join(self.path, f"batch={seq}")
@@ -137,17 +154,25 @@ class MinHashSignatureStore:
         batch number (readers always see a complete store — the fold is
         an append like any other), then unlinks the old partitions;
         read()'s latest-per-key keeps working mid-compaction because the
-        new batch shadows everything older. Returns the number of
-        partitions folded. Invariants pinned by test: read() is
-        row-identical before/after, and incremental_pairs over a
-        post-compaction upsert equals the uncompacted run."""
+        new batch shadows everything older, and a compact() that DIES
+        mid-write leaves only an uncommitted dir (no _SUCCESS) that
+        _batches() ignores and the next compact()/upsert numbers past —
+        the store never wedges. Leftover partials are swept here.
+        Returns the number of partitions folded. Invariants pinned by
+        test: read() is row-identical before/after, and incremental_pairs
+        over a post-compaction upsert equals the uncompacted run."""
         import shutil
 
         batches = self._batches()
+        # sweep uncommitted leftovers from crashed writes (invisible to
+        # readers, but they hold disk and pin _next_seq forward)
+        for b in self._batch_dirs(committed_only=False):
+            if b not in batches:
+                shutil.rmtree(os.path.join(self.path, f"batch={b}"))
         if len(batches) <= 1:
             return 0
         folded = self.read()
-        seq = batches[-1] + 1
+        seq = self._next_seq()
         folded.drop("batch").write.mode("errorifexists").parquet(
             os.path.join(self.path, f"batch={seq}")
         )

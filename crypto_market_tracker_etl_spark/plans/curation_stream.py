@@ -63,10 +63,56 @@ from ..operators.dedup import exact_dedup, ngram_jaccard, word_shingles
 from ..operators.incremental_dedup import MinHashSignatureStore
 
 
+def _recover_swap(path: str) -> None:
+    """Finish an interrupted compaction swap (see CurationStream.compact:
+    the protocol is rename(path → .old), rename(.compacting → path),
+    rmtree(.old); each rename is atomic but a crash can land between
+    them). Recovery rules, checked by every reader: if the live dir is
+    missing, promote the completed stage (it has Spark's _SUCCESS
+    marker) or else restore the set-aside original; a leftover .old
+    beside a live dir is post-swap garbage and is removed."""
+    import shutil
+
+    staged, old = path + ".compacting", path + ".old"
+    if not os.path.isdir(path):
+        if os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.rename(staged, path)
+        elif os.path.isdir(old):
+            os.rename(old, path)
+    if os.path.isdir(path):
+        for leftover in (staged, old):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
+
+
+def _latest_per_doc(corpus: DataFrame) -> DataFrame:
+    """Merge-on-read collapse of the corpus store: the highest-bkey
+    delivery of each doc wins (ties on bkey are a retry's identical
+    rows, broken arbitrarily by the max_by struct — content equal)."""
+    latest = corpus.groupBy("doc_id").agg(F.max("bkey").alias("bkey"))
+    return corpus.join(latest, ["doc_id", "bkey"], "left_semi").dropDuplicates(
+        ["doc_id"]
+    )
+
+
+def _ledger_collapsed(ledger: DataFrame) -> DataFrame:
+    """Retry-idempotent view of the funnel ledger: one row per batch key
+    (re-appended retry rows carry identical values). ONE implementation,
+    shared by funnel() and compact() so the durable fold can never
+    disagree with the read-side view."""
+    return ledger.groupBy("bkey").agg(
+        F.first("raw").alias("raw"), F.first("quality").alias("quality")
+    )
+
+
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a store, returning None ONLY for the not-yet-written case;
     any other read failure (corrupt footer, schema clash) raises — a
-    silent empty fallback would drop near-duplicates from the output."""
+    silent empty fallback would drop near-duplicates from the output.
+    Always recovers an interrupted compaction swap first."""
+    _recover_swap(path)
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
@@ -139,13 +185,20 @@ class CurationStream:
             batch_kept = gated.join(
                 exact_dedup(gated).select("doc_id"), "doc_id", "left_semi"
             )
-            batch_kept.write.mode("append").parquet(self.corpus_path)
+            # bkey rides every corpus row: merge-on-read picks the LATEST
+            # delivery of a doc (matching the signature store's
+            # latest-per-key), not an arbitrary one — without it a
+            # changed-content redelivery could surface (and compaction
+            # could permanently keep) the stale text
+            bkey = int(batch_id) if batch_id is not None else self._seq
+            batch_kept.withColumn("bkey", F.lit(bkey)).write.mode(
+                "append"
+            ).parquet(self.corpus_path)
             new_sigs = self.sigs.upsert_batch(batch_kept.select("doc_id", "text"))
             pairs = self.sigs.incremental_pairs(new_sigs)
             pairs.write.mode("append").parquet(self.pairs_path)
         finally:
             stats.unpersist()
-        bkey = int(batch_id) if batch_id is not None else self._seq
         self._seq = max(self._seq, bkey) + 1
         self.spark.createDataFrame(
             [(bkey, n_raw, n_gated)], "bkey long, raw long, quality long"
@@ -166,51 +219,52 @@ class CurationStream:
         """Fold all four stores (the LSM maintenance pass a long-running
         stream schedules off-peak): signature batches fold latest-per-doc
         (MinHashSignatureStore.compact), and the corpus / pair / ledger
-        stores rewrite as their own merge-on-read views (doc-unique
-        corpus, distinct pairs, one row per batch key) — every derived
-        result (clean(), funnel()) is invariant across the fold, pinned
-        by test. Stage-and-swap per store: write the collapsed view to a
-        sibling dir, then atomically rename over the old one."""
+        stores rewrite as their own merge-on-read views (latest-per-doc
+        corpus keyed by bkey, distinct pairs, one row per batch key) —
+        every derived result (clean(), funnel()) is invariant across the
+        fold, pinned by test. No-op on stores that don't exist yet.
+
+        Crash-safe swap per store: write the collapsed view to
+        ``.compacting``, rename(live → .old), rename(.compacting → live),
+        remove ``.old``. Each rename is atomic; a crash between them
+        leaves either the completed stage (with its _SUCCESS marker) or
+        the set-aside original, and ``_recover_swap`` — run by every
+        reader — promotes whichever exists, so no window silently
+        disables near-dup removal."""
         import shutil
 
         self.sigs.compact()
-        folds = [
-            (self.corpus_path, self._corpus()),
-            (
-                self.pairs_path,
-                _read_or_none(self.spark, self.pairs_path),
-            ),
-            (
-                self.ledger_path,
-                _read_or_none(self.spark, self.ledger_path),
-            ),
-        ]
-        for path, view in folds:
+        folds = [self.corpus_path, self.pairs_path, self.ledger_path]
+        for path in folds:
+            view = _read_or_none(self.spark, path)
             if view is None:
                 continue
-            if path == self.pairs_path:
+            if path == self.corpus_path:
+                view = _latest_per_doc(view)
+            elif path == self.pairs_path:
                 view = view.distinct()
-            elif path == self.ledger_path:
-                view = view.groupBy("bkey").agg(
-                    F.first("raw").alias("raw"),
-                    F.first("quality").alias("quality"),
-                )
-            staged = path + ".compacting"
+            else:
+                view = _ledger_collapsed(view)
+            staged, old = path + ".compacting", path + ".old"
+            for leftover in (staged, old):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
             view.write.mode("overwrite").parquet(staged)
-            shutil.rmtree(path)
+            os.rename(path, old)
             os.rename(staged, path)
+            shutil.rmtree(old)
 
     # ----------------------------------------------------- derived state
 
     def _corpus(self) -> DataFrame:
-        # merge-on-read for the append-only store: an at-least-once RETRY
-        # re-appends the same immutable rows, so a doc_id may appear in
-        # two batch files with identical content — one keyed collapse
-        # makes every read retry-idempotent (the LSM discipline the
-        # signature store gets from latest_per_key)
-        return self.spark.read.parquet(self.corpus_path).dropDuplicates(
-            ["doc_id"]
-        )
+        # merge-on-read for the append-only store: a doc_id may appear in
+        # several batch files (at-least-once retry = identical rows;
+        # changed-content redelivery = different text under a higher
+        # bkey) — the latest-per-doc collapse makes every read
+        # retry-idempotent AND recency-correct, mirroring the signature
+        # store's latest_per_key
+        _recover_swap(self.corpus_path)
+        return _latest_per_doc(self.spark.read.parquet(self.corpus_path))
 
     def exact_survivors(self) -> DataFrame:
         """Cross-batch exact dedup, merge-on-read: min doc_id per STORED
@@ -276,11 +330,11 @@ class CurationStream:
         ingest counts (restart- and retry-proof) plus the store-resolved
         exact/clean counts and surviving tokens (the cross-batch budget
         signal)."""
+        _recover_swap(self.ledger_path)
         ledger = self.spark.read.parquet(self.ledger_path)
         ing = (
-            ledger.groupBy("bkey")  # retries re-append same values: collapse
-            .agg(F.first("raw").alias("raw"), F.first("quality").alias("q"))
-            .agg(F.sum("raw").alias("raw"), F.sum("q").alias("quality"))
+            _ledger_collapsed(ledger)
+            .agg(F.sum("raw").alias("raw"), F.sum("quality").alias("quality"))
             .collect()[0]
         )
         surv = self.exact_survivors().persist()

@@ -132,3 +132,52 @@ def test_curation_stream_compaction_invariance(spark, tmp_path):
     cs.process_batch(b2, batch_id=2)
     want = _clean_ids(run_curation(spark, corpus).clean)
     assert _clean_ids(cs.clean()) == want
+
+
+def test_curation_stream_swap_crash_recovery_and_recency(spark, tmp_path):
+    """Compaction crash windows must self-heal, and a changed-content
+    redelivery must win by recency:
+    (a) crash after rename(live -> .old): readers restore the original;
+    (b) crash after the stage write with the live dir already gone:
+        readers promote the completed stage (_SUCCESS present);
+    (c) doc redelivered with NEW text in a later batch: clean()/corpus
+        carry the latest text even across a compaction."""
+    import os
+    import shutil
+
+    corpus = _corpus(spark)
+    store = str(tmp_path / "store")
+    cs = CurationStream(spark, store)
+    cs.process_batch(corpus.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    cs.process_batch(corpus.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    want_clean = _clean_ids(cs.clean())
+    want_funnel = cs.funnel()
+
+    # (a) mid-swap crash: live renamed aside, stage never promoted
+    os.rename(cs.pairs_path, cs.pairs_path + ".old")
+    assert _clean_ids(cs.clean()) == want_clean
+    assert not os.path.isdir(cs.pairs_path + ".old")  # garbage swept
+
+    # (b) stage completed, live gone: promote the stage
+    shutil.copytree(cs.corpus_path, cs.corpus_path + ".compacting")
+    shutil.rmtree(cs.corpus_path)
+    assert cs.funnel() == want_funnel
+    assert os.path.isdir(cs.corpus_path)
+
+    # (c) recency: doc 42 redelivered with different text in a later batch
+    new_text = "completely new content for the redelivered document " * 3
+    redelivery = spark.createDataFrame(
+        [(42, new_text, "s1")], "doc_id long, text string, source string"
+    ).select("doc_id", "source", "text")
+    cs.process_batch(redelivery, batch_id=2)
+    got = {
+        r.doc_id: r.text
+        for r in cs.exact_survivors().filter(F.col("doc_id") == 42).collect()
+    }
+    assert got[42].startswith("completely new content")
+    cs.compact()  # the fold must bake in the LATEST text, not a stale pick
+    got2 = {
+        r.doc_id: r.text
+        for r in cs.exact_survivors().filter(F.col("doc_id") == 42).collect()
+    }
+    assert got2[42].startswith("completely new content")

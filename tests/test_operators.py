@@ -1913,3 +1913,35 @@ def test_lm_perplexity_kn_matches_python_model(spark, tmp_path):
         for r in q_lm_perplexity_kn(spark, sf).collect()
     }
     assert got == want, (got, want)
+
+
+def test_minhash_store_ignores_uncommitted_batch_dirs(spark, tmp_path):
+    """A crashed write leaves a batch dir without _SUCCESS: readers must
+    ignore it (no schema-inference wedge), new writes must number PAST it
+    (no errorifexists collision), and compact() sweeps it."""
+    import os
+
+    from crypto_market_tracker_etl_spark.operators.incremental_dedup import (
+        MinHashSignatureStore,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    store = MinHashSignatureStore(spark, str(tmp_path / "sigs"))
+    n = docs.count()
+    assert store.upsert_batch(docs).count() == n
+    # simulate a write that died mid-flight
+    partial = os.path.join(store.path, "batch=7")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "w") as f:
+        f.write("torn write")
+    assert store.read().count() == n  # partial dir invisible
+    changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.concat(F.col("text"), F.lit(" x")))
+        .otherwise(F.col("text")),
+    )
+    assert store.upsert_batch(changed).count() == 1  # numbers past batch=7
+    assert os.path.isdir(os.path.join(store.path, "batch=8"))
+    store.compact()
+    assert not os.path.isdir(partial)  # swept
+    assert store.read().count() == n
