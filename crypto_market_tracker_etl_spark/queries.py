@@ -2452,45 +2452,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r6 window (positions 1-50, per the ATTESTATION.md schedule): the 24
-# queries NEW this round plus the 4 added after the r5 window was locked —
-# never-attested code goes FIRST by policy — then the rest of the r3
-# cohort (its top 13 was re-attested in r5): array/map funcs, the 10 EXT2
-# curation ops, and 10 of the 17 late-core queries
-# (24 + 4 + 2 + 10 + 10 = 50; session_islands, late_arrivals, twap,
-# heavy_hitters, histogram, unpivot, and grouping_sets slide to
-# positions 51-57 → the r7 window). This continues the steady-state
-# rolling 3-round re-attestation cycle.
-# Positions 51+ (in order): the 21 queries the r6 additions displaced
-# (late-core overflow, TPC-H flagships, r4-top remainder — all r7-window
-# material), then the r5 window (green in CORRECTNESS_r05.json), then the
-# rest of the r4 window (also r7-window material). The inline section
-# markers below are authoritative for the next rotation.
+# r8 window (positions 1-50, per the ATTESTATION.md schedule): the 26
+# r4-cohort remainder queries (the oldest driver rows left — includes the
+# CORE REFERENCE-PARITY SET latest_per_key … order_nulls_last) plus the
+# front 24 of the r5-window cohort (search_filter … set_ops). This is the
+# steady-state rolling 3-round re-attestation cycle; new/changed queries
+# added mid-round are promoted to the front by policy, displacing the
+# window tail into positions 51+.
+# Positions 51+ (in order): the rest of the r5 cohort (r9-window front),
+# the r6-window remainder, then the full r7 window (freshest rows, green
+# in CORRECTNESS_r07.json). The inline section markers below are
+# authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r7 window: positions 1-50 ======================================
-    # -- new this round (never attested; front of window by policy) -------
-    "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
-    "lm_perplexity_kn",
-    # -- changed this round: the fast twins gained differential
-    #    within_tolerance oracles (output schema changed) -----------------
-    "near_dup_pairs_fast", "simhash_fast",
-    # -- changed this round: PPJoin length+positional filters (plan),
-    #    integer wedge arithmetic, BMFF brand routing ---------------------
-    "setsim_join", "triangle_count", "mime_sniff", "media_catalog",
-    # -- the 24 displaced from the r6 window (r3-vintage rows) ------------
-    "session_islands", "late_arrivals", "twap",
-    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
-    "tpch_q14", "tpch_q4",
-    "knn_pq", "knn_ivfpq", "hash_split",
-    "domain_mix", "boilerplate_strip", "cdc_apply", "cosine_topk_filtered",
-    "weighted_median", "udtf_spans",
-    # -- rest of the r4 cohort (r4-vintage rows, scheduled refresh) -------
-    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q20", "tpch_q21",
-    "approx_distinct",
-    # ==== positions 51+: r4-cohort remainder (the r8 window front) =======
+    # ==== r8 window: positions 1-50 ======================================
+    # -- r4-cohort remainder (26; oldest driver rows, scheduled refresh) --
     "dedup_exact", "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
@@ -2498,14 +2473,16 @@ ATTESTATION_ORDER: list[str] = [
     "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
     "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
     "sparkline_7d", "series_align", "order_nulls_last",
-    # ==== r5 window (green in CORRECTNESS_r05.json) =======================
+    # -- front of the r5-window cohort (24) -------------------------------
     "search_filter",
     "coalesce_fill", "kpis", "ts_convert", "date_format",
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
     "session_window", "json_extract", "rollup", "pivot", "semi_anti",
     "percentiles", "day_in_tz", "upsert_assets", "global_sort",
     "daily_ohlc_view", "cube", "moving_avg", "ntile_rank", "range_join",
-    "set_ops", "sliding_window", "collect_sorted", "string_funcs",
+    "set_ops",
+    # ==== positions 51+: rest of the r5 cohort (the r9 window front) =====
+    "sliding_window", "collect_sorted", "string_funcs",
     "datetime_parts", "window_frame_values", "decimal_pipeline",
     "time_interval_join", "gap_fill", "funnel", "cohort_retention",
     "stats_battery", "profile",
@@ -2530,6 +2507,22 @@ ATTESTATION_ORDER: list[str] = [
     "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
     "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
     "basket_lift",
+    # ==== r7 window (freshest rows, green in CORRECTNESS_r07.json) =======
+    "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
+    "lm_perplexity_kn",
+    "near_dup_pairs_fast", "simhash_fast",
+    "setsim_join", "triangle_count", "mime_sniff", "media_catalog",
+    "session_islands", "late_arrivals", "twap",
+    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
+    "tpch_q14", "tpch_q4",
+    "knn_pq", "knn_ivfpq", "hash_split",
+    "domain_mix", "boilerplate_strip", "cdc_apply", "cosine_topk_filtered",
+    "weighted_median", "udtf_spans",
+    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q21",
+    "approx_distinct",
 ]
 
 
