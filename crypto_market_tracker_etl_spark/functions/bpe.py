@@ -18,7 +18,14 @@ implemented IDENTICALLY in Spark and the DuckDB oracle:
 
 This is the standard rank-order application: a VALID learned table lists
 component merges before the compounds built from them, so single-pass-
-per-rank reproduces the priority-queue tokenizer on its training corpus.
+per-rank coincides with the priority-queue tokenizer EXCEPT on
+self-overlapping merge chains — a run of 5+ identical symbols under a
+learned (g, g) merge segments here as gg|g|gg where priority-queue BPE
+yields gg|gg|g (segmentation, and potentially counts, can differ on runs
+of identical symbols). All three implementations (Spark cascade, DuckDB
+CTE replay, the pure-Python model in tests) share these exact
+boundary-space semantics, so the cross-engine attestation is
+self-consistent.
 
 Scale shape: the cascade is ~260 chained literal `replace` calls —
 whole-stage-codegen JVM string ops, no UDF, no Python — and callers run

@@ -130,7 +130,9 @@ class MinHashSignatureStore:
         """Sign the batch's new/changed docs, append them as the next
         ``batch=N`` partition, and return the newly signed rows (the input
         to ``incremental_pairs``). Unchanged docs cost one anti-join probe.
-        """
+        The committed partition number is left on ``self.last_seq`` so a
+        caller tracking per-batch pair completeness (CurationStream) can
+        key its marker by the same id."""
         incoming = self._fingerprinted(docs)
         batches = self._batches()
         if batches:
@@ -143,6 +145,17 @@ class MinHashSignatureStore:
         signed.write.mode("errorifexists").parquet(
             os.path.join(self.path, f"batch={seq}")
         )
+        self.last_seq = seq
+        return self.batch_rows(seq)
+
+    def committed_batches(self) -> list[int]:
+        """Public view of the committed partition numbers (for callers
+        reconciling per-batch side effects, e.g. pair-completeness)."""
+        return self._batches()
+
+    def batch_rows(self, seq: int) -> DataFrame:
+        """The signature rows of one committed ``batch=N`` partition —
+        the replay input for re-deriving that batch's candidate pairs."""
         return self.spark.read.parquet(os.path.join(self.path, f"batch={seq}"))
 
     def compact(self) -> int:
@@ -160,15 +173,26 @@ class MinHashSignatureStore:
         the store never wedges. Leftover partials are swept here.
         Returns the number of partitions folded. Invariants pinned by
         test: read() is row-identical before/after, and incremental_pairs
-        over a post-compaction upsert equals the uncompacted run."""
+        over a post-compaction upsert equals the uncompacted run.
+
+        SINGLE-WRITER REQUIREMENT: the store assumes one writer process
+        at a time (upsert_batch or compact, never concurrently from two
+        processes) — the same contract as a Delta/Iceberg table without a
+        locking catalog. The partial-dir sweep below is additionally
+        restricted to dirs numbered BELOW the max committed batch: an
+        in-flight upsert always writes at _next_seq (past every existing
+        dir), so even a contract-violating concurrent writer's dir is
+        never deleted mid-write — only leftovers that a later successful
+        commit has already numbered past."""
         import shutil
 
         batches = self._batches()
         # sweep uncommitted leftovers from crashed writes (invisible to
         # readers, but they hold disk and pin _next_seq forward)
-        for b in self._batch_dirs(committed_only=False):
-            if b not in batches:
-                shutil.rmtree(os.path.join(self.path, f"batch={b}"))
+        if batches:
+            for b in self._batch_dirs(committed_only=False):
+                if b not in batches and b < batches[-1]:
+                    shutil.rmtree(os.path.join(self.path, f"batch={b}"))
         if len(batches) <= 1:
             return 0
         folded = self.read()

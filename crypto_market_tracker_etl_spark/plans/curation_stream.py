@@ -140,6 +140,7 @@ class CurationStream:
         self.jaccard_threshold = jaccard_threshold
         self.corpus_path = os.path.join(store_dir, "corpus")
         self.pairs_path = os.path.join(store_dir, "pairs")
+        self.pairs_done_path = os.path.join(store_dir, "pairs_done")
         self.ledger_path = os.path.join(store_dir, "funnel_ledger")
         self.sigs = MinHashSignatureStore(
             spark,
@@ -154,6 +155,52 @@ class CurationStream:
             if ledger is not None
             else 0
         )
+        # startup half of the pair-completeness protocol: a run that died
+        # between the signature commit and the pair append is re-derived
+        # here (the retry's anti-join signs nothing, so without this the
+        # crashed batch's pairs would be lost permanently)
+        self._recover_pairs()
+
+    # ------------------------------------------- pair-completeness markers
+    #
+    # Crash window closed by this protocol: process_batch commits the
+    # signature batch FIRST (sigs/batch=N), then appends that batch's
+    # candidate pairs, then touches pairs_done/N. A crash anywhere between
+    # the two commits leaves sigs/batch=N committed but unmarked; on the
+    # at-least-once retry the (doc_id, content_fp) anti-join signs nothing,
+    # so the pairs can never be re-derived from the RETRY's (empty) batch —
+    # they are instead re-derived from the STORED batch=N rows by
+    # _recover_pairs, which runs at startup, before every batch, before
+    # every pair read, and before compaction folds the batch identity away.
+    # Re-deriving against the CURRENT store is safe: it can only emit
+    # extra candidate pairs that later batches also emit (distinct-ed
+    # merge-on-read, and clean() verifies every candidate with exact
+    # Jaccard), never lose one whose doc's latest signature lives in
+    # batch=N.
+
+    def _pairs_done(self) -> set[int]:
+        if not os.path.isdir(self.pairs_done_path):
+            return set()
+        return {int(n) for n in os.listdir(self.pairs_done_path) if n.isdigit()}
+
+    def _mark_pairs_done(self, seq: int) -> None:
+        os.makedirs(self.pairs_done_path, exist_ok=True)
+        with open(os.path.join(self.pairs_done_path, str(seq)), "w"):
+            pass
+
+    def _recover_pairs(self) -> int:
+        """Re-derive and append the candidate pairs of every committed
+        signature batch not yet marked pair-complete. No-op (one listdir)
+        in the steady state. Returns the number of batches recovered."""
+        pending = [
+            b for b in self.sigs.committed_batches() if b not in self._pairs_done()
+        ]
+        for b in pending:
+            self.sigs.incremental_pairs(self.sigs.batch_rows(b)).write.mode(
+                "append"
+            ).parquet(self.pairs_path)
+            self._mark_pairs_done(b)
+        return len(pending)
 
     # ------------------------------------------------------------ ingest
 
@@ -194,9 +241,13 @@ class CurationStream:
             batch_kept.withColumn("bkey", F.lit(bkey)).write.mode(
                 "append"
             ).parquet(self.corpus_path)
+            # close any pair-emission gap from a previously crashed batch
+            # BEFORE committing new signatures (see protocol note above)
+            self._recover_pairs()
             new_sigs = self.sigs.upsert_batch(batch_kept.select("doc_id", "text"))
             pairs = self.sigs.incremental_pairs(new_sigs)
             pairs.write.mode("append").parquet(self.pairs_path)
+            self._mark_pairs_done(self.sigs.last_seq)
         finally:
             stats.unpersist()
         self._seq = max(self._seq, bkey) + 1
@@ -233,7 +284,16 @@ class CurationStream:
         disables near-dup removal."""
         import shutil
 
+        # pair completeness must be reconciled BEFORE the signature fold
+        # destroys the batch=N identity the recovery replays from; after
+        # the fold, the surviving batch numbers are all pair-complete by
+        # construction, so the marker set is rewritten to match.
+        self._recover_pairs()
         self.sigs.compact()
+        if os.path.isdir(self.pairs_done_path):
+            shutil.rmtree(self.pairs_done_path)
+        for b in self.sigs.committed_batches():
+            self._mark_pairs_done(b)
         folds = [self.corpus_path, self.pairs_path, self.ledger_path]
         for path in folds:
             view = _read_or_none(self.spark, path)
@@ -282,6 +342,7 @@ class CurationStream:
     def _clean_from(self, surv: DataFrame) -> DataFrame:
         from .curation_job import keep_best_losers
 
+        self._recover_pairs()  # steady-state cost: one listdir
         cand = _read_or_none(self.spark, self.pairs_path)
         if cand is None:
             return surv
@@ -329,9 +390,18 @@ class CurationStream:
         """Cumulative funnel across every processed batch: ledger-summed
         ingest counts (restart- and retry-proof) plus the store-resolved
         exact/clean counts and surviving tokens (the cross-batch budget
-        signal)."""
-        _recover_swap(self.ledger_path)
-        ledger = self.spark.read.parquet(self.ledger_path)
+        signal). On a fresh stream (no batch processed yet) every store
+        is absent — report a zeroed funnel rather than leaking a raw
+        AnalysisException (ADVICE r7)."""
+        ledger = _read_or_none(self.spark, self.ledger_path)
+        if ledger is None:
+            return {
+                "raw": 0,
+                "quality": 0,
+                "exact": 0,
+                "clean": 0,
+                "clean_tokens": 0,
+            }
         ing = (
             _ledger_collapsed(ledger)
             .agg(F.sum("raw").alias("raw"), F.sum("quality").alias("quality"))

@@ -1657,7 +1657,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back on the word key and roll up per doc. No collect, no
     Python, no per-instance tokenizer calls. The oracle REPLAYS the
     merge table in DuckDB (same literal table, same two-pass replace
-    semantics — functions/bpe.py::bpe_sql_token_count), so the hash
+    semantics — functions/bpe.py::bpe_sql_ctes), so the hash
     check is a full differential of the tokenizer, not a row count."""
     from .functions.bpe import bpe_token_count
 

@@ -5,6 +5,7 @@ must produce the same state as direct process_batch calls."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crypto_market_tracker_etl_spark.plans.curation_job import run_curation
@@ -181,3 +182,113 @@ def test_curation_stream_swap_crash_recovery_and_recency(spark, tmp_path):
         for r in cs.exact_survivors().filter(F.col("doc_id") == 42).collect()
     }
     assert got2[42].startswith("completely new content")
+
+
+def test_curation_stream_pair_emission_crash_recovery(spark, tmp_path):
+    """Crash between the committed signature upsert and the pair append
+    (the ADVICE r7 medium): the retry's (doc_id, content_fp) anti-join
+    signs nothing, so the crashed batch's candidate pairs can only come
+    from the pair-completeness recovery replaying the STORED sig batch.
+    Without it, clean() silently keeps the crashed batch's near-dups.
+    Both recovery paths are exercised: the in-process retry and a fresh
+    CurationStream on the same stores (restart)."""
+    corpus = _corpus(spark)
+    want_clean = _clean_ids(run_curation(spark, corpus).clean)
+    b0 = corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    store = str(tmp_path / "store")
+    cs = CurationStream(spark, store)
+    cs.process_batch(b0, batch_id=0)
+
+    # inject a crash AFTER upsert_batch commits sigs/batch=N, BEFORE the
+    # pair append — the exact window the protocol exists for
+    orig = cs.sigs.incremental_pairs
+
+    def boom(new_sigs):
+        raise RuntimeError("injected crash before pair append")
+
+    cs.sigs.incremental_pairs = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        cs.process_batch(b1, batch_id=1)
+    cs.sigs.incremental_pairs = orig
+
+    # sig batch committed but unmarked: recovery has pending work
+    assert set(cs.sigs.committed_batches()) - cs._pairs_done()
+
+    # at-least-once retry of the same batch: the anti-join re-signs
+    # nothing, so correctness of clean() proves the recovery replay
+    cs.process_batch(b1, batch_id=1)
+    assert _clean_ids(cs.clean()) == want_clean
+    f = cs.funnel()
+    assert f["raw"] == corpus.count()
+    assert f["clean"] == len(want_clean)
+
+    # restart path: rebuild the crash state, then recover via __init__
+    # of a FRESH object (no retry) — the corpus rows are on disk, so
+    # clean() must still converge once the pairs are re-derived
+    store2 = str(tmp_path / "store2")
+    cs2 = CurationStream(spark, store2)
+    cs2.process_batch(b0, batch_id=0)
+    cs2.sigs.incremental_pairs = boom
+    with pytest.raises(RuntimeError, match="injected crash"):
+        cs2.process_batch(b1, batch_id=1)
+    cs3 = CurationStream(spark, store2)  # __init__ runs _recover_pairs
+    assert not (set(cs3.sigs.committed_batches()) - cs3._pairs_done())
+    assert _clean_ids(cs3.clean()) == want_clean
+
+
+def test_curation_stream_compact_crash_injection(spark, tmp_path):
+    """compact()'s swap protocol claims ANY single-point crash is
+    recoverable: simulate a kill at each of the three intermediate
+    states — staged-written (staged + live), live-moved (staged + .old,
+    live gone), staged-promoted (live collapsed + .old) — for each of
+    the three folded stores, and assert clean()/funnel() invariance
+    after readers run recovery."""
+    import os
+
+    from crypto_market_tracker_etl_spark.plans.curation_stream import (
+        _latest_per_doc,
+        _ledger_collapsed,
+        _read_or_none,
+    )
+
+    corpus = _corpus(spark)
+    store = str(tmp_path / "store")
+    cs = CurationStream(spark, store)
+    cs.process_batch(corpus.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    cs.process_batch(corpus.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    cs.process_batch(corpus.filter(F.col("doc_id") % 2 == 1), batch_id=1)  # retry
+    want_clean = _clean_ids(cs.clean())
+    want_funnel = cs.funnel()
+
+    def collapsed(path):
+        view = _read_or_none(spark, path)
+        if path == cs.corpus_path:
+            return _latest_per_doc(view)
+        if path == cs.pairs_path:
+            return view.distinct()
+        return _ledger_collapsed(view)
+
+    for path in (cs.corpus_path, cs.pairs_path, cs.ledger_path):
+        for crash_point in ("staged-written", "live-moved", "staged-promoted"):
+            staged, old = path + ".compacting", path + ".old"
+            view = collapsed(path)
+            if crash_point == "staged-written":
+                # killed after the stage write: staged beside intact live
+                view.write.mode("overwrite").parquet(staged)
+            elif crash_point == "live-moved":
+                # killed between the two renames: live set aside, stage
+                # complete but not yet promoted
+                view.write.mode("overwrite").parquet(staged)
+                os.rename(path, old)
+            else:
+                # killed before the final rmtree: promoted live + .old
+                view.write.mode("overwrite").parquet(staged)
+                os.rename(path, old)
+                os.rename(staged, path)
+            assert _clean_ids(cs.clean()) == want_clean, (path, crash_point)
+            assert cs.funnel() == want_funnel, (path, crash_point)
+            # recovery left exactly one live dir, no residue
+            assert os.path.isdir(path)
+            assert not os.path.isdir(staged) and not os.path.isdir(old)
