@@ -2465,6 +2465,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
     # ==== r8 window: positions 1-50 ======================================
+    # -- new this round (never attested; front of window by policy) -------
+    "dedup_keep_one_span",
     # -- r4-cohort remainder (26; oldest driver rows, scheduled refresh) --
     "dedup_exact", "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
@@ -2480,9 +2482,8 @@ ATTESTATION_ORDER: list[str] = [
     "session_window", "json_extract", "rollup", "pivot", "semi_anti",
     "percentiles", "day_in_tz", "upsert_assets", "global_sort",
     "daily_ohlc_view", "cube", "moving_avg", "ntile_rank", "range_join",
-    "set_ops",
     # ==== positions 51+: rest of the r5 cohort (the r9 window front) =====
-    "sliding_window", "collect_sorted", "string_funcs",
+    "set_ops", "sliding_window", "collect_sorted", "string_funcs",
     "datetime_parts", "window_frame_values", "decimal_pipeline",
     "time_interval_join", "gap_fill", "funnel", "cohort_retention",
     "stats_battery", "profile",

@@ -2685,10 +2685,10 @@ GROUP BY doc_id, grp
 def q_dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[LLM curation] APPLY span-level dedup: emit each doc with every
     maximal cross-duplicated extent ([dup_extents]) cut out — the actual
-    rewrite step of Lee et al.'s substring dedup (this engine's variant
-    removes every occurrence of cross-duplicated material; the
-    keep-one-occurrence policy is a doc-selection layer on top, same as
-    dedup_keep_best over exact dups). Output per doc: token counts
+    rewrite step of Lee et al.'s substring dedup (this variant removes
+    EVERY occurrence of cross-duplicated material — the aggressive
+    policy; [dedup_keep_one_span] is the paper's keep-one-canonical-copy
+    form). Output per doc: token counts
     before/after, extents cut, and the md5 fingerprint of the cleaned
     token stream (fingerprint, not full text — the differential check
     needs identity, not bytes).
@@ -2778,6 +2778,192 @@ SELECT doc_id,
        CAST(len(kept) AS BIGINT) AS n_tok_after,
        CAST(coalesce(len(cuts), 0) AS BIGINT) AS n_cuts,
        -- DuckDB: array_to_string([]) is NULL (Spark concat_ws gives '')
+       md5(coalesce(array_to_string(kept, ' '), '')) AS clean_fp
+FROM cut
+"""
+
+
+def q_dedup_keep_one_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] Span-level dedup with Lee et al.'s KEEP-ONE-COPY
+    policy — the fidelity gap [dedup_cut_spans] documents: that variant
+    removes EVERY occurrence of cross-duplicated material, whereas
+    "Deduplicating Training Data Makes Language Models Better" keeps one
+    canonical copy of each duplicated span in the corpus. Policy, fully
+    deterministic: for each cross-duplicated 8-token window hash, the
+    globally-first occurrence — min (doc_id, pos) — is EXEMPT; a token
+    is cut iff it is covered by a non-exempt duplicated window and NOT
+    shielded by an exempt window in the same doc. A wholesale-copied
+    block therefore survives intact exactly once (in the lowest-id doc
+    holding it, whose windows are all exempt and shield its tokens) and
+    is cut from every other copy — pinned by a planted fixture in
+    tests/test_scale_ops.py and, differentially, by the corpus-wide
+    token-count oracle here.
+
+    Scale shape: everything [dedup_cut_spans] does plus ONE more
+    hash-keyed aggregate (min (doc_id, pos) struct per duplicated hash —
+    map-side combining, no skew risk beyond the hash grain) joined back
+    to the window occurrences on h, and a second gaps-and-islands window
+    for the exempt runs. Still zero doc-pair products; the rewrite stays
+    a single projection with per-position exists() probes against the
+    doc's own (tiny) cut/shield extent arrays."""
+    w = DUP_SPAN_W
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", normalize_ws(F.col("text")).alias("t")
+    )
+    tok_df = docs.select("doc_id", F.split(F.col("t"), " ").alias("toks"))
+    spans = tok_df.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= w,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {w - 1}), "
+                    f"i -> md5(concat_ws(' ', slice(toks, i, {w}))))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    dup_hashes = (
+        spans.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dw = spans.join(dup_hashes, "h", "left_semi")
+    # canonical occurrence per duplicated hash: min (doc_id, pos) — an
+    # aggregate + equi-join back (NOT a per-hash window: the aggregate
+    # map-side-combines, so a boilerplate hash in millions of docs never
+    # single-tasks)
+    canon = dw.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    flagged = dw.join(canon, "h").select(
+        "doc_id",
+        "pos",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        ).alias("exempt"),
+    )
+
+    def extents(df: DataFrame) -> DataFrame:
+        rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+        return (
+            df.withColumn("grp", F.col("pos") - rn)
+            .groupBy("doc_id", "grp")
+            .agg(
+                (F.min("pos") + 1).cast("long").alias("s"),
+                (F.max("pos") + w).cast("long").alias("e"),
+            )
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("s", "e")).alias("exts"))
+        )
+
+    cut_exts = extents(flagged.filter(~F.col("exempt"))).withColumnRenamed(
+        "exts", "cut_exts"
+    )
+    shield_exts = extents(flagged.filter(F.col("exempt"))).withColumnRenamed(
+        "exts", "shield_exts"
+    )
+    joined = tok_df.join(cut_exts, "doc_id", "left").join(
+        shield_exts, "doc_id", "left"
+    )
+    covered = (
+        "({col} IS NOT NULL AND "
+        "exists({col}, c -> i + 1 >= c.s AND i + 1 <= c.e))"
+    )
+    kept = F.expr(
+        "filter(toks, (tok, i) -> NOT "
+        + covered.format(col="cut_exts")
+        + " OR "
+        + covered.format(col="shield_exts")
+        + ")"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tok_before"),
+        F.size(kept).cast("long").alias("n_tok_after"),
+        F.coalesce(F.size("cut_exts"), F.lit(0)).cast("long").alias("n_cut_ext"),
+        F.coalesce(F.size("shield_exts"), F.lit(0))
+        .cast("long")
+        .alias("n_kept_ext"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    )
+
+
+SQL_DEDUP_KEEP_ONE_SPAN = f"""
+WITH d AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+tk AS (SELECT doc_id, regexp_split_to_array(t, ' ') AS toks FROM d),
+arr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {DUP_SPAN_W}
+           THEN list_transform(range(1, len(toks) - {DUP_SPAN_W} + 2),
+                i -> md5(array_to_string(
+                     list_slice(toks, i, i + {DUP_SPAN_W} - 1), ' ')))
+           ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM tk
+),
+s AS (
+  SELECT doc_id, unnest(range(0, len(hs))) AS pos, unnest(hs) AS h
+  FROM arr
+),
+hot AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM s) dh
+  GROUP BY h HAVING count(*) >= 2
+),
+dw AS (SELECT s.doc_id, s.pos, s.h FROM s JOIN hot USING (h)),
+canon AS (
+  SELECT h, min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM dw GROUP BY h
+),
+flagged AS (
+  SELECT dw.doc_id, dw.pos,
+         (dw.doc_id = canon.first.doc_id AND dw.pos = canon.first.pos)
+           AS exempt
+  FROM dw JOIN canon USING (h)
+),
+cut_isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged WHERE NOT exempt
+),
+cut_ext AS (
+  SELECT doc_id,
+         list(struct_pack(s := s, e := e)) AS cut_exts
+  FROM (SELECT doc_id, min(pos) + 1 AS s, max(pos) + {DUP_SPAN_W} AS e
+        FROM cut_isl GROUP BY doc_id, grp)
+  GROUP BY doc_id
+),
+sh_isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged WHERE exempt
+),
+sh_ext AS (
+  SELECT doc_id,
+         list(struct_pack(s := s, e := e)) AS shield_exts
+  FROM (SELECT doc_id, min(pos) + 1 AS s, max(pos) + {DUP_SPAN_W} AS e
+        FROM sh_isl GROUP BY doc_id, grp)
+  GROUP BY doc_id
+),
+cut AS (
+  SELECT tk.doc_id, tk.toks, cut_ext.cut_exts, sh_ext.shield_exts,
+         [tk.toks[i] FOR i IN range(1, len(tk.toks) + 1)
+          IF NOT (cut_ext.cut_exts IS NOT NULL
+                  AND len(list_filter(cut_ext.cut_exts,
+                          c -> i >= c.s AND i <= c.e)) > 0)
+             OR (sh_ext.shield_exts IS NOT NULL
+                 AND len(list_filter(sh_ext.shield_exts,
+                         c -> i >= c.s AND i <= c.e)) > 0)] AS kept
+  FROM tk LEFT JOIN cut_ext USING (doc_id) LEFT JOIN sh_ext USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tok_before,
+       CAST(len(kept) AS BIGINT) AS n_tok_after,
+       CAST(coalesce(len(cut_exts), 0) AS BIGINT) AS n_cut_ext,
+       CAST(coalesce(len(shield_exts), 0) AS BIGINT) AS n_kept_ext,
        md5(coalesce(array_to_string(kept, ' '), '')) AS clean_fp
 FROM cut
 """
@@ -4490,6 +4676,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "dup_extents": (q_dup_extents, SQL_DUP_EXTENTS),
     "dedup_cut_spans": (q_dedup_cut_spans, SQL_DEDUP_CUT_SPANS),
+    "dedup_keep_one_span": (q_dedup_keep_one_span, SQL_DEDUP_KEEP_ONE_SPAN),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),

@@ -1814,6 +1814,59 @@ def test_dedup_cut_spans_removes_planted_runs(spark, tmp_path):
     assert got[3] == (9, 9, 0, md5(solo))
 
 
+def test_dedup_keep_one_span_keeps_canonical(spark, tmp_path):
+    """Lee-et-al. keep-one policy: every duplicated extent survives in
+    EXACTLY one place — the globally-first occurrence (min (doc_id,
+    pos)) — and is cut everywhere else, including a second occurrence
+    WITHIN the canonical doc itself."""
+    import hashlib
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    shared2 = " ".join(f"z{i}" for i in range(8))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(10))
+    solo = " ".join(f"u{i}" for i in range(9))
+    rep = " ".join(f"y{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {filler_a} {shared2}", "s1"),
+            (2, f"{filler_b} {shared} x9 {shared2}", "s2"),
+            (3, solo, "s3"),
+            # rep appears TWICE in doc 4 and once in doc 5: only doc 4's
+            # first occurrence survives
+            (4, f"{rep} q0 q1 {rep}", "s4"),
+            (5, f"w0 {rep} w1", "s5"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sf = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_dedup_keep_one_span,
+    )
+
+    got = {
+        r.doc_id: (
+            r.n_tok_before,
+            r.n_tok_after,
+            r.n_cut_ext,
+            r.n_kept_ext,
+            r.clean_fp,
+        )
+        for r in q_dedup_keep_one_span(spark, sf).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 is globally first for both runs: fully intact, two shields
+    assert got[1] == (30, 30, 0, 2, md5(f"{shared} {filler_a} {shared2}"))
+    # doc 2 loses both runs (same as cut-all)
+    assert got[2] == (31, 11, 2, 0, md5(f"{filler_b} x9"))
+    # doc 3 has no duplicated material
+    assert got[3] == (9, 9, 0, 0, md5(solo))
+    # doc 4: first rep survives (shield), second rep cut; doc 5 loses rep
+    assert got[4] == (26, 14, 1, 1, md5(f"{rep} q0 q1"))
+    assert got[5] == (14, 2, 1, 0, md5("w0 w1"))
+
+
 def test_minhash_store_compaction_invariance(spark, tmp_path):
     """compact() must be invisible to every consumer: read() returns the
     same (doc, fingerprint, signature) rows, a re-delivered unchanged

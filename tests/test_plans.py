@@ -919,6 +919,20 @@ def test_dedup_cut_spans_expression_rewrite(spark):
     assert "exists(" in s and "filter(" in s
 
 
+def test_dedup_keep_one_span_no_doc_pair_relation(spark):
+    """Keep-one adds ONE hash-keyed canonical aggregate (min (doc_id,
+    pos) struct, map-side combining — NOT a per-hash window that would
+    single-task hot boilerplate hashes) joined back on h, plus the two
+    per-doc islands windows; the rewrite stays a pure expression — no
+    doc-pair product, no Python."""
+    s = plan_of(spark, "dedup_keep_one_span")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "exists(" in s and "filter(" in s
+    assert "partial_min" in s  # canonical pick combines map-side
+
+
 def test_k_anonymity_summary_aggregation_only(spark):
     """The roll-up is two hash aggregations (class table, then the 1-row
     summary) — no sort, no join, no window."""
