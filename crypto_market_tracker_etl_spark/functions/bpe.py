@@ -36,6 +36,7 @@ instance.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -109,40 +110,132 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def bpe_segment(word: Column) -> Column:
+Merges = list[tuple[str, str]]
+
+
+def load_merges(n: int) -> Merges:
+    """Load a shipped merges.txt-format table
+    (``functions/bpe_merges_{n}.txt`` — one "a b" pair per line, rank
+    order; the format production tokenizers ship). Shipped sizes: 512
+    (learned from the corpus's full string-column vocabulary with
+    tools/learn_bpe.py --rich) and 1866 (the same corpus's saturation
+    point — the merge closure after which no adjacent pair remains, the
+    honest ceiling of what this corpus can teach; both are past the
+    Catalyst planning cliff the cascade hits, see SCALE.md §bpe-ceiling).
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), f"bpe_merges_{n}.txt")
+    with open(path) as f:
+        return [
+            (p[0], p[1])
+            for line in f
+            if line.strip() and (p := line.rstrip("\n").split(" ", 1))
+        ]
+
+
+def bpe_segment(word: Column, merges: Merges | None = None) -> Column:
     """Space-separated BPE symbols of ``word`` (lowercase, no spaces in
     the input — callers tokenize on whitespace first), with sentinel
-    spaces at both ends: ' cust omer ' style."""
+    spaces at both ends: ' cust omer ' style. The expression-cascade
+    path: 2·|merges| chained literal replaces — whole-stage codegen, no
+    Python, but O(|merges|) PLAN SIZE, which hits Catalyst/janino
+    planning cliffs near ~1k merges (measured in SCALE.md §bpe-ceiling);
+    use ``bpe_count_kernel`` for production-size tables."""
+    merges = BPE_MERGES if merges is None else merges
     s = F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
         s = F.replace(F.replace(s, pat, rep), pat, rep)
     return s
 
 
-def bpe_tokens(word: Column) -> Column:
+def bpe_tokens(word: Column, merges: Merges | None = None) -> Column:
     """BPE token array for one word."""
-    return F.split(F.trim(bpe_segment(word)), " ")
+    return F.split(F.trim(bpe_segment(word, merges)), " ")
 
 
-def bpe_token_count(word: Column) -> Column:
+def bpe_token_count(word: Column, merges: Merges | None = None) -> Column:
     """Number of BPE tokens ``word`` encodes to (≥1 for non-empty)."""
-    return F.size(bpe_tokens(word))
+    return F.size(bpe_tokens(word, merges))
 
 
-def bpe_sql_ctes(source_sql: str, word_col: str = "w") -> str:
+def bpe_count_kernel(merges: Merges | None = None):
+    """Arrow-batched (pandas_udf) BPE token counter — the SCALE path for
+    production-size merge tables, bit-identical to the expression
+    cascade by construction: it walks ranks in table order exactly like
+    the cascade and applies the SAME two-pass boundary-space string
+    replace, merely SKIPPING ranks whose pattern does not occur (an
+    identity replace) via an O(1) adjacent-pair set probe. Skipping an
+    identity step cannot change the output, and the pair set is refreshed
+    only when a merge actually applies, so cost is O(word_len) per
+    APPLIED merge + O(1) per skipped rank — per-word work is independent
+    of table size where the cascade's PLAN is linear in it. NOTE: the
+    walk is strictly in rank order, never a min-rank priority pick — two
+    merges can produce the same output string (e.g. (x, yz) and (xy, z)
+    → 'xyz'), so a later rank can resurrect an earlier rank's pattern,
+    and a priority pick would apply it where the cascade would not.
+    Arrow-vectorized with a per-batch memo (callers run it on the
+    distinct-word grain, but batches may still repeat words across
+    partitions); never row-at-a-time pickled Python."""
+    merges = BPE_MERGES if merges is None else merges
+    table = _kernel_table(merges)
+
+    @F.pandas_udf("long")
+    def kernel(words: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def f(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = memo[w] = kernel_encode_len(w, table)
+            return v
+
+        return words.map(f)
+
+    return kernel
+
+
+def _kernel_table(merges: Merges) -> list[tuple[tuple[str, str], str, str]]:
+    return [((a, b), f" {a} {b} ", f" {a}{b} ") for a, b in merges]
+
+
+def kernel_encode_len(
+    word: str, table: list[tuple[tuple[str, str], str, str]]
+) -> int:
+    """The kernel's per-word encode (module-level so tests can pin it
+    against ``bpe_encode_py`` without a Spark session): rank-order walk
+    with the O(1) skip of identity replaces — see bpe_count_kernel for
+    why rank order (not a min-rank priority pick) is load-bearing."""
+    toks = list(word)
+    if len(toks) < 2:
+        return len(toks)
+    s = " " + " ".join(toks) + " "
+    present = set(zip(toks, toks[1:]))
+    for pair, pat, rep in table:
+        if pair in present:
+            s = s.replace(pat, rep).replace(pat, rep)
+            toks = s.split()
+            present = set(zip(toks, toks[1:]))
+    return len(toks)
+
+
+def bpe_sql_ctes(
+    source_sql: str, word_col: str = "w", merges: Merges | None = None
+) -> str:
     """DuckDB CTE chain computing the IDENTICAL spaced segmentation (same
     table, same two-pass literal replaces) — the oracle replays the
     tokenizer rather than trusting it. One CTE per merge: DuckDB's binder
     caps expression recursion at 128, so a single nested-replace
     expression (depth ~260) cannot bind; the chain keeps each step's
     depth at 2. The final CTE ``bpe_vt`` yields (w, ntok)."""
+    merges = BPE_MERGES if merges is None else merges
     steps = [
         f"bpe0 AS (SELECT {word_col} AS w,"
         f" ' ' || regexp_replace({word_col}, '(.)', '\\1 ', 'g') AS s"
         f" FROM ({source_sql}))"
     ]
-    for i, (a, b) in enumerate(BPE_MERGES, start=1):
+    for i, (a, b) in enumerate(merges, start=1):
         pat = f" {a} {b} ".replace("'", "''")
         rep = f" {a}{b} ".replace("'", "''")
         steps.append(
@@ -153,18 +246,20 @@ def bpe_sql_ctes(source_sql: str, word_col: str = "w") -> str:
     steps.append(
         "bpe_vt AS (SELECT w,"
         " len(regexp_split_to_array(trim(s), ' ')) AS ntok"
-        f" FROM bpe{len(BPE_MERGES)})"
+        f" FROM bpe{len(merges)})"
     )
     return ",\n".join(steps)
 
 
-def bpe_encode_py(word: str) -> list[str]:
+def bpe_encode_py(word: str, merges: Merges | None = None) -> list[str]:
     """Pure-Python reference model of the SAME semantics (rank order,
     two-pass boundary-space replace) — the third independent check used
     by tests; deliberately string-based like the engines, not list-based
-    like the learner."""
+    like the learner, and deliberately WITHOUT the kernel's skip
+    optimization (every rank's replace runs, identity or not)."""
+    merges = BPE_MERGES if merges is None else merges
     s = " " + "".join(c + " " for c in word)
-    for a, b in BPE_MERGES:
+    for a, b in merges:
         pat, rep = f" {a} {b} ", f" {a}{b} "
         s = s.replace(pat, rep).replace(pat, rep)
     return s.split()

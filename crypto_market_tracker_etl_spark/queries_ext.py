@@ -1683,6 +1683,44 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] The SCALE path of [bpe_tokenize]: identical per-doc
+    BPE accounting, but the per-word encode runs in the Arrow-batched
+    kernel (functions/bpe.py::bpe_count_kernel) instead of the
+    2·|merges| expression cascade. The cascade's PLAN is linear in the
+    merge-table size and hits Catalyst/janino planning cliffs near ~1k
+    merges (SCALE.md §bpe-ceiling); the kernel's plan is one
+    ArrowEvalPython node regardless of table size, and per-word work is
+    O(len) per applied merge — so a production 32k-merge merges.txt is
+    just a bigger closure, not a bigger plan. Registered against the
+    SAME DuckDB merge-replay oracle as [bpe_tokenize]: the driver's hash
+    check is a standing machine-checked proof that the kernel is
+    bit-identical to the cascade semantics. Same dataflow shape
+    otherwise: kernel on the DISTINCT-WORD grain only, counts join back
+    on the word key."""
+    from .functions.bpe import bpe_count_kernel
+
+    docs = _documents(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    kernel = bpe_count_kernel()
+    vt = wc.select("w").distinct().select("w", kernel(F.col("w")).alias("ntok"))
+    return (
+        wc.join(vt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("ntok")).alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("ntok")) / F.sum("cnt"), 4
+            ).alias("bpe_ratio"),
+        )
+    )
+
+
 def _sql_bpe_tokenize() -> str:
     from .functions.bpe import bpe_sql_ctes
 
@@ -4646,6 +4684,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_stats": (q_vocab_stats, SQL_VOCAB_STATS),
     "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
     "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
+    "bpe_tokenize_kernel": (q_bpe_tokenize_kernel, SQL_BPE_TOKENIZE),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),

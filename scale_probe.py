@@ -1735,6 +1735,65 @@ def probe_r7b(spark) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_bpe(spark) -> None:
+    """The BPE merge-count ceiling (r7 'What's missing' #1): Catalyst
+    planning + codegen + run cost of the 2·|merges| replace CASCADE vs
+    the Arrow KERNEL at 64 / 512 / 1866 merges, on a 100k-distinct-word
+    vocabulary (the grain both paths run at). Also cross-checks the two
+    paths' total token counts when the cascade survives planning — the
+    same bit-identity the driver proves at 64 merges via the shared
+    oracle."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        BPE_MERGES,
+        bpe_count_kernel,
+        bpe_token_count,
+        load_merges,
+    )
+
+    vocab = (
+        spark.range(100_000)
+        .select(
+            F.concat(
+                F.lit("w"),
+                F.substring(F.md5(F.col("id").cast("string")), 1, 10),
+            ).alias("w")
+        )
+        .persist()
+    )
+    vocab.count()
+    tables = [
+        ("64", BPE_MERGES),
+        ("512", load_merges(512)),
+        ("1866", load_merges(1866)),
+    ]
+    for name, merges in tables:
+        sums = {}
+        for path in ("cascade", "kernel"):
+            try:
+                if path == "cascade":
+                    col = bpe_token_count(F.col("w"), merges)
+                else:
+                    col = bpe_count_kernel(merges)(F.col("w"))
+                df = vocab.select("w", col.cast("long").alias("n"))
+                t0 = time.perf_counter()
+                df._jdf.queryExecution().executedPlan()  # analyze+optimize+plan
+                t_plan = time.perf_counter() - t0
+                t_run = force(df)  # codegen + execute (100k words)
+                sums[path] = df.agg(F.sum("n")).collect()[0][0]
+                print(
+                    f"bpe {name} merges {path}: plan {t_plan:.2f}s"
+                    f" run {t_run:.2f}s sum={sums[path]}",
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001 — the cliff IS the finding
+                msg = str(exc).splitlines()[0][:160]
+                print(f"bpe {name} merges {path}: FAILED — {msg}", flush=True)
+        if len(sums) == 2:
+            assert sums["cascade"] == sums["kernel"], (name, sums)
+            print(f"bpe {name} merges: cascade == kernel ✓", flush=True)
+    vocab.unpersist()
+
+
 def main() -> None:
     # single-JVM local mode: the driver heap IS executor memory — size it
     # for the 50M-row sweep (must be set before the JVM starts)
@@ -1816,6 +1875,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_DV"):
         probe_dv(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_BPE"):
+        probe_bpe(spark)
         spark.stop()
         return
     rows = []

@@ -896,6 +896,19 @@ def test_bpe_tokenize_vocab_grain_no_product(spark):
     assert "partial_sum" in s  # per-doc rollup combines map-side
 
 
+def test_bpe_tokenize_kernel_arrow_not_pickled(spark):
+    """The kernel path trades the O(|merges|)-sized cascade plan for ONE
+    Arrow-batched Python node on the distinct-word grain: ArrowEvalPython
+    present, row-at-a-time BatchEvalPython absent, no product, counts
+    still combine map-side."""
+    s = plan_of(spark, "bpe_tokenize_kernel")
+    assert "ArrowEvalPython" in s
+    assert "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "partial_sum" in s
+
+
 def test_dup_extents_no_doc_pair_relation(spark):
     """Extent merging must ride dup_spans' hash aggregates: a LEFT SEMI
     join of the (doc, pos, hash) grain against the duplicated-hash set

@@ -649,6 +649,73 @@ def test_bpe_segment_matches_python_model(spark, words):
         assert got[w] == (want, len(want)), (w, got[w], want)
 
 
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word=st.text(
+        alphabet="abcdefghijklmnoprstuvwxyz#.0123456789",
+        min_size=0,
+        max_size=24,
+    )
+)
+def test_bpe_kernel_matches_model_all_tables(word):
+    """The kernel encode (rank-order walk + identity-skip) must equal the
+    no-skip pure-Python model under EVERY shipped table — the 64-merge
+    literal and the 512/1866 merges.txt files — on arbitrary words. Pure
+    Python on both sides: this pins the algorithm; the Spark plumbing is
+    pinned by the bpe_tokenize_kernel oracle row and the equality test
+    below."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        BPE_MERGES,
+        _kernel_table,
+        bpe_encode_py,
+        kernel_encode_len,
+        load_merges,
+    )
+
+    for merges in (BPE_MERGES, load_merges(512), load_merges(1866)):
+        want = len(bpe_encode_py(word, merges))
+        got = kernel_encode_len(word, _kernel_table(merges))
+        assert got == want, (word, len(merges), got, want)
+
+
+def test_bpe_kernel_rank_order_not_priority_pick():
+    """The adversarial case documented in bpe_count_kernel: two merges
+    producing the SAME output symbol ('xyz') with a pair consuming it
+    ranked between them. Applying rank 3 ((xy, z) → xyz) resurrects the
+    rank-2 pattern (q, xyz) AFTER the walk has passed rank 2 — the
+    cascade (and therefore the kernel) must NOT revisit it. A min-rank
+    priority pick would, and would emit 1 token instead of 2."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        _kernel_table,
+        bpe_encode_py,
+        kernel_encode_len,
+    )
+
+    merges = [("x", "yz"), ("q", "xyz"), ("x", "y"), ("xy", "z")]
+    # 'qxyz': rank 0 (x,yz) needs yz — absent (chars). rank 1 (q,xyz)
+    # absent. rank 2 (x,y) applies → q xy z. rank 3 (xy,z) → q xyz:
+    # the rank-1 pattern NOW occurs, but the walk is past it.
+    assert bpe_encode_py("qxyz", merges) == ["q", "xyz"]
+    assert kernel_encode_len("qxyz", _kernel_table(merges)) == 2
+
+
+def test_bpe_kernel_equals_cascade_in_spark(spark, tmp_path):
+    """End-to-end: the registered kernel query returns row-identical
+    results to the cascade query on the real corpus (the driver proves
+    the same thing against the DuckDB replay at sf0.01)."""
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_bpe_tokenize,
+        q_bpe_tokenize_kernel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = {r.doc_id: r for r in q_bpe_tokenize(spark, sf).collect()}
+    b = {r.doc_id: r for r in q_bpe_tokenize_kernel(spark, sf).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        assert a[k] == b[k], (a[k], b[k])
+
+
 def test_bpe_known_merges(spark):
     """Corpus-frequent words collapse to single tokens under the learned
     table; chained merges compose (customer = c+ustomer after 3 internal

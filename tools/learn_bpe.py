@@ -4,15 +4,21 @@ Learns N character-level merges from the sf0.01 documents corpus with
 the standard frequency-greedy procedure (Sennrich et al. 2016: repeat —
 count adjacent symbol pairs over the word-frequency dict, merge the most
 frequent pair everywhere; ties broken lexicographically so the table is
-reproducible bit-for-bit). The output is a Python literal pasted into
-crypto_market_tracker_etl_spark/functions/bpe.py — the engine ships the
-TABLE, not the learner, exactly like a production tokenizer ships
-merges.txt.
+reproducible bit-for-bit). Default output (N=64, no args) is the Python
+literal pasted into crypto_market_tracker_etl_spark/functions/bpe.py;
+``python tools/learn_bpe.py N --txt`` emits merges.txt format (one
+"a b" pair per line) for the larger shipped tables
+(functions/bpe_merges_{N}.txt) — the engine ships the TABLE, not the
+learner, exactly like a production tokenizer ships merges.txt. The
+learner stops early if the corpus saturates (no adjacent pair left that
+occurs more than once would still be merged — we stop only when NO pair
+remains), so the emitted table can be shorter than N.
 """
 
 from __future__ import annotations
 
 import re
+import sys
 from collections import Counter
 
 import duckdb
@@ -22,23 +28,36 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def main() -> None:
+    n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else N_MERGES
+    txt = "--txt" in sys.argv
+    rich = "--rich" in sys.argv
     con = duckdb.connect()
-    rows = con.execute(
-        f"select text from read_parquet('{SF_DIR}/documents.parquet')"
-    ).fetchall()
+    sources = [f"select text from read_parquet('{SF_DIR}/documents.parquet')"]
+    if rich:
+        # the documents corpus has only 31 distinct words — it saturates
+        # at 89 merges. Production-size tables need a bigger vocabulary,
+        # so --rich also learns from the corpus's other string columns
+        # (~16k distinct words at sf0.1: part names/types, entity names).
+        sources += [
+            f"select p_name from read_parquet('{SF_DIR}/part.parquet')",
+            f"select p_type from read_parquet('{SF_DIR}/part.parquet')",
+            f"select c_name from read_parquet('{SF_DIR}/customer.parquet')",
+            f"select s_name from read_parquet('{SF_DIR}/supplier.parquet')",
+        ]
     wordfreq: Counter[str] = Counter()
-    for (text,) in rows:
-        norm = re.sub(r"\s+", " ", text.lower().strip())
-        for w in norm.split(" "):
-            if w:
-                wordfreq[w] += 1
+    for src in sources:
+        for (text,) in con.execute(src).fetchall():
+            norm = re.sub(r"\s+", " ", text.lower().strip())
+            for w in norm.split(" "):
+                if w:
+                    wordfreq[w] += 1
 
     # symbol sequences per word
     seqs: dict[str, tuple[list[str], int]] = {
         w: (list(w), c) for w, c in wordfreq.items()
     }
     merges: list[tuple[str, str]] = []
-    for _ in range(N_MERGES):
+    for _ in range(n_merges):
         pairs: Counter[tuple[str, str]] = Counter()
         for syms, c in seqs.values():
             for i in range(len(syms) - 1):
@@ -63,10 +82,14 @@ def main() -> None:
                     i += 1
             seqs[w] = (out, c)
 
-    print("BPE_MERGES: list[tuple[str, str]] = [")
-    for a, b in merges:
-        print(f"    ({a!r}, {b!r}),")
-    print("]")
+    if txt:
+        for a, b in merges:
+            print(f"{a} {b}")
+    else:
+        print("BPE_MERGES: list[tuple[str, str]] = [")
+        for a, b in merges:
+            print(f"    ({a!r}, {b!r}),")
+        print("]")
 
 
 if __name__ == "__main__":
