@@ -222,6 +222,74 @@ def synth_gif(width: F.Column, height: F.Column) -> F.Column:
     )
 
 
+def synth_jpeg(width: F.Column, height: F.Column) -> F.Column:
+    """A real JPEG header prefix carrying the given dimensions — SOI +
+    APP0/JFIF + a (stub) DQT + an SOF0 frame header, 40 bytes, laid out
+    with correct segment lengths so any marker-walking JPEG parser (the
+    independent pure-Python one in tests included) finds the SOF0 where
+    the standard puts it: third segment, after two variable-length ones —
+    exercising the bounded walk, not a fixed offset."""
+    be2 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 4, "0")  # noqa: E731
+    return F.unhex(
+        F.concat(
+            F.lit("FFD8"),  # SOI
+            F.lit("FFE0" "0010" "4A46494600" "0101" "00" "0048" "0048" "0000"),
+            # APP0 len 16: "JFIF\0", v1.1, no units, 72x72, no thumb
+            F.lit("FFDB" "0005" "00" "1122"),  # stub DQT, len 5
+            F.lit("FFC0" "000B" "08"),  # SOF0 len 11, 8-bit precision
+            be2(height),
+            be2(width),
+            F.lit("01" "011100"),  # 1 component, id 1, 1x1, table 0
+        )
+    )
+
+
+def jpeg_sof_state(payload: F.Column, max_segments: int = 16) -> F.Column:
+    """1-based byte offset of the first SOF0/SOF1/SOF2 marker in a JPEG
+    stream, found by a REAL bounded segment walk (marker → BE16 length →
+    next marker), or 0 when absent. The walk is a single ``aggregate``
+    over ``sequence(1, max_segments)`` whose lambda advances a
+    (pos, sof) state — runtime iteration, CONSTANT plan size (the naive
+    unrolled-``when`` chain re-inlines the position expression per step
+    and blows up exponentially; this is the same planning-cost class as
+    SCALE.md §bpe-ceiling). Walk rules: stop at SOS/EOI (entropy-coded
+    data follows — scanning further would false-match marker bytes in
+    compressed data, which is why a plain locate() is NOT safe for JPEG
+    the way the moov-anchored scan is for BMFF); desync (a segment not
+    starting with FF) stops with no match; progressive (SOF2) and
+    extended-sequential (SOF1) carry dims at the same offsets as
+    baseline. max_segments=16 bounds pathological APPn stacks — real
+    files carry SOF within ~6 segments; past the bound the parse yields
+    NULL dims, never an error."""
+    init = F.struct(
+        F.lit(3).cast("int").alias("pos"), F.lit(0).cast("int").alias("sof")
+    )
+
+    def step(st: F.Column, _x: F.Column) -> F.Column:
+        pos, sof = st.getField("pos"), st.getField("sof")
+        marker = F.hex(payload.substr(pos, F.lit(2)))
+        seglen = F.conv(
+            F.hex(payload.substr(pos + 2, F.lit(2))), 16, 10
+        ).cast("int")
+        mk = lambda p, s: F.struct(  # noqa: E731
+            p.cast("int").alias("pos"), s.cast("int").alias("sof")
+        )
+        return (
+            F.when((sof > 0) | (pos <= 0), st)
+            .when(marker.isin("FFC0", "FFC1", "FFC2"), mk(pos, pos))
+            .when(marker.isin("FFD9", "FFDA"), mk(F.lit(-1), F.lit(0)))
+            .when(
+                F.hex(payload.substr(pos, F.lit(1))) == "FF",
+                mk(pos + 2 + seglen, F.lit(0)),
+            )
+            .otherwise(mk(F.lit(-1), F.lit(0)))
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), init, step
+    ).getField("sof")
+
+
 def _bytes_hex(payload: F.Column, pos: int, n: int) -> F.Column:
     return F.hex(F.substring(payload, pos, n))
 
@@ -242,23 +310,33 @@ def image_meta(payload: F.Column) -> F.Column:
 
     Dispatches on the magic bytes: PNG dims are 32-bit big-endian at
     offset 16 (after signature + IHDR length/type), GIF dims 16-bit
-    little-endian at offset 6. Unknown formats yield
-    ('application/octet-stream', NULL, NULL) — never an error, so one
-    malformed blob cannot fail a backfill job."""
+    little-endian at offset 6, JPEG dims via the bounded SOF segment
+    walk (``jpeg_sof_state`` — height BE16 at sof+5, width BE16 at
+    sof+7; JPEG is the majority class of a real crawl, so NULL dims
+    there would gut media_catalog). Unknown formats — and a JPEG whose
+    walk finds no SOF — yield NULL dims ('application/octet-stream' for
+    unknown magic), never an error, so one malformed blob cannot fail a
+    backfill job."""
     is_png = _bytes_hex(payload, 1, 8) == PNG_SIG_HEX
     is_gif = _bytes_hex(payload, 1, 6) == GIF_SIG_HEX
+    is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
+    sof = jpeg_sof_state(payload)
+    jpeg_ok = is_jpeg & (sof > 0)
     null_i = F.lit(None).cast("int")
     return F.struct(
         F.when(is_png, F.lit("image/png"))
         .when(is_gif, F.lit("image/gif"))
+        .when(is_jpeg, F.lit("image/jpeg"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime_type"),
         F.when(is_png, _be_int(payload, 17, 4))
         .when(is_gif, _le2_int(payload, 7))
+        .when(jpeg_ok, _be_int_dyn(payload, sof + 7, 2).cast("int"))
         .otherwise(null_i)
         .alias("width"),
         F.when(is_png, _be_int(payload, 21, 4))
         .when(is_gif, _le2_int(payload, 9))
+        .when(jpeg_ok, _be_int_dyn(payload, sof + 5, 2).cast("int"))
         .otherwise(null_i)
         .alias("height"),
     )

@@ -2467,6 +2467,8 @@ ATTESTATION_ORDER: list[str] = [
     # ==== r8 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
     "dedup_keep_one_span", "bpe_tokenize_kernel",
+    # -- changed this round: JPEG SOF dims land in the image leg ----------
+    "image_meta", "media_catalog",
     # -- r4-cohort remainder (26; oldest driver rows, scheduled refresh) --
     "dedup_exact", "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
@@ -2481,23 +2483,23 @@ ATTESTATION_ORDER: list[str] = [
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
     "session_window", "json_extract", "rollup", "pivot", "semi_anti",
     "percentiles", "day_in_tz", "upsert_assets", "global_sort",
-    "daily_ohlc_view", "cube", "moving_avg", "ntile_rank",
+    "daily_ohlc_view", "cube",
     # ==== positions 51+: rest of the r5 cohort (the r9 window front) =====
-    "range_join", "set_ops", "sliding_window", "collect_sorted",
-    "string_funcs",
+    "moving_avg", "ntile_rank", "range_join", "set_ops",
+    "sliding_window", "collect_sorted", "string_funcs",
     "datetime_parts", "window_frame_values", "decimal_pipeline",
     "time_interval_join", "gap_fill", "funnel", "cohort_retention",
     "stats_battery", "profile",
     "knn_ivfadc",
     "knn_ivf", "tfidf", "pii_redact",
     "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
-    "binary_chunks", "dedup_keep_best", "dedup_clusters", "image_meta",
+    "binary_chunks", "dedup_keep_best", "dedup_clusters",
     # ==== r6 window remainder (green in CORRECTNESS_r06.json) ============
     "k_anonymity",
     "bm25_topk", "collocations",
     "cms_heavy_hitters",
-    "curation_pipeline", "video_meta", "vocab_stats", "tokenize_count",
-    "audio_meta", "epoch_shuffle",
+    "curation_pipeline", "video_meta", "vocab_stats",
+    "tokenize_count", "audio_meta", "epoch_shuffle",
     "lang_id", "url_normalize", "link_graph", "c4_filters",
     "lm_perplexity", "ppl_buckets_approx", "quality_logit", "gram_novelty",
     "html_strip", "winnowing",
@@ -2513,7 +2515,7 @@ ATTESTATION_ORDER: list[str] = [
     "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
     "lm_perplexity_kn",
     "near_dup_pairs_fast", "simhash_fast",
-    "setsim_join", "triangle_count", "mime_sniff", "media_catalog",
+    "setsim_join", "triangle_count", "mime_sniff",
     "session_islands", "late_arrivals", "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",

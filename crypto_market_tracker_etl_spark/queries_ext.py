@@ -3130,22 +3130,31 @@ FROM s
 
 
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-format metadata extraction WITHOUT a codec: real PNG/GIF
-    header parsing (magic-byte dispatch, big-endian PNG dims, little-endian
-    GIF dims) as pure JVM expressions — the metadata-backfill slice of
-    image decode that needs no Python and no image library.
+    """Image-format metadata extraction WITHOUT a codec: real PNG/GIF/JPEG
+    header parsing (magic-byte dispatch, big-endian PNG dims,
+    little-endian GIF dims, and a bounded marker-segment walk to the
+    JPEG SOF frame header — multimodal/binary.py::jpeg_sof_state) as
+    pure JVM expressions — the metadata-backfill slice of image decode
+    that needs no Python and no image library. JPEG matters: it is the
+    majority image format of a real crawl, and until r8 this emitted
+    NULL dims for it (r7 verdict #5).
 
-    Payloads are genuine PNG/GIF header bytes synthesized per doc (even
-    doc_id → PNG, odd → GIF) so the parser runs on real container layouts;
+    Payloads are genuine header bytes synthesized per doc (doc_id mod 3:
+    0 → PNG, 1 → GIF, 2 → JPEG with SOF0 as the THIRD segment, after
+    APP0/JFIF and a DQT, so the walk is exercised, not a fixed offset);
     the oracle knows the synthesis formula and checks the parse
-    analytically — a differential test of the parser itself."""
-    from .multimodal.binary import image_meta, synth_gif, synth_png
+    analytically — a differential test of the parser itself. An
+    independent pure-Python marker-walk parser validates synth_jpeg in
+    tests (the synth_mp4 pattern)."""
+    from .multimodal.binary import image_meta, synth_gif, synth_jpeg, synth_png
 
     docs = _documents(spark, sf_dir)
     w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
     h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
-    payload = F.when(F.col("doc_id") % 2 == 0, synth_png(w, h)).otherwise(
-        synth_gif(w, h)
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, synth_png(w, h))
+        .when(F.col("doc_id") % 3 == 1, synth_gif(w, h))
+        .otherwise(synth_jpeg(w, h))
     )
     meta = image_meta(payload)
     return docs.select(
@@ -3159,8 +3168,10 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IMAGE_META = """
 SELECT doc_id,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 13 END AS INT) AS n_bytes,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS mime_type,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13
+            ELSE 40 END AS INT) AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            ELSE 'image/jpeg' END AS mime_type,
        CAST(100 + doc_id % 800 AS INT) AS width,
        CAST(100 + (doc_id * 7) % 800 AS INT) AS height
 FROM documents
@@ -3418,16 +3429,18 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind the alias barrier (the audio_meta planning-cost lesson).
 
     Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP by
-    doc_id % 8 with per-doc parameters, so every route, every parser,
-    and the unified-schema NULL pattern (JPEG: known modality, no
-    parseable header fields without a codec; PDF/ZIP/GZIP: document /
-    archive) are exercised in one plan. The oracle knows the synthesis
+    doc_id % 8 with per-doc parameters, so every route, every parser —
+    including the JPEG SOF segment walk (r8; the catalog's majority
+    class in a real crawl no longer emits NULL dims) — and the
+    unified-schema NULL pattern (PDF/ZIP/GZIP: document / archive, no
+    dims) are exercised in one plan. The oracle knows the synthesis
     formulas and checks routing + parsing analytically."""
     from .multimodal.binary import (
         audio_meta,
         image_meta,
         sniff_mime,
         synth_gif,
+        synth_jpeg,
         synth_mp4,
         synth_png,
         synth_wav,
@@ -3447,7 +3460,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 1, synth_gif(w, h))
         .when(m == 2, synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), frames))
         .when(m == 3, synth_mp4(F.lit("isom"), F.lit(1000), dur, tracks))
-        .when(m == 4, F.unhex(F.lit("FFD8FFE000104A464946")))  # JFIF prefix
+        .when(m == 4, synth_jpeg(w, h))
         .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
         .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
         .otherwise(F.unhex(F.lit("1F8B08000000")))  # gzip deflate
@@ -3463,7 +3476,9 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("other"))
     )
     null_i = F.lit(None).cast("int")
-    is_img = F.col("mime_type").isin("image/png", "image/gif")  # parseable
+    is_img = F.col("mime_type").isin(
+        "image/png", "image/gif", "image/jpeg"
+    )  # parseable
     is_aud = F.col("mime_type") == "audio/x-wav"
     is_vid = F.col("mime_type") == "video/mp4"
     # THREE-step select: payload alias barrier, then the mvhd OFFSET as
@@ -3522,7 +3537,7 @@ WITH p AS (
 )
 SELECT doc_id,
        CAST(CASE m WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
-            WHEN 3 THEN 136 WHEN 4 THEN 10 WHEN 5 THEN 8
+            WHEN 3 THEN 136 WHEN 4 THEN 40 WHEN 5 THEN 8
             ELSE 6 END AS INT) AS n_bytes,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
@@ -3532,8 +3547,8 @@ SELECT doc_id,
        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
             WHEN 3 THEN 'video' WHEN 4 THEN 'image' WHEN 5 THEN 'document'
             ELSE 'archive' END AS modality,
-       CASE WHEN m IN (0, 1) THEN w END AS width,
-       CASE WHEN m IN (0, 1) THEN h END AS height,
+       CASE WHEN m IN (0, 1, 4) THEN w END AS width,
+       CASE WHEN m IN (0, 1, 4) THEN h END AS height,
        CAST(CASE WHEN m = 2 THEN 16000 END AS INT) AS sample_rate_hz,
        CAST(CASE WHEN m = 2 THEN (frames * 1000) // 16000
                  WHEN m = 3 THEN (dur * 1000) // 1000

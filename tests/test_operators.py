@@ -1105,6 +1105,101 @@ def test_synth_headers_roundtrip(spark):
         )
 
 
+def _py_jpeg_dims(b: bytes):
+    """Independent pure-Python JPEG marker walk (the synth_mp4 pattern):
+    SOI, then segments of (FF marker, BE16 length); dims sit in the
+    SOF0/1/2 frame header. Returns (width, height) or None."""
+    if b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h)
+        if marker in (0xD9, 0xDA):
+            return None
+        i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    return None
+
+
+def test_jpeg_meta_segment_walk(spark):
+    """The JPEG SOF walk must be a real segment walk, not a fixed offset:
+    dims parse with SOF0 after a deep APPn stack, with progressive SOF2,
+    and degenerate streams (SOS before any SOF; desynced bytes) yield
+    NULL dims — mime stays image/jpeg on a valid signature."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import image_meta
+
+    def seg(marker, payload=b""):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    sof0 = seg(0xC0, b"\x08" + (81).to_bytes(2, "big") + (161).to_bytes(2, "big") + b"\x01\x01\x11\x00")
+    sof2 = seg(0xC2, b"\x08" + (240).to_bytes(2, "big") + (320).to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    app1 = seg(0xE1, b"Exif\x00\x00" + b"\x00" * 40)
+    dqt = seg(0xDB, b"\x00" + bytes(range(64)))
+    soi = b"\xff\xd8"
+    cases = {
+        # baseline after APP1+DQT stack (SOF is the 4th segment)
+        1: (soi + app1 + app1 + dqt + sof0, 161, 81),
+        # progressive
+        2: (soi + dqt + sof2, 320, 240),
+        # SOS before SOF: walk must STOP (entropy data would false-match)
+        3: (soi + seg(0xDA, b"\x01\x01\x00") + b"\xff\xc0\x99\x99", None, None),
+        # desync after a valid APP1: next segment not starting with FF
+        4: (soi + app1 + b"\x00\x01\x02\x03", None, None),
+        # 17 APP segments: past the 16-step bound → NULLs, not an error
+        5: (soi + app1 * 17 + sof0, None, None),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "id long, payload binary"
+    )
+    got = {
+        r["id"]: (r["m"]["mime_type"], r["m"]["width"], r["m"]["height"])
+        for r in df.select(
+            "id", image_meta(F.col("payload")).alias("m")
+        ).collect()
+    }
+    for k, (_, w, h) in cases.items():
+        assert got[k] == ("image/jpeg", w, h), (k, got[k])
+    # the independent parser agrees on every parseable case
+    assert _py_jpeg_dims(cases[1][0]) == (161, 81)
+    assert _py_jpeg_dims(cases[2][0]) == (320, 240)
+    assert _py_jpeg_dims(cases[3][0]) is None
+    assert _py_jpeg_dims(cases[4][0]) is None
+
+
+def test_synth_jpeg_roundtrip_and_independent_parser(spark):
+    """synth_jpeg emits bytes BOTH parsers read back exactly: the Spark
+    expression walk and the pure-Python reference — so the analytic
+    oracle of [image_meta]/[media_catalog] rests on independently
+    verified bytes, not the parser grading its own homework."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_jpeg,
+    )
+
+    df = spark.range(1, 50).select(
+        "id",
+        synth_jpeg(
+            (F.col("id") * 37 % 4096).cast("int") + 1,
+            (F.col("id") * 11 % 4096).cast("int") + 1,
+        ).alias("payload"),
+    )
+    rows = df.select(
+        "id", "payload", image_meta(F.col("payload")).alias("m")
+    ).collect()
+    assert len(rows) == 49
+    for r in rows:
+        w, h = r["id"] * 37 % 4096 + 1, r["id"] * 11 % 4096 + 1
+        assert (r["m"]["mime_type"], r["m"]["width"], r["m"]["height"]) == (
+            "image/jpeg", w, h,
+        )
+        assert _py_jpeg_dims(bytes(r["payload"])) == (w, h)
+
+
 def test_frame_sample_deterministic(spark):
     docs = documents_as_media(load_table(spark, SF_DIR, "documents"))
     a = {r["media_id"] for r in frame_sample(docs, 4).collect()}
