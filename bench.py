@@ -92,9 +92,12 @@ HEADLINE = [
     "vocab_stats",
     "tokenize_count",
     "bpe_tokenize",
+    "bpe_tokenize_kernel",
     "dup_extents",
     "dedup_cut_spans",
+    "dedup_keep_one_span",
     "k_anonymity_summary",
+    "gopher_rules",
     "curation_pipeline",
     "cms_heavy_hitters",
     "media_catalog",

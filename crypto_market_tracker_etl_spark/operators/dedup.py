@@ -436,8 +436,10 @@ def set_similarity_join(
     (the bench protocol does), then ``spark.catalog.clearCache()`` or
     re-invoke with ``persist=False`` — repeated persist=True invocations
     in one session otherwise accumulate cached copies until LRU eviction.
-    At warehouse scale pass ``persist=False`` and materialize ``tokens``
-    as a table instead."""
+    For session-embedded use, ``set_similarity_join_scoped`` is the
+    leak-proof form (context manager: persists on entry, unpersists on
+    exit). At warehouse scale pass ``persist=False`` and materialize
+    ``tokens`` as a table instead."""
     if persist:
         tokens = tokens.persist()
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -502,3 +504,30 @@ def set_similarity_join(
             ).alias("jaccard"),
         )
     )
+
+
+def set_similarity_join_scoped(tokens: DataFrame, tau: float):
+    """Context-manager form of ``set_similarity_join`` that OWNS the
+    membership cache (ADVICE r7: the ``persist=True`` default is a
+    footgun in long sessions — repeated invocations accumulate cached
+    copies until LRU eviction). Persists ``tokens`` on entry, yields the
+    (lazy) pair DataFrame, and unpersists on exit — so the caller must
+    materialize the result INSIDE the ``with`` block::
+
+        with set_similarity_join_scoped(tokens, 0.8) as pairs:
+            out = pairs.count()           # or .write / .collect
+
+    A DataFrame consumed after exit still computes correctly (unpersist
+    only drops the cache), it just pays the re-computation the cache
+    existed to avoid."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        cached = tokens.persist()
+        try:
+            yield set_similarity_join(cached, tau, persist=False)
+        finally:
+            cached.unpersist()
+
+    return _scope()

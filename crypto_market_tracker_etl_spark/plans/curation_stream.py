@@ -23,7 +23,10 @@ Structured Streaming source):
 3. incremental MinHash signing + banded pair search against the
    accumulated index (operators/incremental_dedup.py — the union of
    per-batch pair outputs equals the from-scratch candidate set), pairs
-   appended to a pair store;
+   appended to a pair store; a per-sig-batch PAIR-COMPLETENESS marker
+   (``pairs_done/N``) makes the sign-then-append sequence crash-proof —
+   see the protocol note on the class (r8; previously a crash between
+   the two commits lost the batch's pairs permanently);
 4. the batch's ingest counts appended to a durable funnel LEDGER keyed
    by batch id — NOT in-memory counters: a restarted stream (same
    store_dir, fresh CurationStream) reports the same funnel, and an

@@ -4852,6 +4852,132 @@ FROM c
 """
 
 
+# Gopher §A.1.2 document-quality thresholds (Rae et al. 2021) — the rule
+# battery itself; the repetition family (§A.1.1) is [doc_repetition] and
+# the line-level rules are [c4_filters]' territory.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_REQUIRED_STOPS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+# deterministic rule-exercising injections (the c4_filters pattern: the
+# corpus is clean, so known subsets get known defects — and it contains
+# NO English stopwords, so even docs get a stopword clause to make the
+# stop rule split instead of failing everywhere)
+_GOPHER_SYM_JUNK = " " + "# ... " * 8  # 16 symbol words → ratio > 0.1
+_GOPHER_NUM_JUNK = " " + "4242 " * 39 + "4242"  # 40 non-alpha words
+_GOPHER_LONG_JUNK = (" " + "x" * 30) * 40  # 40 30-char words → mwl > 10
+_GOPHER_STOP_CLAUSE = " the state of the scan and the batch to keep"
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] The Gopher DOCUMENT-quality rule battery (Rae et
+    al. §A.1.2) — the standard cheap gate between C4's line rules and
+    model-based filters: word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio ('#'/'...') <= 0.1, >= 80% of words
+    containing an alphabetic character, and >= 2 distinct words from the
+    required-stopword list. Emits each raw measure, each rule's verdict,
+    and the conjunction — a real pipeline materializes the flags so the
+    keep-rule can be retuned without rescanning.
+
+    The corpus is clean, so three deterministic injections make every
+    rule fire on a known subset (doc_id mod 7/11/13: symbol junk /
+    numeric words / 30-char words); the oracle applies the same
+    injections. Expression-only over the token array — one scan, zero
+    shuffles beyond the corpus spread; Gopher gating at scan speed."""
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    t = F.concat(
+        F.trim(F.col("text")),
+        F.when(d % 2 == 0, F.lit(_GOPHER_STOP_CLAUSE)).otherwise(F.lit("")),
+        F.when(d % 7 == 3, F.lit(_GOPHER_SYM_JUNK)).otherwise(F.lit("")),
+        F.when(d % 11 == 5, F.lit(_GOPHER_NUM_JUNK)).otherwise(F.lit("")),
+        F.when(d % 13 == 7, F.lit(_GOPHER_LONG_JUNK)).otherwise(F.lit("")),
+    )
+    step = docs.select("doc_id", F.split(t, r"\s+").alias("ws"))
+    ws = F.col("ws")
+    nw = F.size(ws).cast("long")
+    mwl = F.round(
+        F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / nw,
+        4,
+    )
+    sym = F.size(F.filter(ws, lambda w: w.isin("#", "...")))
+    sym_ratio = F.round(sym / nw, 4)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.round(alpha / nw, 4)
+    stops = F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(ws, lambda w: F.lower(w))), stops
+        )
+    )
+    r_words = (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+    r_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    r_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return step.select(
+        "doc_id",
+        nw.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("int").alias("n_req_stops"),
+        r_words.alias("ok_words"),
+        r_mwl.alias("ok_mwl"),
+        r_sym.alias("ok_symbol"),
+        r_alpha.alias("ok_alpha"),
+        r_stop.alias("ok_stops"),
+        (r_words & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
+    )
+
+
+SQL_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           trim(text)
+           || CASE WHEN doc_id % 2 = 0 THEN '{_GOPHER_STOP_CLAUSE}' ELSE '' END
+           || CASE WHEN doc_id % 7 = 3 THEN '{_GOPHER_SYM_JUNK}' ELSE '' END
+           || CASE WHEN doc_id % 11 = 5 THEN '{_GOPHER_NUM_JUNK}' ELSE '' END
+           || CASE WHEN doc_id % 13 = 7 THEN '{_GOPHER_LONG_JUNK}' ELSE '' END,
+           '\\s+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         round(CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+               AS DOUBLE) / len(ws), 4) AS mean_word_len,
+         round(CAST(len(list_filter(ws, w -> w IN ('#', '...')))
+               AS DOUBLE) / len(ws), 4) AS symbol_ratio,
+         round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS DOUBLE) / len(ws), 4) AS alpha_frac,
+         CAST(len(list_intersect(
+             list_distinct(list_transform(ws, w -> lower(w))),
+             {GOPHER_REQUIRED_STOPS!r})) AS INT) AS n_req_stops
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_req_stops,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+         AS ok_words,
+       mean_word_len >= {GOPHER_MIN_MWL} AND mean_word_len <= {GOPHER_MAX_MWL}
+         AS ok_mwl,
+       symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol,
+       alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+       n_req_stops >= {GOPHER_MIN_STOPWORDS} AS ok_stops,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MWL}
+        AND mean_word_len <= {GOPHER_MAX_MWL}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_req_stops >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM m
+"""
+
+
 REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
@@ -4909,6 +5035,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "link_graph": (q_link_graph, SQL_LINK_GRAPH),
     "c4_filters": (q_c4_filters, SQL_C4_FILTERS),
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "binary_chunks": (q_binary_chunks, SQL_BINARY_CHUNKS),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

@@ -1105,6 +1105,32 @@ def test_synth_headers_roundtrip(spark):
         )
 
 
+def test_set_similarity_join_scoped_releases_cache(spark):
+    """The scoped form must produce the same pairs as the plain call AND
+    leave no cached membership table behind (the ADVICE r7 footgun)."""
+    from crypto_market_tracker_etl_spark.operators.dedup import (
+        set_similarity_join,
+        set_similarity_join_scoped,
+        word_shingles,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    tokens = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("w")
+    ).distinct()
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in set_similarity_join(tokens, 0.5, persist=False).collect()
+    }
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with set_similarity_join_scoped(tokens, 0.5) as pairs:
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert jsc.getPersistentRDDs().size() > before  # cache live inside
+    assert got == want
+    assert jsc.getPersistentRDDs().size() == before  # released on exit
+
+
 def _py_jpeg_dims(b: bytes):
     """Independent pure-Python JPEG marker walk (the synth_mp4 pattern):
     SOI, then segments of (FF marker, BE16 length); dims sit in the

@@ -932,6 +932,18 @@ def test_dedup_cut_spans_expression_rewrite(spark):
     assert "exists(" in s and "filter(" in s
 
 
+def test_gopher_rules_scan_speed(spark):
+    """The Gopher rule battery is a pure expression projection over the
+    token array — no join, no aggregate exchange, no window, no Python;
+    quality gating at scan speed."""
+    s = plan_of(spark, "gopher_rules")
+    assert s.count("Exchange") <= 2  # only the corpus spread (tree + detail)
+    assert "Join" not in s
+    assert "Window" not in s
+    assert "HashAggregate" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
 def test_dedup_keep_one_span_no_doc_pair_relation(spark):
     """Keep-one adds ONE hash-keyed canonical aggregate (min (doc_id,
     pos) struct, map-side combining — NOT a per-hash window that would
