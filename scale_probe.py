@@ -1735,6 +1735,60 @@ def probe_r7b(spark) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_r8(spark) -> None:
+    """r8 additions at generated scale, on the SAME planted-run corpora
+    as probe_r7 (80-word docs, every 10th doc carries a shared 16-token
+    run): keep-one span dedup (the extents subplan + canonical aggregate
+    + shielded cut), the Gopher document-rule battery (must stay at scan
+    speed), and the Arrow BPE kernel on the corpus's near-uniform
+    vocabulary (~800k distinct words at 1M docs — the kernel's
+    per-distinct-word grain worst case)."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_bpe_tokenize_kernel,
+        q_dedup_keep_one_span,
+        q_gopher_rules,
+    )
+
+    base = tempfile.mkdtemp(prefix="scale_r8_")
+    try:
+        for n in (200_000, 1_000_000):
+            shared = " ".join(f"dup{i}" for i in range(16))
+            docs = synth_long_docs(spark, n, words=80).select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat_ws(
+                        " ",
+                        F.col("text"),
+                        F.lit(shared),
+                        F.reverse(F.col("text")),
+                    ),
+                )
+                .otherwise(F.col("text"))
+                .alias("text"),
+                F.lit("s").alias("source"),
+            )
+            sf = os.path.join(base, f"n{n}")
+            docs.write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            for name, fn in (
+                ("dedup_keep_one_span", q_dedup_keep_one_span),
+                ("gopher_rules", q_gopher_rules),
+                ("bpe_tokenize_kernel", q_bpe_tokenize_kernel),
+            ):
+                t = force(fn(spark, sf))
+                print(
+                    f"{name} n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def probe_bpe(spark) -> None:
     """The BPE merge-count ceiling (r7 'What's missing' #1): Catalyst
     planning + codegen + run cost of the 2·|merges| replace CASCADE vs
@@ -1879,6 +1933,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_BPE"):
         probe_bpe(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_R8"):
+        probe_r8(spark)
         spark.stop()
         return
     rows = []
