@@ -93,6 +93,7 @@ HEADLINE = [
     "tokenize_count",
     "bpe_tokenize",
     "bpe_tokenize_kernel",
+    "bpe_tokenize_512",
     "dup_extents",
     "dedup_cut_spans",
     "dedup_keep_one_span",

@@ -2466,8 +2466,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 ATTESTATION_ORDER: list[str] = [
     # ==== r8 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
-    "dedup_keep_one_span", "bpe_tokenize_kernel", "curation_stream_eq",
-    "gopher_rules",
+    "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
+    "curation_stream_eq", "gopher_rules",
     # -- changed this round: JPEG SOF dims land in the image leg ----------
     "image_meta", "media_catalog",
     # -- r4-cohort remainder (26; oldest driver rows, scheduled refresh) --
@@ -2483,9 +2483,10 @@ ATTESTATION_ORDER: list[str] = [
     "coalesce_fill", "kpis", "ts_convert", "date_format",
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
     "session_window", "json_extract", "rollup", "pivot", "semi_anti",
-    "percentiles", "day_in_tz", "upsert_assets", "global_sort",
+    "percentiles", "day_in_tz", "upsert_assets",
     # ==== positions 51+: rest of the r5 cohort (the r9 window front) =====
-    "daily_ohlc_view", "cube", "moving_avg", "ntile_rank", "range_join",
+    "global_sort", "daily_ohlc_view",
+    "cube", "moving_avg", "ntile_rank", "range_join",
     "set_ops", "sliding_window", "collect_sorted", "string_funcs",
     "datetime_parts", "window_frame_values", "decimal_pipeline",
     "time_interval_join", "gap_fill", "funnel", "cohort_retention",

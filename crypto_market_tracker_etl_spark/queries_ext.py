@@ -1886,10 +1886,43 @@ def q_bpe_tokenize_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_tokenize() -> str:
+def q_bpe_tokenize_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] BPE accounting under the PRODUCTION-SIZE 512-merge
+    shipped table (functions/bpe_merges_512.txt) — a configuration the
+    expression cascade cannot even plan (StackOverflowError past ~128
+    merges, SCALE.md §bpe-ceiling), so this query driver-attests the
+    Arrow kernel in exactly the regime it exists for. The DuckDB oracle
+    replays all 512 merges as chained CTEs (depth 2 each — the binder's
+    128-level cap only forbids one NESTED expression), making the hash
+    row a full 512-merge tokenizer differential. Same vocab-grain
+    dataflow as [bpe_tokenize]."""
+    from .functions.bpe import bpe_count_kernel, load_merges
+
+    docs = _documents(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    kernel = bpe_count_kernel(load_merges(512))
+    vt = wc.select("w").distinct().select("w", kernel(F.col("w")).alias("ntok"))
+    return (
+        wc.join(vt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("ntok")).alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("ntok")) / F.sum("cnt"), 4
+            ).alias("bpe_ratio"),
+        )
+    )
+
+
+def _sql_bpe_tokenize(merges=None) -> str:
     from .functions.bpe import bpe_sql_ctes
 
-    ctes = bpe_sql_ctes("SELECT DISTINCT w FROM wc")
+    ctes = bpe_sql_ctes("SELECT DISTINCT w FROM wc", merges=merges)
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array({SQL_NORM}, ' ')) AS w
@@ -1909,6 +1942,15 @@ GROUP BY wc.doc_id
 
 
 SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
+
+
+def _sql_bpe_tokenize_512() -> str:
+    from .functions.bpe import load_merges
+
+    return _sql_bpe_tokenize(merges=load_merges(512))
+
+
+SQL_BPE_TOKENIZE_512 = _sql_bpe_tokenize_512()
 
 
 CURATION_BUDGET_TOKENS = 8_000  # absolute token budget of the final sample
@@ -4991,6 +5033,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "tokenize_count": (q_tokenize_count, SQL_TOKENIZE_COUNT),
     "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
     "bpe_tokenize_kernel": (q_bpe_tokenize_kernel, SQL_BPE_TOKENIZE),
+    "bpe_tokenize_512": (q_bpe_tokenize_512, SQL_BPE_TOKENIZE_512),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
