@@ -181,6 +181,28 @@ SHOWCASE = {
         "only candidate pairs; the brute-force DuckDB oracle makes hash "
         "parity a differential proof of zero false negatives."
     ),
+    "dedup_keep_one_span": (
+        "Keep-one span dedup: the canonical pick is a hash-keyed "
+        "min-struct HashAggregate (partial_min combines map-side) joined "
+        "back on h -- deliberately NOT a per-hash window, which would "
+        "single-task hot boilerplate hashes; two per-doc islands windows "
+        "ride the (doc, pos) grain; the cut is an expression filter with "
+        "exists() probes against the doc's own cut/shield arrays. No "
+        "doc-pair relation anywhere."
+    ),
+    "bpe_tokenize_kernel": (
+        "The Arrow BPE path: ONE ArrowEvalPython node on the "
+        "distinct-word grain regardless of merge-table size (the "
+        "expression cascade's plan is linear in it and dies past ~128 "
+        "merges -- SCALE.md bpe-ceiling); counts join back on the word "
+        "key and combine map-side (partial_sum)."
+    ),
+    "gopher_rules": (
+        "The Gopher document-rule battery is one expression projection "
+        "over the token array: a single Exchange (the corpus spread), no "
+        "join, no aggregate, no window, no Python -- quality gating at "
+        "scan speed."
+    ),
 }
 
 
