@@ -122,16 +122,30 @@ def load_merges(n: int) -> Merges:
     point — the merge closure after which no adjacent pair remains, the
     honest ceiling of what this corpus can teach; both are past the
     Catalyst planning cliff the cascade hits, see SCALE.md §bpe-ceiling).
-    """
+
+    Real-world merges.txt quirks handled the way production loaders do:
+    comment/header lines ('#version: 0.2' style) and blank lines are
+    skipped; any other line that is not exactly two space-separated
+    symbols raises (a count-suffixed or multi-space line silently
+    ingested would create a space-containing 'symbol' no engine could
+    ever match — a silent no-op merge is worse than a loud loader
+    error)."""
     import os
 
     path = os.path.join(os.path.dirname(__file__), f"bpe_merges_{n}.txt")
+    merges: Merges = []
     with open(path) as f:
-        return [
-            (p[0], p[1])
-            for line in f
-            if line.strip() and (p := line.rstrip("\n").split(" ", 1))
-        ]
+        for lineno, line in enumerate(f, start=1):
+            s = line.strip()
+            if not s or s.startswith("#"):
+                continue
+            parts = s.split(" ")
+            if len(parts) != 2 or not all(parts):
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'a b', got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges
 
 
 def bpe_segment(word: Column, merges: Merges | None = None) -> Column:
@@ -185,7 +199,9 @@ def bpe_count_kernel(merges: Merges | None = None):
     def kernel(words: pd.Series) -> pd.Series:
         memo: dict[str, int] = {}
 
-        def f(w: str) -> int:
+        def f(w):
+            if w is None:
+                return None  # NULL in, NULL out — matching the cascade
             v = memo.get(w)
             if v is None:
                 v = memo[w] = kernel_encode_len(w, table)
@@ -206,7 +222,17 @@ def kernel_encode_len(
     """The kernel's per-word encode (module-level so tests can pin it
     against ``bpe_encode_py`` without a Spark session): rank-order walk
     with the O(1) skip of identity replaces — see bpe_count_kernel for
-    why rank order (not a min-rank priority pick) is load-bearing."""
+    why rank order (not a min-rank priority pick) is load-bearing.
+
+    A word containing whitespace (impossible for the registered callers,
+    which tokenize normalize_ws'd text) takes the no-skip slow path:
+    the skip probe's adjacency set is derived via str.split(), which
+    DROPS whitespace characters that the model's spaced string keeps as
+    symbols, so the fast path would silently diverge from
+    ``bpe_encode_py`` on such input (found in the r8 review; pinned by
+    test)."""
+    if any(c.isspace() for c in word):
+        return len(bpe_encode_py(word, [pair for pair, _, _ in table]))
     toks = list(word)
     if len(toks) < 2:
         return len(toks)

@@ -320,7 +320,10 @@ def image_meta(payload: F.Column) -> F.Column:
     is_png = _bytes_hex(payload, 1, 8) == PNG_SIG_HEX
     is_gif = _bytes_hex(payload, 1, 6) == GIF_SIG_HEX
     is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
-    sof = jpeg_sof_state(payload)
+    # gate the walk behind the signature so PNG/GIF/unknown rows never
+    # pay the 16-step aggregate loop (media_catalog runs this projection
+    # over every modality)
+    sof = F.when(is_jpeg, jpeg_sof_state(payload)).otherwise(F.lit(0))
     jpeg_ok = is_jpeg & (sof > 0)
     null_i = F.lit(None).cast("int")
     return F.struct(

@@ -24,6 +24,7 @@ see functions.hashing); pass ``portable=False`` to use xxhash64 instead
 from __future__ import annotations
 
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -506,6 +507,7 @@ def set_similarity_join(
     )
 
 
+@contextmanager
 def set_similarity_join_scoped(tokens: DataFrame, tau: float):
     """Context-manager form of ``set_similarity_join`` that OWNS the
     membership cache (ADVICE r7: the ``persist=True`` default is a
@@ -520,14 +522,8 @@ def set_similarity_join_scoped(tokens: DataFrame, tau: float):
     A DataFrame consumed after exit still computes correctly (unpersist
     only drops the cache), it just pays the re-computation the cache
     existed to avoid."""
-    from contextlib import contextmanager
-
-    @contextmanager
-    def _scope():
-        cached = tokens.persist()
-        try:
-            yield set_similarity_join(cached, tau, persist=False)
-        finally:
-            cached.unpersist()
-
-    return _scope()
+    cached = tokens.persist()
+    try:
+        yield set_similarity_join(cached, tau, persist=False)
+    finally:
+        cached.unpersist()

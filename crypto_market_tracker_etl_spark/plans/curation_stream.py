@@ -195,9 +195,8 @@ class CurationStream:
         """Re-derive and append the candidate pairs of every committed
         signature batch not yet marked pair-complete. No-op (one listdir)
         in the steady state. Returns the number of batches recovered."""
-        pending = [
-            b for b in self.sigs.committed_batches() if b not in self._pairs_done()
-        ]
+        done = self._pairs_done()
+        pending = [b for b in self.sigs.committed_batches() if b not in done]
         for b in pending:
             self.sigs.incremental_pairs(self.sigs.batch_rows(b)).write.mode(
                 "append"

@@ -288,15 +288,39 @@ def q_curation_stream_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_curation_stream_eq() -> str:
+def _sql_stopword_hits(lang: str, toks: str = "toks") -> str:
+    """DuckDB twin of textstats.stopword_hits for one language."""
     from .functions.textstats import STOPWORDS
 
-    sw_total = " + ".join(
-        "len(list_filter(toks, x -> list_contains(["
-        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-        + "], x)))"
-        for lang in sorted(STOPWORDS)
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks}, x -> list_contains([{words}], x)))"
+
+
+def _sql_quality_score(nt: str, toks: str, sw_total: str | None = None) -> str:
+    """DuckDB twin of textstats.quality_score: length band + stopword
+    ratio + vocabulary diversity, rounded to 4. ONE builder shared by
+    every oracle that scores quality (SQL_TEXT_QUALITY and the
+    curation_stream_eq funnel replay) so a threshold change can never
+    reach one differential gate and not the other (review r8).
+    ``sw_total`` overrides the stopword-hit total for callers that have
+    already materialized per-language hit columns."""
+    from .functions.textstats import STOPWORDS
+
+    sw = sw_total or " + ".join(
+        _sql_stopword_hits(lang, toks) for lang in sorted(STOPWORDS)
     )
+    return f"""round(
+         (CASE WHEN {nt} >= 10 AND {nt} <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN {nt} > 0
+                 THEN least(CAST({sw} AS DOUBLE) / {nt} * 2.0, 0.3)
+                 ELSE 0.0 END)
+         + (CASE WHEN {nt} > 0
+                 THEN least(CAST(len(list_distinct({toks})) AS DOUBLE) / {nt},
+                            0.3)
+                 ELSE 0.0 END), 4)"""
+
+
+def _sql_curation_stream_eq() -> str:
     return f"""
 WITH RECURSIVE aug AS (
   SELECT doc_id, source, {SQL_NORM} AS t FROM documents
@@ -316,16 +340,7 @@ feat AS (
   FROM aug
 ),
 q AS (
-  SELECT *,
-         round((CASE WHEN n_tok >= 10 AND n_tok <= 100000
-                     THEN 0.4 ELSE 0.0 END)
-               + (CASE WHEN n_tok > 0
-                       THEN least(CAST({sw_total} AS DOUBLE) / n_tok * 2.0,
-                                  0.3) ELSE 0.0 END)
-               + (CASE WHEN n_tok > 0
-                       THEN least(CAST(len(list_distinct(toks)) AS DOUBLE)
-                                  / n_tok, 0.3)
-                       ELSE 0.0 END), 4) AS quality
+  SELECT *, {_sql_quality_score("n_tok", "toks")} AS quality
   FROM feat
 ),
 g AS (SELECT * FROM q WHERE quality >= 0.0),
@@ -1299,14 +1314,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_text_quality() -> str:
-    hits = {
-        lang: (
-            "len(list_filter(toks, x -> list_contains(["
-            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-            + "], x)))"
-        )
-        for lang in sorted(STOPWORDS)
-    }
+    hits = {lang: _sql_stopword_hits(lang) for lang in sorted(STOPWORDS)}
     sw_cols = ", ".join(f"{expr} AS sw_{lang}" for lang, expr in hits.items())
     total = " + ".join(f"sw_{lang}" for lang in sorted(STOPWORDS))
     best = "greatest(" + ", ".join(f"sw_{lang}" for lang in sorted(STOPWORDS)) + ")"
@@ -1323,13 +1331,7 @@ s AS (SELECT doc_id, lang, nt, toks, {sw_cols} FROM t),
 g AS (SELECT *, {best} AS best FROM s)
 SELECT doc_id, lang,
        CASE WHEN best = 0 THEN 'und' {pred_cases} END AS lang_pred,
-       round(
-         (CASE WHEN nt >= 10 AND nt <= 100000 THEN 0.4 ELSE 0.0 END)
-         + (CASE WHEN nt > 0
-                 THEN least(CAST({total} AS DOUBLE) / nt * 2.0, 0.3) ELSE 0.0 END)
-         + (CASE WHEN nt > 0
-                 THEN least(CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 0.3)
-                 ELSE 0.0 END), 4) AS quality,
+       {_sql_quality_score("nt", "toks", sw_total=total)} AS quality,
        sw_de, sw_en, sw_es, sw_fr
 FROM g
 """
@@ -1863,6 +1865,14 @@ def q_bpe_tokenize_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the cascade semantics. Same dataflow shape
     otherwise: kernel on the DISTINCT-WORD grain only, counts join back
     on the word key."""
+    return _bpe_kernel_query(spark, sf_dir, merges=None)
+
+
+def _bpe_kernel_query(spark: SparkSession, sf_dir: str, merges) -> DataFrame:
+    """ONE kernel-grain dataflow shared by both kernel attestation
+    queries (review r8: two hand-copied bodies would let a dataflow fix
+    land in one and not the other, silently making the two driver rows
+    test different plans)."""
     from .functions.bpe import bpe_count_kernel
 
     docs = _documents(spark, sf_dir)
@@ -1871,7 +1881,7 @@ def q_bpe_tokenize_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("w"),
     ).filter(F.col("w") != "")
     wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    kernel = bpe_count_kernel()
+    kernel = bpe_count_kernel(merges)
     vt = wc.select("w").distinct().select("w", kernel(F.col("w")).alias("ntok"))
     return (
         wc.join(vt, "w")
@@ -1895,28 +1905,10 @@ def q_bpe_tokenize_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays all 512 merges as chained CTEs (depth 2 each — the binder's
     128-level cap only forbids one NESTED expression), making the hash
     row a full 512-merge tokenizer differential. Same vocab-grain
-    dataflow as [bpe_tokenize]."""
-    from .functions.bpe import bpe_count_kernel, load_merges
+    dataflow as [bpe_tokenize] (shared via _bpe_kernel_query)."""
+    from .functions.bpe import load_merges
 
-    docs = _documents(spark, sf_dir)
-    words = docs.select(
-        "doc_id",
-        F.explode(F.split(normalize_ws(F.col("text")), " ")).alias("w"),
-    ).filter(F.col("w") != "")
-    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
-    kernel = bpe_count_kernel(load_merges(512))
-    vt = wc.select("w").distinct().select("w", kernel(F.col("w")).alias("ntok"))
-    return (
-        wc.join(vt, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_words"),
-            F.sum(F.col("cnt") * F.col("ntok")).alias("n_bpe_tokens"),
-            F.round(
-                F.sum(F.col("cnt") * F.col("ntok")) / F.sum("cnt"), 4
-            ).alias("bpe_ratio"),
-        )
-    )
+    return _bpe_kernel_query(spark, sf_dir, merges=load_merges(512))
 
 
 def _sql_bpe_tokenize(merges=None) -> str:
@@ -4907,7 +4899,9 @@ GOPHER_REQUIRED_STOPS = ["and", "be", "have", "of", "that", "the", "to", "with"]
 # corpus is clean, so known subsets get known defects — and it contains
 # NO English stopwords, so even docs get a stopword clause to make the
 # stop rule split instead of failing everywhere)
-_GOPHER_SYM_JUNK = " " + "# ... " * 8  # 16 symbol words → ratio > 0.1
+# no trailing space: split would emit a phantom '' word that inflates
+# n_words and alpha_frac's denominator (review r8)
+_GOPHER_SYM_JUNK = " " + " ".join(["#", "..."] * 8)  # 16 symbol words
 _GOPHER_NUM_JUNK = " " + "4242 " * 39 + "4242"  # 40 non-alpha words
 _GOPHER_LONG_JUNK = (" " + "x" * 30) * 40  # 40 30-char words → mwl > 10
 _GOPHER_STOP_CLAUSE = " the state of the scan and the batch to keep"

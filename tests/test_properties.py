@@ -678,6 +678,45 @@ def test_bpe_kernel_matches_model_all_tables(word):
         assert got == want, (word, len(merges), got, want)
 
 
+def test_bpe_kernel_whitespace_and_loader_edges():
+    """Review r8 regressions: (a) a word containing non-space whitespace
+    must take the kernel's slow path and match the pure-Python model
+    (the fast path's split()-derived adjacency set silently dropped the
+    tab symbol); (b) load_merges skips comment/blank lines but raises on
+    malformed ones instead of ingesting a space-containing 'symbol'."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from crypto_market_tracker_etl_spark.functions import bpe as bpe_mod
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        BPE_MERGES,
+        _kernel_table,
+        bpe_encode_py,
+        kernel_encode_len,
+        load_merges,
+    )
+
+    table = _kernel_table(BPE_MERGES)
+    for w in ("a\tb", "00\ta", "x\ny", "\t", " er "):
+        assert kernel_encode_len(w, table) == len(bpe_encode_py(w)), w
+
+    with tempfile.TemporaryDirectory() as d:
+        orig = bpe_mod.__file__
+        try:
+            bpe_mod.__file__ = os.path.join(d, "bpe.py")
+            with open(os.path.join(d, "bpe_merges_9.txt"), "w") as f:
+                f.write("#version: 0.2\n\ne r\ni n\n")
+            assert load_merges(9) == [("e", "r"), ("i", "n")]
+            with open(os.path.join(d, "bpe_merges_8.txt"), "w") as f:
+                f.write("e r 42\n")  # count-suffixed line: must be loud
+            with pytest.raises(ValueError, match="expected 'a b'"):
+                load_merges(8)
+        finally:
+            bpe_mod.__file__ = orig
+
+
 def test_bpe_kernel_rank_order_not_priority_pick():
     """The adversarial case documented in bpe_count_kernel: two merges
     producing the SAME output symbol ('xyz') with a pair consuming it

@@ -57,18 +57,29 @@ def _load(path: str) -> dict:
 
 
 def _default_old() -> str:
-    """The prior round's committed BENCH_DETAIL.json: the last commit
-    that CHANGED it (skipping an unchanged working copy is the point —
-    per-round the driver commits it once)."""
+    """The PRIOR committed BENCH_DETAIL.json: the newest commit whose
+    blob differs from the working copy. Taking simply the last commit
+    that touched the file would, in a clean tree, diff the file against
+    itself and always report 'no movers' — a silent false negative for
+    exactly the regression check this tool exists for (review r8)."""
     import subprocess
 
-    out = subprocess.check_output(
-        ["git", "-C", REPO, "log", "-1", "--format=%H", "--", "BENCH_DETAIL.json"],
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "rb") as f:
+        current = f.read()
+    commits = subprocess.check_output(
+        ["git", "-C", REPO, "log", "--format=%H", "--", "BENCH_DETAIL.json"],
         text=True,
-    ).strip()
-    if not out:
-        raise SystemExit("BENCH_DETAIL.json has no git history to diff against")
-    return f"git:{out}"
+    ).split()
+    for c in commits:
+        blob = subprocess.check_output(
+            ["git", "-C", REPO, "show", f"{c}:BENCH_DETAIL.json"]
+        )
+        if blob != current:
+            return f"git:{c}"
+    raise SystemExit(
+        "every committed BENCH_DETAIL.json equals the working copy — "
+        "nothing to diff against (pass an explicit OLD)"
+    )
 
 
 def main() -> None:

@@ -28,7 +28,8 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def main() -> None:
-    n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else N_MERGES
+    counts = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_merges = int(counts[0]) if counts else N_MERGES
     txt = "--txt" in sys.argv
     rich = "--rich" in sys.argv
     con = duckdb.connect()
