@@ -131,6 +131,10 @@ class IvfPqIndex:
             )
         idx = cls(spark, path)
         idx.append(corpus)
+        # freeze the drift baseline on the training distribution itself:
+        # drift() compares every future state against what the quantizers
+        # were actually derived from
+        idx.rebaseline()
         return idx
 
     def append(self, batch: DataFrame) -> None:
@@ -273,6 +277,96 @@ class IvfPqIndex:
             # the tombstones in place (suppression keeps working); clearing
             # first would resurrect deleted ids on a pre-swap crash
             shutil.rmtree(self._dels, ignore_errors=True)
+
+    # ------------------------------------------------------- maintenance
+
+    def reconstruction_mse(self) -> float:
+        """Mean squared PQ reconstruction error over the LIVE rows
+        (tombstones excluded): decode every stored code back through the
+        frozen codebooks (+ its list centroid for residual indexes) and
+        average ||v − v̂||². THE quantizer-health signal: codes are only
+        as good as the training distribution the quantizers froze on, so
+        as appends drift away from it this number rises — and with it
+        ADC ranking error, silently degrading recall while every probe
+        keeps 'working'. One Arrow pass over the stored table; no
+        re-encode, no pair relation."""
+        import numpy as np
+
+        from .pq import _np_matrix
+
+        codebooks, centroids, residual = (
+            self.codebooks,
+            self.centroids,
+            self.residual,
+        )
+        CB = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+        C = np.asarray(centroids, dtype=np.float64)
+
+        @F.pandas_udf("double")
+        def sqerr(emb, codes, lid):
+            import pandas as pd
+
+            V = _np_matrix(emb)
+            if V.shape[0] == 0:
+                return pd.Series([], dtype=float)
+            K = np.stack(codes.to_numpy()).astype(np.int64)
+            rec = np.concatenate(
+                [CB[s][K[:, s]] for s in range(len(CB))], axis=1
+            )
+            if residual:
+                rec = rec + C[lid.to_numpy()]
+            return pd.Series(((V - rec) ** 2).sum(axis=1))
+
+        live = self.read()
+        tomb = self._tombstones()
+        if tomb is not None:
+            live = live.join(F.broadcast(tomb), self.id_col, "left_anti")
+        row = live.select(
+            sqerr(F.col(self.vec_col), F.col("codes"), F.col("list_id")).alias(
+                "e"
+            )
+        ).agg(F.avg("e").alias("mse")).collect()[0]
+        return float(row["mse"]) if row["mse"] is not None else 0.0
+
+    def drift(self) -> dict:
+        """Quantizer-drift report: current reconstruction MSE vs the
+        baseline frozen at ``build`` time. ``ratio`` ≫ 1 (rule of thumb:
+        > ~2 on real embedding drift) means the frozen quantizers no
+        longer describe the stored distribution — rebuild into a fresh
+        path and swap (the documented maintenance move; ``build``
+        refuses in-place rebuilds for exactly this moment). Indexes
+        built before the baseline existed report ratio None until
+        ``rebaseline()`` records one."""
+        mse = self.reconstruction_mse()
+        base = self._meta_get("baseline_mse")
+        return {
+            "mse": mse,
+            "baseline_mse": base,
+            "ratio": (mse / base) if base else None,
+        }
+
+    def rebaseline(self) -> float:
+        """Record the CURRENT reconstruction MSE as the drift baseline —
+        done automatically by ``build``; call explicitly only on an
+        index predating the baseline, or after deliberately accepting a
+        new distribution without rebuilding."""
+        mse = self.reconstruction_mse()
+        self._meta_set("baseline_mse", mse)
+        return mse
+
+    def _meta_get(self, key: str):
+        with open(os.path.join(self.path, _META)) as f:
+            return json.load(f).get(key)
+
+    def _meta_set(self, key: str, value) -> None:
+        meta_path = os.path.join(self.path, _META)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta[key] = value
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
     def _recover(self) -> None:
         """If a compact crashed between its two renames, ``data`` is gone

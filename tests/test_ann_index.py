@@ -325,3 +325,44 @@ def test_delete_plain_iterable_on_empty_index_is_loud(spark, tmp_path):
     idx = IvfPqIndex(spark, idx_path)
     with pytest.raises(ValueError, match="no stored vectors"):
         idx.delete([1, 2])
+
+
+def test_drift_baseline_and_distribution_shift(spark, tmp_path):
+    """Quantizer-drift detection: the baseline is frozen at build on the
+    training distribution (ratio ~= 1 immediately after), appending
+    vectors FAR outside that distribution raises the reconstruction MSE
+    and the ratio, deleting them brings it back (tombstones excluded
+    from the metric), and a fresh rebuild on the shifted corpus
+    re-normalizes its own baseline."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = IvfPqIndex.build(spark, str(tmp_path / "idx"), emb, k_lists=8)
+    d0 = idx.drift()
+    assert d0["baseline_mse"] is not None and d0["baseline_mse"] > 0
+    assert abs(d0["ratio"] - 1.0) < 1e-9  # nothing appended yet
+
+    # a far-away cluster the frozen quantizers never saw: every value
+    # shifted by +100 in all dimensions
+    dim = len(emb.select("embedding").first()[0])
+    passthrough = [c for c in emb.columns if c not in ("vec_id", "embedding")]
+    shifted = emb.limit(100).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x + 100.0 AS FLOAT))"
+        ).alias("embedding"),
+        *passthrough,
+    )
+    idx.append(shifted)
+    d1 = idx.drift()
+    assert d1["ratio"] > 2.0, d1  # drift detected
+
+    # erasing the drifted vectors restores the metric (live rows only)
+    idx.delete(shifted.select("vec_id"))
+    d2 = idx.drift()
+    assert abs(d2["ratio"] - 1.0) < 1e-6, d2
+
+    # the documented maintenance move: rebuild fresh on the new corpus
+    full = emb.unionByName(shifted)
+    idx2 = IvfPqIndex.build(spark, str(tmp_path / "idx2"), full, k_lists=8)
+    d3 = idx2.drift()
+    assert abs(d3["ratio"] - 1.0) < 1e-9
+    assert dim > 0

@@ -82,3 +82,40 @@ def test_headline_sets_registered():
         if n not in registry
     ]
     assert missing == []
+
+
+def test_bench_diff_flags_movers_and_unwraps_driver_record(tmp_path):
+    """tools/bench_diff.py: movers past max(old spread, new spread, 10%)
+    AND past 0.05s absolute are flagged; within-spread moves are not;
+    the driver's BENCH_rN.json wrapper ({parsed: ...}) unwraps; added/
+    removed sets are reported."""
+    import json as _json
+    import subprocess
+    import sys
+
+    old = {
+        "queries": {"a": 1.00, "b": 0.50, "c": 0.10, "gone": 0.2},
+        "iterative": {"it": 4.0},
+        "spread_pct": {"a": 30.0, "b": 5.0},
+    }
+    new = {
+        "parsed": {  # driver wrapper shape
+            "queries": {
+                "a": 1.20,   # +20% but spread tol 30% -> NOT flagged
+                "b": 0.70,   # +40% past tol -> flagged
+                "c": 0.14,   # +40% but |delta| 0.04 < 0.05 -> NOT flagged
+                "new_q": 0.3,
+                "it": 6.0,   # +50% -> flagged (iterative folds in)
+            }
+        }
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(_json.dumps(old))
+    pn.write_text(_json.dumps(new))
+    out = subprocess.check_output(
+        [sys.executable, "tools/bench_diff.py", str(po), str(pn)], text=True
+    )
+    assert "| b |" in out and "| it |" in out
+    assert "| a |" not in out and "| c |" not in out
+    assert "added (1" in out and "new_q" in out
+    assert "removed (1): gone" in out
