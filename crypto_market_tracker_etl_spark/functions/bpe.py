@@ -36,7 +36,6 @@ instance.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -192,11 +191,14 @@ def bpe_count_kernel(merges: Merges | None = None):
     Arrow-vectorized with a per-batch memo (callers run it on the
     distinct-word grain, but batches may still repeat words across
     partitions); never row-at-a-time pickled Python."""
+    # pandas is only needed on the kernel path — the expression cascade
+    # and the DuckDB oracle helpers must stay importable without it
+    import pandas as pd
+
     merges = BPE_MERGES if merges is None else merges
     table = _kernel_table(merges)
 
-    @F.pandas_udf("long")
-    def kernel(words: pd.Series) -> pd.Series:
+    def kernel(words):
         memo: dict[str, int] = {}
 
         def f(w):
@@ -209,7 +211,11 @@ def bpe_count_kernel(merges: Merges | None = None):
 
         return words.map(f)
 
-    return kernel
+    # real annotation objects (not the __future__ strings a module-level
+    # hint would become): pandas_udf infers its eval type from these, and
+    # string hints are unresolvable with pandas imported only locally
+    kernel.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "long")
 
 
 def _kernel_table(merges: Merges) -> list[tuple[tuple[str, str], str, str]]:

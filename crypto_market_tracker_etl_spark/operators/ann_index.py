@@ -339,11 +339,16 @@ class IvfPqIndex:
         ``rebaseline()`` records one."""
         mse = self.reconstruction_mse()
         base = self._meta_get("baseline_mse")
-        return {
-            "mse": mse,
-            "baseline_mse": base,
-            "ratio": (mse / base) if base else None,
-        }
+        # None means "no baseline recorded" ONLY. A legitimately-zero
+        # baseline (degenerate perfect-reconstruction build) that later
+        # drifts must still trip the >2 alarm, so it maps to inf.
+        if base is None:
+            ratio = None
+        elif base == 0.0:
+            ratio = float("inf") if mse > 0.0 else 1.0
+        else:
+            ratio = mse / base
+        return {"mse": mse, "baseline_mse": base, "ratio": ratio}
 
     def rebaseline(self) -> float:
         """Record the CURRENT reconstruction MSE as the drift baseline —

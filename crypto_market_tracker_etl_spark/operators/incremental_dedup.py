@@ -158,7 +158,7 @@ class MinHashSignatureStore:
         the replay input for re-deriving that batch's candidate pairs."""
         return self.spark.read.parquet(os.path.join(self.path, f"batch={seq}"))
 
-    def compact(self) -> int:
+    def compact(self, force_sweep: bool = False) -> int:
         """Fold every batch partition into one latest-per-doc batch (the
         LSM compaction the module docstring promises): read() collapses
         N partitions through a keyed window on every call, so a
@@ -183,15 +183,24 @@ class MinHashSignatureStore:
         in-flight upsert always writes at _next_seq (past every existing
         dir), so even a contract-violating concurrent writer's dir is
         never deleted mid-write — only leftovers that a later successful
-        commit has already numbered past."""
+        commit has already numbered past.
+
+        ``force_sweep=True`` is the caller's EXPLICIT exclusivity
+        assertion ("no upsert is in flight anywhere"): it additionally
+        reclaims uncommitted dirs numbered >= the max committed batch
+        (and dirs in a store with no committed batch at all) — the
+        leftovers of a crashed write that would otherwise pin disk and
+        _next_seq forever in a store receiving no further commits. Unsafe
+        under a concurrent writer, hence never the default."""
         import shutil
 
         batches = self._batches()
         # sweep uncommitted leftovers from crashed writes (invisible to
         # readers, but they hold disk and pin _next_seq forward)
-        if batches:
+        high_water = -1 if force_sweep else (batches[-1] if batches else None)
+        if high_water is not None:
             for b in self._batch_dirs(committed_only=False):
-                if b not in batches and b < batches[-1]:
+                if b not in batches and (high_water < 0 or b < high_water):
                     shutil.rmtree(os.path.join(self.path, f"batch={b}"))
         if len(batches) <= 1:
             return 0

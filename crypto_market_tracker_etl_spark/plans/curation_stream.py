@@ -292,10 +292,19 @@ class CurationStream:
         # construction, so the marker set is rewritten to match.
         self._recover_pairs()
         self.sigs.compact()
-        if os.path.isdir(self.pairs_done_path):
-            shutil.rmtree(self.pairs_done_path)
-        for b in self.sigs.committed_batches():
+        # Mark-then-prune: the folded batch(es) become pair-complete
+        # markers BEFORE any stale marker is removed, so a crash anywhere
+        # in this block leaves at worst a stale extra marker file (benign
+        # — committed_batches() no longer contains its seq), never an
+        # unmarked folded batch that would make the next _recover_pairs
+        # re-derive candidate pairs for the ENTIRE corpus.
+        survivors = set(self.sigs.committed_batches())
+        for b in survivors:
             self._mark_pairs_done(b)
+        if os.path.isdir(self.pairs_done_path):
+            for n in os.listdir(self.pairs_done_path):
+                if n.isdigit() and int(n) not in survivors:
+                    os.unlink(os.path.join(self.pairs_done_path, n))
         folds = [self.corpus_path, self.pairs_path, self.ledger_path]
         for path in folds:
             view = _read_or_none(self.spark, path)

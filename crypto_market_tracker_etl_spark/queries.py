@@ -2452,39 +2452,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r8 window (positions 1-50, per the ATTESTATION.md schedule): the 26
-# r4-cohort remainder queries (the oldest driver rows left — includes the
-# CORE REFERENCE-PARITY SET latest_per_key … order_nulls_last) plus the
-# front 24 of the r5-window cohort (search_filter … set_ops). This is the
-# steady-state rolling 3-round re-attestation cycle; new/changed queries
-# added mid-round are promoted to the front by policy, displacing the
-# window tail into positions 51+.
-# Positions 51+ (in order): the rest of the r5 cohort (r9-window front),
-# the r6-window remainder, then the full r7 window (freshest rows, green
-# in CORRECTNESS_r07.json). The inline section markers below are
+# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 30
+# remaining r5-vintage queries (the oldest driver rows left:
+# global_sort … dedup_clusters) plus the front 20 of the r6-window
+# remainder (k_anonymity … winnowing). This is the steady-state rolling
+# 3-round re-attestation cycle; new/changed queries added mid-round are
+# promoted to the front by policy, displacing the window tail into
+# positions 51+.
+# Positions 51+ (in order): the rest of the r6 cohort (r10-window front),
+# the full r7 window, then the full r8 window (freshest rows, green in
+# CORRECTNESS_r08.json). The inline section markers below are
 # authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r8 window: positions 1-50 ======================================
-    # -- new this round (never attested; front of window by policy) -------
-    "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
-    "curation_stream_eq", "gopher_rules",
-    # -- changed this round: JPEG SOF dims land in the image leg ----------
-    "image_meta", "media_catalog",
-    # -- r4-cohort remainder (26; oldest driver rows, scheduled refresh) --
-    "dedup_exact", "near_dup_pairs",
-    "simhash", "cosine_topk", "knn_lsh",
-    "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
-    "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
-    "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
-    "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
-    "sparkline_7d", "series_align", "order_nulls_last",
-    # -- front of the r5-window cohort (24) -------------------------------
-    "search_filter",
-    "coalesce_fill", "kpis", "ts_convert", "date_format",
-    "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
-    "session_window", "json_extract", "rollup", "pivot", "semi_anti",
-    "percentiles", "day_in_tz", "upsert_assets",
-    # ==== positions 51+: rest of the r5 cohort (the r9 window front) =====
+    # ==== r9 window: positions 1-50 ======================================
+    # (new queries added this round are promoted to the front by policy,
+    #  displacing the window tail into positions 51+.)
+    # -- rest of the r5 cohort (30; oldest driver rows, scheduled refresh)
     "global_sort", "daily_ohlc_view",
     "cube", "moving_avg", "ntile_rank", "range_join",
     "set_ops", "sliding_window", "collect_sorted", "string_funcs",
@@ -2495,7 +2478,7 @@ ATTESTATION_ORDER: list[str] = [
     "knn_ivf", "tfidf", "pii_redact",
     "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
     "binary_chunks", "dedup_keep_best", "dedup_clusters",
-    # ==== r6 window remainder (green in CORRECTNESS_r06.json) ============
+    # -- front of the r6-window remainder (20) ----------------------------
     "k_anonymity",
     "bm25_topk", "collocations",
     "cms_heavy_hitters",
@@ -2504,6 +2487,7 @@ ATTESTATION_ORDER: list[str] = [
     "lang_id", "url_normalize", "link_graph", "c4_filters",
     "lm_perplexity", "ppl_buckets_approx", "quality_logit", "gram_novelty",
     "html_strip", "winnowing",
+    # ==== positions 51+: rest of the r6 cohort (the r10 window front) ====
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
     "array_funcs", "map_funcs",
     "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
@@ -2528,6 +2512,22 @@ ATTESTATION_ORDER: list[str] = [
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21",
     "approx_distinct",
+    # ==== r8 window (freshest rows, green in CORRECTNESS_r08.json) =======
+    "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
+    "curation_stream_eq", "gopher_rules",
+    "image_meta", "media_catalog",
+    "dedup_exact", "near_dup_pairs",
+    "simhash", "cosine_topk", "knn_lsh",
+    "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
+    "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
+    "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
+    "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
+    "sparkline_7d", "series_align", "order_nulls_last",
+    "search_filter",
+    "coalesce_fill", "kpis", "ts_convert", "date_format",
+    "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
+    "session_window", "json_extract", "rollup", "pivot", "semi_anti",
+    "percentiles", "day_in_tz", "upsert_assets",
 ]
 
 

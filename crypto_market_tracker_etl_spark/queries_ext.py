@@ -270,9 +270,14 @@ def q_curation_stream_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             normalize_ws(F.col("text")).alias("text"),
         )
     )
+    # keyed by (sf_dir, spark application id): concurrent bench/test
+    # sessions on the same sf_dir get disjoint stores and cannot corrupt
+    # each other's wipe-and-rebuild mid-run (review r8)
+    run_token = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     store = os.path.join(
-        tempfile.gettempdir(),
-        "curation_stream_eq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        tempfile.gettempdir(), "curation_stream_eq_" + run_token
     )
     shutil.rmtree(store, ignore_errors=True)
     cs = CurationStream(spark, store)
