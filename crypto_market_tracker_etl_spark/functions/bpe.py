@@ -112,15 +112,18 @@ BPE_MERGES: list[tuple[str, str]] = [
 Merges = list[tuple[str, str]]
 
 
-def load_merges(n: int) -> Merges:
+def load_merges(n: int | str) -> Merges:
     """Load a shipped merges.txt-format table
     (``functions/bpe_merges_{n}.txt`` — one "a b" pair per line, rank
-    order; the format production tokenizers ship). Shipped sizes: 512
-    (learned from the corpus's full string-column vocabulary with
-    tools/learn_bpe.py --rich) and 1866 (the same corpus's saturation
+    order; the format production tokenizers ship). Shipped tables: 512
+    (char-level, learned from the corpus's full string-column vocabulary
+    with tools/learn_bpe.py --rich), 1866 (the same corpus's saturation
     point — the merge closure after which no adjacent pair remains, the
     honest ceiling of what this corpus can teach; both are past the
-    Catalyst planning cliff the cascade hits, see SCALE.md §bpe-ceiling).
+    Catalyst planning cliff the cascade hits, see SCALE.md §bpe-ceiling),
+    and "bytes_512" (byte-level over GPT-2-class regex pretokens of the
+    RAW corpus — symbols are byte-alphabet chars, learned with
+    tools/learn_bpe.py 512 --txt --bytes).
 
     Real-world merges.txt quirks handled the way production loaders do:
     comment/header lines ('#version: 0.2' style) and blank lines are
@@ -295,3 +298,195 @@ def bpe_encode_py(word: str, merges: Merges | None = None) -> list[str]:
         pat, rep = f" {a} {b} ", f" {a}{b} "
         s = s.replace(pat, rep).replace(pat, rep)
     return s.split()
+
+
+# --------------------------------------------------------------------------
+# Byte-level BPE with a GPT-2-class pretokenizer (the production-fidelity
+# tier: tiktoken-class tokenizers are byte-level over regex pretokens, not
+# char-level over whitespace words).
+# --------------------------------------------------------------------------
+
+# GPT-2-class pretokenization pattern (contractions; optionally
+# space-prefixed letter runs, digit runs, and punctuation runs; whitespace
+# runs), expressed so Java (Spark), RE2 (DuckDB), and the hand scanner
+# below agree EXACTLY:
+#   * whitespace is an EXPLICIT class [ \t\n\r\f\x0B], never \s — Java's \s
+#     includes \x0B, RE2's does not, so \s would silently diverge on
+#     vertical tab;
+#   * the \s+(?!\S) branch of the original GPT-2 pattern is DROPPED (RE2
+#     has no lookahead), so an interior run of >=2 whitespace chars becomes
+#     one whitespace pretoken instead of leaving its last space to prefix
+#     the following word. On single-spaced text — all text after
+#     normalize_ws, and virtually all real prose — output is identical to
+#     GPT-2's. The space-prefix economics (' the' vs 'the') are preserved.
+# Every character of the input belongs to exactly one pretoken
+# (concat(pretokens(t)) == t), pinned by test.
+PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\x0B\p{L}\p{N}]+"
+    r"|[ \t\n\r\f\x0B]+"
+)
+
+_WS = frozenset(" \t\n\r\f\x0b")
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def pretokens(text: Column) -> Column:
+    """GPT-2-class pretokens of ``text`` as an array column — one JVM
+    regexp_extract_all, no Python. Group 0 = whole match: the pattern's
+    alternation has no capturing groups by design."""
+    return F.regexp_extract_all(text, F.lit(PRETOKEN_PATTERN), F.lit(0))
+
+
+def _cat(ch: str, want: str) -> bool:
+    import unicodedata
+
+    return unicodedata.category(ch).startswith(want)
+
+
+def pretokenize_py(text: str) -> list[str]:
+    """Hand scanner replaying PRETOKEN_PATTERN's leftmost-first
+    alternation — Python's ``re`` lacks \\p{L}/\\p{N}, so the reference
+    model walks Unicode categories directly. Differentially pinned
+    against BOTH engine regexes (Spark/Java and DuckDB/RE2) by test."""
+    toks: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        for c in _CONTRACTIONS:
+            if text.startswith(c, i):
+                toks.append(c)
+                i += len(c)
+                break
+        else:
+            start = i
+            k = i + 1 if text[i] == " " else i
+            if k < n and _cat(text[k], "L"):
+                while k < n and _cat(text[k], "L"):
+                    k += 1
+            elif k < n and _cat(text[k], "N"):
+                while k < n and _cat(text[k], "N"):
+                    k += 1
+            elif k < n and text[k] not in _WS and not _cat(text[k], "L") and not _cat(text[k], "N"):
+                while (
+                    k < n
+                    and text[k] not in _WS
+                    and not _cat(text[k], "L")
+                    and not _cat(text[k], "N")
+                ):
+                    k += 1
+            elif text[i] in _WS:
+                k = i
+                while k < n and text[k] in _WS:
+                    k += 1
+            else:  # lone trailing space: no branch consumed past it
+                k = i + 1
+            toks.append(text[start:k])
+            i = k
+    return toks
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→printable-unicode alphabet (public algorithm,
+    reimplemented): the 188 printable latin-1 bytes map to themselves,
+    the other 68 (controls, space, DEL, soft hyphen, …) map to
+    U+0100..U+0143 — a bijection whose outputs NEVER include a space
+    or any whitespace, so the boundary-space merge semantics of the
+    char-level engine transfer to byte level unchanged (space itself
+    becomes 'Ġ', the familiar GPT-2 glyph)."""
+    bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_BYTE_MAP = bytes_to_unicode()
+
+
+def byte_encode_py(s: str) -> str:
+    """UTF-8 bytes of ``s`` rendered in the byte alphabet ('café' →
+    'cafÃ©', ' x' → 'Ġx') — the string every byte-level engine
+    tokenizes."""
+    return "".join(_BYTE_MAP[b] for b in s.encode("utf-8"))
+
+
+def bpe_bytes_encode_py(pretoken: str, merges: Merges) -> list[str]:
+    """Pure-Python reference: byte-encode then the SAME rank-order
+    two-pass walk (merges must be learned on the byte alphabet)."""
+    return bpe_encode_py(byte_encode_py(pretoken), merges)
+
+
+def bpe_bytes_count_kernel(merges: Merges):
+    """Arrow-batched byte-level BPE token counter: maps each pretoken to
+    the byte alphabet and runs the identical rank-order kernel walk.
+    Mapped strings can never contain whitespace (the alphabet excludes
+    it), so kernel_encode_len always takes its O(1)-skip fast path. One
+    ArrowEvalPython node at any merge-table size, same as the char-level
+    kernel; callers run it on the DISTINCT-PRETOKEN grain."""
+    import pandas as pd
+
+    table = _kernel_table(merges)
+
+    def kernel(words):
+        memo: dict[str, int] = {}
+
+        def f(w):
+            if w is None:
+                return None
+            v = memo.get(w)
+            if v is None:
+                v = memo[w] = kernel_encode_len(byte_encode_py(w), table)
+            return v
+
+        return words.map(f)
+
+    kernel.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "long")
+
+
+def byte_bpe_sql_ctes(
+    source_sql: str, word_col: str = "w", merges: Merges | None = None
+) -> str:
+    """DuckDB replay of the byte-level tokenizer: a 256-row VALUES map
+    (uppercase hex byte → alphabet char) joined against the hex dump of
+    each pretoken's UTF-8 encoding rebuilds the byte-encoded string
+    IN SQL, then the standard per-merge CTE chain replays the walk. The
+    oracle never calls the Python mapping — it re-derives it, so the
+    hash row is a full differential of pretoken→bytes→merges→count.
+    Final CTE ``bpe_vt`` yields (w, ntok) keyed by the ORIGINAL
+    pretoken."""
+    merges = load_merges("bytes_512") if merges is None else merges
+    vals = ", ".join(
+        f"('{b:02X}', '{_BYTE_MAP[b].replace(chr(39), chr(39) * 2)}')"
+        for b in range(256)
+    )
+    steps = [
+        f"bvocab AS (SELECT {word_col} AS w FROM ({source_sql}))",
+        f"bytemap(hx, ch) AS (VALUES {vals})",
+        "bidx AS (SELECT w,"
+        " unnest(range(1, octet_length(encode(w)) + 1)) AS i FROM bvocab)",
+        "bhex AS (SELECT w, i,"
+        " substr(hex(encode(w)), 2 * i - 1, 2) AS hx FROM bidx)",
+        "bmapped AS (SELECT w, string_agg(m.ch, '' ORDER BY i) AS mw"
+        " FROM bhex JOIN bytemap m USING (hx) GROUP BY w)",
+        "bpe0 AS (SELECT w,"
+        " ' ' || regexp_replace(mw, '(.)', '\\1 ', 'g') AS s FROM bmapped)",
+    ]
+    for i, (a, b) in enumerate(merges, start=1):
+        pat = f" {a} {b} ".replace("'", "''")
+        rep = f" {a}{b} ".replace("'", "''")
+        steps.append(
+            f"bpe{i} AS (SELECT w,"
+            f" replace(replace(s, '{pat}', '{rep}'), '{pat}', '{rep}') AS s"
+            f" FROM bpe{i - 1})"
+        )
+    steps.append(
+        "bpe_vt AS (SELECT w,"
+        " len(regexp_split_to_array(trim(s), ' ')) AS ntok"
+        f" FROM bpe{len(merges)})"
+    )
+    return ",\n".join(steps)

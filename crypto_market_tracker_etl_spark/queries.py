@@ -2465,8 +2465,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
     # ==== r9 window: positions 1-50 ======================================
-    # (new queries added this round are promoted to the front by policy,
-    #  displacing the window tail into positions 51+.)
+    # -- new this round (never attested; front of window by policy) -------
+    "bpe_bytes",
     # -- rest of the r5 cohort (30; oldest driver rows, scheduled refresh)
     "global_sort", "daily_ohlc_view",
     "cube", "moving_avg", "ntile_rank", "range_join",

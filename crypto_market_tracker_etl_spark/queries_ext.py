@@ -1950,6 +1950,80 @@ def _sql_bpe_tokenize_512() -> str:
 SQL_BPE_TOKENIZE_512 = _sql_bpe_tokenize_512()
 
 
+def q_bpe_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] BYTE-LEVEL BPE over GPT-2-class regex pretokens —
+    the production-fidelity tier the char-level queries approximate.
+    Three upgrades over [bpe_tokenize_512], each matching how shipped
+    tokenizers (GPT-2/tiktoken-class) actually work:
+
+    * pretokenization is the GPT-2-class regex (contractions,
+      optionally space-prefixed letter/digit/punct runs, whitespace
+      runs — functions/bpe.py::PRETOKEN_PATTERN) over the RAW text, not
+      whitespace words of normalized text, so ' the' and 'the' are
+      different tokens with different costs (the space-prefix economics
+      every production vocabulary encodes);
+    * symbols are UTF-8 BYTES rendered in the GPT-2 printable alphabet
+      (bytes_to_unicode) — no out-of-vocabulary character is possible,
+      and multibyte chars cost their true byte count;
+    * the 512-merge table is learned byte-level from the raw corpus
+      (tools/learn_bpe.py 512 --txt --bytes).
+
+    Scale shape identical to the kernel queries: ONE JVM
+    regexp_extract_all + explode to (doc, pretoken, count) grain, the
+    Arrow kernel only on the DISTINCT-PRETOKEN grain (one
+    ArrowEvalPython node at any table size), counts join back. The
+    DuckDB oracle replays the ENTIRE stack independently — same regex
+    (RE2 vs Java, differentially pinned), byte mapping re-derived in
+    SQL from hex(encode(w)) against a 256-row map, all 512 merges as
+    chained CTEs — so the hash row is a full tokenizer differential,
+    not a trust-me."""
+    from .functions.bpe import bpe_bytes_count_kernel, load_merges, pretokens
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(pretokens(F.col("text"))).alias("w")
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    kernel = bpe_bytes_count_kernel(load_merges("bytes_512"))
+    vt = wc.select("w").distinct().select("w", kernel(F.col("w")).alias("ntok"))
+    return (
+        wc.join(vt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_pretokens"),
+            F.sum(F.col("cnt") * F.col("ntok")).alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("ntok")) / F.sum("cnt"), 4
+            ).alias("bpe_ratio"),
+        )
+    )
+
+
+def _sql_bpe_bytes() -> str:
+    from .functions.bpe import PRETOKEN_PATTERN, byte_bpe_sql_ctes
+
+    pat = PRETOKEN_PATTERN.replace("'", "''")
+    ctes = byte_bpe_sql_ctes("SELECT DISTINCT w FROM wc")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS w
+  FROM documents
+),
+wc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w),
+{ctes}
+SELECT wc.doc_id,
+       CAST(sum(wc.cnt) AS BIGINT) AS n_pretokens,
+       CAST(sum(wc.cnt * vt.ntok) AS BIGINT) AS n_bpe_tokens,
+       round(sum(wc.cnt * vt.ntok) / CAST(sum(wc.cnt) AS DOUBLE), 4)
+         AS bpe_ratio
+FROM wc JOIN bpe_vt vt ON wc.w = vt.w
+GROUP BY wc.doc_id
+"""
+
+
+SQL_BPE_BYTES = _sql_bpe_bytes()
+
+
 CURATION_BUDGET_TOKENS = 8_000  # absolute token budget of the final sample
 CURATION_PRI_SEED = "budget:"
 # Exact-copy ids live 10^12 above the originals: far outside any real
@@ -5033,6 +5107,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_tokenize": (q_bpe_tokenize, SQL_BPE_TOKENIZE),
     "bpe_tokenize_kernel": (q_bpe_tokenize_kernel, SQL_BPE_TOKENIZE),
     "bpe_tokenize_512": (q_bpe_tokenize_512, SQL_BPE_TOKENIZE_512),
+    "bpe_bytes": (q_bpe_bytes, SQL_BPE_BYTES),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),

@@ -909,6 +909,21 @@ def test_bpe_tokenize_kernel_arrow_not_pickled(spark):
     assert "partial_sum" in s
 
 
+def test_bpe_bytes_arrow_kernel_jvm_pretokenize(spark):
+    """Byte-level BPE keeps the kernel discipline: pretokenization is ONE
+    JVM regexp_extract_all (visible as 'regexp_extract_all' in the plan,
+    never Python), the byte-map + merge walk is ONE ArrowEvalPython node
+    on the distinct-pretoken grain, no row-at-a-time Python, no product,
+    per-doc rollup combines map-side."""
+    s = plan_of(spark, "bpe_bytes")
+    assert "regexp_extract_all" in s
+    assert "ArrowEvalPython" in s
+    assert "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "partial_sum" in s
+
+
 def test_dup_extents_no_doc_pair_relation(spark):
     """Extent merging must ride dup_spans' hash aggregates: a LEFT SEMI
     join of the (doc, pos, hash) grain against the duplicated-hash set

@@ -767,3 +767,146 @@ def test_bpe_known_merges(spark):
     assert bpe_encode_py("xyz") == ["x", "y", "z"]
     # partial coverage: known stem + leftover chars
     assert "filter" in bpe_encode_py("filtering")
+
+
+# ---------------------------------------------------------------- byte-level
+
+# Alphabet for cross-engine pretokenizer property tests: letters (ASCII +
+# accented), digits (ASCII + the No-category superscripts RE2/Java class
+# \p{N} includes but Python's \d does not), punctuation, apostrophes for
+# the contraction branch, and every whitespace char in the explicit class.
+# Kept below U+2000: Unicode category assignments there are identical
+# across the Java, RE2, and Python unicodedata tables in play.
+_PRETOK_ALPHABET = (
+    "abcdehlstvERS éÀïç 0123¾² .,!?-#()'’\"\t\n\r\f\x0b"
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text=st.text(alphabet=_PRETOK_ALPHABET, min_size=0, max_size=60))
+def test_pretokenize_py_concat_invariant_and_duckdb_parity(text):
+    """Every character belongs to exactly one pretoken (lossless
+    partition), tokens are non-empty, and the hand scanner agrees with
+    DuckDB's RE2 on the SAME pattern — the cheap per-example engine
+    differential (the Spark/Java side is pinned batch-wise below)."""
+    import duckdb
+
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        PRETOKEN_PATTERN,
+        pretokenize_py,
+    )
+
+    toks = pretokenize_py(text)
+    assert "".join(toks) == text
+    assert all(toks)
+    got = duckdb.connect().execute(
+        "select regexp_extract_all(?, ?)", [text, PRETOKEN_PATTERN]
+    ).fetchone()[0]
+    assert toks == got, (text, toks, got)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet=_PRETOK_ALPHABET, min_size=0, max_size=60),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pretokenize_spark_matches_python_scanner(spark, texts):
+    """The JVM regexp_extract_all over PRETOKEN_PATTERN must reproduce
+    the hand scanner exactly (one Spark job per example batch)."""
+    from pyspark.sql import functions as F
+
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        pretokenize_py,
+        pretokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    got = {
+        r["i"]: list(r["p"])
+        for r in df.select("i", pretokens(F.col("t")).alias("p")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == pretokenize_py(t), (t, got[i])
+
+
+def test_pretokenize_gpt2_class_semantics():
+    """Pins the documented spec: contraction splits, space-prefix
+    attachment on single-spaced text, and the ONE documented divergence
+    from GPT-2 (no lookahead: an interior >=2-whitespace run is one
+    token instead of splitting its last space onto the next word)."""
+    from crypto_market_tracker_etl_spark.functions.bpe import pretokenize_py
+
+    assert pretokenize_py("he'll win 42 races, okay?") == [
+        "he", "'ll", " win", " 42", " races", ",", " okay", "?",
+    ]
+    assert pretokenize_py("a  b") == ["a", "  ", "b"]  # GPT-2: a, ' ', ' b'
+    assert pretokenize_py(" leading") == [" leading"]
+    assert pretokenize_py("trailing ") == ["trailing", " "]
+    assert pretokenize_py("x\t\ny") == ["x", "\t\n", "y"]
+
+
+def test_byte_alphabet_bijection():
+    """bytes_to_unicode: a 256-key bijection onto single printable
+    non-whitespace chars — the property that makes the boundary-space
+    merge semantics transfer to byte level unchanged — and
+    byte_encode_py emits exactly one alphabet char per UTF-8 byte."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        byte_encode_py,
+        bytes_to_unicode,
+    )
+
+    bm = bytes_to_unicode()
+    assert sorted(bm) == list(range(256))
+    vals = list(bm.values())
+    assert len(set(vals)) == 256
+    assert all(len(v) == 1 and not v.isspace() for v in vals)
+    assert bm[ord(" ")] == "Ġ"  # the familiar Ġ
+    for s in ("hello", " x", "café", "²³", "'", ""):
+        assert len(byte_encode_py(s)) == len(s.encode("utf-8"))
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word=st.text(alphabet=_PRETOK_ALPHABET + "Ã©Ġ", min_size=0, max_size=24)
+)
+def test_bpe_bytes_kernel_matches_model(word):
+    """Byte-level kernel walk ≡ the no-skip pure-Python model under the
+    shipped bytes_512 table, on arbitrary pretokens — including ones
+    whose RAW text already contains alphabet glyphs (Ã, Ġ): the byte
+    mapping must keep raw-text glyphs and mapped bytes distinct by
+    construction (they re-encode to different byte sequences)."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        _kernel_table,
+        bpe_bytes_encode_py,
+        byte_encode_py,
+        kernel_encode_len,
+        load_merges,
+    )
+
+    merges = load_merges("bytes_512")
+    want = bpe_bytes_encode_py(word, merges)
+    got = kernel_encode_len(byte_encode_py(word), _kernel_table(merges))
+    assert got == len(want), (word, got, want)
+
+
+def test_bpe_bytes_space_prefix_economics():
+    """The point of byte level: ' customer' (space-prefixed, the form
+    that dominates running text) is ONE token under the learned table
+    while bare 'customer' is not necessarily the same cost — and
+    multibyte chars cost their true byte count."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        bpe_bytes_encode_py,
+        load_merges,
+    )
+
+    merges = load_merges("bytes_512")
+    assert bpe_bytes_encode_py(" customer", merges) == ["Ġcustomer"]
+    assert any(a == "Ġ" or a.startswith("Ġ") for a, _ in merges)
+    # 'é' is 2 UTF-8 bytes → 2 symbols before any merge touches them
+    toks = bpe_bytes_encode_py("é", merges)
+    assert sum(len(t) for t in toks) == 2

@@ -17,6 +17,7 @@ remains), so the emitted table can be shorter than N.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 from collections import Counter
@@ -32,9 +33,10 @@ def main() -> None:
     n_merges = int(counts[0]) if counts else N_MERGES
     txt = "--txt" in sys.argv
     rich = "--rich" in sys.argv
+    as_bytes = "--bytes" in sys.argv
     con = duckdb.connect()
     sources = [f"select text from read_parquet('{SF_DIR}/documents.parquet')"]
-    if rich:
+    if rich or as_bytes:
         # the documents corpus has only 31 distinct words — it saturates
         # at 89 merges. Production-size tables need a bigger vocabulary,
         # so --rich also learns from the corpus's other string columns
@@ -46,12 +48,30 @@ def main() -> None:
             f"select s_name from read_parquet('{SF_DIR}/supplier.parquet')",
         ]
     wordfreq: Counter[str] = Counter()
-    for src in sources:
-        for (text,) in con.execute(src).fetchall():
-            norm = re.sub(r"\s+", " ", text.lower().strip())
-            for w in norm.split(" "):
-                if w:
-                    wordfreq[w] += 1
+    if as_bytes:
+        # byte-level mode: GPT-2-class regex pretokens of the RAW text
+        # (no lowercasing, no whitespace normalization — byte-level
+        # tokenizers see the text as-is), rendered in the byte alphabet.
+        # Merges learned here are over alphabet symbols, one per byte.
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), os.pardir)
+        )
+        from crypto_market_tracker_etl_spark.functions.bpe import (
+            byte_encode_py,
+            pretokenize_py,
+        )
+
+        for src in sources:
+            for (text,) in con.execute(src).fetchall():
+                for w in pretokenize_py(text):
+                    wordfreq[byte_encode_py(w)] += 1
+    else:
+        for src in sources:
+            for (text,) in con.execute(src).fetchall():
+                norm = re.sub(r"\s+", " ", text.lower().strip())
+                for w in norm.split(" "):
+                    if w:
+                        wordfreq[w] += 1
 
     # symbol sequences per word
     seqs: dict[str, tuple[list[str], int]] = {
