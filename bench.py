@@ -102,6 +102,8 @@ HEADLINE = [
     "curation_pipeline",
     "cms_heavy_hitters",
     "media_catalog",
+    "image_meta",
+    "bpe_bytes",
     "bm25_topk",
     "collocations",
     "k_anonymity",

@@ -244,23 +244,25 @@ def synth_jpeg(width: F.Column, height: F.Column) -> F.Column:
     )
 
 
-def jpeg_sof_state(payload: F.Column, max_segments: int = 16) -> F.Column:
-    """1-based byte offset of the first SOF0/SOF1/SOF2 marker in a JPEG
-    stream, found by a REAL bounded segment walk (marker → BE16 length →
-    next marker), or 0 when absent. The walk is a single ``aggregate``
-    over ``sequence(1, max_segments)`` whose lambda advances a
-    (pos, sof) state — runtime iteration, CONSTANT plan size (the naive
-    unrolled-``when`` chain re-inlines the position expression per step
-    and blows up exponentially; this is the same planning-cost class as
-    SCALE.md §bpe-ceiling). Walk rules: stop at SOS/EOI (entropy-coded
-    data follows — scanning further would false-match marker bytes in
-    compressed data, which is why a plain locate() is NOT safe for JPEG
-    the way the moov-anchored scan is for BMFF); desync (a segment not
-    starting with FF) stops with no match; progressive (SOF2) and
-    extended-sequential (SOF1) carry dims at the same offsets as
-    baseline. max_segments=16 bounds pathological APPn stacks — real
-    files carry SOF within ~6 segments; past the bound the parse yields
-    NULL dims, never an error."""
+def _jpeg_sof_walk(payload: F.Column, max_segments: int, finish) -> F.Column:
+    """The bounded SOF segment walk (marker → BE16 length → next marker)
+    as a single ``aggregate`` over ``sequence(1, max_segments)`` whose
+    lambda advances a (pos, sof) state — runtime iteration, CONSTANT
+    plan size (the naive unrolled-``when`` chain re-inlines the position
+    expression per step and blows up exponentially; the planning-cost
+    class of SCALE.md §bpe-ceiling). Walk rules: stop at SOS/EOI
+    (entropy-coded data follows — scanning further would false-match
+    marker bytes in compressed data, which is why a plain locate() is
+    NOT safe for JPEG the way the moov-anchored scan is for BMFF);
+    desync (a segment not starting with FF) stops with no match;
+    progressive (SOF2) and extended-sequential (SOF1) carry dims at the
+    same offsets as baseline. max_segments=16 bounds pathological APPn
+    stacks — real files carry SOF within ~6 segments; past the bound the
+    parse yields NULL dims, never an error. ``finish`` maps the final
+    state to the result INSIDE the aggregate — the ONE place a
+    multi-field consumer can read the state without re-running the walk
+    (lambda-variable reads are free; re-referencing the aggregate is
+    not, see jpeg_dims)."""
     init = F.struct(
         F.lit(3).cast("int").alias("pos"), F.lit(0).cast("int").alias("sof")
     )
@@ -286,8 +288,44 @@ def jpeg_sof_state(payload: F.Column, max_segments: int = 16) -> F.Column:
         )
 
     return F.aggregate(
-        F.sequence(F.lit(1), F.lit(max_segments)), init, step
-    ).getField("sof")
+        F.sequence(F.lit(1), F.lit(max_segments)), init, step, finish
+    )
+
+
+def jpeg_sof_state(payload: F.Column, max_segments: int = 16) -> F.Column:
+    """1-based byte offset of the first SOF0/SOF1/SOF2 marker in a JPEG
+    stream (bounded segment walk — see _jpeg_sof_walk), or 0 when
+    absent."""
+    return _jpeg_sof_walk(
+        payload, max_segments, lambda st: st.getField("sof")
+    )
+
+
+def jpeg_dims(payload: F.Column, max_segments: int = 16) -> F.Column:
+    """struct(width, height) of a JPEG payload from ONE segment walk, or
+    NULL for non-JPEG payloads (signature-gated, so they never pay the
+    walk) / NULL fields when no SOF is found. Both dims are extracted in
+    the aggregate's FINISH lambda, where the final state is a free
+    lambda-variable read — the r9 perf finding: higher-order functions
+    are excluded from Spark's subexpression elimination
+    (EquivalentExpressions rejects trees containing lambda variables),
+    so every inline re-reference of the walk re-EXECUTES it; the old
+    form referenced it 4× per row (gate + two offsets × two callers'
+    getFields). Consumers extracting several fields should STAGE this
+    behind an alias barrier (the mvhd_offset pattern in media_catalog)
+    and pass the staged column to image_meta(payload, jpeg=...)."""
+    is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
+
+    def fin(st: F.Column) -> F.Column:
+        sof = st.getField("sof")
+        return F.struct(
+            F.when(sof > 0, _be_int_dyn(payload, sof + 7, 2).cast("int"))
+            .alias("width"),
+            F.when(sof > 0, _be_int_dyn(payload, sof + 5, 2).cast("int"))
+            .alias("height"),
+        )
+
+    return F.when(is_jpeg, _jpeg_sof_walk(payload, max_segments, fin))
 
 
 def _bytes_hex(payload: F.Column, pos: int, n: int) -> F.Column:
@@ -305,26 +343,31 @@ def _le2_int(payload: F.Column, pos: int) -> F.Column:
     )
 
 
-def image_meta(payload: F.Column) -> F.Column:
+def image_meta(payload: F.Column, jpeg: F.Column | None = None) -> F.Column:
     """Parse (mime_type, width, height) from an image payload's header.
 
     Dispatches on the magic bytes: PNG dims are 32-bit big-endian at
     offset 16 (after signature + IHDR length/type), GIF dims 16-bit
     little-endian at offset 6, JPEG dims via the bounded SOF segment
-    walk (``jpeg_sof_state`` — height BE16 at sof+5, width BE16 at
-    sof+7; JPEG is the majority class of a real crawl, so NULL dims
+    walk (``jpeg_dims`` — one walk produces BOTH dims in its finish
+    lambda; JPEG is the majority class of a real crawl, so NULL dims
     there would gut media_catalog). Unknown formats — and a JPEG whose
     walk finds no SOF — yield NULL dims ('application/octet-stream' for
     unknown magic), never an error, so one malformed blob cannot fail a
-    backfill job."""
+    backfill job.
+
+    ``jpeg``: an optionally PRE-STAGED ``jpeg_dims(payload)`` column.
+    The struct this function returns is inlined per extracted field by
+    Catalyst, and the walk — a higher-order function — is exempt from
+    subexpression elimination, so a caller extracting width AND height
+    re-runs it unless the walk sits behind an alias barrier (exactly
+    the mvhd_offset pattern video_meta uses). Default (None) computes
+    it inline: correct everywhere, fastest only for single-field
+    consumers."""
     is_png = _bytes_hex(payload, 1, 8) == PNG_SIG_HEX
     is_gif = _bytes_hex(payload, 1, 6) == GIF_SIG_HEX
     is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
-    # gate the walk behind the signature so PNG/GIF/unknown rows never
-    # pay the 16-step aggregate loop (media_catalog runs this projection
-    # over every modality)
-    sof = F.when(is_jpeg, jpeg_sof_state(payload)).otherwise(F.lit(0))
-    jpeg_ok = is_jpeg & (sof > 0)
+    jd = jpeg_dims(payload) if jpeg is None else jpeg
     null_i = F.lit(None).cast("int")
     return F.struct(
         F.when(is_png, F.lit("image/png"))
@@ -334,12 +377,12 @@ def image_meta(payload: F.Column) -> F.Column:
         .alias("mime_type"),
         F.when(is_png, _be_int(payload, 17, 4))
         .when(is_gif, _le2_int(payload, 7))
-        .when(jpeg_ok, _be_int_dyn(payload, sof + 7, 2).cast("int"))
+        .when(is_jpeg, jd.getField("width"))
         .otherwise(null_i)
         .alias("width"),
         F.when(is_png, _be_int(payload, 21, 4))
         .when(is_gif, _le2_int(payload, 9))
-        .when(jpeg_ok, _be_int_dyn(payload, sof + 5, 2).cast("int"))
+        .when(is_jpeg, jd.getField("height"))
         .otherwise(null_i)
         .alias("height"),
     )

@@ -3424,7 +3424,13 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytically — a differential test of the parser itself. An
     independent pure-Python marker-walk parser validates synth_jpeg in
     tests (the synth_mp4 pattern)."""
-    from .multimodal.binary import image_meta, synth_gif, synth_jpeg, synth_png
+    from .multimodal.binary import (
+        image_meta,
+        jpeg_dims,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+    )
 
     docs = _documents(spark, sf_dir)
     w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
@@ -3434,13 +3440,22 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, synth_gif(w, h))
         .otherwise(synth_jpeg(w, h))
     )
-    meta = image_meta(payload)
-    return docs.select(
-        "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
-        meta.getField("mime_type").alias("mime_type"),
-        meta.getField("width").alias("width"),
-        meta.getField("height").alias("height"),
+    # two alias barriers (r9 perf pin): the synthesized payload is built
+    # once, and the JPEG segment walk — a HOF, exempt from subexpression
+    # elimination, so each inline reference would re-execute it — runs
+    # once per row; the final extracts are cheap column-ref subtrees
+    p = F.col("payload")
+    meta = image_meta(p, jpeg=F.col("jd"))
+    return (
+        docs.select("doc_id", payload.alias("payload"))
+        .select("doc_id", "payload", jpeg_dims(p).alias("jd"))
+        .select(
+            "doc_id",
+            F.octet_length(p).alias("n_bytes"),
+            meta.getField("mime_type").alias("mime_type"),
+            meta.getField("width").alias("width"),
+            meta.getField("height").alias("height"),
+        )
     )
 
 
@@ -3765,9 +3780,9 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the q_video_meta lesson), then the unified catalog row: with the
     # offset staged, every parser's per-field extract is a cheap subtree
     # over column refs.
-    from .multimodal.binary import mvhd_offset
+    from .multimodal.binary import jpeg_dims, mvhd_offset
 
-    img = image_meta(p)
+    img = image_meta(p, jpeg=F.col("jd"))
     aud = audio_meta(p)
     vid = video_meta(p, F.col("mp"))
     return (
@@ -3776,6 +3791,10 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "payload",
             mvhd_offset(p).alias("mp"),
+            # the JPEG walk staged like the mvhd offset: HOFs are exempt
+            # from subexpression elimination, so the width+height
+            # getFields below would otherwise re-run it (r9 perf pin)
+            jpeg_dims(p).alias("jd"),
             F.octet_length(p).alias("n_bytes"),
             mime.alias("mime_type"),
             modality.alias("modality"),
