@@ -69,6 +69,7 @@ class MinHashSignatureStore:
     def _batch_dirs(self, committed_only: bool) -> list[int]:
         if not os.path.isdir(self.path):
             return []
+        self._recover_batch_swaps()
         return sorted(
             int(m.group(1))
             for name in os.listdir(self.path)
@@ -78,6 +79,75 @@ class MinHashSignatureStore:
                 or os.path.exists(os.path.join(self.path, name, "_SUCCESS"))
             )
         )
+
+    def _recover_batch_swaps(self) -> None:
+        """Finish any interrupted delete_docs per-batch swap (protocol:
+        write ``batch=N.compacting`` → rename batch=N → ``batch=N.old``
+        → rename .compacting → batch=N → rmtree .old). Same rules as the
+        curation stores' _recover_swap, run by every directory listing:
+        live missing → promote the completed stage (_SUCCESS) or restore
+        the set-aside original; leftovers beside a live dir are garbage.
+        Steady-state cost: the listdir the caller was doing anyway."""
+        import shutil
+
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"(batch=\d+)\.(old|compacting)", name)
+            if not m:
+                continue
+            live = os.path.join(self.path, m.group(1))
+            staged, old = live + ".compacting", live + ".old"
+            if not os.path.isdir(live):
+                if os.path.isdir(staged) and os.path.exists(
+                    os.path.join(staged, "_SUCCESS")
+                ):
+                    os.rename(staged, live)
+                elif os.path.isdir(old):
+                    os.rename(old, live)
+            if os.path.isdir(live):
+                for leftover in (staged, old):
+                    if os.path.isdir(leftover):
+                        shutil.rmtree(leftover, ignore_errors=True)
+
+    def delete_docs(self, ids) -> int:
+        """PHYSICALLY erase the signature rows of ``ids`` (GDPR-class
+        erasure — signatures are content-derived, so tombstone filtering
+        alone would retain derived personal data). ``ids`` is a bounded
+        driver-side list (erasure requests are operationally small;
+        isin() compiles them into the scan filter).
+
+        Per-batch staged swap: only partitions containing a deleted id
+        are rewritten, and BATCH IDENTITY IS PRESERVED — a caller keying
+        per-batch side effects by batch number (CurationStream's
+        pair-completeness markers) stays consistent with no re-marking.
+        Crash anywhere mid-swap is healed by _recover_batch_swaps (every
+        listing runs it); the caller's durable delete intent
+        (CurationStream._apply_deletes) replays the whole operation, so
+        a crash BETWEEN batch rewrites also converges. Same
+        single-writer contract as upsert_batch/compact. Returns the
+        number of partitions rewritten."""
+        import shutil
+
+        ids = sorted({int(i) for i in ids})
+        if not ids:
+            return 0
+        rewritten = 0
+        for b in self._batches():
+            rows = self.batch_rows(b)
+            if rows.filter(F.col(self.id_col).isin(ids)).isEmpty():
+                continue
+            live = os.path.join(self.path, f"batch={b}")
+            staged, old = live + ".compacting", live + ".old"
+            for leftover in (staged, old):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
+            rows.filter(~F.col(self.id_col).isin(ids)).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            os.rename(live, old)
+            os.rename(staged, live)
+            shutil.rmtree(old)
+            rewritten += 1
+        return rewritten
 
     def _batches(self) -> list[int]:
         """COMMITTED batch partitions only (_SUCCESS present): a write

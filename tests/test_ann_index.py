@@ -327,6 +327,86 @@ def test_delete_plain_iterable_on_empty_index_is_loud(spark, tmp_path):
         idx.delete([1, 2])
 
 
+def test_maintain_recluster_lifecycle(spark, tmp_path):
+    """The detect→repair loop: build → append a far-away cluster →
+    drift() trips the threshold → maintain() rebuilds with fresh
+    quantizers and swaps → reconstruction health and probe recall are
+    restored, tombstones resolved, and an interrupted swap rolls back
+    to the intact original on the next open."""
+    import os
+    import shutil
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "idx")
+    idx = IvfPqIndex.build(spark, path, emb, k_lists=8)
+
+    # below threshold: maintain is a no-op drift report
+    rep0 = idx.maintain()
+    assert rep0["rebuilt"] is False and abs(rep0["ratio"] - 1.0) < 1e-9
+
+    shifted = emb.limit(100).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x + 100.0 AS FLOAT))"
+        ).alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    idx.append(shifted)
+    # tombstone a couple of shifted ids: the rebuild must resolve them
+    victims = [r.vec_id for r in shifted.select("vec_id").limit(2).collect()]
+    idx.delete(victims)
+    assert idx.drift()["ratio"] > 2.0
+
+    n_live = idx.read().count() - 2
+    rep1 = idx.maintain()
+    assert rep1["rebuilt"] is True and rep1["ratio"] > 2.0
+    # fresh quantizers: health restored to a self-consistent baseline
+    rep2 = idx.drift()
+    assert abs(rep2["ratio"] - 1.0) < 1e-9
+    assert rep1["mse_after"] == rep2["mse"]
+    # tombstones physically resolved, none carried over
+    assert idx.read().count() == n_live
+    assert idx._tombstones() is None
+    stored = {r.vec_id for r in idx.read().select("vec_id").collect()}
+    assert not set(victims) & stored
+    assert not os.path.isdir(path + ".rebuilding")
+
+    # probe correctness after the swap: the shifted cluster is now
+    # IN-distribution, so its nearest neighbor must be found exactly
+    # probe correctness vs BRUTE FORCE (probes exclude self by design):
+    # the rerank pool must cover the whole 100-vector cluster — its
+    # members quantize to near-identical codes, so ADC order within it
+    # is arbitrary and a small pool could exclude the true neighbor
+    import numpy as np
+
+    q = shifted.select("vec_id", "embedding").filter(
+        ~F.col("vec_id").isin(victims)
+    ).limit(3)
+    got = {
+        r.query_id: r.neighbor_id
+        for r in idx.probe(q, k=1, nprobe=2, rerank=200).collect()
+    }
+    live_rows = idx.read().select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in live_rows])
+    V = np.array([r.embedding for r in live_rows], dtype=np.float64)
+    want = {}
+    for r in q.collect():
+        d = ((V - np.asarray(r.embedding, dtype=np.float64)) ** 2).sum(axis=1)
+        d[ids == r.vec_id] = np.inf  # the probe's self-exclusion
+        want[r.vec_id] = int(ids[int(np.argmin(d))])
+    assert got == want
+
+    # interrupted swap: live path renamed aside (no meta at path) — the
+    # next open must roll back to the parked original, intact
+    parked = path + ".old-deadbeef"
+    os.rename(path, parked)
+    shutil.copytree(parked, path + ".rebuilding")  # half-promoted debris
+    idx2 = IvfPqIndex(spark, path)
+    assert idx2.read().count() == n_live
+    assert not os.path.isdir(parked)
+    assert not os.path.isdir(path + ".rebuilding")
+
+
 def test_drift_baseline_and_distribution_shift(spark, tmp_path):
     """Quantizer-drift detection: the baseline is frozen at build on the
     training distribution (ratio ~= 1 immediately after), appending

@@ -238,6 +238,190 @@ def test_curation_stream_pair_emission_crash_recovery(spark, tmp_path):
     assert _clean_ids(cs3.clean()) == want_clean
 
 
+def _feed(spark, store, corpus):
+    cs = CurationStream(spark, store)
+    for rem in (2, 1, 0):
+        cs.process_batch(corpus.filter(F.col("doc_id") % 3 == rem))
+    return cs
+
+
+def _oracle_minus(spark, corpus, deleted):
+    kept = corpus.filter(~F.col("doc_id").isin(sorted(deleted)))
+    return _clean_ids(run_curation(spark, kept).clean)
+
+
+def test_delete_docs_stream_equals_batch_minus_deleted(spark, tmp_path):
+    """GDPR-class erasure: after delete_docs, the stream's stores must
+    resolve to the batch funnel run on the corpus WITHOUT the deleted
+    docs. Deleted ids are chosen to shift both dedup stages: an original
+    whose exact copy (+200000) must become the new canonical survivor,
+    and a near-dup winner whose +100000 loser must be resurrected."""
+    corpus = _corpus(spark)
+    store = str(tmp_path / "store")
+    cs = _feed(spark, store, corpus)
+    base_clean = _clean_ids(cs.clean())
+    base_funnel = cs.funnel()
+    # pick two clean originals: deleting them must promote their exact
+    # copy / resurrect their near-dup loser
+    originals = sorted(i for i in base_clean if i < 100000)
+    deleted = {originals[0], originals[1], originals[1] + 200000}
+    res = cs.delete_docs(deleted)
+    assert res["deleted"] == 3 and res["applied"] == 1
+
+    want = _oracle_minus(spark, corpus, deleted)
+    assert _clean_ids(cs.clean()) == want
+    f = cs.funnel()
+    # ledger counts are historical ingest stats — deletion never
+    # rewrites history; the derived stages reflect the purged stores
+    assert f["raw"] == base_funnel["raw"]
+    assert f["quality"] == base_funnel["quality"]
+    assert f["clean"] == len(want)
+    # physical erasure: no store row anywhere references a deleted id
+    import os
+
+    assert not set(deleted) & {
+        r.doc_id for r in cs._corpus().select("doc_id").collect()
+    }
+    sig_ids = {r.doc_id for r in cs.sigs.read().select("doc_id").collect()}
+    assert not set(deleted) & sig_ids
+    pairs = spark.read.parquet(cs.pairs_path)
+    pair_ids = {
+        x
+        for r in pairs.collect()
+        for x in (r.id_a, r.id_b)
+    }
+    assert not set(deleted) & pair_ids
+    assert os.path.isdir(cs.deletes_path) and not os.listdir(cs.deletes_path)
+
+    # a fresh object sees the same state; re-ingesting a deleted doc
+    # brings it back through the normal funnel (no standing ban)
+    cs2 = CurationStream(spark, store)
+    assert _clean_ids(cs2.clean()) == want
+    cs2.process_batch(corpus.filter(F.col("doc_id").isin([originals[0]])))
+    assert originals[0] in {
+        r.doc_id for r in cs2._corpus().select("doc_id").collect()
+    }
+
+
+def test_delete_docs_crash_matrix(spark, tmp_path):
+    """The erasure protocol claims ANY single-point crash converges on
+    replay: intent-written (nothing applied), sigs-purged (corpus/pairs
+    still dirty), each _swap_in intermediate state for the corpus and
+    pair stores (staged-written / live-moved / staged-promoted), and
+    applied-but-intent-uncleared. After each, a FRESH CurationStream
+    (whose _recover_pairs applies pending intents) must resolve to the
+    batch-minus-deleted oracle with no intent left."""
+    import os
+    import shutil
+
+    from crypto_market_tracker_etl_spark.plans import curation_stream as mod
+
+    corpus = _corpus(spark)
+    base = str(tmp_path / "base")
+    cs0 = _feed(spark, base, corpus)
+    deleted = sorted(i for i in _clean_ids(cs0.clean()) if i < 100000)[:2]
+    want = _oracle_minus(spark, corpus, deleted)
+
+    def fresh_copy(tag):
+        dst = str(tmp_path / tag)
+        shutil.copytree(base, dst)
+        return dst
+
+    def write_intent(store):
+        os.makedirs(os.path.join(store, "deletes"), exist_ok=True)
+        p = os.path.join(store, "deletes", "0")
+        with open(p + ".tmp", "w") as f:
+            f.write("\n".join(map(str, deleted)))
+        os.replace(p + ".tmp", p)
+
+    def assert_recovers(store, tag):
+        cs = CurationStream(spark, store)  # __init__ → _recover_pairs → apply
+        assert _clean_ids(cs.clean()) == want, tag
+        assert not cs._pending_deletes(), tag
+        f = cs.funnel()
+        assert f["clean"] == len(want), tag
+
+    # 1. crash right after the intent write: nothing applied yet
+    s = fresh_copy("intent-only")
+    write_intent(s)
+    assert_recovers(s, "intent-only")
+
+    # 2. crash after the signature purge, before any corpus/pair rewrite
+    # (construct BEFORE arming the intent so __init__ applies nothing;
+    # the on-disk state is then exactly: sigs purged, corpus/pairs
+    # dirty, intent pending)
+    s = fresh_copy("sigs-purged")
+    CurationStream(spark, s).sigs.delete_docs(deleted)
+    write_intent(s)
+    assert_recovers(s, "sigs-purged")
+
+    # 3. each swap intermediate state for corpus and pairs
+    for store_name in ("corpus", "pairs"):
+        for state in ("staged-written", "live-moved", "staged-promoted"):
+            s = fresh_copy(f"{store_name}-{state}")
+            live = os.path.join(s, store_name)
+            col = (
+                ~F.col("doc_id").isin(deleted)
+                if store_name == "corpus"
+                else ~F.col("id_a").isin(deleted)
+                & ~F.col("id_b").isin(deleted)
+            )
+            filtered = spark.read.parquet(live).filter(col)
+            staged, old = live + ".compacting", live + ".old"
+            filtered.write.mode("overwrite").parquet(staged)
+            if state in ("live-moved", "staged-promoted"):
+                os.rename(live, old)
+            if state == "staged-promoted":
+                os.rename(staged, live)
+            write_intent(s)
+            assert_recovers(s, f"{store_name}-{state}")
+
+    # 4. fully applied but the intent file survived: replay is a no-op
+    s = fresh_copy("uncleared-intent")
+    cs = CurationStream(spark, s)
+    cs.delete_docs(deleted)
+    write_intent(s)  # resurrect the cleared intent
+    assert_recovers(s, "uncleared-intent")
+
+
+def test_sig_store_delete_preserves_batches_and_pairs(spark, tmp_path):
+    """MinHashSignatureStore.delete_docs: batch identity preserved (the
+    pair-completeness markers keyed by batch number stay valid), read()
+    excludes the ids, incremental_pairs can no longer emit them, and an
+    interrupted per-batch swap heals on the next listing."""
+    import os
+
+    from crypto_market_tracker_etl_spark.operators.incremental_dedup import (
+        MinHashSignatureStore,
+    )
+
+    corpus = _corpus(spark).select("doc_id", "text")
+    store = MinHashSignatureStore(spark, str(tmp_path / "sigs"))
+    for rem in (0, 1):
+        store.upsert_batch(corpus.filter(F.col("doc_id") % 2 == rem))
+    before = store.committed_batches()
+    ids = [r.doc_id for r in store.read().limit(2).collect()]
+
+    assert store.delete_docs(ids) >= 1
+    assert store.committed_batches() == before  # identity preserved
+    left = {r.doc_id for r in store.read().collect()}
+    assert not set(ids) & left
+    probe = corpus.filter(F.col("doc_id") % 2 == 0).limit(5)
+    got = store.incremental_pairs(store._sign(store._fingerprinted(probe)))
+    emitted = {x for r in got.collect() for x in (r.id_a, r.id_b)}
+    assert not set(ids) & emitted
+
+    # interrupted swap: live dir set aside, stage complete → reader heals
+    b = before[0]
+    live = os.path.join(store.path, f"batch={b}")
+    staged = live + ".compacting"
+    spark.read.parquet(live).write.mode("overwrite").parquet(staged)
+    os.rename(live, live + ".old")
+    assert b in store.committed_batches()  # _recover_batch_swaps promoted
+    assert os.path.isdir(live)
+    assert not os.path.isdir(staged) and not os.path.isdir(live + ".old")
+
+
 def test_curation_stream_compact_crash_injection(spark, tmp_path):
     """compact()'s swap protocol claims ANY single-point crash is
     recoverable: simulate a kill at each of the three intermediate
