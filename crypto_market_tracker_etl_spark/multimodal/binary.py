@@ -328,6 +328,125 @@ def jpeg_dims(payload: F.Column, max_segments: int = 16) -> F.Column:
     return F.when(is_jpeg, _jpeg_sof_walk(payload, max_segments, fin))
 
 
+# ---------------------------------------------------------------------------
+# WebP (r9): the second most common crawl image class after JPEG. A WebP
+# file is a RIFF container ("RIFF" + size + "WEBP") whose first chunk is one
+# of three bitstream variants, each carrying dimensions at FIXED offsets —
+# so unlike JPEG no segment walk is needed and the whole parse stays a plain
+# (subexpression-eliminable) projection:
+#   VP8  (lossy):    3-byte frame tag, 3-byte start code 9D 01 2A, then
+#                    width/height as LE16 each with the low 14 bits valid
+#                    (top 2 bits are the rescale hint).
+#   VP8L (lossless): signature byte 0x2F, then a LE32 bitfield packing
+#                    (width-1) in bits 0-13 and (height-1) in bits 14-27.
+#   VP8X (extended): 4 flag/reserved bytes, then (canvas_width-1) and
+#                    (canvas_height-1) as LE24 each.
+# ---------------------------------------------------------------------------
+
+WEBP_TAG_HEX = "57454250"  # "WEBP" (RIFF form type, bytes 9-12)
+VP8_FOURCC_HEX = "56503820"  # "VP8 " (lossy)
+VP8L_FOURCC_HEX = "5650384C"  # "VP8L" (lossless)
+VP8X_FOURCC_HEX = "56503858"  # "VP8X" (extended)
+VP8_START_CODE_HEX = "9D012A"
+
+
+def synth_webp_vp8(width: F.Column, height: F.Column) -> F.Column:
+    """A real lossy-WebP prefix (RIFF + 'WEBP' + 'VP8 ' chunk with frame
+    tag, start code, and 14-bit dims) — 30 bytes, parseable by any WebP
+    reader; the independent pure-Python parser in tests validates it."""
+    return F.unhex(
+        F.concat(
+            F.lit(WAV_RIFF_HEX),  # "RIFF"
+            F.lit("16000000"),  # file size 22 (LE32): WEBP + chunk
+            F.lit(WEBP_TAG_HEX),
+            F.lit(VP8_FOURCC_HEX),
+            F.lit("0A000000"),  # chunk size 10 (LE32)
+            F.lit("900200"),  # frame tag: keyframe, shown, psize 0x14
+            F.lit(VP8_START_CODE_HEX),
+            _le_hex(width, 2),  # 14-bit width, scale bits 0
+            _le_hex(height, 2),
+        )
+    )
+
+
+def synth_webp_vp8l(width: F.Column, height: F.Column) -> F.Column:
+    """A real lossless-WebP prefix (RIFF + 'WEBP' + 'VP8L' chunk: 0x2F
+    signature + the LE32 (width-1 | height-1<<14) bitfield) — 25 bytes."""
+    bits = (width - 1).cast("long") + (height - 1).cast("long") * 16384
+    return F.unhex(
+        F.concat(
+            F.lit(WAV_RIFF_HEX),
+            F.lit("11000000"),  # file size 17 (LE32)
+            F.lit(WEBP_TAG_HEX),
+            F.lit(VP8L_FOURCC_HEX),
+            F.lit("05000000"),  # chunk size 5 (LE32)
+            F.lit("2F"),  # VP8L signature byte
+            _le_hex(bits, 4),
+        )
+    )
+
+
+def synth_webp_vp8x(width: F.Column, height: F.Column) -> F.Column:
+    """A real extended-WebP prefix (RIFF + 'WEBP' + the 10-byte VP8X
+    chunk: flags + reserved + LE24 canvas dims minus one) — 30 bytes."""
+    return F.unhex(
+        F.concat(
+            F.lit(WAV_RIFF_HEX),
+            F.lit("16000000"),  # file size 22 (LE32)
+            F.lit(WEBP_TAG_HEX),
+            F.lit(VP8X_FOURCC_HEX),
+            F.lit("0A000000"),  # chunk size 10 (LE32)
+            F.lit("00000000"),  # flags (none) + 3 reserved bytes
+            _le_hex(width - 1, 3),  # canvas width - 1, LE24
+            _le_hex(height - 1, 3),  # canvas height - 1, LE24
+        )
+    )
+
+
+def _le3_int(payload: F.Column, pos: int) -> F.Column:
+    """24-bit little-endian int at 1-based byte offset ``pos``."""
+    b = lambda i: F.conv(_bytes_hex(payload, pos + i, 1), 16, 10).cast("int")  # noqa: E731
+    return b(0) + b(1) * 256 + b(2) * 65536
+
+
+def webp_dims(payload: F.Column) -> F.Column:
+    """struct(width, height) of a WebP payload, or NULL for non-WebP
+    bytes / NULL fields for an unrecognized or malformed first chunk.
+    Dispatches on the first chunk's fourCC (byte 13): VP8 dims are LE16
+    low-14-bits after the 9D012A start code (absent start code → NULL —
+    an interframe or corrupt stream carries no dims), VP8L dims unpack
+    the LE32 bitfield behind the 0x2F signature, VP8X dims are LE24
+    canvas fields + 1. Unlike jpeg_dims this is fixed-offset arithmetic —
+    no higher-order function, so Catalyst's subexpression elimination
+    applies and no alias-barrier staging is required of consumers."""
+    is_webp = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
+        _bytes_hex(payload, 9, 4) == WEBP_TAG_HEX
+    )
+    fourcc = _bytes_hex(payload, 13, 4)
+    vp8_ok = (fourcc == VP8_FOURCC_HEX) & (
+        _bytes_hex(payload, 24, 3) == VP8_START_CODE_HEX
+    )
+    vp8l_ok = (fourcc == VP8L_FOURCC_HEX) & (_bytes_hex(payload, 21, 1) == "2F")
+    vp8x_ok = fourcc == VP8X_FOURCC_HEX
+    bits = _le4_int(payload, 22)  # VP8L (w-1 | h-1<<14) bitfield
+    width = (
+        F.when(vp8_ok, _le2_int(payload, 27) % 16384)
+        .when(vp8l_ok, (bits % 16384 + 1).cast("int"))
+        .when(vp8x_ok, _le3_int(payload, 25) + 1)
+    )
+    height = (
+        F.when(vp8_ok, _le2_int(payload, 29) % 16384)
+        .when(vp8l_ok, (F.shiftright(bits, 14) % 16384 + 1).cast("int"))
+        .when(vp8x_ok, _le3_int(payload, 28) + 1)
+    )
+    return F.when(
+        is_webp,
+        F.struct(
+            width.cast("int").alias("width"), height.cast("int").alias("height")
+        ),
+    )
+
+
 def _bytes_hex(payload: F.Column, pos: int, n: int) -> F.Column:
     return F.hex(F.substring(payload, pos, n))
 
@@ -367,22 +486,29 @@ def image_meta(payload: F.Column, jpeg: F.Column | None = None) -> F.Column:
     is_png = _bytes_hex(payload, 1, 8) == PNG_SIG_HEX
     is_gif = _bytes_hex(payload, 1, 6) == GIF_SIG_HEX
     is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
+    is_webp = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
+        _bytes_hex(payload, 9, 4) == WEBP_TAG_HEX
+    )
     jd = jpeg_dims(payload) if jpeg is None else jpeg
+    wd = webp_dims(payload)  # fixed-offset exprs: CSE applies, no staging
     null_i = F.lit(None).cast("int")
     return F.struct(
         F.when(is_png, F.lit("image/png"))
         .when(is_gif, F.lit("image/gif"))
         .when(is_jpeg, F.lit("image/jpeg"))
+        .when(is_webp, F.lit("image/webp"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime_type"),
         F.when(is_png, _be_int(payload, 17, 4))
         .when(is_gif, _le2_int(payload, 7))
         .when(is_jpeg, jd.getField("width"))
+        .when(is_webp, wd.getField("width"))
         .otherwise(null_i)
         .alias("width"),
         F.when(is_png, _be_int(payload, 21, 4))
         .when(is_gif, _le2_int(payload, 9))
         .when(is_jpeg, jd.getField("height"))
+        .when(is_webp, wd.getField("height"))
         .otherwise(null_i)
         .alias("height"),
     )
@@ -652,12 +778,14 @@ def sniff_mime(payload: F.Column) -> F.Column:
     # the fixed-layout audio_meta parser separately requires the canonical
     # "fmt "-first layout and NULLs out anything else
     is_wav = sig(WAV_RIFF_HEX) & (_bytes_hex(payload, 9, 4) == "57415645")
+    is_webp = sig(WAV_RIFF_HEX) & (_bytes_hex(payload, 9, 4) == WEBP_TAG_HEX)
     is_bmff = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
     brand = _bytes_hex(payload, 9, 4)  # ftyp major brand, ASCII hex
     return (
         F.when(sig(PNG_SIG_HEX), F.lit("image/png"))
         .when(sig(GIF_SIG_HEX), F.lit("image/gif"))
         .when(is_wav, F.lit("audio/x-wav"))
+        .when(is_webp, F.lit("image/webp"))
         .when(
             is_bmff & brand.isin("68656963", "68656978"),  # heic, heix
             F.lit("image/heic"),

@@ -2467,6 +2467,8 @@ ATTESTATION_ORDER: list[str] = [
     # ==== r9 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
     "bpe_bytes",
+    # -- output changed this round (WebP classes added; r8 rows stale) ----
+    "image_meta", "media_catalog",
     # -- rest of the r5 cohort (30; oldest driver rows, scheduled refresh)
     "global_sort", "daily_ohlc_view",
     "cube", "moving_avg", "ntile_rank", "range_join",
@@ -2515,7 +2517,6 @@ ATTESTATION_ORDER: list[str] = [
     # ==== r8 window (freshest rows, green in CORRECTNESS_r08.json) =======
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
     "curation_stream_eq", "gopher_rules",
-    "image_meta", "media_catalog",
     "dedup_exact", "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",

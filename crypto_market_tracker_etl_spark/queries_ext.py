@@ -3417,28 +3417,37 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority image format of a real crawl, and until r8 this emitted
     NULL dims for it (r7 verdict #5).
 
-    Payloads are genuine header bytes synthesized per doc (doc_id mod 3:
+    Payloads are genuine header bytes synthesized per doc (doc_id mod 6:
     0 → PNG, 1 → GIF, 2 → JPEG with SOF0 as the THIRD segment, after
-    APP0/JFIF and a DQT, so the walk is exercised, not a fixed offset);
-    the oracle knows the synthesis formula and checks the parse
-    analytically — a differential test of the parser itself. An
-    independent pure-Python marker-walk parser validates synth_jpeg in
-    tests (the synth_mp4 pattern)."""
+    APP0/JFIF and a DQT, so the walk is exercised, not a fixed offset;
+    3/4/5 → WebP in its three first-chunk variants VP8 / VP8L / VP8X —
+    r9: the second most common crawl image class, fixed-offset parses
+    over the RIFF container); the oracle knows the synthesis formula and
+    checks the parse analytically — a differential test of the parser
+    itself. Independent pure-Python parsers validate synth_jpeg and all
+    three synth_webp variants in tests (the synth_mp4 pattern)."""
     from .multimodal.binary import (
         image_meta,
         jpeg_dims,
         synth_gif,
         synth_jpeg,
         synth_png,
+        synth_webp_vp8,
+        synth_webp_vp8l,
+        synth_webp_vp8x,
     )
 
     docs = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 6
     w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
     h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
     payload = (
-        F.when(F.col("doc_id") % 3 == 0, synth_png(w, h))
-        .when(F.col("doc_id") % 3 == 1, synth_gif(w, h))
-        .otherwise(synth_jpeg(w, h))
+        F.when(m == 0, synth_png(w, h))
+        .when(m == 1, synth_gif(w, h))
+        .when(m == 2, synth_jpeg(w, h))
+        .when(m == 3, synth_webp_vp8(w, h))
+        .when(m == 4, synth_webp_vp8l(w, h))
+        .otherwise(synth_webp_vp8x(w, h))
     )
     # two alias barriers (r9 perf pin): the synthesized payload is built
     # once, and the JPEG segment walk — a HOF, exempt from subexpression
@@ -3461,10 +3470,12 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IMAGE_META = """
 SELECT doc_id,
-       CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13
-            ELSE 40 END AS INT) AS n_bytes,
-       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
-            ELSE 'image/jpeg' END AS mime_type,
+       CAST(CASE doc_id % 6 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 40
+            WHEN 3 THEN 30 WHEN 4 THEN 25 ELSE 30 END AS INT) AS n_bytes,
+       CASE WHEN doc_id % 6 = 0 THEN 'image/png'
+            WHEN doc_id % 6 = 1 THEN 'image/gif'
+            WHEN doc_id % 6 = 2 THEN 'image/jpeg'
+            ELSE 'image/webp' END AS mime_type,
        CAST(100 + doc_id % 800 AS INT) AS width,
        CAST(100 + (doc_id * 7) % 800 AS INT) AS height
 FROM documents
@@ -3721,10 +3732,11 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted); blobs never enter Python; the payload synthesis sits
     behind the alias barrier (the audio_meta planning-cost lesson).
 
-    Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP by
-    doc_id % 8 with per-doc parameters, so every route, every parser —
+    Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP by
+    doc_id % 9 with per-doc parameters, so every route, every parser —
     including the JPEG SOF segment walk (r8; the catalog's majority
-    class in a real crawl no longer emits NULL dims) — and the
+    class in a real crawl no longer emits NULL dims) and the WebP RIFF
+    parse (r9; the second most common crawl image class) — and the
     unified-schema NULL pattern (PDF/ZIP/GZIP: document / archive, no
     dims) are exercised in one plan. The oracle knows the synthesis
     formulas and checks routing + parsing analytically."""
@@ -3737,12 +3749,13 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_mp4,
         synth_png,
         synth_wav,
+        synth_webp_vp8,
         video_meta,
     )
 
     docs = _documents(spark, sf_dir)
     d = F.col("doc_id")
-    m = d % 8
+    m = d % 9
     w = (F.lit(100) + d % 800).cast("int")
     h = (F.lit(100) + (d * 7) % 800).cast("int")
     frames = (F.lit(16000) + (d * 11) % 8000).cast("long")
@@ -3756,7 +3769,8 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 4, synth_jpeg(w, h))
         .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
         .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
-        .otherwise(F.unhex(F.lit("1F8B08000000")))  # gzip deflate
+        .when(m == 7, F.unhex(F.lit("1F8B08000000")))  # gzip deflate
+        .otherwise(synth_webp_vp8(w, h))
     )
     p = F.col("payload")
     mime = sniff_mime(p)
@@ -3770,7 +3784,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_i = F.lit(None).cast("int")
     is_img = F.col("mime_type").isin(
-        "image/png", "image/gif", "image/jpeg"
+        "image/png", "image/gif", "image/jpeg", "image/webp"
     )  # parseable
     is_aud = F.col("mime_type") == "audio/x-wav"
     is_vid = F.col("mime_type") == "video/mp4"
@@ -3824,7 +3838,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_CATALOG = """
 WITH p AS (
-  SELECT doc_id, doc_id % 8 AS m,
+  SELECT doc_id, doc_id % 9 AS m,
          CAST(100 + doc_id % 800 AS INT) AS w,
          CAST(100 + (doc_id * 7) % 800 AS INT) AS h,
          16000 + (doc_id * 11) % 8000 AS frames,
@@ -3835,17 +3849,18 @@ WITH p AS (
 SELECT doc_id,
        CAST(CASE m WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
             WHEN 3 THEN 136 WHEN 4 THEN 40 WHEN 5 THEN 8
-            ELSE 6 END AS INT) AS n_bytes,
+            WHEN 6 THEN 6 WHEN 7 THEN 6 ELSE 30 END AS INT) AS n_bytes,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
-            WHEN 6 THEN 'application/zip'
-            ELSE 'application/gzip' END AS mime_type,
+            WHEN 6 THEN 'application/zip' WHEN 7 THEN 'application/gzip'
+            ELSE 'image/webp' END AS mime_type,
        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
             WHEN 3 THEN 'video' WHEN 4 THEN 'image' WHEN 5 THEN 'document'
-            ELSE 'archive' END AS modality,
-       CASE WHEN m IN (0, 1, 4) THEN w END AS width,
-       CASE WHEN m IN (0, 1, 4) THEN h END AS height,
+            WHEN 6 THEN 'archive' WHEN 7 THEN 'archive'
+            ELSE 'image' END AS modality,
+       CASE WHEN m IN (0, 1, 4, 8) THEN w END AS width,
+       CASE WHEN m IN (0, 1, 4, 8) THEN h END AS height,
        CAST(CASE WHEN m = 2 THEN 16000 END AS INT) AS sample_rate_hz,
        CAST(CASE WHEN m = 2 THEN (frames * 1000) // 16000
                  WHEN m = 3 THEN (dur * 1000) // 1000

@@ -1226,6 +1226,109 @@ def test_synth_jpeg_roundtrip_and_independent_parser(spark):
         assert _py_jpeg_dims(bytes(r["payload"])) == (w, h)
 
 
+def _py_webp_dims(b: bytes):
+    """Independent pure-Python WebP parser (the _py_jpeg_dims pattern):
+    RIFF + 'WEBP', then dims per first-chunk variant — VP8 LE16 low-14
+    after the 9D 01 2A start code, VP8L LE32 bitfield behind 0x2F,
+    VP8X LE24 canvas fields + 1. Returns (width, height) or None."""
+    if b[0:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    cc = b[12:16]
+    if cc == b"VP8 ":
+        if b[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return (w, h)
+    if cc == b"VP8L":
+        if b[20] != 0x2F:
+            return None
+        bits = int.from_bytes(b[21:25], "little")
+        return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    if cc == b"VP8X":
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return (w, h)
+    return None
+
+
+def test_synth_webp_roundtrip_and_independent_parser(spark):
+    """All three synth_webp variants emit bytes BOTH parsers read back
+    exactly — Spark's fixed-offset expression parse and the pure-Python
+    reference — including at the 14-bit boundary dims (16383/16384)
+    where the VP8 scale bits and the VP8L bitfield packing would first
+    betray an off-by-one."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_webp_vp8,
+        synth_webp_vp8l,
+        synth_webp_vp8x,
+    )
+
+    w = (F.col("id") * 37 % 16383).cast("int") + 1  # VP8 max 16383
+    h = (F.col("id") * 11 % 16383).cast("int") + 1
+    df = spark.range(1, 50).select(
+        "id",
+        synth_webp_vp8(w, h).alias("p8"),
+        synth_webp_vp8l(w, h).alias("p8l"),
+        synth_webp_vp8x(w, h).alias("p8x"),
+    )
+    rows = df.select(
+        "id",
+        "p8",
+        "p8l",
+        "p8x",
+        image_meta(F.col("p8")).alias("m8"),
+        image_meta(F.col("p8l")).alias("m8l"),
+        image_meta(F.col("p8x")).alias("m8x"),
+    ).collect()
+    assert len(rows) == 49
+    for r in rows:
+        w_, h_ = r["id"] * 37 % 16383 + 1, r["id"] * 11 % 16383 + 1
+        for m, p in (("m8", "p8"), ("m8l", "p8l"), ("m8x", "p8x")):
+            assert (
+                r[m]["mime_type"], r[m]["width"], r[m]["height"]
+            ) == ("image/webp", w_, h_), (m, r["id"])
+            assert _py_webp_dims(bytes(r[p])) == (w_, h_), (p, r["id"])
+
+
+def test_webp_malformed_and_routing(spark):
+    """Malformed WebP yields NULL dims (never an error) with mime still
+    image/webp on a valid RIFF+WEBP shell; sniff_mime routes WebP to the
+    image pipeline and keeps WAV (the other RIFF tenant) on audio."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        sniff_mime,
+    )
+
+    def shell(fourcc: bytes, payload: bytes) -> bytes:
+        body = b"WEBP" + fourcc + len(payload).to_bytes(4, "little") + payload
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    cases = {
+        # VP8 without the 9D012A start code (interframe / corrupt)
+        1: shell(b"VP8 ", b"\x90\x02\x00" + b"\x00\x01\x2a" + b"\x10\x00\x10\x00"),
+        # VP8L without the 0x2F signature byte
+        2: shell(b"VP8L", b"\x00\x0f\x00\xc0\x03"),
+        # unknown first chunk (ALPH before VP8X — out of spec order)
+        3: shell(b"ALPH", b"\x00\x00\x00\x00"),
+        # truncated: RIFF+WEBP only, no chunk at all
+        4: b"RIFF\x04\x00\x00\x00WEBP",
+    }
+    df = spark.createDataFrame(
+        list(cases.items()), "id long, payload binary"
+    ).select(
+        "id",
+        image_meta(F.col("payload")).alias("m"),
+        sniff_mime(F.col("payload")).alias("mime"),
+    )
+    for r in df.collect():
+        assert r["m"]["mime_type"] == "image/webp", r["id"]
+        assert r["m"]["width"] is None and r["m"]["height"] is None, r["id"]
+        assert r["mime"] == "image/webp", r["id"]
+        assert _py_webp_dims(cases[r["id"]]) is None, r["id"]
+
+
 def test_frame_sample_deterministic(spark):
     docs = documents_as_media(load_table(spark, SF_DIR, "documents"))
     a = {r["media_id"] for r in frame_sample(docs, 4).collect()}
