@@ -119,3 +119,58 @@ def test_bench_diff_flags_movers_and_unwraps_driver_record(tmp_path):
     assert "| a |" not in out and "| c |" not in out
     assert "added (1" in out and "new_q" in out
     assert "removed (1): gone" in out
+
+
+def test_bench_diff_json_ledger_and_tail_salvage(tmp_path):
+    """The r9 ledger modes: --json emits the record as one JSON object;
+    --ledger N upserts (keyed by round) into BENCH_LEDGER.json; a
+    driver wrapper with parsed=None salvages seconds from the clipped
+    `tail` WITHOUT letting the spread_pct percent section overwrite
+    them, and marks the record partial."""
+    import json as _json
+    import subprocess
+    import sys
+
+    old = {
+        "queries": {"a": 1.00, "b": 0.50},
+        "spread_pct": {"a": 30.0},
+    }
+    # tail: clipped front, queries seconds then spread_pct percents —
+    # the percents for a/b must NOT overwrite the seconds
+    new = {
+        "parsed": None,
+        "tail": 'x": 9.9, "a": 1.2, "b": 0.8}, "iterative_total": 9.0, '
+        '"spread_pct": {"a": 50.0, "b": 4.0}, "sf": 0.1}',
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(_json.dumps(old))
+    pn.write_text(_json.dumps(new))
+
+    out = subprocess.check_output(
+        [sys.executable, "tools/bench_diff.py", "--json", str(po), str(pn)],
+        text=True,
+    )
+    rec = _json.loads(out)
+    assert rec["partial"] is True
+    got = {m["query"]: m for m in rec["movers"]}
+    # b: 0.5 -> 0.8 (+60% past max(4%, 10%) tol) flagged with SECONDS
+    assert got["b"]["new_s"] == 0.8
+    # a: 1.0 -> 1.2 (+20%) inside the salvaged 50% spread -> not flagged
+    assert "a" not in got
+    assert "iterative_total" not in rec["added"]
+
+    # --ledger upserts keyed by round into BENCH_LEDGER.json
+    import os as _os
+
+    env = dict(_os.environ, BENCH_LEDGER_DIR=str(tmp_path))
+    for _ in range(2):  # run twice: second run must replace, not append
+        subprocess.check_output(
+            [
+                sys.executable, "tools/bench_diff.py", "--ledger", "7",
+                str(po), str(pn),
+            ],
+            text=True,
+            env=env,
+        )
+    ledger = _json.loads((tmp_path / "BENCH_LEDGER.json").read_text())
+    assert len(ledger) == 1 and ledger[0]["round"] == 7

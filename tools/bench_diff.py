@@ -8,6 +8,13 @@ Usage::
     python tools/bench_diff.py                 # prior committed BENCH_DETAIL.json vs working copy
     python tools/bench_diff.py OLD.json NEW.json
     python tools/bench_diff.py git:HEAD~3      # that ref's BENCH_DETAIL.json vs working copy
+    python tools/bench_diff.py --json [OLD [NEW]]           # the same record as one JSON object
+    python tools/bench_diff.py --ledger N [OLD [NEW]]       # upsert round N's row into BENCH_LEDGER.json
+
+``--ledger N`` is the round-close step (r8 verdict #7): it writes the
+machine-readable mover table into ``BENCH_LEDGER.json`` (a JSON array,
+one row per round, keyed and replaced by ``round``), retiring the prose
+ledger in BENCH_BASELINE.md to narrative-only duty.
 
 Accepted shapes: bench.py's detail record ({queries, iterative,
 spread_pct, ...}) and the driver's BENCH_rN.json wrapper ({parsed:
@@ -47,13 +54,44 @@ def _load(path: str) -> dict:
     else:
         with open(path) as f:
             d = json.load(f)
+    partial = False
     if "parsed" in d and "queries" not in d:  # driver BENCH_rN.json wrapper
+        if d["parsed"] is None:
+            # r3/r4-era wrappers: the driver truncated the JSON line and
+            # recorded only a front-clipped `tail` string. Salvage the
+            # intact "name": seconds pairs it still holds; the first pair
+            # after the clip may carry a mangled name, so require a
+            # well-formed quoted identifier.
+            import re
+
+            def pairs(s: str) -> dict:
+                return {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"([a-z][a-z0-9_]*)":\s*([0-9]+\.?[0-9]*)', s
+                    )
+                }
+
+            # the tail holds the queries/iterative sections (seconds)
+            # FOLLOWED by spread_pct (percent): split at the marker or
+            # the percent values would overwrite the seconds
+            head, _, rest = d.get("tail", "").partition('"spread_pct"')
+            qs = pairs(head)
+            for k in ("sf", "value", "iterative_total"):
+                qs.pop(k, None)
+            spread = pairs(rest)
+            spread.pop("sf", None)
+            if not qs:
+                raise SystemExit(f"{path}: no per-query timings found")
+            return {"queries": qs, "spread": spread, "path": path,
+                    "partial": True}
         d = d["parsed"]
     qs = dict(d.get("queries", {}))
     qs.update(d.get("iterative", {}))
     if not qs:
         raise SystemExit(f"{path}: no per-query timings found")
-    return {"queries": qs, "spread": d.get("spread_pct", {}), "path": path}
+    return {"queries": qs, "spread": d.get("spread_pct", {}), "path": path,
+            "partial": partial}
 
 
 def _default_old() -> str:
@@ -82,35 +120,19 @@ def _default_old() -> str:
     )
 
 
-def main() -> None:
-    old_path = sys.argv[1] if len(sys.argv) > 1 else _default_old()
-    new_path = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(REPO, "BENCH_DETAIL.json")
-    )
+def diff_record(old_path: str, new_path: str) -> dict:
+    """The full comparison as one JSON-serializable record — the single
+    source both renderers (prose table, ledger row) consume."""
     old, new = _load(old_path), _load(new_path)
     shared = sorted(set(old["queries"]) & set(new["queries"]))
-    added = sorted(set(new["queries"]) - set(old["queries"]))
-    removed = sorted(set(old["queries"]) - set(new["queries"]))
-
-    total_old = sum(old["queries"][q] for q in shared)
-    total_new = sum(new["queries"][q] for q in shared)
-    print(f"old: {old['path']}")
-    print(f"new: {new['path']}")
     if not shared:
         raise SystemExit("no shared queries between the two records")
-    print(
-        f"shared {len(shared)} queries: {total_old:.2f}s -> {total_new:.2f}s "
-        f"({(total_new - total_old) / total_old * 100:+.1f}%)"
-    )
-    if added:
-        t = sum(new["queries"][q] for q in added)
-        print(f"added ({len(added)}, {t:.2f}s): {', '.join(added)}")
-    if removed:
-        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    added = sorted(set(new["queries"]) - set(old["queries"]))
+    removed = sorted(set(old["queries"]) - set(new["queries"]))
+    total_old = sum(old["queries"][q] for q in shared)
+    total_new = sum(new["queries"][q] for q in shared)
 
-    rows = []
+    movers = []
     for q in shared:
         a, b = old["queries"][q], new["queries"][q]
         delta = b - a
@@ -121,17 +143,106 @@ def main() -> None:
             REL_FLOOR_PCT,
         )
         if abs(rel) > tol and abs(delta) > ABS_FLOOR_SEC:
-            rows.append((rel, q, a, b, delta, tol))
-    if not rows:
+            movers.append(
+                {
+                    "query": q,
+                    "old_s": round(a, 3),
+                    "new_s": round(b, 3),
+                    "delta_s": round(delta, 3),
+                    "move_pct": round(rel, 1),
+                    "tol_pct": round(tol, 1),
+                }
+            )
+    movers.sort(key=lambda m: -abs(m["move_pct"]))
+    return {
+        "old": old["path"],
+        "new": new["path"],
+        "n_shared": len(shared),
+        "shared_total_old_s": round(total_old, 3),
+        "shared_total_new_s": round(total_new, 3),
+        "shared_move_pct": round(
+            (total_new - total_old) / total_old * 100, 1
+        ),
+        "added": added,
+        "added_total_s": round(
+            sum(new["queries"][q] for q in added), 3
+        ),
+        "removed": removed,
+        "movers": movers,
+        **(
+            {"partial": True}
+            if old.get("partial") or new.get("partial")
+            else {}
+        ),
+    }
+
+
+def _print_prose(rec: dict) -> None:
+    print(f"old: {rec['old']}")
+    print(f"new: {rec['new']}")
+    print(
+        f"shared {rec['n_shared']} queries: {rec['shared_total_old_s']:.2f}s"
+        f" -> {rec['shared_total_new_s']:.2f}s ({rec['shared_move_pct']:+.1f}%)"
+    )
+    if rec["added"]:
+        print(
+            f"added ({len(rec['added'])}, {rec['added_total_s']:.2f}s): "
+            + ", ".join(rec["added"])
+        )
+    if rec["removed"]:
+        print(f"removed ({len(rec['removed'])}): {', '.join(rec['removed'])}")
+    if not rec["movers"]:
         print("\nno movers past their recorded warm spread.")
         return
-    rows.sort(key=lambda r: -abs(r[0]))
     print("\n| query | old s | new s | delta | move | spread tol |")
     print("|---|---|---|---|---|---|")
-    for rel, q, a, b, delta, tol in rows:
+    for m in rec["movers"]:
         print(
-            f"| {q} | {a:.2f} | {b:.2f} | {delta:+.2f} | {rel:+.1f}% "
-            f"| {tol:.0f}% |"
+            f"| {m['query']} | {m['old_s']:.2f} | {m['new_s']:.2f} "
+            f"| {m['delta_s']:+.2f} | {m['move_pct']:+.1f}% "
+            f"| {m['tol_pct']:.0f}% |"
+        )
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    mode, round_no = "prose", None
+    if argv and argv[0] == "--json":
+        mode, argv = "json", argv[1:]
+    elif argv and argv[0] == "--ledger":
+        if len(argv) < 2 or not argv[1].isdigit():
+            raise SystemExit("--ledger needs a round number")
+        mode, round_no, argv = "ledger", int(argv[1]), argv[2:]
+
+    old_path = argv[0] if argv else _default_old()
+    new_path = (
+        argv[1] if len(argv) > 1 else os.path.join(REPO, "BENCH_DETAIL.json")
+    )
+    rec = diff_record(old_path, new_path)
+
+    if mode == "prose":
+        _print_prose(rec)
+    elif mode == "json":
+        print(json.dumps(rec, indent=1))
+    else:
+        rec = {"round": round_no, **rec}
+        ledger_path = os.path.join(
+            os.environ.get("BENCH_LEDGER_DIR", REPO), "BENCH_LEDGER.json"
+        )
+        ledger = []
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        ledger = [r for r in ledger if r.get("round") != round_no]
+        ledger.append(rec)
+        ledger.sort(key=lambda r: r["round"])
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1)
+            f.write("\n")
+        print(
+            f"BENCH_LEDGER.json: round {round_no} row written "
+            f"({len(rec['movers'])} movers, shared move "
+            f"{rec['shared_move_pct']:+.1f}%)"
         )
 
 
