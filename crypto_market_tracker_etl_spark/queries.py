@@ -2469,6 +2469,8 @@ ATTESTATION_ORDER: list[str] = [
     "bpe_bytes",
     # -- output changed this round (WebP classes added; r8 rows stale) ----
     "image_meta", "media_catalog",
+    # -- new this round: the upsert-path stream≡batch equality ------------
+    "cdc_stream_eq",
     # -- rest of the r5 cohort (30; oldest driver rows, scheduled refresh)
     "global_sort", "daily_ohlc_view",
     "cube", "moving_avg", "ntile_rank", "range_join",

@@ -966,6 +966,99 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_stream_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming ≡ batch, driver-attested] The incremental-upsert path —
+    ``streaming/incremental.py::incremental_upsert_stream`` draining into
+    ``operators/upsert.py::ParquetUpsertSink`` — replayed deterministically
+    and checked against a from-scratch batch MERGE oracle in DuckDB (the
+    [curation_stream_eq] promotion pattern, r8 verdict #8; the real
+    availableNow wiring of the same foreachBatch body is pytest-pinned in
+    test_incremental_upsert_stream_available_now). The replay is
+    adversarial on purpose:
+
+    * the events changelog is split into four micro-batches by
+      event_id % 4 delivered OUT OF ORDER (3, 1, 2, 0) — later versions
+      routinely arrive before earlier ones, so a last-WRITER-wins sink
+      would be wrong: the keyed MERGE is version-ordered
+      (order=(ts, event_id)), and arrival order must not matter;
+    * batch 2 is delivered twice back-to-back (at-least-once retry) —
+      the MERGE must be idempotent, the reference's ON CONFLICT story
+      (reference src/db.py:87-99, .github/workflows/etl.yml daily cron
+      re-fetching the trailing window);
+    * compact() folds the accumulated small files mid-run — invisible to
+      the result;
+    * expire() drops the earliest day after the drain — the
+      partition-retention path, mirrored by the oracle's day > min(day).
+
+    Entity grain is (user_id, day): the partition day is a function of
+    the key, which is exactly the sink's partition-local-merge contract
+    (dt= dirs swap independently; a key never straddles days). Oracle:
+    argmax by (ts, event_id) per (user_id, day) over the full changelog,
+    minus the expired day — hash equality re-proves each round that
+    upsert-merge under reordering, retry, compaction, and retention
+    resolves to the one-shot batch answer.
+
+    Stores live under a (sf_dir, applicationId)-keyed temp path, wiped
+    and rebuilt per invocation; concurrent sessions cannot collide.
+    Driver-side work stays bounded: one 1-row min(dt) lookup for the
+    retention cutoff (job-driver metadata, the r6 ruling)."""
+    import datetime as _dt
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.upsert import ParquetUpsertSink
+
+    log = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "value", "event_type")
+    )
+    run_token = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), "cdc_stream_eq_" + run_token)
+    shutil.rmtree(path, ignore_errors=True)
+    sink = ParquetUpsertSink(
+        spark, path, keys=["user_id", "dt"], ts_col="ts",
+        order=["ts", "event_id"],
+    )
+    for rem in (3, 1, 2, 0):  # out-of-order micro-batches
+        sink.upsert(log.filter(F.col("event_id") % 4 == rem))
+        if rem == 2:  # at-least-once redelivery of the same batch
+            sink.upsert(log.filter(F.col("event_id") % 4 == rem))
+        if rem == 1:  # small-file fold mid-run — must be invisible
+            sink.compact(max_records_per_file=100_000)
+    first_day = sink.read().agg(F.min("dt")).first()[0]
+    sink.expire((first_day + _dt.timedelta(days=1)).isoformat())
+    return sink.read().select(
+        "user_id",
+        F.col("dt").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+        "event_type",
+    )
+
+
+SQL_CDC_STREAM_EQ = f"""
+WITH {E_CTE},
+c AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value, event_type
+  FROM e WHERE ts IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, day
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM c
+)
+SELECT user_id, day, ts, event_id, value, event_type
+FROM r
+WHERE rn = 1 AND day > (SELECT min(day) FROM c)
+"""
+
+
 SQL_CDC_APPLY = f"""
 WITH {E_CTE},
 c AS (
@@ -1428,6 +1521,7 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "cdc_stream_eq": (q_cdc_stream_eq, SQL_CDC_STREAM_EQ),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "udtf_spans": (q_udtf_spans, SQL_UDTF_SPANS),
 }
