@@ -301,7 +301,7 @@ def jpeg_sof_state(payload: F.Column, max_segments: int = 16) -> F.Column:
     )
 
 
-def jpeg_dims(payload: F.Column, max_segments: int = 16) -> F.Column:
+def jpeg_dims(payload: F.Column | str, max_segments: int = 16) -> F.Column:
     """struct(width, height) of a JPEG payload from ONE segment walk, or
     NULL for non-JPEG payloads (signature-gated, so they never pay the
     walk) / NULL fields when no SOF is found. Both dims are extracted in
@@ -313,7 +313,13 @@ def jpeg_dims(payload: F.Column, max_segments: int = 16) -> F.Column:
     form referenced it 4× per row (gate + two offsets × two callers'
     getFields). Consumers extracting several fields should STAGE this
     behind an alias barrier (the mvhd_offset pattern in media_catalog)
-    and pass the staged column to image_meta(payload, jpeg=...)."""
+    and pass the staged column to image_meta(payload, jpeg=...). Pass a
+    column NAME to get the memoized tree (see _memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("jpeg_dims", payload, max_segments),
+            lambda: jpeg_dims(F.col(payload), max_segments),
+        )
     is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
 
     def fin(st: F.Column) -> F.Column:
@@ -326,6 +332,170 @@ def jpeg_dims(payload: F.Column, max_segments: int = 16) -> F.Column:
         )
 
     return F.when(is_jpeg, _jpeg_sof_walk(payload, max_segments, fin))
+
+
+# ---------------------------------------------------------------------------
+# TIFF (r9): the archival/scan crawl class (and the container EXIF reuses).
+# A TIFF is endian-tagged ("II" little / "MM" big, then magic 42), with a
+# 32-bit offset to the first IFD — a directory of 12-byte entries
+# (tag, type, count, value-or-offset). Dimensions are tags 256 (ImageWidth)
+# and 257 (ImageLength), inline when type is SHORT(3)/LONG(4) with count 1.
+# Unlike WebP the offsets are DYNAMIC (the IFD can sit anywhere), so the
+# parse is a bounded entry walk in ONE aggregate(sequence(1, max_entries))
+# — the JPEG-SOF-walk pattern: runtime iteration, constant plan size, both
+# dims extracted in the finish lambda where state reads are free.
+# ---------------------------------------------------------------------------
+
+TIFF_LE_SIG_HEX = "49492A00"  # "II" + 42 little-endian
+TIFF_BE_SIG_HEX = "4D4D002A"  # "MM" + 42 big-endian
+TIFF_MAX_IFD_ENTRIES = 32  # real first IFDs carry < 20 entries
+
+# Unresolved-Column memo for the header parsers (r9). Building these
+# expression trees costs hundreds of py4j round-trips (~0.1-0.4 s per
+# parser per QUERY CONSTRUCTION — measured: tiff_dims 0.37 s, image_meta
+# 0.58 s), which at 5k-row test scale dwarfed the actual execution. A
+# parser invoked with a column NAME (the staged-alias pattern every
+# consumer already uses) returns one shared unresolved tree per
+# (parser, name) — Catalyst expression trees are immutable and
+# session-independent, so reuse across plans and sessions in the same
+# process is safe; a parser invoked with a Column keeps the uncached
+# path (arbitrary expressions can't be keyed). This is the constructor-
+# side twin of the SCALE.md §planning-cost lesson: per-process, not
+# per-plan, like a prepared statement.
+_EXPR_MEMO: dict = {}
+
+
+def _memo_expr(key: tuple, build):
+    col = _EXPR_MEMO.get(key)
+    if col is None:
+        col = _EXPR_MEMO[key] = build()
+    return col
+
+
+def _int_at_dyn(
+    payload: F.Column, pos: F.Column, n: int, le: F.Column
+) -> F.Column:
+    """Unsigned int of ``n`` bytes at a RUNTIME 1-based offset, decoded
+    little- or big-endian per the ``le`` boolean column (TIFF carries its
+    byte order in-band, so one expression must serve both)."""
+    be = F.conv(F.hex(payload.substr(pos, F.lit(n))), 16, 10).cast("long")
+    b = lambda i: F.conv(  # noqa: E731
+        F.hex(payload.substr(pos + i, F.lit(1))), 16, 10
+    ).cast("long")
+    le_val = sum([b(i) * (256**i) for i in range(n)], F.lit(0).cast("long"))
+    return F.when(le, le_val).otherwise(be)
+
+
+def synth_tiff(
+    width: F.Column, height: F.Column, little_endian: bool = True
+) -> F.Column:
+    """A real TIFF prefix: endian header + a 2-entry first IFD carrying
+    ImageWidth/ImageLength as inline SHORTs — 34 bytes, parseable by any
+    IFD walker (the independent pure-Python parser in tests included).
+    Entry layout per spec: tag(2) type(2) count(4) value(4), value
+    left-justified in its 4-byte field (so a SHORT occupies the FIRST two
+    bytes in both byte orders)."""
+    if little_endian:
+        i16 = lambda n: _le_hex(n, 2)  # noqa: E731
+        i32 = lambda n: _le_hex(n, 4)  # noqa: E731
+        sig = TIFF_LE_SIG_HEX
+    else:
+        i16 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 4, "0")  # noqa: E731
+        i32 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 8, "0")  # noqa: E731
+        sig = TIFF_BE_SIG_HEX
+    lit = lambda n, w: i16(F.lit(n)) if w == 2 else i32(F.lit(n))  # noqa: E731
+    entry = lambda tag, val: F.concat(  # noqa: E731
+        lit(tag, 2), lit(3, 2), lit(1, 4), i16(val), F.lit("0000")
+    )
+    return F.unhex(
+        F.concat(
+            F.lit(sig),
+            lit(8, 4),  # first-IFD offset: immediately after the header
+            lit(2, 2),  # entry count
+            entry(256, width),
+            entry(257, height),
+            lit(0, 4),  # next-IFD offset: none
+        )
+    )
+
+
+def tiff_dims(
+    payload: F.Column | str, max_entries: int = TIFF_MAX_IFD_ENTRIES
+) -> F.Column:
+    """struct(width, height) of a TIFF payload, or NULL for non-TIFF
+    bytes / NULL fields when the first IFD carries no inline dims.
+    Bounded IFD-entry walk as ONE aggregate over
+    sequence(1, max_entries) — tag/type/count live at fixed strides from
+    the dynamic IFD offset; SHORT(3) and LONG(4) with count 1 are
+    decoded inline per the in-band byte order; offset-valued dims
+    (count > 1 or other types) yield NULL rather than a second
+    dereference (a malicious offset chain must not grow the plan).
+    Entries past ``max_entries`` are not walked: NULL dims, never an
+    error — the image_meta contract. Pass a column NAME to get the
+    memoized tree (see _memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("tiff_dims", payload, max_entries),
+            lambda: tiff_dims(F.col(payload), max_entries),
+        )
+    is_le = _bytes_hex(payload, 1, 4) == TIFF_LE_SIG_HEX
+    is_tiff = is_le | (_bytes_hex(payload, 1, 4) == TIFF_BE_SIG_HEX)
+
+    # ifd offset and entry count live in the STATE: init expressions run
+    # once per row, while anything referenced inside step() re-inlines —
+    # and re-executes — per unrolled iteration (HOFs are exempt from
+    # subexpression elimination; the jpeg_dims lesson applied to the
+    # walk's own anchors). The early-exit guard below makes the typical
+    # row pay only the entries up to its dim tags (2-5 in real files):
+    # when() branches evaluate lazily, so a satisfied state skips the
+    # entry decode entirely for the remaining unrolled steps.
+    ifd0 = _int_at_dyn(payload, F.lit(1) + 4, 4, is_le) + 1  # 1-based
+    init = F.struct(
+        ifd0.alias("ifd"),
+        F.least(
+            _int_at_dyn(payload, ifd0, 2, is_le),
+            F.lit(max_entries).cast("long"),
+        ).alias("n"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+
+    def step(st: F.Column, i: F.Column) -> F.Column:
+        ifd, n = st.getField("ifd"), st.getField("n")
+        w, h = st.getField("w"), st.getField("h")
+        at = ifd + 2 + (i - 1) * 12
+        tag = _int_at_dyn(payload, at, 2, is_le)
+        typ = _int_at_dyn(payload, at + 2, 2, is_le)
+        cnt = _int_at_dyn(payload, at + 4, 4, is_le)
+        val = F.when(typ == 3, _int_at_dyn(payload, at + 8, 2, is_le)).when(
+            typ == 4, _int_at_dyn(payload, at + 8, 4, is_le)
+        )
+        inline = (cnt == 1) & ((typ == 3) | (typ == 4))
+        return F.when(
+            (i > n) | (w.isNotNull() & h.isNotNull()), st
+        ).otherwise(
+            F.struct(
+                ifd.alias("ifd"),
+                n.alias("n"),
+                F.when((tag == 256) & inline & w.isNull(), val)
+                .otherwise(w)
+                .alias("w"),
+                F.when((tag == 257) & inline & h.isNull(), val)
+                .otherwise(h)
+                .alias("h"),
+            )
+        )
+
+    def fin(st: F.Column) -> F.Column:
+        return F.struct(
+            st.getField("w").cast("int").alias("width"),
+            st.getField("h").cast("int").alias("height"),
+        )
+
+    return F.when(
+        is_tiff,
+        F.aggregate(F.sequence(F.lit(1), F.lit(max_entries)), init, step, fin),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -409,7 +579,7 @@ def _le3_int(payload: F.Column, pos: int) -> F.Column:
     return b(0) + b(1) * 256 + b(2) * 65536
 
 
-def webp_dims(payload: F.Column) -> F.Column:
+def webp_dims(payload: F.Column | str) -> F.Column:
     """struct(width, height) of a WebP payload, or NULL for non-WebP
     bytes / NULL fields for an unrecognized or malformed first chunk.
     Dispatches on the first chunk's fourCC (byte 13): VP8 dims are LE16
@@ -418,7 +588,12 @@ def webp_dims(payload: F.Column) -> F.Column:
     the LE32 bitfield behind the 0x2F signature, VP8X dims are LE24
     canvas fields + 1. Unlike jpeg_dims this is fixed-offset arithmetic —
     no higher-order function, so Catalyst's subexpression elimination
-    applies and no alias-barrier staging is required of consumers."""
+    applies and no alias-barrier staging is required of consumers. Pass
+    a column NAME to get the memoized tree (see _memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("webp_dims", payload), lambda: webp_dims(F.col(payload))
+        )
     is_webp = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
         _bytes_hex(payload, 9, 4) == WEBP_TAG_HEX
     )
@@ -462,7 +637,11 @@ def _le2_int(payload: F.Column, pos: int) -> F.Column:
     )
 
 
-def image_meta(payload: F.Column, jpeg: F.Column | None = None) -> F.Column:
+def image_meta(
+    payload: F.Column | str,
+    jpeg: F.Column | str | None = None,
+    tiff: F.Column | str | None = None,
+) -> F.Column:
     """Parse (mime_type, width, height) from an image payload's header.
 
     Dispatches on the magic bytes: PNG dims are 32-bit big-endian at
@@ -475,21 +654,46 @@ def image_meta(payload: F.Column, jpeg: F.Column | None = None) -> F.Column:
     unknown magic), never an error, so one malformed blob cannot fail a
     backfill job.
 
-    ``jpeg``: an optionally PRE-STAGED ``jpeg_dims(payload)`` column.
-    The struct this function returns is inlined per extracted field by
-    Catalyst, and the walk — a higher-order function — is exempt from
-    subexpression elimination, so a caller extracting width AND height
-    re-runs it unless the walk sits behind an alias barrier (exactly
-    the mvhd_offset pattern video_meta uses). Default (None) computes
-    it inline: correct everywhere, fastest only for single-field
-    consumers."""
+    ``jpeg`` / ``tiff``: optionally PRE-STAGED ``jpeg_dims(payload)`` /
+    ``tiff_dims(payload)`` columns. The struct this function returns is
+    inlined per extracted field by Catalyst, and the walks —
+    higher-order functions — are exempt from subexpression elimination,
+    so a caller extracting width AND height re-runs them unless each
+    walk sits behind an alias barrier (exactly the mvhd_offset pattern
+    video_meta uses). Default (None) computes them inline: correct
+    everywhere, fastest only for single-field consumers. (WebP needs no
+    staging: its parse is fixed-offset arithmetic, CSE applies.)
+
+    Pass column NAMES (payload and the staged walks) to get the
+    memoized tree (see _memo_expr)."""
+    if (
+        isinstance(payload, str)
+        and (jpeg is None or isinstance(jpeg, str))
+        and (tiff is None or isinstance(tiff, str))
+    ):
+        return _memo_expr(
+            ("image_meta", payload, jpeg, tiff),
+            lambda: image_meta(
+                F.col(payload),
+                None if jpeg is None else F.col(jpeg),
+                None if tiff is None else F.col(tiff),
+            ),
+        )
+    if isinstance(payload, str):
+        payload = F.col(payload)
+    if isinstance(jpeg, str):
+        jpeg = F.col(jpeg)
+    if isinstance(tiff, str):
+        tiff = F.col(tiff)
     is_png = _bytes_hex(payload, 1, 8) == PNG_SIG_HEX
     is_gif = _bytes_hex(payload, 1, 6) == GIF_SIG_HEX
     is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
     is_webp = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
         _bytes_hex(payload, 9, 4) == WEBP_TAG_HEX
     )
+    is_tiff = _bytes_hex(payload, 1, 4).isin(TIFF_LE_SIG_HEX, TIFF_BE_SIG_HEX)
     jd = jpeg_dims(payload) if jpeg is None else jpeg
+    td = tiff_dims(payload) if tiff is None else tiff
     wd = webp_dims(payload)  # fixed-offset exprs: CSE applies, no staging
     null_i = F.lit(None).cast("int")
     return F.struct(
@@ -497,18 +701,21 @@ def image_meta(payload: F.Column, jpeg: F.Column | None = None) -> F.Column:
         .when(is_gif, F.lit("image/gif"))
         .when(is_jpeg, F.lit("image/jpeg"))
         .when(is_webp, F.lit("image/webp"))
+        .when(is_tiff, F.lit("image/tiff"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime_type"),
         F.when(is_png, _be_int(payload, 17, 4))
         .when(is_gif, _le2_int(payload, 7))
         .when(is_jpeg, jd.getField("width"))
         .when(is_webp, wd.getField("width"))
+        .when(is_tiff, td.getField("width"))
         .otherwise(null_i)
         .alias("width"),
         F.when(is_png, _be_int(payload, 21, 4))
         .when(is_gif, _le2_int(payload, 9))
         .when(is_jpeg, jd.getField("height"))
         .when(is_webp, wd.getField("height"))
+        .when(is_tiff, td.getField("height"))
         .otherwise(null_i)
         .alias("height"),
     )
@@ -573,7 +780,7 @@ def _le4_int(payload: F.Column, pos: int) -> F.Column:
     return b(0) + b(1) * 256 + b(2) * 65536 + b(3) * 16777216
 
 
-def audio_meta(payload: F.Column) -> F.Column:
+def audio_meta(payload: F.Column | str) -> F.Column:
     """Parse (mime_type, channels, sample_rate_hz, bits_per_sample,
     duration_ms) from a WAV payload's RIFF header — pure JVM expressions,
     no codec, no Python; the audio twin of ``image_meta``.
@@ -584,7 +791,11 @@ def audio_meta(payload: F.Column) -> F.Column:
     floor(data_size·1000/byte_rate) — integer-exact cross-engine. Non-WAV
     payloads yield ('application/octet-stream', NULL…), never an error,
     so one malformed blob cannot fail a backfill — the image_meta
-    contract."""
+    contract. Pass a column NAME to get the memoized tree (_memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("audio_meta", payload), lambda: audio_meta(F.col(payload))
+        )
     is_wav = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
         _bytes_hex(payload, 9, 8) == WAV_WAVEFMT_HEX
     )
@@ -689,13 +900,18 @@ def _aligned_locate(hx: F.Column, pat_hex: str, start: F.Column | None = None):
     return F.when(s > 0, (byte - 1) * 2 + 1).otherwise(F.lit(0))
 
 
-def mvhd_offset(payload: F.Column) -> F.Column:
+def mvhd_offset(payload: F.Column | str) -> F.Column:
     """1-based byte offset of the mvhd tag, located by the moov-anchored
     byte-aligned scan (see video_meta); 0 when absent. Exposed separately
     so queries can MATERIALIZE it once as a column — the locate chain is
     the expensive part of the parse tree, and staging it behind an alias
     keeps it out of every per-field expression (planning/codegen cost,
-    the audio_meta alias-barrier lesson one level deeper)."""
+    the audio_meta alias-barrier lesson one level deeper). Pass a column
+    NAME to get the memoized tree (_memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("mvhd_offset", payload), lambda: mvhd_offset(F.col(payload))
+        )
     hx = F.hex(payload)
     moov_hexpos = _aligned_locate(hx, "6D6F6F76")  # "moov"; 0 when absent
     hexpos = F.when(
@@ -704,7 +920,9 @@ def mvhd_offset(payload: F.Column) -> F.Column:
     return ((hexpos + 1) / 2).cast("int")  # hex pos → byte pos; 0 stays 0
 
 
-def video_meta(payload: F.Column, p: F.Column | None = None) -> F.Column:
+def video_meta(
+    payload: F.Column | str, p: F.Column | str | None = None
+) -> F.Column:
     """Parse (mime_type, brand, timescale, duration_ms, n_tracks) from an
     ISO-BMFF/MP4 payload — pure JVM expressions, no codec, no Python; the
     video leg of the image_meta / audio_meta triad.
@@ -725,7 +943,19 @@ def video_meta(payload: F.Column, p: F.Column | None = None) -> F.Column:
     floor(duration·1000/timescale) — integer-exact cross-engine.
     Version-1 (64-bit) mvhd, missing moov/mvhd, or non-MP4 bytes yield
     ('application/octet-stream', NULL…), never an error — the image_meta
-    contract: one malformed blob cannot fail a backfill."""
+    contract: one malformed blob cannot fail a backfill. Pass column
+    NAMES to get the memoized tree (_memo_expr)."""
+    if isinstance(payload, str) and (p is None or isinstance(p, str)):
+        return _memo_expr(
+            ("video_meta", payload, p),
+            lambda: video_meta(
+                F.col(payload), None if p is None else F.col(p)
+            ),
+        )
+    if isinstance(payload, str):
+        payload = F.col(payload)
+    if isinstance(p, str):
+        p = F.col(p)
     is_mp4 = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
     if p is None:
         p = mvhd_offset(payload)
@@ -757,7 +987,7 @@ def _be_int_dyn(payload: F.Column, pos: F.Column, n: int) -> F.Column:
     return F.conv(F.hex(payload.substr(pos, F.lit(n))), 16, 10).cast("long")
 
 
-def sniff_mime(payload: F.Column) -> F.Column:
+def sniff_mime(payload: F.Column | str) -> F.Column:
     """Magic-byte content-type detection: the ingestion router that sends
     each blob to the right decode pipeline (image/audio/document/archive).
     First-match dispatch on leading signatures — the RIFF check also
@@ -770,7 +1000,11 @@ def sniff_mime(payload: F.Column) -> F.Column:
     (isom, mp41/42, qt, ...) default to video/mp4: the movie brands
     outnumber enumerable stills, so video is the router's documented
     BMFF fallback. Unknown bytes yield 'application/octet-stream', never
-    an error."""
+    an error. Pass a column NAME to get the memoized tree (_memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("sniff_mime", payload), lambda: sniff_mime(F.col(payload))
+        )
     sig = lambda hexs: _bytes_hex(payload, 1, len(hexs) // 2) == hexs  # noqa: E731
     # routing requires only "WAVE" at offset 9 (sufficient to exclude
     # AVI/other RIFF): real WAVs often carry bext/LIST/JUNK chunks before
@@ -786,6 +1020,10 @@ def sniff_mime(payload: F.Column) -> F.Column:
         .when(sig(GIF_SIG_HEX), F.lit("image/gif"))
         .when(is_wav, F.lit("audio/x-wav"))
         .when(is_webp, F.lit("image/webp"))
+        .when(
+            _bytes_hex(payload, 1, 4).isin(TIFF_LE_SIG_HEX, TIFF_BE_SIG_HEX),
+            F.lit("image/tiff"),
+        )
         .when(
             is_bmff & brand.isin("68656963", "68656978"),  # heic, heix
             F.lit("image/heic"),

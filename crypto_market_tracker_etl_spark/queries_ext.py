@@ -13,6 +13,7 @@ output non-trivial and hash-checkable.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3407,6 +3408,37 @@ FROM s
 """
 
 
+@lru_cache(maxsize=1)
+def _image_payload_expr() -> F.Column:
+    """The 8-format synthesized image payload over F.col('doc_id') —
+    built once per process (the whole when-chain of header synths is
+    ~0.5 s of py4j construction; unresolved trees are immutable and
+    session-independent, the binary.py::_memo_expr rationale)."""
+    from .multimodal.binary import (
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+        synth_tiff,
+        synth_webp_vp8,
+        synth_webp_vp8l,
+        synth_webp_vp8x,
+    )
+
+    m = F.col("doc_id") % 8
+    w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
+    h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
+    return (
+        F.when(m == 0, synth_png(w, h))
+        .when(m == 1, synth_gif(w, h))
+        .when(m == 2, synth_jpeg(w, h))
+        .when(m == 3, synth_webp_vp8(w, h))
+        .when(m == 4, synth_webp_vp8l(w, h))
+        .when(m == 5, synth_webp_vp8x(w, h))
+        .when(m == 6, synth_tiff(w, h, little_endian=True))
+        .otherwise(synth_tiff(w, h, little_endian=False))
+    )
+
+
 def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-format metadata extraction WITHOUT a codec: real PNG/GIF/JPEG
     header parsing (magic-byte dispatch, big-endian PNG dims,
@@ -3417,47 +3449,37 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority image format of a real crawl, and until r8 this emitted
     NULL dims for it (r7 verdict #5).
 
-    Payloads are genuine header bytes synthesized per doc (doc_id mod 6:
+    Payloads are genuine header bytes synthesized per doc (doc_id mod 8:
     0 → PNG, 1 → GIF, 2 → JPEG with SOF0 as the THIRD segment, after
     APP0/JFIF and a DQT, so the walk is exercised, not a fixed offset;
     3/4/5 → WebP in its three first-chunk variants VP8 / VP8L / VP8X —
     r9: the second most common crawl image class, fixed-offset parses
-    over the RIFF container); the oracle knows the synthesis formula and
-    checks the parse analytically — a differential test of the parser
-    itself. Independent pure-Python parsers validate synth_jpeg and all
-    three synth_webp variants in tests (the synth_mp4 pattern)."""
-    from .multimodal.binary import (
-        image_meta,
-        jpeg_dims,
-        synth_gif,
-        synth_jpeg,
-        synth_png,
-        synth_webp_vp8,
-        synth_webp_vp8l,
-        synth_webp_vp8x,
-    )
+    over the RIFF container; 6/7 → TIFF in BOTH byte orders — r9: the
+    archival/scan class, a bounded IFD-entry walk with in-band
+    endianness); the oracle knows the synthesis formula and checks the
+    parse analytically — a differential test of the parser itself.
+    Independent pure-Python parsers validate synth_jpeg, all three
+    synth_webp variants, and synth_tiff in tests (the synth_mp4
+    pattern)."""
+    from .multimodal.binary import image_meta, jpeg_dims, tiff_dims
 
     docs = _documents(spark, sf_dir)
-    m = F.col("doc_id") % 6
-    w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
-    h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
-    payload = (
-        F.when(m == 0, synth_png(w, h))
-        .when(m == 1, synth_gif(w, h))
-        .when(m == 2, synth_jpeg(w, h))
-        .when(m == 3, synth_webp_vp8(w, h))
-        .when(m == 4, synth_webp_vp8l(w, h))
-        .otherwise(synth_webp_vp8x(w, h))
-    )
-    # two alias barriers (r9 perf pin): the synthesized payload is built
-    # once, and the JPEG segment walk — a HOF, exempt from subexpression
-    # elimination, so each inline reference would re-execute it — runs
-    # once per row; the final extracts are cheap column-ref subtrees
+    # alias barriers (r9 perf pin): the synthesized payload is built
+    # once, and the JPEG/TIFF walks — HOFs, exempt from subexpression
+    # elimination, so each inline reference would re-execute them — run
+    # once per row; the final extracts are cheap column-ref subtrees.
+    # Name-keyed parser calls reuse the per-process memoized trees
+    # (binary.py::_memo_expr): constructing these trees costs hundreds
+    # of py4j round-trips, which at test scale dwarfed execution.
     p = F.col("payload")
-    meta = image_meta(p, jpeg=F.col("jd"))
+    meta = image_meta("payload", jpeg="jd", tiff="td")
     return (
-        docs.select("doc_id", payload.alias("payload"))
-        .select("doc_id", "payload", jpeg_dims(p).alias("jd"))
+        docs.select("doc_id", _image_payload_expr().alias("payload"))
+        .select(
+            "doc_id", "payload",
+            jpeg_dims("payload").alias("jd"),
+            tiff_dims("payload").alias("td"),
+        )
         .select(
             "doc_id",
             F.octet_length(p).alias("n_bytes"),
@@ -3470,12 +3492,14 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IMAGE_META = """
 SELECT doc_id,
-       CAST(CASE doc_id % 6 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 40
-            WHEN 3 THEN 30 WHEN 4 THEN 25 ELSE 30 END AS INT) AS n_bytes,
-       CASE WHEN doc_id % 6 = 0 THEN 'image/png'
-            WHEN doc_id % 6 = 1 THEN 'image/gif'
-            WHEN doc_id % 6 = 2 THEN 'image/jpeg'
-            ELSE 'image/webp' END AS mime_type,
+       CAST(CASE doc_id % 8 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 40
+            WHEN 3 THEN 30 WHEN 4 THEN 25 WHEN 5 THEN 30
+            ELSE 38 END AS INT) AS n_bytes,
+       CASE WHEN doc_id % 8 = 0 THEN 'image/png'
+            WHEN doc_id % 8 = 1 THEN 'image/gif'
+            WHEN doc_id % 8 = 2 THEN 'image/jpeg'
+            WHEN doc_id % 8 IN (3, 4, 5) THEN 'image/webp'
+            ELSE 'image/tiff' END AS mime_type,
        CAST(100 + doc_id % 800 AS INT) AS width,
        CAST(100 + (doc_id * 7) % 800 AS INT) AS height
 FROM documents
@@ -3720,6 +3744,41 @@ FROM p
 """
 
 
+@lru_cache(maxsize=1)
+def _media_payload_expr() -> F.Column:
+    """The 10-format synthesized media payload over F.col('doc_id') —
+    built once per process (the _image_payload_expr rationale)."""
+    from .multimodal.binary import (
+        synth_gif,
+        synth_jpeg,
+        synth_mp4,
+        synth_png,
+        synth_tiff,
+        synth_wav,
+        synth_webp_vp8,
+    )
+
+    d = F.col("doc_id")
+    m = d % 10
+    w = (F.lit(100) + d % 800).cast("int")
+    h = (F.lit(100) + (d * 7) % 800).cast("int")
+    frames = (F.lit(16000) + (d * 11) % 8000).cast("long")
+    dur = (F.lit(1000) + d % 60000).cast("int")
+    tracks = (d % 2 + 1).cast("int")
+    return (
+        F.when(m == 0, synth_png(w, h))
+        .when(m == 1, synth_gif(w, h))
+        .when(m == 2, synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), frames))
+        .when(m == 3, synth_mp4(F.lit("isom"), F.lit(1000), dur, tracks))
+        .when(m == 4, synth_jpeg(w, h))
+        .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
+        .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
+        .when(m == 7, F.unhex(F.lit("1F8B08000000")))  # gzip deflate
+        .when(m == 8, synth_webp_vp8(w, h))
+        .otherwise(synth_tiff(w, h, little_endian=True))
+    )
+
+
 def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[multimodal] The ingestion CATALOG — the binary-side composition
     twin of [curation_pipeline]: route every blob by magic bytes
@@ -3732,48 +3791,19 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted); blobs never enter Python; the payload synthesis sits
     behind the alias barrier (the audio_meta planning-cost lesson).
 
-    Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP by
-    doc_id % 9 with per-doc parameters, so every route, every parser —
-    including the JPEG SOF segment walk (r8; the catalog's majority
-    class in a real crawl no longer emits NULL dims) and the WebP RIFF
-    parse (r9; the second most common crawl image class) — and the
-    unified-schema NULL pattern (PDF/ZIP/GZIP: document / archive, no
-    dims) are exercised in one plan. The oracle knows the synthesis
-    formulas and checks routing + parsing analytically."""
-    from .multimodal.binary import (
-        audio_meta,
-        image_meta,
-        sniff_mime,
-        synth_gif,
-        synth_jpeg,
-        synth_mp4,
-        synth_png,
-        synth_wav,
-        synth_webp_vp8,
-        video_meta,
-    )
+    Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP, TIFF
+    by doc_id % 10 with per-doc parameters, so every route, every parser
+    — including the JPEG SOF segment walk (r8; the catalog's majority
+    class in a real crawl no longer emits NULL dims), the WebP RIFF
+    parse and the TIFF IFD walk (r9; the remaining crawl image classes)
+    — and the unified-schema NULL pattern (PDF/ZIP/GZIP: document /
+    archive, no dims) are exercised in one plan. The oracle knows the
+    synthesis formulas and checks routing + parsing analytically."""
+    from .multimodal.binary import audio_meta, image_meta, sniff_mime, video_meta
 
     docs = _documents(spark, sf_dir)
-    d = F.col("doc_id")
-    m = d % 9
-    w = (F.lit(100) + d % 800).cast("int")
-    h = (F.lit(100) + (d * 7) % 800).cast("int")
-    frames = (F.lit(16000) + (d * 11) % 8000).cast("long")
-    dur = (F.lit(1000) + d % 60000).cast("int")
-    tracks = (d % 2 + 1).cast("int")
-    payload = (
-        F.when(m == 0, synth_png(w, h))
-        .when(m == 1, synth_gif(w, h))
-        .when(m == 2, synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), frames))
-        .when(m == 3, synth_mp4(F.lit("isom"), F.lit(1000), dur, tracks))
-        .when(m == 4, synth_jpeg(w, h))
-        .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
-        .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
-        .when(m == 7, F.unhex(F.lit("1F8B08000000")))  # gzip deflate
-        .otherwise(synth_webp_vp8(w, h))
-    )
     p = F.col("payload")
-    mime = sniff_mime(p)
+    mime = sniff_mime("payload")
     modality = (
         F.when(mime.startswith("image/"), F.lit("image"))
         .when(mime.startswith("audio/"), F.lit("audio"))
@@ -3784,7 +3814,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_i = F.lit(None).cast("int")
     is_img = F.col("mime_type").isin(
-        "image/png", "image/gif", "image/jpeg", "image/webp"
+        "image/png", "image/gif", "image/jpeg", "image/webp", "image/tiff"
     )  # parseable
     is_aud = F.col("mime_type") == "audio/x-wav"
     is_vid = F.col("mime_type") == "video/mp4"
@@ -3794,21 +3824,22 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the q_video_meta lesson), then the unified catalog row: with the
     # offset staged, every parser's per-field extract is a cheap subtree
     # over column refs.
-    from .multimodal.binary import jpeg_dims, mvhd_offset
+    from .multimodal.binary import jpeg_dims, mvhd_offset, tiff_dims
 
-    img = image_meta(p, jpeg=F.col("jd"))
-    aud = audio_meta(p)
-    vid = video_meta(p, F.col("mp"))
+    img = image_meta("payload", jpeg="jd", tiff="td")
+    aud = audio_meta("payload")
+    vid = video_meta("payload", "mp")
     return (
-        docs.select("doc_id", payload.alias("payload"))
+        docs.select("doc_id", _media_payload_expr().alias("payload"))
         .select(
             "doc_id",
             "payload",
-            mvhd_offset(p).alias("mp"),
-            # the JPEG walk staged like the mvhd offset: HOFs are exempt
-            # from subexpression elimination, so the width+height
-            # getFields below would otherwise re-run it (r9 perf pin)
-            jpeg_dims(p).alias("jd"),
+            mvhd_offset("payload").alias("mp"),
+            # the JPEG/TIFF walks staged like the mvhd offset: HOFs are
+            # exempt from subexpression elimination, so the width+height
+            # getFields below would otherwise re-run them (r9 perf pin)
+            jpeg_dims("payload").alias("jd"),
+            tiff_dims("payload").alias("td"),
             F.octet_length(p).alias("n_bytes"),
             mime.alias("mime_type"),
             modality.alias("modality"),
@@ -3838,7 +3869,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_CATALOG = """
 WITH p AS (
-  SELECT doc_id, doc_id % 9 AS m,
+  SELECT doc_id, doc_id % 10 AS m,
          CAST(100 + doc_id % 800 AS INT) AS w,
          CAST(100 + (doc_id * 7) % 800 AS INT) AS h,
          16000 + (doc_id * 11) % 8000 AS frames,
@@ -3849,18 +3880,19 @@ WITH p AS (
 SELECT doc_id,
        CAST(CASE m WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
             WHEN 3 THEN 136 WHEN 4 THEN 40 WHEN 5 THEN 8
-            WHEN 6 THEN 6 WHEN 7 THEN 6 ELSE 30 END AS INT) AS n_bytes,
+            WHEN 6 THEN 6 WHEN 7 THEN 6 WHEN 8 THEN 30
+            ELSE 38 END AS INT) AS n_bytes,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
             WHEN 6 THEN 'application/zip' WHEN 7 THEN 'application/gzip'
-            ELSE 'image/webp' END AS mime_type,
+            WHEN 8 THEN 'image/webp' ELSE 'image/tiff' END AS mime_type,
        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
             WHEN 3 THEN 'video' WHEN 4 THEN 'image' WHEN 5 THEN 'document'
             WHEN 6 THEN 'archive' WHEN 7 THEN 'archive'
             ELSE 'image' END AS modality,
-       CASE WHEN m IN (0, 1, 4, 8) THEN w END AS width,
-       CASE WHEN m IN (0, 1, 4, 8) THEN h END AS height,
+       CASE WHEN m IN (0, 1, 4, 8, 9) THEN w END AS width,
+       CASE WHEN m IN (0, 1, 4, 8, 9) THEN h END AS height,
        CAST(CASE WHEN m = 2 THEN 16000 END AS INT) AS sample_rate_hz,
        CAST(CASE WHEN m = 2 THEN (frames * 1000) // 16000
                  WHEN m = 3 THEN (dur * 1000) // 1000

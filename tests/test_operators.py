@@ -1329,6 +1329,143 @@ def test_webp_malformed_and_routing(spark):
         assert _py_webp_dims(cases[r["id"]]) is None, r["id"]
 
 
+def _py_tiff_dims(b: bytes):
+    """Independent pure-Python TIFF IFD walk (the _py_jpeg_dims pattern):
+    endian header, first-IFD offset, 12-byte entries; dims are tags
+    256/257 inline as SHORT(3)/LONG(4) count 1. Returns (w, h) or None."""
+    if b[0:4] == b"II\x2a\x00":
+        order = "little"
+    elif b[0:4] == b"MM\x00\x2a":
+        order = "big"
+    else:
+        return None
+    num = lambda s: int.from_bytes(s, order)  # noqa: E731
+    ifd = num(b[4:8])
+    n = num(b[ifd : ifd + 2])
+    w = h = None
+    for i in range(min(n, 32)):
+        at = ifd + 2 + i * 12
+        tag, typ, cnt = num(b[at : at + 2]), num(b[at + 2 : at + 4]), num(
+            b[at + 4 : at + 8]
+        )
+        if cnt != 1 or typ not in (3, 4):
+            continue
+        val = num(b[at + 8 : at + 10]) if typ == 3 else num(b[at + 8 : at + 12])
+        if tag == 256 and w is None:
+            w = val
+        if tag == 257 and h is None:
+            h = val
+    return (w, h) if (w is not None and h is not None) else None
+
+
+def test_synth_tiff_roundtrip_and_independent_parser(spark):
+    """synth_tiff in BOTH byte orders emits bytes BOTH parsers read back
+    exactly — the Spark bounded IFD walk and the pure-Python reference —
+    so the analytic oracle of [image_meta]/[media_catalog] rests on
+    independently verified bytes."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_tiff,
+    )
+
+    w = (F.col("id") * 37 % 4096).cast("int") + 1
+    h = (F.col("id") * 11 % 4096).cast("int") + 1
+    df = spark.range(1, 50).select(
+        "id",
+        synth_tiff(w, h, little_endian=True).alias("le"),
+        synth_tiff(w, h, little_endian=False).alias("be"),
+    )
+    rows = df.select(
+        "id", "le", "be",
+        image_meta(F.col("le")).alias("ml"),
+        image_meta(F.col("be")).alias("mb"),
+    ).collect()
+    assert len(rows) == 49
+    for r in rows:
+        w_, h_ = r["id"] * 37 % 4096 + 1, r["id"] * 11 % 4096 + 1
+        for m, p in (("ml", "le"), ("mb", "be")):
+            assert (
+                r[m]["mime_type"], r[m]["width"], r[m]["height"]
+            ) == ("image/tiff", w_, h_), (m, r["id"])
+            assert _py_tiff_dims(bytes(r[p])) == (w_, h_), (p, r["id"])
+
+
+def test_tiff_walk_is_a_real_walk_and_malformed_never_errors(spark):
+    """The IFD walk must handle displaced IFDs, preceding decoy entries,
+    LONG-typed dims, offset-valued (non-inline) dims → NULL, and entry
+    counts past the 32 bound → NULL; mime stays image/tiff on a valid
+    endian header."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import image_meta
+
+    def tiff(entries, ifd_at=8, order="little", count=None, pad=b""):
+        hdr = (b"II\x2a\x00" if order == "little" else b"MM\x00\x2a") + (
+            ifd_at
+        ).to_bytes(4, order)
+        n = count if count is not None else len(entries)
+        body = n.to_bytes(2, order)
+        for tag, typ, cnt, val in entries:
+            vf = (
+                val.to_bytes(2, order) + b"\x00\x00"
+                if typ == 3
+                else val.to_bytes(4, order)
+            )
+            body += (
+                tag.to_bytes(2, order)
+                + typ.to_bytes(2, order)
+                + cnt.to_bytes(4, order)
+                + vf
+            )
+        return hdr + pad + body + b"\x00\x00\x00\x00"
+
+    cases = {
+        # IFD displaced past 8 bytes of junk; decoy entries before dims;
+        # LONG-typed width, SHORT height
+        1: (
+            tiff(
+                [(254, 4, 1, 0), (259, 3, 1, 1), (256, 4, 1, 70000),
+                 (257, 3, 1, 81)],
+                ifd_at=16,
+                pad=b"\xde\xad\xbe\xef\xde\xad\xbe\xef",
+            ),
+            70000, 81,
+        ),
+        # big-endian with decoys
+        2: (
+            tiff([(259, 3, 1, 1), (256, 3, 1, 320), (257, 3, 1, 240)],
+                 order="big"),
+            320, 240,
+        ),
+        # dims present but count=2 (offset-valued): NOT inline -> NULL
+        3: (tiff([(256, 3, 2, 99), (257, 3, 2, 99)]), None, None),
+        # RATIONAL-typed dims (type 5): not inline -> NULL
+        4: (tiff([(256, 5, 1, 12), (257, 5, 1, 12)]), None, None),
+        # claimed 40 entries (past the 32 bound) but dims sit at 35/36:
+        # truncated walk -> NULL, never an error
+        5: (
+            tiff(
+                [(254, 4, 1, 0)] * 34 + [(256, 3, 1, 50), (257, 3, 1, 60)],
+            ),
+            None, None,
+        ),
+        # truncated file: header says IFD at 8, nothing there
+        6: (b"II\x2a\x00\x08\x00\x00\x00", None, None),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "id long, payload binary"
+    )
+    got = {
+        r["id"]: (r["m"]["mime_type"], r["m"]["width"], r["m"]["height"])
+        for r in df.select(
+            "id", image_meta(F.col("payload")).alias("m")
+        ).collect()
+    }
+    for k, (_, w, h) in cases.items():
+        assert got[k] == ("image/tiff", w, h), (k, got[k])
+    assert _py_tiff_dims(cases[1][0]) == (70000, 81)
+    assert _py_tiff_dims(cases[2][0]) == (320, 240)
+    assert _py_tiff_dims(cases[3][0]) is None
+
+
 def test_frame_sample_deterministic(spark):
     docs = documents_as_media(load_table(spark, SF_DIR, "documents"))
     a = {r["media_id"] for r in frame_sample(docs, 4).collect()}
