@@ -780,18 +780,158 @@ def _le4_int(payload: F.Column, pos: int) -> F.Column:
     return b(0) + b(1) * 256 + b(2) * 65536 + b(3) * 16777216
 
 
+# FLAC (r9): "fLaC" magic, then metadata blocks — the first is mandated
+# to be STREAMINFO (34 bytes): min/max blocksize u16, min/max framesize
+# u24, then a big-endian bit-packed group: sample rate (20 bits),
+# channels-1 (3), bits-per-sample-1 (5), total samples (36). All fixed
+# offsets from the magic, so the parse is plain expressions like WAV.
+FLAC_SIG_HEX = "664C6143"  # "fLaC"
+# MP3 (r9): a frame header is 4 bytes anywhere the 11-bit sync pattern
+# holds; files commonly start with an ID3v2 tag whose 28-bit SYNCHSAFE
+# size (7 bits per byte) positions the first frame. Header fields:
+# version (2 bits), layer (2), bitrate index (4), sample-rate index (2),
+# channel mode (2). Sample rate needs the version×index table below;
+# duration needs the audio byte length (VBR: a codec concern) — NULL.
+ID3_SIG_HEX = "494433"  # "ID3"
+MP3_SR_TABLE = {  # version bits -> [idx0, idx1, idx2]; idx 3 reserved
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),  # MPEG2.5
+}
+
+
+def synth_flac(
+    sample_rate: F.Column,
+    channels: F.Column,
+    bits: F.Column,
+    total_samples: F.Column,
+) -> F.Column:
+    """A real 42-byte FLAC prefix (magic + last-block STREAMINFO header +
+    the 34-byte STREAMINFO with the bit-packed stream parameters, zeroed
+    MD5) — parseable by any STREAMINFO reader (the independent pure-
+    Python bit parser in tests included). ``total_samples`` may exceed
+    2^32 (the field is 36 bits) — the synth splits it across the nibble
+    boundary exactly as the spec packs it."""
+    be = lambda n, w: F.lpad(F.conv(n.cast("string"), 10, 16), w * 2, "0")  # noqa: E731
+    # [sr:20 | ch-1:3 | bps-1 high bit:1] = first 3 packed bytes
+    g24 = sample_rate * 16 + (channels - 1) * 2 + F.floor((bits - 1) / 16)
+    # [bps-1 low 4 | total_samples high 4] = 4th packed byte
+    b4 = ((bits - 1) % 16) * 16 + F.floor(total_samples / F.lit(4294967296))
+    return F.unhex(
+        F.concat(
+            F.lit(FLAC_SIG_HEX),
+            F.lit("80" "000022"),  # last-block flag + type 0, length 34
+            F.lit("1000" "1000"),  # min/max blocksize 4096
+            F.lit("000000" "000000"),  # min/max framesize unknown
+            be(g24, 3),
+            be(b4, 1),
+            be(total_samples % F.lit(4294967296), 4),
+            F.lit("00" * 16),  # unset MD5
+        )
+    )
+
+
+def synth_mp3(
+    version_bits: F.Column,
+    sr_idx: F.Column,
+    mono: F.Column,
+    id3_pad: F.Column | None = None,
+) -> F.Column:
+    """A real MP3 frame header (Layer III, bitrate index 9), optionally
+    preceded by an ID3v2.4 tag with ``id3_pad`` zero bytes — the pad is
+    encoded SYNCHSAFE (7 bits per byte), so pads past 127 exercise the
+    multi-byte size decode."""
+    be1 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 2, "0")  # noqa: E731
+    h2 = F.lit(0xE0) + version_bits * 8 + F.lit(1) * 2 + 1  # layer III
+    h3 = F.lit(9) * 16 + sr_idx * 4
+    h4 = F.when(mono, F.lit(0xC0)).otherwise(F.lit(0x40))
+    frame = F.concat(F.lit("FF"), be1(h2), be1(h3), be1(h4))
+    if id3_pad is None:
+        return F.unhex(frame)
+    tag = F.concat(
+        F.lit(ID3_SIG_HEX),
+        F.lit("0400" "00"),  # v2.4.0, no flags
+        be1(F.floor(id3_pad / 2097152) % 128),
+        be1(F.floor(id3_pad / 16384) % 128),
+        be1(F.floor(id3_pad / 128) % 128),
+        be1(id3_pad % 128),
+        F.repeat(F.lit("00"), id3_pad.cast("int")),
+    )
+    return F.unhex(F.concat(tag, frame))
+
+
+def _flac_fields(payload: F.Column) -> dict[str, F.Column]:
+    """STREAMINFO fields, valid only under the fLaC+type-0 gate."""
+    g24 = _be_int(payload, 19, 3).cast("long")
+    b4 = _be_int(payload, 22, 1).cast("long")
+    sr = F.shiftright(g24, 4)
+    ch = (F.shiftright(g24, 1) % 8 + 1).cast("int")
+    bps = ((g24 % 2) * 16 + F.shiftright(b4, 4) + 1).cast("int")
+    ts = (b4 % 16) * F.lit(4294967296) + _be_int(payload, 23, 4).cast("long")
+    return {
+        "sr": sr.cast("int"),
+        "ch": ch,
+        "bps": bps,
+        "dur": F.when(sr > 0, F.floor(ts * 1000 / sr).cast("long")),
+    }
+
+
+def _mp3_fields(payload: F.Column) -> dict[str, F.Column]:
+    """Frame-header fields behind the ID3v2 skip; sr NULL on reserved
+    indexes / non-sync bytes (a desynced stream carries no trusted
+    fields)."""
+    has_id3 = _bytes_hex(payload, 1, 3) == ID3_SIG_HEX
+    b = lambda i: _be_int(payload, i, 1)  # noqa: E731
+    id3_size = (
+        b(7) * 2097152 + b(8) * 16384 + b(9) * 128 + b(10)
+    )  # synchsafe u28
+    p = F.when(has_id3, id3_size + 11).otherwise(F.lit(1))
+    h1, h2, h3, h4 = (
+        _be_int_dyn(payload, p, 1),
+        _be_int_dyn(payload, p + 1, 1),
+        _be_int_dyn(payload, p + 2, 1),
+        _be_int_dyn(payload, p + 3, 1),
+    )
+    sync = (h1 == 0xFF) & (F.shiftright(h2, 5) == 7)
+    ver = F.shiftright(h2, 3) % 4
+    sr_idx = F.shiftright(h3, 2) % 4
+    sr = F.lit(None).cast("int")
+    for vbits, rates in MP3_SR_TABLE.items():
+        for i, rate in enumerate(rates):
+            sr = F.when((ver == vbits) & (sr_idx == i), F.lit(rate)).otherwise(sr)
+    ch = F.when(F.shiftright(h4, 6) == 3, F.lit(1)).otherwise(F.lit(2))
+    return {
+        "sync": sync,
+        "sr": F.when(sync, sr),
+        "ch": F.when(sync, ch).cast("int"),
+    }
+
+
 def audio_meta(payload: F.Column | str) -> F.Column:
     """Parse (mime_type, channels, sample_rate_hz, bits_per_sample,
-    duration_ms) from a WAV payload's RIFF header — pure JVM expressions,
-    no codec, no Python; the audio twin of ``image_meta``.
+    duration_ms) from an audio payload's header — pure JVM expressions,
+    no codec, no Python; the audio twin of ``image_meta``. Three
+    formats (r9: + FLAC, MP3 — together with WAV the bulk of crawl
+    audio):
 
-    Canonical-layout WAV (RIFF + "WAVE" + 16-byte fmt + data): channels
-    LE16@23, sample rate LE32@25, byte rate LE32@29, bits LE16@35, data
-    size LE32@41 (1-based offsets). duration_ms =
-    floor(data_size·1000/byte_rate) — integer-exact cross-engine. Non-WAV
-    payloads yield ('application/octet-stream', NULL…), never an error,
-    so one malformed blob cannot fail a backfill — the image_meta
-    contract. Pass a column NAME to get the memoized tree (_memo_expr)."""
+    * WAV, canonical layout (RIFF + "WAVE" + 16-byte fmt + data):
+      channels LE16@23, sample rate LE32@25, byte rate LE32@29, bits
+      LE16@35, data size LE32@41; duration_ms =
+      floor(data_size·1000/byte_rate).
+    * FLAC: the bit-packed STREAMINFO group at fixed offsets from the
+      magic (the first metadata block is STREAMINFO by spec; a non-0
+      first block type yields NULL fields); duration from the 36-bit
+      total-sample count.
+    * MP3: frame header located after the optional ID3v2 tag via its
+      synchsafe size; sample rate from the version×index table,
+      channels from the mode bits. bits_per_sample is not a thing in
+      MPEG audio and the duration needs the audio byte length (VBR) —
+      both NULL, the honest codec boundary.
+
+    Integer-exact cross-engine. Unknown payloads yield
+    ('application/octet-stream', NULL…), never an error — one malformed
+    blob cannot fail a backfill. Pass a column NAME to get the memoized
+    tree (_memo_expr)."""
     if isinstance(payload, str):
         return _memo_expr(
             ("audio_meta", payload), lambda: audio_meta(F.col(payload))
@@ -799,21 +939,37 @@ def audio_meta(payload: F.Column | str) -> F.Column:
     is_wav = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
         _bytes_hex(payload, 9, 8) == WAV_WAVEFMT_HEX
     )
+    is_flac = _bytes_hex(payload, 1, 4) == FLAC_SIG_HEX
+    flac_si = is_flac & (_be_int(payload, 5, 1) % 128 == 0)  # type-0 first
+    is_mp3_sig = _bytes_hex(payload, 1, 3) == ID3_SIG_HEX
+    mp3 = _mp3_fields(payload)
+    is_mp3 = is_mp3_sig | mp3["sync"]
+    fl = _flac_fields(payload)
     null_i = F.lit(None).cast("int")
     byte_rate = _le4_int(payload, 29)
     data_size = _le4_int(payload, 41)
     return F.struct(
         F.when(is_wav, F.lit("audio/x-wav"))
+        .when(is_flac, F.lit("audio/flac"))
+        .when(is_mp3, F.lit("audio/mpeg"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime_type"),
-        F.when(is_wav, _le2_int(payload, 23)).otherwise(null_i).alias("channels"),
+        F.when(is_wav, _le2_int(payload, 23))
+        .when(flac_si, fl["ch"])
+        .when(is_mp3, mp3["ch"])
+        .otherwise(null_i)
+        .alias("channels"),
         F.when(is_wav, _le4_int(payload, 25).cast("int"))
+        .when(flac_si, fl["sr"])
+        .when(is_mp3, mp3["sr"])
         .otherwise(null_i)
         .alias("sample_rate_hz"),
         F.when(is_wav, _le2_int(payload, 35))
+        .when(flac_si, fl["bps"])
         .otherwise(null_i)
         .alias("bits_per_sample"),
         F.when(is_wav, F.floor(data_size * 1000 / byte_rate).cast("long"))
+        .when(flac_si, fl["dur"])
         .otherwise(F.lit(None).cast("long"))
         .alias("duration_ms"),
     )
@@ -1023,6 +1179,15 @@ def sniff_mime(payload: F.Column | str) -> F.Column:
         .when(
             _bytes_hex(payload, 1, 4).isin(TIFF_LE_SIG_HEX, TIFF_BE_SIG_HEX),
             F.lit("image/tiff"),
+        )
+        .when(sig(FLAC_SIG_HEX), F.lit("audio/flac"))
+        .when(
+            sig(ID3_SIG_HEX)
+            | (
+                (_be_int(payload, 1, 1) == 0xFF)
+                & (F.shiftright(_be_int(payload, 2, 1).cast("long"), 5) == 7)
+            ),
+            F.lit("audio/mpeg"),
         )
         .when(
             is_bmff & brand.isin("68656963", "68656978"),  # heic, heix

@@ -3506,41 +3506,71 @@ FROM documents
 """
 
 
-def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[multimodal] Audio-format metadata WITHOUT a codec: RIFF/WAV header
-    parsing (channels, sample rate, bit depth, duration) as pure JVM
-    expressions — the audio twin of image_meta, covering the metadata
-    backfill every audio pipeline runs before any sample is decoded.
+@lru_cache(maxsize=1)
+def _audio_payload_expr() -> F.Column:
+    """The 6-class synthesized audio payload over F.col('doc_id') —
+    built once per process (the _image_payload_expr rationale)."""
+    from .multimodal.binary import synth_flac, synth_mp3, synth_png, synth_wav
 
-    Payloads are genuine 44-byte WAV headers synthesized per doc (the
-    stdlib ``wave`` module opens them — tests/test_multimodal_audio.py);
-    every fifth doc carries a PNG instead so the parser's unknown-format
-    path (octet-stream + NULLs, never an error) runs in the same plan.
-    The oracle knows the synthesis formulas and checks the parse
-    analytically — a differential test of the parser. Integer arithmetic
-    only (duration is floor(data_size·1000/byte_rate)); bit-identical in
-    any engine. One zero-shuffle projection (plan-asserted)."""
-    from .multimodal.binary import audio_meta, synth_png, synth_wav
-
-    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
+    m = d % 6
     sr = F.element_at(
         F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
-        (F.col("doc_id") % 4 + 1).cast("int"),
+        (d % 4 + 1).cast("int"),
     )
-    ch = (F.col("doc_id") % 2 + 1).cast("int")
-    bits = F.when(F.col("doc_id") % 3 == 0, F.lit(16)).otherwise(F.lit(8))
-    frames = (F.lit(1000) + (F.col("doc_id") * 37) % 44100).cast("long")
-    is_png_row = F.col("doc_id") % 5 == 4
-    payload = F.when(
-        is_png_row, synth_png(F.lit(320).cast("int"), F.lit(240).cast("int"))
-    ).otherwise(synth_wav(sr, ch, bits, frames))
+    ch = (d % 2 + 1).cast("int")
+    bits = F.when(d % 3 == 0, F.lit(16)).otherwise(F.lit(8))
+    frames = (F.lit(1000) + (d * 37) % 44100).cast("long")
+    # FLAC total samples: every other doc crosses the 32-bit boundary so
+    # the 36-bit split (high nibble + low u32) is exercised
+    ts36 = frames + (d % 2) * F.lit(2**33)
+    vbits = (
+        F.when(d % 3 == 0, F.lit(3)).when(d % 3 == 1, F.lit(2)).otherwise(F.lit(0))
+    )
+    sr_idx = (d * 7) % 3
+    mono = d % 2 == 0
+    return (
+        F.when(m == 2, synth_flac(sr, ch, bits, ts36))
+        .when(m == 3, synth_mp3(vbits, sr_idx, mono))
+        .when(m == 4, synth_mp3(vbits, sr_idx, mono, id3_pad=100 + d % 300))
+        .when(m == 5, synth_png(F.lit(320).cast("int"), F.lit(240).cast("int")))
+        .otherwise(synth_wav(sr, ch, bits, frames))
+    )
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Audio-format metadata WITHOUT a codec: WAV RIFF
+    header, FLAC bit-packed STREAMINFO, and MP3 frame-header-behind-
+    ID3v2 parsing (channels, sample rate, bit depth, duration) as pure
+    JVM expressions — the audio twin of image_meta, covering the
+    metadata backfill every audio pipeline runs before any sample is
+    decoded; with FLAC and MP3 (r9) the three formats cover the bulk of
+    crawl audio.
+
+    Payloads cycle by doc_id % 6: 0/1 → genuine 44-byte WAV headers
+    (the stdlib ``wave`` module opens them —
+    tests/test_multimodal_audio.py); 2 → FLAC, every other doc's
+    total-sample count crossing the 32-bit boundary so the 36-bit field
+    split is exercised; 3 → a bare MP3 frame header and 4 → the same
+    header behind an ID3v2 tag whose synchsafe pad size exceeds 127
+    (multi-byte decode); 5 → a PNG decoy so the unknown-format path
+    (octet-stream + NULLs, never an error) runs in the same plan. The
+    oracle knows the synthesis formulas — including the MP3
+    version×index sample-rate table — and checks the parse
+    analytically. Integer arithmetic only; one zero-shuffle projection
+    (plan-asserted)."""
+    from .multimodal.binary import audio_meta
+
+    docs = _documents(spark, sf_dir)
     # Two-step select on purpose: aliasing the payload keeps CollapseProject
     # from inlining the (expensive, multiply-referenced) synthesis tree into
     # every parsed column — measured 583→37 expression nodes and ~7× less
     # driver planning + codegen time, identical results. The same pattern a
     # real pipeline has naturally (payload arrives as a stored column).
-    meta = audio_meta(F.col("payload"))
-    return docs.select("doc_id", payload.alias("payload")).select(
+    meta = audio_meta("payload")
+    return docs.select(
+        "doc_id", _audio_payload_expr().alias("payload")
+    ).select(
         "doc_id",
         F.octet_length("payload").alias("n_bytes"),
         meta.getField("mime_type").alias("mime_type"),
@@ -3553,26 +3583,48 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AUDIO_META = """
 WITH p AS (
-  SELECT doc_id,
-         doc_id % 5 = 4 AS is_png,
+  SELECT doc_id, doc_id % 6 AS m,
          CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                          WHEN 2 THEN 22050 ELSE 44100 END AS sr,
          CAST(doc_id % 2 + 1 AS INT) AS ch,
          CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
-         1000 + (doc_id * 37) % 44100 AS frames
+         1000 + (doc_id * 37) % 44100 AS frames,
+         CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS vbits,
+         (doc_id * 7) % 3 AS sr_idx,
+         doc_id % 2 = 0 AS mono,
+         100 + doc_id % 300 AS pad
   FROM documents
+),
+q AS (
+  SELECT *,
+         frames + (doc_id % 2) * 8589934592 AS ts36,
+         CASE WHEN vbits = 3 THEN
+                CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+              WHEN vbits = 2 THEN
+                CASE sr_idx WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+              ELSE
+                CASE sr_idx WHEN 0 THEN 11025 WHEN 1 THEN 12000 ELSE 8000 END
+         END AS mp3_sr
+  FROM p
 )
 SELECT doc_id,
-       CAST(CASE WHEN is_png THEN 29 ELSE 44 END AS INT) AS n_bytes,
-       CASE WHEN is_png THEN 'application/octet-stream'
+       CAST(CASE m WHEN 2 THEN 42 WHEN 3 THEN 4 WHEN 4 THEN 14 + pad
+            WHEN 5 THEN 29 ELSE 44 END AS INT) AS n_bytes,
+       CASE m WHEN 2 THEN 'audio/flac'
+            WHEN 3 THEN 'audio/mpeg' WHEN 4 THEN 'audio/mpeg'
+            WHEN 5 THEN 'application/octet-stream'
             ELSE 'audio/x-wav' END AS mime_type,
-       CASE WHEN is_png THEN NULL ELSE ch END AS channels,
-       CAST(CASE WHEN is_png THEN NULL ELSE sr END AS INT) AS sample_rate_hz,
-       CAST(CASE WHEN is_png THEN NULL ELSE bits END AS INT) AS bits_per_sample,
-       CAST(CASE WHEN is_png THEN NULL
-            ELSE (frames * (ch * bits // 8) * 1000) // (sr * (ch * bits // 8))
+       CASE WHEN m IN (0, 1, 2) THEN ch
+            WHEN m IN (3, 4) THEN CASE WHEN mono THEN 1 ELSE 2 END
+       END AS channels,
+       CAST(CASE WHEN m IN (0, 1, 2) THEN sr
+                 WHEN m IN (3, 4) THEN mp3_sr END AS INT) AS sample_rate_hz,
+       CAST(CASE WHEN m IN (0, 1, 2) THEN bits END AS INT) AS bits_per_sample,
+       CAST(CASE WHEN m IN (0, 1) THEN
+                   (frames * (ch * bits // 8) * 1000) // (sr * (ch * bits // 8))
+                 WHEN m = 2 THEN (ts36 * 1000) // sr
             END AS BIGINT) AS duration_ms
-FROM p
+FROM q
 """
 
 

@@ -70,9 +70,150 @@ def test_audio_meta_unknown_bytes_never_error(spark):
         assert r.m.channels is None and r.m.duration_ms is None
 
 
+def _py_flac_streaminfo(b: bytes):
+    """Independent pure-Python FLAC STREAMINFO bit parser (the
+    _py_jpeg_dims pattern). Returns (sr, ch, bps, total_samples) or
+    None."""
+    if b[0:4] != b"fLaC" or (b[4] & 0x7F) != 0:
+        return None
+    packed = int.from_bytes(b[18:26], "big")
+    sr = packed >> 44
+    ch = ((packed >> 41) & 0x7) + 1
+    bps = ((packed >> 36) & 0x1F) + 1
+    ts = packed & 0xFFFFFFFFF
+    return (sr, ch, bps, ts)
+
+
+def _py_mp3_header(b: bytes):
+    """Independent pure-Python MP3 header decode behind the ID3v2 skip.
+    Returns (sample_rate, channels) or None."""
+    p = 0
+    if b[0:3] == b"ID3":
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        p = 10 + size
+    if len(b) < p + 4 or b[p] != 0xFF or (b[p + 1] >> 5) != 7:
+        return None
+    ver = (b[p + 1] >> 3) & 3
+    sr_idx = (b[p + 2] >> 2) & 3
+    table = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             0: (11025, 12000, 8000)}
+    if ver not in table or sr_idx == 3:
+        return None
+    ch = 1 if (b[p + 3] >> 6) == 3 else 2
+    return (table[ver][sr_idx], ch)
+
+
+def test_synth_flac_roundtrip_and_independent_parser(spark):
+    """synth_flac emits bytes BOTH parsers read back exactly — including
+    total-sample counts past 2^32, where the 36-bit field's nibble split
+    would first betray a packing bug."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import synth_flac
+
+    rows = (
+        spark.range(1, 30)
+        .select(
+            "id",
+            synth_flac(
+                F.lit(8000) + (F.col("id") * 997 % 100000).cast("int"),
+                (F.col("id") % 8 + 1).cast("int"),
+                (F.col("id") % 28 + 4).cast("int"),
+                (F.col("id") * 12345 + (F.col("id") % 2) * F.lit(2**33)).cast(
+                    "long"
+                ),
+            ).alias("payload"),
+        )
+        .select("id", "payload", audio_meta(F.col("payload")).alias("m"))
+        .collect()
+    )
+    for r in rows:
+        sr = 8000 + r.id * 997 % 100000
+        ch, bps = r.id % 8 + 1, r.id % 28 + 4
+        ts = r.id * 12345 + (r.id % 2) * 2**33
+        assert _py_flac_streaminfo(bytes(r.payload)) == (sr, ch, bps, ts), r.id
+        assert (r.m.mime_type, r.m.channels, r.m.sample_rate_hz,
+                r.m.bits_per_sample, r.m.duration_ms) == (
+            "audio/flac", ch, sr, bps, ts * 1000 // sr,
+        ), r.id
+
+
+def test_synth_mp3_roundtrip_and_independent_parser(spark):
+    """synth_mp3 (bare and ID3v2-prefixed, pads past 127 exercising the
+    multi-byte synchsafe size) reads back identically through the Spark
+    parser and the pure-Python reference; bits/duration stay NULL (the
+    honest codec boundary)."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import synth_mp3
+
+    vbits = (
+        F.when(F.col("id") % 3 == 0, F.lit(3))
+        .when(F.col("id") % 3 == 1, F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    rows = (
+        spark.range(1, 30)
+        .select(
+            "id",
+            synth_mp3(vbits, F.col("id") * 7 % 3, F.col("id") % 2 == 0).alias(
+                "bare"
+            ),
+            synth_mp3(
+                vbits, F.col("id") * 7 % 3, F.col("id") % 2 == 0,
+                id3_pad=F.lit(100) + F.col("id") * 13 % 300,
+            ).alias("tagged"),
+        )
+        .select(
+            "id", "bare", "tagged",
+            audio_meta(F.col("bare")).alias("mb"),
+            audio_meta(F.col("tagged")).alias("mt"),
+        )
+        .collect()
+    )
+    table = {0: (44100, 48000, 32000), 1: (22050, 24000, 16000),
+             2: (11025, 12000, 8000)}
+    for r in rows:
+        sr = table[r.id % 3][r.id * 7 % 3]
+        ch = 1 if r.id % 2 == 0 else 2
+        for m, p in (("mb", "bare"), ("mt", "tagged")):
+            assert _py_mp3_header(bytes(r[p])) == (sr, ch), (p, r.id)
+            mm = r[m]
+            assert (mm.mime_type, mm.channels, mm.sample_rate_hz) == (
+                "audio/mpeg", ch, sr,
+            ), (m, r.id)
+            assert mm.bits_per_sample is None and mm.duration_ms is None
+        assert len(bytes(r["tagged"])) == 14 + 100 + r.id * 13 % 300
+
+
+def test_audio_malformed_flac_mp3_never_error(spark):
+    """A FLAC whose first block is not STREAMINFO, an ID3 tag with no
+    frame behind it, and a desynced bare header all yield NULL fields
+    (mime still routed) — the image_meta contract."""
+    cases = {
+        # fLaC + first block type 4 (VORBIS_COMMENT): no STREAMINFO first
+        1: (b"fLaC\x04\x00\x00\x22" + b"\x00" * 34, "audio/flac"),
+        # ID3 tag, size 5, then junk that is not a frame header
+        2: (b"ID3\x04\x00\x00\x00\x00\x00\x05" + b"\x00" * 5 + b"junk",
+            "audio/mpeg"),
+        # bare FF but second byte fails the sync mask
+        3: (bytes([0xFF, 0x1B, 0x90, 0x40]), "application/octet-stream"),
+    }
+    df = spark.createDataFrame(
+        [(k, p) for k, (p, _) in cases.items()], "id long, payload binary"
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", audio_meta(F.col("payload")).alias("m")).collect()
+    }
+    for k, (_, mime) in cases.items():
+        assert got[k].mime_type == mime, k
+        assert got[k].channels is None and got[k].sample_rate_hz is None, k
+        assert got[k].bits_per_sample is None and got[k].duration_ms is None, k
+
+
 def test_sniff_mime_signatures(spark):
     cases = [
         (bytes.fromhex("FFD8FFE0") + b"rest", "image/jpeg"),
+        (b"fLaC\x00\x00\x00\x22" + b"\x00" * 34, "audio/flac"),
+        (b"ID3\x04\x00\x00\x00\x00\x00\x05", "audio/mpeg"),
+        (bytes([0xFF, 0xFB, 0x92, 0x40]), "audio/mpeg"),
         (b"%PDF-1.7 ...", "application/pdf"),
         (bytes.fromhex("504B0304") + b"zip", "application/zip"),
         (bytes.fromhex("1F8B08"), "application/gzip"),
