@@ -375,10 +375,17 @@ def pretokenize_py(text: str) -> list[str]:
                 ):
                     k += 1
             elif text[i] in _WS:
+                # covers both whitespace runs AND a lone trailing space:
+                # when text[i] == ' ' and i+1 == n, the three lookahead
+                # branches fail on k < n and this one consumes the space
                 k = i
                 while k < n and text[k] in _WS:
                     k += 1
-            else:  # lone trailing space: no branch consumed past it
+            else:
+                # unreachable — every char is L, N, whitespace, or punct
+                # (the punct branch is the complement of the other
+                # three) — kept solely as a forward-progress guard so a
+                # logic slip above can never hang the scanner
                 k = i + 1
             toks.append(text[start:k])
             i = k

@@ -892,9 +892,22 @@ def _mp3_fields(payload: F.Column) -> dict[str, F.Column]:
         _be_int_dyn(payload, p + 2, 1),
         _be_int_dyn(payload, p + 3, 1),
     )
-    sync = (h1 == 0xFF) & (F.shiftright(h2, 5) == 7)
     ver = F.shiftright(h2, 3) % 4
+    layer = F.shiftright(h2, 1) % 4
+    br_idx = F.shiftright(h3, 4)
     sr_idx = F.shiftright(h3, 2) % 4
+    # the 11-bit sync alone false-matches arbitrary high bytes (an
+    # all-0xFF blob would register as MPEG audio); a real header also
+    # has non-reserved version (01), layer (00), bitrate (1111), and
+    # sample-rate (11) fields — the standard sniffer tightening
+    sync = (
+        (h1 == 0xFF)
+        & (F.shiftright(h2, 5) == 7)
+        & (ver != 1)
+        & (layer != 0)
+        & (br_idx != 15)
+        & (sr_idx != 3)
+    )
     sr = F.lit(None).cast("int")
     for vbits, rates in MP3_SR_TABLE.items():
         for i, rate in enumerate(rates):
@@ -1182,11 +1195,7 @@ def sniff_mime(payload: F.Column | str) -> F.Column:
         )
         .when(sig(FLAC_SIG_HEX), F.lit("audio/flac"))
         .when(
-            sig(ID3_SIG_HEX)
-            | (
-                (_be_int(payload, 1, 1) == 0xFF)
-                & (F.shiftright(_be_int(payload, 2, 1).cast("long"), 5) == 7)
-            ),
+            sig(ID3_SIG_HEX) | _mp3_fields(payload)["sync"],
             F.lit("audio/mpeg"),
         )
         .when(

@@ -443,9 +443,22 @@ class IvfPqIndex:
         olds = sorted(
             n for n in os.listdir(parent) if n.startswith(base + ".old-")
         )
-        if not olds:
-            return
         staging = path + ".rebuilding"
+        if not olds:
+            # a maintain() killed mid-BUILD leaves only the staging copy:
+            # the live index is untouched and authoritative — reclaim the
+            # orphan here, because maintain's own staging cleanup runs
+            # only when drift still exceeds the threshold, so a
+            # post-crash rebaseline()/delete would otherwise pin a
+            # full-size index copy forever (review r9). A staging dir
+            # NEXT TO a meta-less live path with no parked original is
+            # left for debugging — deleting the only other copy of
+            # anything is never recovery.
+            if os.path.isdir(staging) and os.path.exists(
+                os.path.join(path, _META)
+            ):
+                shutil.rmtree(staging, ignore_errors=True)
+            return
         if os.path.exists(os.path.join(path, _META)):
             for n in olds:
                 shutil.rmtree(os.path.join(parent, n), ignore_errors=True)

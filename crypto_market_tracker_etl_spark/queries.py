@@ -2452,17 +2452,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 30
-# remaining r5-vintage queries (the oldest driver rows left:
-# global_sort … dedup_clusters) plus the front 20 of the r6-window
-# remainder (k_anonymity … winnowing). This is the steady-state rolling
-# 3-round re-attestation cycle; new/changed queries added mid-round are
-# promoted to the front by policy, displacing the window tail into
-# positions 51+.
-# Positions 51+ (in order): the rest of the r6 cohort (r10-window front),
-# the full r7 window, then the full r8 window (freshest rows, green in
-# CORRECTNESS_r08.json). The inline section markers below are
-# authoritative for the next rotation.
+# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 4
+# new/output-changed r9 queries (bpe_bytes, image_meta, media_catalog,
+# cdc_stream_eq — front by policy) + the 30 remaining r5-vintage queries
+# (the oldest driver rows left: global_sort … dedup_clusters) + the front
+# 16 of the r6-window remainder (k_anonymity … ppl_buckets_approx). The 4
+# promotions displaced quality_logit, gram_novelty, html_strip, winnowing
+# past position 50 into the r10-window front. This is the steady-state
+# rolling 3-round re-attestation cycle.
+# Positions 51+ (in order): the 4 displaced r6 queries + the rest of the
+# r6 cohort (together the r10-window front), the full r7 window, then the
+# full r8 window (freshest rows, green in CORRECTNESS_r08.json). The
+# inline section markers below are authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
     # ==== r9 window: positions 1-50 ======================================
     # -- new this round (never attested; front of window by policy) -------
@@ -2482,16 +2483,17 @@ ATTESTATION_ORDER: list[str] = [
     "knn_ivf", "tfidf", "pii_redact",
     "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
     "binary_chunks", "dedup_keep_best", "dedup_clusters",
-    # -- front of the r6-window remainder (20) ----------------------------
+    # -- front of the r6-window remainder (16; window ends here) ----------
     "k_anonymity",
     "bm25_topk", "collocations",
     "cms_heavy_hitters",
     "curation_pipeline", "video_meta", "vocab_stats",
     "tokenize_count", "audio_meta", "epoch_shuffle",
     "lang_id", "url_normalize", "link_graph", "c4_filters",
-    "lm_perplexity", "ppl_buckets_approx", "quality_logit", "gram_novelty",
-    "html_strip", "winnowing",
-    # ==== positions 51+: rest of the r6 cohort (the r10 window front) ====
+    "lm_perplexity", "ppl_buckets_approx",
+    # ==== positions 51+: displaced by the r9 promotions + rest of the ====
+    # ==== r6 cohort (together the r10 window front)                   ====
+    "quality_logit", "gram_novelty", "html_strip", "winnowing",
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
     "array_funcs", "map_funcs",
     "pagerank", "weighted_sample", "robust_stats", "cluster_profile",

@@ -3509,26 +3509,38 @@ FROM documents
 @lru_cache(maxsize=1)
 def _audio_payload_expr() -> F.Column:
     """The 6-class synthesized audio payload over F.col('doc_id') —
-    built once per process (the _image_payload_expr rationale)."""
+    built once per process (the _image_payload_expr rationale).
+
+    Per-format parameters derive from k = doc_id // 6, NOT from doc_id
+    itself: the format selector is doc_id % 6, so any doc_id-modulus
+    parameter would be CONSTANT (or near-constant) within a format
+    class — doc_id % 2 is always 0 when doc_id % 6 == 2, which would
+    silently kill the adversarial cases the formats exist to exercise
+    (the FLAC 36-bit boundary crossing, the off-diagonal MP3
+    version×index table cells, stereo/16-bit FLAC). k walks every
+    residue inside every class (review r9)."""
     from .multimodal.binary import synth_flac, synth_mp3, synth_png, synth_wav
 
     d = F.col("doc_id")
     m = d % 6
+    k = F.floor(d / 6)
     sr = F.element_at(
         F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
-        (d % 4 + 1).cast("int"),
+        (k % 4 + 1).cast("int"),
     )
-    ch = (d % 2 + 1).cast("int")
-    bits = F.when(d % 3 == 0, F.lit(16)).otherwise(F.lit(8))
+    ch = (k % 2 + 1).cast("int")
+    bits = F.when(k % 3 == 0, F.lit(16)).otherwise(F.lit(8))
     frames = (F.lit(1000) + (d * 37) % 44100).cast("long")
-    # FLAC total samples: every other doc crosses the 32-bit boundary so
-    # the 36-bit split (high nibble + low u32) is exercised
-    ts36 = frames + (d % 2) * F.lit(2**33)
+    # FLAC total samples: every other FLAC doc crosses the 32-bit
+    # boundary so the 36-bit split (high nibble + low u32) is exercised
+    ts36 = frames + (k % 2) * F.lit(2**33)
     vbits = (
-        F.when(d % 3 == 0, F.lit(3)).when(d % 3 == 1, F.lit(2)).otherwise(F.lit(0))
+        F.when(k % 3 == 0, F.lit(3)).when(k % 3 == 1, F.lit(2)).otherwise(F.lit(0))
     )
-    sr_idx = (d * 7) % 3
-    mono = d % 2 == 0
+    # (k*7)%3 would collapse to k%3 (7 ≡ 1 mod 3) and pin the table to
+    # its diagonal; k//3 walks all 9 version×index cells over k mod 9
+    sr_idx = F.floor(k / 3) % 3
+    mono = k % 2 == 0
     return (
         F.when(m == 2, synth_flac(sr, ch, bits, ts36))
         .when(m == 3, synth_mp3(vbits, sr_idx, mono))
@@ -3547,16 +3559,19 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded; with FLAC and MP3 (r9) the three formats cover the bulk of
     crawl audio.
 
-    Payloads cycle by doc_id % 6: 0/1 → genuine 44-byte WAV headers
-    (the stdlib ``wave`` module opens them —
-    tests/test_multimodal_audio.py); 2 → FLAC, every other doc's
-    total-sample count crossing the 32-bit boundary so the 36-bit field
-    split is exercised; 3 → a bare MP3 frame header and 4 → the same
-    header behind an ID3v2 tag whose synchsafe pad size exceeds 127
-    (multi-byte decode); 5 → a PNG decoy so the unknown-format path
-    (octet-stream + NULLs, never an error) runs in the same plan. The
-    oracle knows the synthesis formulas — including the MP3
-    version×index sample-rate table — and checks the parse
+    Payloads cycle by doc_id % 6 with per-format parameters derived
+    from doc_id // 6 (decorrelated from the class selector — see
+    _audio_payload_expr): 0/1 → genuine 44-byte WAV headers (the stdlib
+    ``wave`` module opens them — tests/test_multimodal_audio.py);
+    2 → FLAC, every other FLAC doc's total-sample count crossing the
+    32-bit boundary so the 36-bit field split is exercised, both
+    channel counts and both bit depths present; 3 → a bare MP3 frame
+    header and 4 → the same header behind an ID3v2 tag whose synchsafe
+    pad size exceeds 127 (multi-byte decode), together walking ALL NINE
+    version×index sample-rate table cells via the (k%3, (k//3)%3)
+    lattice; 5 → a PNG decoy so the unknown-format path (octet-stream +
+    NULLs, never an error) runs in the same plan. The oracle knows the
+    synthesis formulas — including the MP3 table — and checks the parse
     analytically. Integer arithmetic only; one zero-shuffle projection
     (plan-asserted)."""
     from .multimodal.binary import audio_meta
@@ -3583,21 +3598,22 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AUDIO_META = """
 WITH p AS (
-  SELECT doc_id, doc_id % 6 AS m,
-         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+  SELECT doc_id, doc_id % 6 AS m, doc_id // 6 AS k,
+         CASE (doc_id // 6) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                          WHEN 2 THEN 22050 ELSE 44100 END AS sr,
-         CAST(doc_id % 2 + 1 AS INT) AS ch,
-         CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS bits,
+         CAST((doc_id // 6) % 2 + 1 AS INT) AS ch,
+         CASE WHEN (doc_id // 6) % 3 = 0 THEN 16 ELSE 8 END AS bits,
          1000 + (doc_id * 37) % 44100 AS frames,
-         CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0 END AS vbits,
-         (doc_id * 7) % 3 AS sr_idx,
-         doc_id % 2 = 0 AS mono,
+         CASE (doc_id // 6) % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0
+              END AS vbits,
+         ((doc_id // 6) // 3) % 3 AS sr_idx,
+         (doc_id // 6) % 2 = 0 AS mono,
          100 + doc_id % 300 AS pad
   FROM documents
 ),
 q AS (
   SELECT *,
-         frames + (doc_id % 2) * 8589934592 AS ts36,
+         frames + (k % 2) * 8589934592 AS ts36,
          CASE WHEN vbits = 3 THEN
                 CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
               WHEN vbits = 2 THEN

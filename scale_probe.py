@@ -1789,6 +1789,50 @@ def probe_r8(spark) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def probe_r9(spark) -> None:
+    """r9 additions at generated scale: byte-level BPE over GPT-2-class
+    pretokens (the distinct-PRETOKEN grain is larger than the r8
+    distinct-word grain — space-prefixed and bare variants are distinct
+    symbols), and the full multimodal metadata family after the
+    WebP/TIFF/FLAC/MP3 additions (image_meta now runs TWO bounded walks
+    per row worst-case — JPEG segments + TIFF IFD entries — both
+    signature-gated; the probe corpus cycles all formats so every gate
+    and every walk pays its real share)."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_audio_meta,
+        q_bpe_bytes,
+        q_image_meta,
+        q_media_catalog,
+    )
+
+    base = tempfile.mkdtemp(prefix="scale_r9_")
+    try:
+        for n in (200_000, 1_000_000):
+            docs = synth_long_docs(spark, n, words=80).select(
+                "doc_id", "text", F.lit("s").alias("source")
+            )
+            sf = os.path.join(base, f"n{n}")
+            docs.write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            for name, fn in (
+                ("bpe_bytes", q_bpe_bytes),
+                ("image_meta", q_image_meta),
+                ("media_catalog", q_media_catalog),
+                ("audio_meta", q_audio_meta),
+            ):
+                t = force(fn(spark, sf))
+                print(
+                    f"{name} n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def probe_bpe(spark) -> None:
     """The BPE merge-count ceiling (r7 'What's missing' #1): Catalyst
     planning + codegen + run cost of the 2·|merges| replace CASCADE vs
@@ -1937,6 +1981,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_R8"):
         probe_r8(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_R9"):
+        probe_r9(spark)
         spark.stop()
         return
     rows = []

@@ -406,6 +406,28 @@ def test_maintain_recluster_lifecycle(spark, tmp_path):
     assert not os.path.isdir(parked)
     assert not os.path.isdir(path + ".rebuilding")
 
+    # crash mid-BUILD (before any swap): only a staging orphan exists
+    # next to an intact live index. The next open must reclaim it even
+    # though drift is back under the threshold — maintain()'s own
+    # cleanup would never run again (review r9)
+    shutil.copytree(path, path + ".rebuilding")
+    idx3 = IvfPqIndex(spark, path)
+    assert not os.path.isdir(path + ".rebuilding")
+    assert idx3.read().count() == n_live
+    # but a staging dir next to a META-LESS live path with no parked
+    # original is NOT reclaimed: it may be the only surviving copy
+    shutil.copytree(path, path + ".rebuilding")
+    os.remove(os.path.join(path, "_index_meta.json"))
+    try:
+        IvfPqIndex(spark, path)
+    except Exception:
+        pass  # meta-less live path cannot open; only recovery matters
+    assert os.path.isdir(path + ".rebuilding")
+    # restore for any later assertions
+    shutil.rmtree(path)
+    os.rename(path + ".rebuilding", path)
+    assert IvfPqIndex(spark, path).read().count() == n_live
+
 
 def test_drift_baseline_and_distribution_shift(spark, tmp_path):
     """Quantizer-drift detection: the baseline is frozen at build on the

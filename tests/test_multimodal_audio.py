@@ -94,10 +94,12 @@ def _py_mp3_header(b: bytes):
     if len(b) < p + 4 or b[p] != 0xFF or (b[p + 1] >> 5) != 7:
         return None
     ver = (b[p + 1] >> 3) & 3
+    layer = (b[p + 1] >> 1) & 3
+    br_idx = b[p + 2] >> 4
     sr_idx = (b[p + 2] >> 2) & 3
     table = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
              0: (11025, 12000, 8000)}
-    if ver not in table or sr_idx == 3:
+    if ver not in table or sr_idx == 3 or layer == 0 or br_idx == 15:
         return None
     ch = 1 if (b[p + 3] >> 6) == 3 else 2
     return (table[ver][sr_idx], ch)
@@ -194,6 +196,11 @@ def test_audio_malformed_flac_mp3_never_error(spark):
             "audio/mpeg"),
         # bare FF but second byte fails the sync mask
         3: (bytes([0xFF, 0x1B, 0x90, 0x40]), "application/octet-stream"),
+        # 11-bit sync holds but every field is reserved (all-ones blob):
+        # must NOT register as MPEG audio (review r9)
+        4: (b"\xff" * 8, "application/octet-stream"),
+        # sync + valid version/layer but reserved bitrate (1111)
+        5: (bytes([0xFF, 0xFB, 0xF0, 0x40]), "application/octet-stream"),
     }
     df = spark.createDataFrame(
         [(k, p) for k, (p, _) in cases.items()], "id long, payload binary"
@@ -214,6 +221,7 @@ def test_sniff_mime_signatures(spark):
         (b"fLaC\x00\x00\x00\x22" + b"\x00" * 34, "audio/flac"),
         (b"ID3\x04\x00\x00\x00\x00\x00\x05", "audio/mpeg"),
         (bytes([0xFF, 0xFB, 0x92, 0x40]), "audio/mpeg"),
+        (b"\xff" * 8, "application/octet-stream"),  # reserved fields
         (b"%PDF-1.7 ...", "application/pdf"),
         (bytes.fromhex("504B0304") + b"zip", "application/zip"),
         (bytes.fromhex("1F8B08"), "application/gzip"),
