@@ -125,7 +125,7 @@ class MinHashSignatureStore:
         a crash BETWEEN batch rewrites also converges. Same
         single-writer contract as upsert_batch/compact. Returns the
         number of partitions rewritten."""
-        import shutil
+        from .storeutil import staged_swap
 
         ids = sorted({int(i) for i in ids})
         if not ids:
@@ -136,16 +136,13 @@ class MinHashSignatureStore:
             if rows.filter(F.col(self.id_col).isin(ids)).isEmpty():
                 continue
             live = os.path.join(self.path, f"batch={b}")
-            staged, old = live + ".compacting", live + ".old"
-            for leftover in (staged, old):
-                if os.path.isdir(leftover):
-                    shutil.rmtree(leftover)
-            rows.filter(~F.col(self.id_col).isin(ids)).write.mode(
-                "overwrite"
-            ).parquet(staged)
-            os.rename(live, old)
-            os.rename(staged, live)
-            shutil.rmtree(old)
+            kept = rows.filter(~F.col(self.id_col).isin(ids))
+            staged_swap(
+                live,
+                lambda staged, kept=kept: kept.write.mode("overwrite").parquet(
+                    staged
+                ),
+            )
             rewritten += 1
         return rewritten
 

@@ -111,21 +111,16 @@ def _ledger_collapsed(ledger: DataFrame) -> DataFrame:
 
 
 def _swap_in(path: str, view: DataFrame) -> None:
-    """Crash-safe store replacement — THE swap protocol (compact() and
-    _apply_deletes share this single implementation): write ``view`` to
-    ``.compacting``, rename(live → .old), rename(.compacting → live),
-    rmtree(.old). Each rename is atomic; _recover_swap (run by every
-    reader) heals any intermediate state."""
-    import shutil
+    """Crash-safe store replacement — the shared swap dance
+    (operators/storeutil.py::staged_swap; compact(), _apply_deletes,
+    and the signature store's per-batch rewrites all run the same
+    implementation). Each rename is atomic; _recover_swap (run by
+    every reader) heals any intermediate state."""
+    from ..operators.storeutil import staged_swap
 
-    staged, old = path + ".compacting", path + ".old"
-    for leftover in (staged, old):
-        if os.path.isdir(leftover):
-            shutil.rmtree(leftover)
-    view.write.mode("overwrite").parquet(staged)
-    os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old)
+    staged_swap(
+        path, lambda staged: view.write.mode("overwrite").parquet(staged)
+    )
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:

@@ -203,6 +203,27 @@ SHOWCASE = {
         "join, no aggregate, no window, no Python -- quality gating at "
         "scan speed."
     ),
+    "bpe_bytes": (
+        "Byte-level BPE over GPT-2-class pretokens: ONE JVM "
+        "regexp_extract_all + explode to the (doc, pretoken) grain, the "
+        "Arrow kernel (ArrowEvalPython) ONLY on the distinct-pretoken "
+        "grain, counts join back on the pretoken key and combine "
+        "map-side -- the r8 kernel economics carried to the "
+        "production-fidelity byte alphabet."
+    ),
+    "image_meta": (
+        "Four image formats, zero shuffles beyond the corpus spread: the "
+        "JPEG SOF walk and the TIFF IFD walk are each staged ONCE behind "
+        "an alias barrier (HOFs are exempt from subexpression "
+        "elimination), WebP/PNG/GIF are fixed-offset expressions; blobs "
+        "never enter Python."
+    ),
+    "media_catalog": (
+        "The 10-format router + all three modality parsers fused into "
+        "one codegen'd projection: sniff dispatch, both bounded walks "
+        "and the mvhd locate staged as columns, union schema per blob; "
+        "zero joins, zero Python."
+    ),
 }
 
 
