@@ -390,7 +390,7 @@ def synth_tiff(
     width: F.Column, height: F.Column, little_endian: bool = True
 ) -> F.Column:
     """A real TIFF prefix: endian header + a 2-entry first IFD carrying
-    ImageWidth/ImageLength as inline SHORTs — 34 bytes, parseable by any
+    ImageWidth/ImageLength as inline SHORTs — 38 bytes, parseable by any
     IFD walker (the independent pure-Python parser in tests included).
     Entry layout per spec: tag(2) type(2) count(4) value(4), value
     left-justified in its 4-byte field (so a SHORT occupies the FIRST two

@@ -2452,15 +2452,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 4
+# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 5
 # new/output-changed r9 queries (bpe_bytes, image_meta, media_catalog,
-# cdc_stream_eq — front by policy) + the 30 remaining r5-vintage queries
-# (the oldest driver rows left: global_sort … dedup_clusters) + the front
-# 16 of the r6-window remainder (k_anonymity … ppl_buckets_approx). The 4
-# promotions displaced quality_logit, gram_novelty, html_strip, winnowing
-# past position 50 into the r10-window front. This is the steady-state
-# rolling 3-round re-attestation cycle.
-# Positions 51+ (in order): the 4 displaced r6 queries + the rest of the
+# cdc_stream_eq, mime_sniff — front by policy) + the 30 remaining
+# r5-vintage queries (the oldest driver rows left: global_sort …
+# dedup_clusters) + the front 15 of the r6-window remainder (k_anonymity
+# … lm_perplexity). The 5 promotions displaced ppl_buckets_approx,
+# quality_logit, gram_novelty, html_strip, winnowing past position 50
+# into the r10-window front. This is the steady-state rolling 3-round
+# re-attestation cycle.
+# Positions 51+ (in order): the 5 displaced r6 queries + the rest of the
 # r6 cohort (together the r10-window front), the full r7 window, then the
 # full r8 window (freshest rows, green in CORRECTNESS_r08.json). The
 # inline section markers below are authoritative for the next rotation.
@@ -2472,6 +2473,8 @@ ATTESTATION_ORDER: list[str] = [
     "image_meta", "media_catalog",
     # -- new this round: the upsert-path stream≡batch equality ------------
     "cdc_stream_eq",
+    # -- output changed: 14-class cycle attests WebP/TIFF/FLAC/MP3 routing
+    "mime_sniff",
     # -- rest of the r5 cohort (30; oldest driver rows, scheduled refresh)
     "global_sort", "daily_ohlc_view",
     "cube", "moving_avg", "ntile_rank", "range_join",
@@ -2483,17 +2486,18 @@ ATTESTATION_ORDER: list[str] = [
     "knn_ivf", "tfidf", "pii_redact",
     "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
     "binary_chunks", "dedup_keep_best", "dedup_clusters",
-    # -- front of the r6-window remainder (16; window ends here) ----------
+    # -- front of the r6-window remainder (15; window ends here) ----------
     "k_anonymity",
     "bm25_topk", "collocations",
     "cms_heavy_hitters",
     "curation_pipeline", "video_meta", "vocab_stats",
     "tokenize_count", "audio_meta", "epoch_shuffle",
     "lang_id", "url_normalize", "link_graph", "c4_filters",
-    "lm_perplexity", "ppl_buckets_approx",
+    "lm_perplexity",
     # ==== positions 51+: displaced by the r9 promotions + rest of the ====
     # ==== r6 cohort (together the r10 window front)                   ====
-    "quality_logit", "gram_novelty", "html_strip", "winnowing",
+    "ppl_buckets_approx", "quality_logit", "gram_novelty", "html_strip",
+    "winnowing",
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
     "array_funcs", "map_funcs",
     "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
@@ -2506,7 +2510,7 @@ ATTESTATION_ORDER: list[str] = [
     "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
     "lm_perplexity_kn",
     "near_dup_pairs_fast", "simhash_fast",
-    "setsim_join", "triangle_count", "mime_sniff",
+    "setsim_join", "triangle_count",
     "session_islands", "late_arrivals", "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",

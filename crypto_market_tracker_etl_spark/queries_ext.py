@@ -3649,24 +3649,31 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingestion fan-out that decides which decode pipeline (image /
     audio / document / archive) each blob enters, before any codec runs.
     Every route is exercised: payloads cycle PNG, GIF, WAV, MP4, JPEG,
-    PDF, ZIP, GZIP, HEIC, M4A by doc_id % 10 (real container prefixes —
-    the PNG/GIF/WAV/BMFF ones are the same synthesizers the parsers
-    consume; the rest are literal signature bytes). The HEIC and M4A
-    payloads are genuine ISO-BMFF prefixes whose MAJOR BRAND differs —
-    they attest the brand routing (image/heic, audio/mp4) the r7 fix
-    added, not just the ftyp check. The oracle knows the cycle and
-    checks the routing analytically. One zero-shuffle projection
-    (plan-asserted); blobs never enter Python."""
+    PDF, ZIP, GZIP, HEIC, M4A, WebP, TIFF, FLAC, bare-sync MP3 by
+    doc_id % 14 (real container prefixes — the synthesized ones are the
+    same synthesizers the parsers consume; the rest are literal
+    signature bytes). The HEIC and M4A payloads are genuine ISO-BMFF
+    prefixes whose MAJOR BRAND differs — they attest the brand routing
+    (image/heic, audio/mp4) the r7 fix added, not just the ftyp check;
+    the r9 four attest the WebP RIFF-tenant split (image, not audio),
+    the TIFF endian signature, and the tightened MP3 sync (reserved
+    fields rejected). The oracle knows the cycle and checks the routing
+    analytically. One zero-shuffle projection (plan-asserted); blobs
+    never enter Python."""
     from .multimodal.binary import (
         sniff_mime,
+        synth_flac,
         synth_gif,
+        synth_mp3,
         synth_mp4,
         synth_png,
+        synth_tiff,
         synth_wav,
+        synth_webp_vp8,
     )
 
     docs = _documents(spark, sf_dir)
-    m = F.col("doc_id") % 10
+    m = F.col("doc_id") % 14
     w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
     h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
     payload = (
@@ -3688,12 +3695,22 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             m == 8,  # genuine BMFF, HEIC major brand → image pipeline
             synth_mp4(F.lit("heic"), F.lit(600), F.lit(6000), F.lit(1).cast("int")),
         )
-        .otherwise(  # genuine BMFF, M4A major brand → audio pipeline
-            synth_mp4(F.lit("M4A "), F.lit(600), F.lit(6000), F.lit(1).cast("int"))
+        .when(
+            m == 9,  # genuine BMFF, M4A major brand → audio pipeline
+            synth_mp4(F.lit("M4A "), F.lit(600), F.lit(6000), F.lit(1).cast("int")),
+        )
+        .when(m == 10, synth_webp_vp8(w, h))  # RIFF tenant → image
+        .when(m == 11, synth_tiff(w, h, little_endian=False))
+        .when(
+            m == 12,
+            synth_flac(F.lit(44100), F.lit(2).cast("int"), F.lit(16), F.lit(44100)),
+        )
+        .otherwise(  # bare MPEG1 Layer-III header, valid fields
+            synth_mp3(F.lit(3), F.lit(0), F.lit(False))
         )
     )
     # two-step select: the audio_meta alias barrier (see its comment)
-    mime = sniff_mime(F.col("payload"))
+    mime = sniff_mime("payload")
     return docs.select("doc_id", payload.alias("payload")).select(
         "doc_id",
         F.octet_length("payload").alias("n_bytes"),
@@ -3709,17 +3726,21 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MIME_SNIFF = """
 SELECT doc_id,
-       CAST(CASE doc_id % 10 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
+       CAST(CASE doc_id % 14 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
             WHEN 3 THEN 136 WHEN 4 THEN 10 WHEN 5 THEN 8 WHEN 6 THEN 6
-            WHEN 7 THEN 6 ELSE 136 END AS INT) AS n_bytes,
-       CASE doc_id % 10 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 7 THEN 6 WHEN 8 THEN 136 WHEN 9 THEN 136
+            WHEN 10 THEN 30 WHEN 11 THEN 38 WHEN 12 THEN 42
+            ELSE 4 END AS INT) AS n_bytes,
+       CASE doc_id % 14 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
             WHEN 6 THEN 'application/zip' WHEN 7 THEN 'application/gzip'
-            WHEN 8 THEN 'image/heic'
-            ELSE 'audio/mp4' END AS mime_type,
-       doc_id % 10 IN (0, 1, 4, 8) AS is_image,
-       doc_id % 10 IN (0, 1, 2, 3, 4, 8, 9) AS is_media
+            WHEN 8 THEN 'image/heic' WHEN 9 THEN 'audio/mp4'
+            WHEN 10 THEN 'image/webp' WHEN 11 THEN 'image/tiff'
+            WHEN 12 THEN 'audio/flac'
+            ELSE 'audio/mpeg' END AS mime_type,
+       doc_id % 14 IN (0, 1, 4, 8, 10, 11) AS is_image,
+       doc_id % 14 NOT IN (5, 6, 7) AS is_media
 FROM documents
 """
 
