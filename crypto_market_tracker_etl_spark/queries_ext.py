@@ -294,6 +294,88 @@ def q_curation_stream_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[streaming ≡ batch, erasure, driver-attested] The GDPR story of
+    the curation stores proven against a from-scratch oracle every
+    round: ingest the same adversarial corpus as [curation_stream_eq],
+    then ``delete_docs`` two victim classes, compact (the post-delete
+    fold must be invisible), and clean — the survivors must hash-equal
+    the batch funnel recomputed over the corpus WITH THE VICTIMS NEVER
+    PRESENT. The victim classes are chosen to exercise both erasure
+    semantics:
+
+    * full families (doc_id % 100 == 7 across originals, near-dup and
+      exact copies — the +100000/+200000 offsets preserve the residue):
+      the whole duplicate cluster disappears;
+    * originals only (doc_id % 100 == 11, doc_id < 100000): the exact
+      copy (+200000) must INHERIT canonical status (min-id exact dedup
+      re-resolves), and the near-dup component re-evaluates without the
+      deleted member — deletion is not just row removal, it reshapes
+      clusters.
+
+    The victim list is a bounded driver-side collect (erasure requests
+    are operationally small — the delete_docs contract). Store path
+    keyed by (sf_dir, applicationId), wiped per invocation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .plans.curation_stream import CurationStream
+
+    corpus = _augmented_corpus(spark, sf_dir).unionByName(
+        _documents(spark, sf_dir).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            "source",
+            normalize_ws(F.col("text")).alias("text"),
+        )
+    )
+    victims = [
+        r.doc_id
+        for r in corpus.select("doc_id")
+        .where(
+            (F.col("doc_id") % 100 == 7)
+            | ((F.col("doc_id") % 100 == 11) & (F.col("doc_id") < 100000))
+        )
+        .collect()
+    ]
+    run_token = hashlib.md5(
+        f"{sf_dir}|del|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    store = os.path.join(
+        tempfile.gettempdir(), "curation_delete_eq_" + run_token
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    cs = CurationStream(spark, store)
+    for bid, rem in enumerate((2, 1, 0)):
+        cs.process_batch(corpus.filter(F.col("doc_id") % 3 == rem), batch_id=bid)
+    cs.delete_docs(victims)
+    cs.compact()
+    return cs.clean().select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "content_fp",
+    )
+
+
+def _sql_curation_delete_eq() -> str:
+    """The batch funnel recomputed over the corpus with the victims
+    never present — textually the curation_stream_eq oracle with the
+    victim filter applied to the augmented corpus CTE."""
+    base = _sql_curation_stream_eq()
+    anchor = "feat AS ("
+    victims_cte = """vfree AS (
+  SELECT * FROM aug
+  WHERE NOT (doc_id % 100 = 7 OR (doc_id % 100 = 11 AND doc_id < 100000))
+),
+"""
+    # replace feat's source FIRST — vfree's own "FROM aug" must survive
+    return base.replace("FROM aug\n", "FROM vfree\n").replace(
+        anchor, victims_cte + anchor
+    )
+
+
 def _sql_stopword_hits(lang: str, toks: str = "toks") -> str:
     """DuckDB twin of textstats.stopword_hits for one language."""
     from .functions.textstats import STOPWORDS
@@ -407,6 +489,7 @@ WHERE losers.doc_id IS NULL
 
 
 SQL_CURATION_STREAM_EQ = _sql_curation_stream_eq()
+SQL_CURATION_DELETE_EQ = _sql_curation_delete_eq()
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5313,6 +5396,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "curation_stream_eq": (q_curation_stream_eq, SQL_CURATION_STREAM_EQ),
+    "curation_delete_eq": (q_curation_delete_eq, SQL_CURATION_DELETE_EQ),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "map_funcs": (q_map_funcs, SQL_MAP_FUNCS),
 }
