@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_keep_one_span",
     "k_anonymity_summary",
     "gopher_rules",
+    "encoding_quality",
     "curation_pipeline",
     "cms_heavy_hitters",
     "media_catalog",

@@ -1385,6 +1385,121 @@ FROM t
 """
 
 
+# Encoding-damage patterns (r9): written so Java (Spark) and RE2
+# (DuckDB) parse them identically — \xhh / \x{hhhh} code-point escapes
+# and literal chars only, no \p classes. The mojibake classes are the
+# classic UTF-8-read-as-Latin-1/cp1252 signatures:
+#   Ã + (latin-1 continuation glyph or cp1252 C1 glyph) — a real 'Ã'
+#     is followed by a capital or space ("SÃO", "João" upper-cased),
+#     never by '©'/'¯'/'€'-class glyphs, so the follower set is the
+#     discriminator (differentially pinned on 'SÃO PAULO' staying clean);
+#   â€ — the two lead glyphs every mis-decoded curly quote/dash
+#     (U+2018-U+201D, U+2013/14, U+2026) produces; essentially
+#     impossible in genuine text;
+#   Â + nbsp/punct supplement — the stray 'Â' a double-encoded NBSP or
+#     degree/section sign leaves behind.
+ENC_P_C1 = "[\\x80-\\x9f]"  # C1 control block: legit text has none
+ENC_P_REPL = "\\x{FFFD}"  # U+FFFD: a decoder already gave up here
+ENC_P_MOJI1 = (
+    "Ã[\\x80-\\xbf€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+    "¡¢£¤¥¦§¨©ª«¬®¯°±²³´µ¶·¸¹º»¼½¾¿]"
+)
+ENC_P_MOJI2 = "â€"
+ENC_P_MOJI3 = "Â[\\xa0-\\xbf]"
+
+_ENC_DMG_MOJI = " cafÃ© donâ€™t Â° x"  # 2×M1 + 1×M2 + 1×M3
+_ENC_DMG_REPL = " �\x85ok"  # 1×FFFD + 1×C1
+_ENC_DMG_CLEAN = " SÃO PAULO João naïve"  # legit lookalikes: must stay 0
+
+
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] The encoding-damage gate (ftfy/C4-class) every
+    crawl pipeline runs on RAW text before any other filter: count
+    U+FFFD replacement chars (a decoder already gave up), C1-block
+    controls (U+0080-009F — legit text has none; the strongest
+    single-char mojibake signal), and the three classic
+    UTF-8-as-Latin-1 double-encoding signatures (see ENC_P_* above),
+    then emit a per-1000-chars damage rate and the boolean gate.
+
+    The corpus is clean, so damage is PLANTED deterministically
+    (doc_id % 5: 1 → mojibake suffix, 2 → replacement+C1 suffix,
+    3 → legitimate lookalikes 'SÃO PAULO João naïve' that must stay
+    zero — the false-positive guard is part of the differential, both
+    engines construct the same augmented text and run the same
+    patterns). Zero-shuffle expression projection; regexp_count is
+    JVM-side, no Python."""
+    docs = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    t0 = (
+        F.when(m == 1, F.concat(F.col("text"), F.lit(_ENC_DMG_MOJI)))
+        .when(m == 2, F.concat(F.col("text"), F.lit(_ENC_DMG_REPL)))
+        .when(m == 3, F.concat(F.col("text"), F.lit(_ENC_DMG_CLEAN)))
+        .otherwise(F.col("text"))
+    )
+    t = F.col("t")
+    cnt = lambda p: F.regexp_count(t, F.lit(p))  # noqa: E731
+    bad = F.col("n_replacement") + F.col("n_c1") + F.col("n_mojibake")
+    return (
+        docs.select("doc_id", t0.alias("t"))
+        .select(
+            "doc_id",
+            F.length(t).alias("n_chars"),
+            cnt(ENC_P_REPL).alias("n_replacement"),
+            cnt(ENC_P_C1).alias("n_c1"),
+            (
+                cnt(ENC_P_MOJI1) + cnt(ENC_P_MOJI2) + cnt(ENC_P_MOJI3)
+            ).alias("n_mojibake"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_replacement",
+            "n_c1",
+            "n_mojibake",
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(bad * 1000.0 / F.col("n_chars"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("bad_per_kchar"),
+            (bad == 0).alias("enc_ok"),
+        )
+    )
+
+
+def _sql_encoding_quality() -> str:
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    p = lambda pat: f"CAST(len(regexp_extract_all(t, '{esc(pat)}')) AS INT)"  # noqa: E731
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 1 THEN text || '{esc(_ENC_DMG_MOJI)}'
+           WHEN 2 THEN text || '{esc(_ENC_DMG_REPL)}'
+           WHEN 3 THEN text || '{esc(_ENC_DMG_CLEAN)}'
+           ELSE text END AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(length(t) AS INT) AS n_chars,
+         {p(ENC_P_REPL)} AS n_replacement,
+         {p(ENC_P_C1)} AS n_c1,
+         {p(ENC_P_MOJI1)} + {p(ENC_P_MOJI2)} + {p(ENC_P_MOJI3)} AS n_mojibake
+  FROM a
+)
+SELECT doc_id, n_chars, n_replacement, n_c1, n_mojibake,
+       CASE WHEN n_chars > 0
+            THEN round((n_replacement + n_c1 + n_mojibake) * 1000.0
+                       / n_chars, 4)
+            ELSE 0.0 END AS bad_per_kchar,
+       (n_replacement + n_c1 + n_mojibake) = 0 AS enc_ok
+FROM c
+"""
+
+
+SQL_ENCODING_QUALITY = _sql_encoding_quality()
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + heuristic language ID (stopword-hit scoring with
     alphabetical tiebreak, 'und' when nothing matches)."""
@@ -5360,6 +5475,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "knn_ivfadc": (q_knn_ivfadc, SQL_KNN_IVFADC),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "encoding_quality": (q_encoding_quality, SQL_ENCODING_QUALITY),
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "binary_meta": (q_binary_meta, SQL_BINARY_META),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),

@@ -959,6 +959,56 @@ def test_gopher_rules_scan_speed(spark):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
 
 
+def test_encoding_quality_scan_speed(spark):
+    """The encoding-damage gate is a pure expression projection — five
+    JVM regexp_count calls over the text column; no join, no aggregate
+    exchange, no window, no Python (the gopher_rules shape)."""
+    s = plan_of(spark, "encoding_quality")
+    assert s.count("Exchange") <= 2  # only the corpus spread (tree + detail)
+    assert "Join" not in s
+    assert "Window" not in s
+    assert "HashAggregate" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_encoding_quality_pattern_semantics(spark):
+    """The pattern battery on planted fixtures: legit 'Ã'/'ã' text stays
+    clean (the São-Paulo false-positive guard), each damage class counts
+    exactly, and empty text is 0-damage enc_ok."""
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        ENC_P_C1,
+        ENC_P_MOJI1,
+        ENC_P_MOJI2,
+        ENC_P_MOJI3,
+        ENC_P_REPL,
+    )
+
+    from pyspark.sql import functions as F
+
+    cases = {
+        1: ("visit S\u00c3O PAULO with Jo\u00e3o and na\u00efve text", 0),
+        2: ("caf\u00c3\u00a9 don\u00e2\u20ac\u2122t na\u00c3\u00afve \u00c2\u00b0deg", 4),  # 2xM1 + 1xM2 + 1xM3
+        3: ("repl \ufffd twice \ufffd and c1 \x85", 3),  # 2xFFFD + 1xC1
+        4: ("", 0),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "id long, t string"
+    )
+    cnt = lambda p: F.regexp_count(F.col("t"), F.lit(p))  # noqa: E731
+    got = {
+        r["id"]: r["bad"]
+        for r in df.select(
+            "id",
+            (
+                cnt(ENC_P_REPL) + cnt(ENC_P_C1) + cnt(ENC_P_MOJI1)
+                + cnt(ENC_P_MOJI2) + cnt(ENC_P_MOJI3)
+            ).alias("bad"),
+        ).collect()
+    }
+    for k, (_, want) in cases.items():
+        assert got[k] == want, (k, got[k])
+
+
 def test_dedup_keep_one_span_no_doc_pair_relation(spark):
     """Keep-one adds ONE hash-keyed canonical aggregate (min (doc_id,
     pos) struct, map-side combining — NOT a per-hash window that would
