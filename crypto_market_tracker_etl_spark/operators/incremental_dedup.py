@@ -90,12 +90,17 @@ class MinHashSignatureStore:
         Steady-state cost: the listdir the caller was doing anyway."""
         import shutil
 
+        from .storeutil import OLD_SUFFIX, STAGED_SUFFIX
+
+        # suffixes from storeutil so recovery (incl. the leftover regex)
+        # can never drift from the writer's staged_swap (review r9)
+        suffix_alt = f"{STAGED_SUFFIX[1:]}|{OLD_SUFFIX[1:]}"
         for name in os.listdir(self.path):
-            m = re.fullmatch(r"(batch=\d+)\.(old|compacting)", name)
+            m = re.fullmatch(rf"(batch=\d+)\.({suffix_alt})", name)
             if not m:
                 continue
             live = os.path.join(self.path, m.group(1))
-            staged, old = live + ".compacting", live + ".old"
+            staged, old = live + STAGED_SUFFIX, live + OLD_SUFFIX
             if not os.path.isdir(live):
                 if os.path.isdir(staged) and os.path.exists(
                     os.path.join(staged, "_SUCCESS")

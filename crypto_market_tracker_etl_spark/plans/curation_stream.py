@@ -76,7 +76,11 @@ def _recover_swap(path: str) -> None:
     beside a live dir is post-swap garbage and is removed."""
     import shutil
 
-    staged, old = path + ".compacting", path + ".old"
+    from ..operators.storeutil import OLD_SUFFIX, STAGED_SUFFIX
+
+    # suffixes from storeutil so recovery can never drift from the
+    # writer's staged_swap (review r9)
+    staged, old = path + STAGED_SUFFIX, path + OLD_SUFFIX
     if not os.path.isdir(path):
         if os.path.isdir(staged) and os.path.exists(
             os.path.join(staged, "_SUCCESS")

@@ -364,6 +364,10 @@ def _sql_curation_delete_eq() -> str:
     never present — textually the curation_stream_eq oracle with the
     victim filter applied to the augmented corpus CTE."""
     base = _sql_curation_stream_eq()
+    # the blanket replace below is only safe while feat is the SOLE
+    # consumer of aug — fail at import time, not with a confusing
+    # attestation hash diff, if a future edit adds another "FROM aug"
+    assert base.count("FROM aug\n") == 1, "delete_eq splice anchor drifted"
     anchor = "feat AS ("
     victims_cte = """vfree AS (
   SELECT * FROM aug
@@ -1407,7 +1411,7 @@ ENC_P_MOJI1 = (
 ENC_P_MOJI2 = "â€"
 ENC_P_MOJI3 = "Â[\\xa0-\\xbf]"
 
-_ENC_DMG_MOJI = " cafÃ© donâ€™t Â° x"  # 2×M1 + 1×M2 + 1×M3
+_ENC_DMG_MOJI = " cafÃ© donâ€™t Â° x"  # 1×M1 + 1×M2 + 1×M3
 _ENC_DMG_REPL = " �\x85ok"  # 1×FFFD + 1×C1
 _ENC_DMG_CLEAN = " SÃO PAULO João naïve"  # legit lookalikes: must stay 0
 

@@ -212,14 +212,15 @@ SHOWCASE = {
         "production-fidelity byte alphabet."
     ),
     "image_meta": (
-        "Four image formats, zero shuffles beyond the corpus spread: the "
+        "Five image format families (PNG, GIF, JPEG, 3-variant WebP, "
+        "both-endian TIFF), zero shuffles beyond the corpus spread: the "
         "JPEG SOF walk and the TIFF IFD walk are each staged ONCE behind "
         "an alias barrier (HOFs are exempt from subexpression "
         "elimination), WebP/PNG/GIF are fixed-offset expressions; blobs "
         "never enter Python."
     ),
     "media_catalog": (
-        "The 10-format router + all three modality parsers fused into "
+        "The 12-format router + all three modality parsers fused into "
         "one codegen'd projection: sniff dispatch, both bounded walks "
         "and the mvhd locate staged as columns, union schema per blob; "
         "zero joins, zero Python."
