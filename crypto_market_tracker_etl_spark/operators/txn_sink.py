@@ -137,6 +137,23 @@ def manifest_load_dvs(path: str, version: int) -> dict[str, str]:
     return dict(_manifest_doc(path, version).get("dvs", {}))
 
 
+def manifest_load_schema_map(path: str, version: int) -> dict:
+    """The snapshot's column mapping (r9 — Delta's column-mapping 'name
+    mode' essence): ``{"renames": {logical: physical}, "dropped":
+    [physical, ...]}``. Physical names are frozen at first write and
+    live in the files forever; renames and drops are metadata-only
+    commits that re-label / hide them at the read-write boundary. Empty
+    for version 0 and for manifests written before the feature existed
+    (old tables read unchanged)."""
+    if version == 0:
+        return {"renames": {}, "dropped": []}
+    doc = _manifest_doc(path, version).get("schema_map") or {}
+    return {
+        "renames": dict(doc.get("renames", {})),
+        "dropped": list(doc.get("dropped", [])),
+    }
+
+
 def manifest_load_stats(
     path: str, version: int, files: bool = True
 ) -> dict[str, dict]:
@@ -526,12 +543,18 @@ class ManifestParquetSink:
         op: str = "commit",
         dvs: dict[str, str] | None = None,
         files_checkpoint: str | None = None,
+        schema_map: dict | None = None,
     ) -> bool:
         """CAS: install ``partitions`` as v{base+1} iff still unclaimed.
         The temp manifest is fsync'd BEFORE the link and the manifest dir
         after it: link(2) is metadata-only, so without the fsync a crash
         could surface a committed v{N}.json with empty/partial bytes
-        (delayed allocation) — a bricked table."""
+        (delayed allocation) — a bricked table.
+
+        The column mapping (``schema_map``) is carried forward from the
+        base manifest AUTOMATICALLY unless the caller passes an explicit
+        replacement (rename_column/drop_column) — every data commit
+        preserves the current logical schema without threading it."""
         import time
 
         tmp = os.path.join(self._manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -541,6 +564,12 @@ class ManifestParquetSink:
             "op": op,
             "committed_at": time.time(),
         }
+        if schema_map is None and base_version > 0:
+            schema_map = manifest_load_schema_map(self.path, base_version)
+        if schema_map and (
+            schema_map.get("renames") or schema_map.get("dropped")
+        ):
+            doc["schema_map"] = schema_map
         if files_checkpoint is not None:
             # metadata-only commit (delete_fast) on a checkpointed table:
             # the file grain is UNCHANGED, so the new manifest re-points
@@ -947,8 +976,19 @@ class ManifestParquetSink:
         values' (min, max) envelope, blooms keep a file when ANY value
         matches (all of a column's values hash in one 1-row job), and the
         row filter is ``isin``. A column may appear in where_eq OR
-        where_in, not both."""
+        where_in, not both.
+
+        Under column mapping (rename_column/drop_column) every filter
+        takes the CURRENT logical names (translated to physical before
+        pruning — zone maps and blooms are keyed by the physical names
+        in the files) and the returned frame carries logical columns;
+        ``version`` time travel applies THAT snapshot's mapping, so an
+        old version reads under its own names."""
         v = self.current_version() if version is None else version
+        sm = manifest_load_schema_map(self.path, v)
+        where = self._filters_to_physical(sm, where)
+        where_eq = self._filters_to_physical(sm, where_eq)
+        where_in = self._filters_to_physical(sm, where_in)
         manifest = self._load_manifest(v)
         if days is not None:
             manifest = {d: p for d, p in manifest.items() if d in set(days)}
@@ -964,7 +1004,7 @@ class ManifestParquetSink:
                 pass  # mixed-type in-list: no zone range, bloom still works
         dvs = self._load_dvs(v)
         if not zone_where and not eq_lists:
-            return self._scan_live(manifest, dvs)
+            return self._apply_logical(self._scan_live(manifest, dvs), sm)
         # three-level prune: partitions (zone maps, day-level JSON only),
         # then files by range (effective once compact(cluster_by=...)
         # made per-file ranges disjoint; file grain fetched ONLY for the
@@ -1050,7 +1090,7 @@ class ManifestParquetSink:
                 df = df.filter(F.lit(False))
                 continue
             df = df.filter(F.col(c).isin(list(vals)))
-        return df
+        return self._apply_logical(df, sm)
 
     def stats_rows(
         self, days: Sequence[str] | None = None, version: int | None = None
@@ -1087,6 +1127,9 @@ class ManifestParquetSink:
         """(scanned_days, skipped_days) for a ``where`` — the observability
         hook the pruning tests assert against."""
         v = self.current_version() if version is None else version
+        where = self._filters_to_physical(
+            manifest_load_schema_map(self.path, v), where
+        )
         manifest = self._load_manifest(v)
         stats = self._load_stats(v, files=False)  # day-level question
         scanned, skipped = [], []
@@ -1102,6 +1145,9 @@ class ManifestParquetSink:
         counts as skipped; a partition without file stats contributes its
         files as scanned (conservative)."""
         v = self.current_version() if version is None else version
+        where = self._filters_to_physical(
+            manifest_load_schema_map(self.path, v), where
+        )
         manifest = self._load_manifest(v)
         stats = self._load_stats(v)
         scanned, skipped = [], []
@@ -1231,7 +1277,10 @@ class ManifestParquetSink:
         Optimistic concurrency: merge against the current snapshot, write
         immutable data, CAS the manifest; on conflict re-merge against the
         winner's snapshot and retry. Retries re-run only the TOUCHED-day
-        merge (bounded by the batch, not the table)."""
+        merge (bounded by the batch, not the table). Batches carry the
+        CURRENT logical column names; renames never change physical
+        names, so the translation stays valid across CAS retries."""
+        batch = self._batch_to_physical(batch, self.schema_map())
         batch, days = self._prep_batch(batch, "upsert")
         for _ in range(max_retries + 1):
             base = self.current_version()
@@ -1328,6 +1377,7 @@ class ManifestParquetSink:
         only touched days are read and rewritten). A day whose every key
         is deleted drops out of the manifest entirely. With ``changes``
         this completes the I/U/D surface: deletes appear as _op='D'."""
+        batch = self._batch_to_physical(batch, self.schema_map())
         batch, days = self._prep_batch(batch, "delete")
         keys_df = batch.select(*self.keys).distinct()
         for _ in range(max_retries + 1):
@@ -1379,6 +1429,7 @@ class ManifestParquetSink:
         Suppression is by KEY, unconditionally — keys absent from the day
         are recorded and harmless (the anti-join matches nothing). Like
         ``delete``, days absent from the manifest are ignored."""
+        batch = self._batch_to_physical(batch, self.schema_map())
         batch, days = self._prep_batch(batch, "delete_fast")
         keyed = batch.select("dt", *self.keys).distinct()
         for _ in range(max_retries + 1):
@@ -1425,6 +1476,204 @@ class ManifestParquetSink:
                 return base + 1
         raise CommitConflictError(
             f"delete_fast lost the manifest CAS {max_retries + 1} times "
+            f"at {self.path}"
+        )
+
+    # ------------------------------------------------------- column mapping
+    # r9: rename/drop columns WITHOUT rewriting a byte of data — Delta's
+    # column-mapping "name mode" essence on the manifest. Physical names
+    # are frozen at first write; the manifest's schema_map re-labels them
+    # (renames: {logical: physical}) and hides them (dropped: [physical])
+    # at the public boundary. Internals (merge, stats, blooms, zone maps,
+    # DVs, compaction) stay 100% physical; read()/changes() translate on
+    # the way out, and every batch entering upsert/delete/delete_fast
+    # translates on the way in. Time travel reads each version under ITS
+    # OWN mapping. Deliberately unsupported: re-using a dropped PHYSICAL
+    # name (raises — the old data would resurrect silently otherwise)
+    # and renaming/dropping the merge keys, the ts column, or 'dt' (the
+    # partition machinery's own columns). A renamed-then-dropped LOGICAL
+    # name may be re-added: the fresh column gets its own physical slot
+    # and the hidden data stays hidden — Delta's fresh-field-id re-add.
+
+    def schema_map(self, version: int | None = None) -> dict:
+        """The snapshot's column mapping (see manifest_load_schema_map)."""
+        v = self.current_version() if version is None else version
+        return manifest_load_schema_map(self.path, v)
+
+    @staticmethod
+    def _filters_to_physical(sm: dict, d: dict | None) -> dict | None:
+        """Translate a filter dict's LOGICAL column keys to physical;
+        loud on dropped/renamed-away names (a silent identity pass-through
+        for an old name would filter the renamed column under stale
+        semantics)."""
+        if not d or not (sm["renames"] or sm["dropped"]):
+            return d
+        ren, dropped = sm["renames"], set(sm["dropped"])
+        renamed_away = set(ren.values())
+        out = {}
+        for k, v in d.items():
+            p = ren.get(k, k)
+            if p in dropped:
+                raise ValueError(f"column {k!r} was dropped")
+            if k not in ren and k in renamed_away:
+                raise ValueError(
+                    f"column {k!r} was renamed; filter by its current name"
+                )
+            out[p] = v
+        return out
+
+    @staticmethod
+    def _names_to_physical(
+        sm: dict, names: Sequence[str] | None
+    ) -> list[str] | None:
+        if names is None:
+            return None
+        return [sm["renames"].get(n, n) for n in names]
+
+    @staticmethod
+    def _apply_logical(df: DataFrame, sm: dict) -> DataFrame:
+        """Physical frame → logical view: re-label renames, hide drops."""
+        for lg, p in sm["renames"].items():
+            if p in df.columns:
+                df = df.withColumnRenamed(p, lg)
+        drop = [p for p in sm["dropped"] if p in df.columns]
+        return df.drop(*drop) if drop else df
+
+    def _batch_to_physical(self, batch: DataFrame, sm: dict) -> DataFrame:
+        """Logical batch → physical columns for the write path; loud on
+        dropped names (re-add unsupported) and on stale old names."""
+        if not (sm["renames"] or sm["dropped"]):
+            return batch
+        ren, dropped = sm["renames"], set(sm["dropped"])
+        renamed_away = set(ren.values())
+        for c in batch.columns:
+            p = ren.get(c, c)
+            if p in dropped:
+                raise ValueError(
+                    f"column {c!r} was dropped from {self.path}; re-adding "
+                    "a dropped column is not supported (the old physical "
+                    "data would silently resurrect)"
+                )
+            if c not in ren and c in renamed_away:
+                raise ValueError(
+                    f"column {c!r} was renamed; write it under its "
+                    "current name"
+                )
+        for lg, p in ren.items():
+            if lg in batch.columns:
+                batch = batch.withColumnRenamed(lg, p)
+        return batch
+
+    def _physical_columns(self, base: int) -> set[str]:
+        """The physical column set, from one partition's parquet footers
+        (schema only — no data read)."""
+        manifest = self._load_manifest(base)
+        first = dict([next(iter(manifest.items()))])
+        return {c for c in self._scan(first).columns if c != "dt"}
+
+    def _commit_schema_map(
+        self, base: int, new_sm: dict, op: str
+    ) -> bool:
+        """Metadata-only commit carrying partitions/stats/DVs/checkpoint
+        from ``base`` unchanged — the delete_fast re-point pattern."""
+        ckpt = self._files_checkpoint_name(base)
+        return self._try_commit(
+            base,
+            self._load_manifest(base),
+            self._load_stats(base, files=ckpt is None) or None,
+            op=op,
+            dvs=self._load_dvs(base) or None,
+            files_checkpoint=ckpt,
+            schema_map=new_sm,
+        )
+
+    def _resolve_logical(self, sm: dict, name: str, base: int) -> str:
+        """Logical name → physical, validating existence."""
+        ren, dropped = sm["renames"], set(sm["dropped"])
+        p = ren.get(name, name)
+        if p in dropped:
+            raise ValueError(f"column {name!r} was dropped")
+        if name not in ren:
+            if name in set(ren.values()):
+                raise ValueError(
+                    f"column {name!r} was renamed; use its current name"
+                )
+            if p not in self._physical_columns(base):
+                raise ValueError(f"no such column {name!r} at {self.path}")
+        return p
+
+    def rename_column(
+        self, old: str, new: str, max_retries: int = 8
+    ) -> int:
+        """Rename ``old`` → ``new`` as a METADATA-ONLY commit (no data
+        rewritten; on a 100 TB table this is a JSON write). Reads,
+        filters, batches, and CDF all speak ``new`` from the committed
+        version on; time travel before it still shows ``old``."""
+        protected = {*self.keys, self.ts_col, "dt"}
+        if old in protected or new in protected:
+            raise ValueError(
+                f"cannot rename {old!r} → {new!r}: merge keys, "
+                f"{self.ts_col!r} and 'dt' are the table's identity"
+            )
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            if base == 0:
+                raise ValueError(f"empty table at {self.path}")
+            sm = manifest_load_schema_map(self.path, base)
+            phys = self._resolve_logical(sm, old, base)
+            ren = dict(sm["renames"])
+            inv = {p: l for l, p in ren.items()}
+            logical_now = {
+                inv.get(c, c)
+                for c in self._physical_columns(base)
+                if c not in set(sm["dropped"])
+            }
+            if new in logical_now - {old}:
+                raise ValueError(f"column {new!r} already exists")
+            ren.pop(old, None)
+            if new != phys:  # renaming back to the physical name clears
+                ren[new] = phys
+            if self._commit_schema_map(
+                base, {"renames": ren, "dropped": sm["dropped"]},
+                op="rename_column",
+            ):
+                return base + 1
+        raise CommitConflictError(
+            f"rename_column lost the manifest CAS {max_retries + 1} "
+            f"times at {self.path}"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 8) -> int:
+        """Hide ``name`` as a METADATA-ONLY commit: the physical data
+        stays (time travel before the drop still reads it) but every
+        later read/CDF omits it, and writes naming its PHYSICAL column
+        raise (resurrection guard). A previously-RENAMED column's
+        logical name may be written again afterwards — it lands in a
+        fresh physical slot, the hidden data stays hidden. Dropping the
+        merge keys / ts column is refused — they are the table's
+        identity."""
+        if name in {*self.keys, self.ts_col, "dt"}:
+            raise ValueError(
+                f"cannot drop {name!r}: merge keys, {self.ts_col!r} and "
+                "'dt' are the table's identity"
+            )
+        for _ in range(max_retries + 1):
+            base = self.current_version()
+            if base == 0:
+                raise ValueError(f"empty table at {self.path}")
+            sm = manifest_load_schema_map(self.path, base)
+            phys = self._resolve_logical(sm, name, base)
+            ren = dict(sm["renames"])
+            ren.pop(name, None)
+            dropped = list(sm["dropped"])
+            if phys not in dropped:
+                dropped.append(phys)
+            if self._commit_schema_map(
+                base, {"renames": ren, "dropped": dropped}, op="drop_column"
+            ):
+                return base + 1
+        raise CommitConflictError(
+            f"drop_column lost the manifest CAS {max_retries + 1} times "
             f"at {self.path}"
         )
 
@@ -1483,7 +1732,10 @@ class ManifestParquetSink:
             base = self._scan(dict([next(iter(src.items()))])).filter(
                 F.lit(False)
             )
-            return base.withColumn("_op", F.lit(None).cast("string"))
+            return self._apply_logical(
+                base.withColumn("_op", F.lit(None).cast("string")),
+                manifest_load_schema_map(self.path, to_version),
+            )
         some = self._scan(new_part or old_part)
         cols = [c for c in some.columns if c not in self.keys]
         empty = some.filter(F.lit(False))
@@ -1510,7 +1762,7 @@ class ManifestParquetSink:
         # values (the pre-image, Delta-CDF style) — a delete with NULL
         # payload would strand consumers that need the key's attributes,
         # e.g. deriving which DAY to re-aggregate (maintain_daily_from_feed)
-        return diff.select(
+        out = diff.select(
             *self.keys,
             *[
                 F.when(
@@ -1519,6 +1771,11 @@ class ManifestParquetSink:
                 for c in cols
             ],
             op.alias("_op"),
+        )
+        # the feed speaks the DESTINATION version's logical schema (keys
+        # and ts_col are rename-protected, so consumer join keys hold)
+        return self._apply_logical(
+            out, manifest_load_schema_map(self.path, to_version)
         )
 
     def changes_since_checkpoint(
@@ -1633,17 +1890,26 @@ class ManifestParquetSink:
                 return None
             commit_id = uuid.uuid4().hex
             commit_dir = os.path.join(self._data_dir, commit_id)
+            # PHYSICAL scan, not read(): under column mapping read()
+            # returns logical names, and rewriting those would bake the
+            # logical schema into fresh files while the mapping still
+            # re-labels them — double-renaming every mapped column
+            sm = manifest_load_schema_map(self.path, base)
+            cluster_by_p = self._names_to_physical(sm, cluster_by)
+            zorder_by_p = self._names_to_physical(sm, zorder_by)
             staged = (
-                self.read(version=base)
+                self._scan_live(
+                    self._load_manifest(base), self._load_dvs(base)
+                )
                 .withColumn("dt_part", F.col("dt"))
                 .repartition("dt_part")
             )
             if cluster_by:
-                staged = staged.sortWithinPartitions("dt_part", *cluster_by)
+                staged = staged.sortWithinPartitions("dt_part", *cluster_by_p)
             elif zorder_by:
                 from pyspark.sql.types import NumericType
 
-                for c in zorder_by:
+                for c in zorder_by_p:
                     if not isinstance(staged.schema[c].dataType, NumericType):
                         # cast('double') on a non-numeric column yields
                         # NULL → rank 0 everywhere → the column silently
@@ -1654,7 +1920,7 @@ class ManifestParquetSink:
                             "z-ordering needs numeric columns"
                         )
                 staged = (
-                    staged.withColumn("__z", _zorder_key(zorder_by))
+                    staged.withColumn("__z", _zorder_key(zorder_by_p))
                     .sortWithinPartitions("dt_part", "__z")
                     .drop("__z")
                 )

@@ -2452,17 +2452,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 7
+# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 8
 # new/output-changed r9 queries (bpe_bytes, image_meta, media_catalog,
-# cdc_stream_eq, curation_delete_eq, encoding_quality, mime_sniff — front
-# by policy) + the 30 remaining r5-vintage queries (the oldest driver
-# rows left: global_sort … dedup_clusters) + the front 13 of the
-# r6-window remainder (k_anonymity … link_graph). The 7 promotions
-# displaced c4_filters, lm_perplexity, ppl_buckets_approx, quality_logit,
-# gram_novelty, html_strip, winnowing past position 50 into the
-# r10-window front. This is the steady-state rolling 3-round
-# re-attestation cycle.
-# Positions 51+ (in order): the 7 displaced r6 queries + the rest of the
+# cdc_stream_eq, curation_delete_eq, encoding_quality,
+# schema_evolution_eq, mime_sniff — front by policy) + the 30 remaining
+# r5-vintage queries (the oldest driver rows left: global_sort …
+# dedup_clusters) + the front 12 of the r6-window remainder (k_anonymity
+# … url_normalize). The 8 promotions displaced link_graph, c4_filters,
+# lm_perplexity, ppl_buckets_approx, quality_logit, gram_novelty,
+# html_strip, winnowing past position 50 into the r10-window front. This
+# is the steady-state rolling 3-round re-attestation cycle.
+# Positions 51+ (in order): the 8 displaced r6 queries + the rest of the
 # r6 cohort (together the r10-window front), the full r7 window, then the
 # full r8 window (freshest rows, green in CORRECTNESS_r08.json). The
 # inline section markers below are authoritative for the next rotation.
@@ -2478,6 +2478,8 @@ ATTESTATION_ORDER: list[str] = [
     "curation_delete_eq",
     # -- new this round: the ftfy-class encoding-damage gate --------------
     "encoding_quality",
+    # -- new this round: column mapping proven vs the batch MERGE oracle --
+    "schema_evolution_eq",
     # -- output changed: 14-class cycle attests WebP/TIFF/FLAC/MP3 routing
     "mime_sniff",
     # -- rest of the r5 cohort (30; oldest driver rows, scheduled refresh)
@@ -2491,17 +2493,17 @@ ATTESTATION_ORDER: list[str] = [
     "knn_ivf", "tfidf", "pii_redact",
     "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
     "binary_chunks", "dedup_keep_best", "dedup_clusters",
-    # -- front of the r6-window remainder (13; window ends here) ----------
+    # -- front of the r6-window remainder (12; window ends here) ----------
     "k_anonymity",
     "bm25_topk", "collocations",
     "cms_heavy_hitters",
     "curation_pipeline", "video_meta", "vocab_stats",
     "tokenize_count", "audio_meta", "epoch_shuffle",
-    "lang_id", "url_normalize", "link_graph",
+    "lang_id", "url_normalize",
     # ==== positions 51+: displaced by the r9 promotions + rest of the ====
     # ==== r6 cohort (together the r10 window front)                   ====
-    "c4_filters", "lm_perplexity", "ppl_buckets_approx", "quality_logit",
-    "gram_novelty", "html_strip", "winnowing",
+    "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
+    "quality_logit", "gram_novelty", "html_strip", "winnowing",
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
     "array_funcs", "map_funcs",
     "pagerank", "weighted_sample", "robust_stats", "cluster_profile",

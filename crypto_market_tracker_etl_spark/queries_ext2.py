@@ -1042,6 +1042,89 @@ def q_cdc_stream_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[schema evolution, driver-attested] Column mapping on the
+    transactional sink (txn_sink.py rename_column / drop_column — r9:
+    Delta's column-mapping 'name mode' essence, metadata-only commits)
+    proven against a from-scratch oracle: the events changelog is
+    upserted in three out-of-order batches with the schema EVOLVING
+    between them —
+
+    * batch 1 arrives under the original column name ``value``;
+    * ``rename_column('value', 'amount')`` (no data rewritten), then
+      batch 2 arrives under ``amount`` and must MERGE against batch 1's
+      physical rows;
+    * ``drop_column('event_type')`` hides that column, then batch 3
+      (without it) merges; ``compact()`` folds everything and must
+      carry the mapping forward.
+
+    The final read must equal the batch argmax MERGE over the WHOLE
+    changelog with the value column surfaced as ``amount`` and
+    event_type absent — hash equality re-proves each round that the
+    logical/physical boundary translation (batches in, reads out, merge
+    internals staying physical) is exact. Store keyed by (sf_dir,
+    applicationId), wiped per invocation."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.txn_sink import ManifestParquetSink
+
+    log = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "value", "event_type")
+    )
+    run_token = hashlib.md5(
+        f"{sf_dir}|sev|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), "schema_evo_eq_" + run_token)
+    shutil.rmtree(path, ignore_errors=True)
+    sink = ManifestParquetSink(
+        spark, path, keys=["user_id", "dt"], ts_col="ts",
+        order=["ts", "event_id"],
+    )
+    sink.upsert(log.filter(F.col("event_id") % 3 == 2))
+    sink.rename_column("value", "amount")
+    sink.upsert(
+        log.filter(F.col("event_id") % 3 == 0).withColumnRenamed(
+            "value", "amount"
+        )
+    )
+    sink.drop_column("event_type")
+    sink.upsert(
+        log.filter(F.col("event_id") % 3 == 1)
+        .withColumnRenamed("value", "amount")
+        .drop("event_type")
+    )
+    sink.compact()
+    return sink.read().select(
+        "user_id",
+        F.col("dt").alias("day"),
+        "ts",
+        "event_id",
+        "amount",
+    )
+
+
+SQL_SCHEMA_EVOLUTION_EQ = f"""
+WITH {E_CTE},
+c AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, ts, event_id,
+         value
+  FROM e WHERE ts IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, day
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM c
+)
+SELECT user_id, day, ts, event_id, value AS amount
+FROM r WHERE rn = 1
+"""
+
+
 SQL_CDC_STREAM_EQ = f"""
 WITH {E_CTE},
 c AS (
@@ -1522,6 +1605,7 @@ REGISTRY_EXT2: dict[str, tuple[QueryFn, str | None]] = {
     "boilerplate_strip": (q_boilerplate_strip, SQL_BOILERPLATE_STRIP),
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "cdc_stream_eq": (q_cdc_stream_eq, SQL_CDC_STREAM_EQ),
+    "schema_evolution_eq": (q_schema_evolution_eq, SQL_SCHEMA_EVOLUTION_EQ),
     "weighted_median": (q_weighted_median, SQL_WEIGHTED_MEDIAN),
     "udtf_spans": (q_udtf_spans, SQL_UDTF_SPANS),
 }

@@ -1108,3 +1108,115 @@ def test_where_in_multi_key_bloom_lookup(spark, tmp_path):
         sink.read(where_eq={"k": "x"}, where_in={"k": ["y"]})
     with pytest.raises(ValueError, match="is empty"):
         sink.read(where_in={"k": []})
+
+
+# ---------------------------------------------------------------- column map
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_column is a metadata-only commit: no data dir changes, old
+    files read under the new name, filters and batches speak the new
+    name (old name raises loudly), time travel shows the old name, and
+    the mapping survives a sink reopen."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(
+        spark.createDataFrame([("a", DAY1, 1, 1.0), ("b", DAY2, 1, 2.0)], SCHEMA)
+    )
+    dirs_before = set(os.listdir(tmp_path / "tbl" / "data"))
+    v = sink.rename_column("v", "value")
+    assert v == 2
+    assert set(os.listdir(tmp_path / "tbl" / "data")) == dirs_before  # no rewrite
+    got = {r["k"]: r["value"] for r in sink.read().collect()}
+    assert got == {"a": 1.0, "b": 2.0}
+    assert "v" not in sink.read().columns
+    # time travel: the pre-rename snapshot reads under its own schema
+    assert "v" in sink.read(version=1).columns
+    # filters translate through zone maps by the new name; old name raises
+    assert {r["k"] for r in sink.read(where_eq={"value": 2.0}).collect()} == {"b"}
+    with pytest.raises(ValueError, match="renamed"):
+        sink.read(where_eq={"v": 2.0})
+    # upserts speak the new name and merge against the old physical rows
+    sink.upsert(
+        spark.createDataFrame(
+            [("b", DAY2, 2, 20.0)], "k string, ts timestamp, ver int, value double"
+        )
+    )
+    got = {r["k"]: r["value"] for r in sink.read().collect()}
+    assert got == {"a": 1.0, "b": 20.0}
+    # a batch still using the OLD name raises instead of forking a column
+    with pytest.raises(ValueError, match="renamed"):
+        sink.upsert(spark.createDataFrame([("c", DAY1, 1, 3.0)], SCHEMA))
+    # mapping persists across a fresh sink object
+    sink2 = ManifestParquetSink(
+        spark, str(tmp_path / "tbl"), keys=["k"], ts_col="ts", order=["ver"]
+    )
+    assert "value" in sink2.read().columns
+    # CDF speaks the destination version's logical schema
+    ch = sink2.changes(1)
+    assert "value" in ch.columns and "v" not in ch.columns
+    # rename collision and identity-table columns are refused
+    with pytest.raises(ValueError, match="already exists"):
+        sink2.rename_column("value", "ver")
+    with pytest.raises(ValueError, match="identity"):
+        sink2.rename_column("k", "key")
+
+
+def test_drop_column_hides_without_rewrite(spark, tmp_path):
+    """drop_column hides the physical column from read/CDF without
+    rewriting data; re-adding the name raises; time travel still shows
+    it; compaction preserves the mapping and the hidden data."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(
+        spark.createDataFrame([("a", DAY1, 1, 1.0), ("b", DAY2, 1, 2.0)], SCHEMA)
+    )
+    sink.rename_column("v", "value")
+    v = sink.drop_column("value")
+    assert "value" not in sink.read().columns
+    assert "v" not in sink.read().columns
+    # time travel before the drop (and before the rename) still reads it
+    assert {r["k"]: r["v"] for r in sink.read(version=1).collect()} == {
+        "a": 1.0, "b": 2.0,
+    }
+    # writing the dropped PHYSICAL name raises — resurrection guard
+    with pytest.raises(ValueError, match="dropped"):
+        sink.upsert(spark.createDataFrame([("c", DAY1, 1, 3.0)], SCHEMA))
+    # filters raise rather than silently scanning hidden data ('v' is
+    # the dropped physical; 'value' no longer names anything)
+    with pytest.raises(ValueError, match="dropped"):
+        sink.read(where_eq={"v": 1.0})
+    # RE-ADDING the renamed-then-dropped LOGICAL name is allowed: it
+    # lands in a fresh physical slot and the hidden 'v' data must NOT
+    # resurrect under it (Delta's fresh-field-id re-add)
+    sink.upsert(
+        spark.createDataFrame(
+            [("c", DAY1, 2, 3.0)],
+            "k string, ts timestamp, ver int, value double",
+        )
+    )
+    got = {r["k"]: r["value"] for r in sink.read().collect()}
+    assert got == {"a": None, "b": None, "c": 3.0}
+    # compaction rewrites physically and carries the mapping forward:
+    # the dropped 'v' stays hidden, the fresh 'value' column survives
+    assert sink.compact() == v + 2
+    assert "v" not in sink.read().columns
+    got = {r["k"]: r["value"] for r in sink.read().collect()}
+    assert got == {"a": None, "b": None, "c": 3.0}
+    # identity columns refuse to drop
+    with pytest.raises(ValueError, match="identity"):
+        sink.drop_column("ts")
+
+
+def test_rename_then_rename_back_clears_mapping(spark, tmp_path):
+    """Renaming back to the original physical name leaves no mapping
+    entry — the manifest doesn't accrete no-op indirection."""
+    from crypto_market_tracker_etl_spark.operators.txn_sink import (
+        manifest_load_schema_map,
+    )
+
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    sink.rename_column("v", "value")
+    sink.rename_column("value", "v")
+    sm = manifest_load_schema_map(str(tmp_path / "tbl"), sink.current_version())
+    assert sm == {"renames": {}, "dropped": []}
+    assert {r["k"]: r["v"] for r in sink.read().collect()} == {"a": 1.0}
