@@ -819,12 +819,19 @@ class ManifestParquetSink:
     ) -> dict[str, "set[str] | None"]:
         """Observability hook: {day: surviving file basenames, or None
         when that day has no bloom information for the probed columns
-        (conservatively scanned in full)}."""
+        (conservatively scanned in full)}. Filter keys are LOGICAL names
+        (translated like every other filter surface — the sidecars are
+        keyed by the physical names in the files)."""
         v = self.current_version() if version is None else version
+        sm = manifest_load_schema_map(self.path, v)
         return {
             d: keep
             for d, (keep, _) in self._bloom_keep_files(
-                self._load_manifest(v), _as_value_lists(where_eq, where_in)
+                self._load_manifest(v),
+                _as_value_lists(
+                    self._filters_to_physical(sm, where_eq),
+                    self._filters_to_physical(sm, where_in),
+                ),
             ).items()
         }
 
@@ -1278,12 +1285,16 @@ class ManifestParquetSink:
         immutable data, CAS the manifest; on conflict re-merge against the
         winner's snapshot and retry. Retries re-run only the TOUCHED-day
         merge (bounded by the batch, not the table). Batches carry the
-        CURRENT logical column names; renames never change physical
-        names, so the translation stays valid across CAS retries."""
-        batch = self._batch_to_physical(batch, self.schema_map())
+        CURRENT logical column names, translated to physical INSIDE the
+        CAS loop against each attempt's base — a concurrent drop_column
+        committed between attempts must re-trip the resurrection guard,
+        not slip a hidden column's data past it (review r9)."""
         batch, days = self._prep_batch(batch, "upsert")
         for _ in range(max_retries + 1):
             base = self.current_version()
+            pbatch = self._batch_to_physical(
+                batch, manifest_load_schema_map(self.path, base)
+            )
             manifest = self._load_manifest(base)
             touched = {d: manifest[d] for d in days if d in manifest}
             if touched:
@@ -1293,10 +1304,10 @@ class ManifestParquetSink:
                 # would resurrect them into the rewritten day
                 merged = merge_upsert(
                     self._scan_live(touched, self._load_dvs(base)),
-                    batch, self.keys, self.order,
+                    pbatch, self.keys, self.order,
                 )
             else:
-                merged = dedup_keep_latest(batch, self.keys, self.order)
+                merged = dedup_keep_latest(pbatch, self.keys, self.order)
             if self._commit_rewrite(base, manifest, merged, drop_days=(), op="upsert"):
                 return base + 1
         raise CommitConflictError(
@@ -1377,11 +1388,14 @@ class ManifestParquetSink:
         only touched days are read and rewritten). A day whose every key
         is deleted drops out of the manifest entirely. With ``changes``
         this completes the I/U/D surface: deletes appear as _op='D'."""
-        batch = self._batch_to_physical(batch, self.schema_map())
         batch, days = self._prep_batch(batch, "delete")
-        keys_df = batch.select(*self.keys).distinct()
         for _ in range(max_retries + 1):
             base = self.current_version()
+            # translate+validate per attempt (the upsert rationale); the
+            # merge keys themselves are rename-protected
+            keys_df = self._batch_to_physical(
+                batch, manifest_load_schema_map(self.path, base)
+            ).select(*self.keys).distinct()
             manifest = self._load_manifest(base)
             touched = {d: manifest[d] for d in days if d in manifest}
             if not touched:
@@ -1429,11 +1443,13 @@ class ManifestParquetSink:
         Suppression is by KEY, unconditionally — keys absent from the day
         are recorded and harmless (the anti-join matches nothing). Like
         ``delete``, days absent from the manifest are ignored."""
-        batch = self._batch_to_physical(batch, self.schema_map())
         batch, days = self._prep_batch(batch, "delete_fast")
-        keyed = batch.select("dt", *self.keys).distinct()
         for _ in range(max_retries + 1):
             base = self.current_version()
+            # translate+validate per attempt (the upsert rationale)
+            keyed = self._batch_to_physical(
+                batch, manifest_load_schema_map(self.path, base)
+            ).select("dt", *self.keys).distinct()
             manifest = self._load_manifest(base)
             dvs = self._load_dvs(base)
             touched = [d for d in days if d in manifest]
@@ -1501,75 +1517,83 @@ class ManifestParquetSink:
         return manifest_load_schema_map(self.path, v)
 
     @staticmethod
-    def _filters_to_physical(sm: dict, d: dict | None) -> dict | None:
-        """Translate a filter dict's LOGICAL column keys to physical;
-        loud on dropped/renamed-away names (a silent identity pass-through
-        for an old name would filter the renamed column under stale
-        semantics)."""
+    def _resolve_name(sm: dict, name: str, what: str) -> str:
+        """THE logical→physical resolution (single implementation for
+        filters, batches, and DDL — review r9): returns the physical
+        name, loud on dropped / renamed-away logical names (a silent
+        identity pass-through for a stale old name would address the
+        renamed column under stale semantics, and a dropped physical
+        would resurrect)."""
+        ren, dropped = sm["renames"], set(sm["dropped"])
+        p = ren.get(name, name)
+        if p in dropped:
+            raise ValueError(f"cannot {what} column {name!r}: it was dropped")
+        if name not in ren and name in set(ren.values()):
+            raise ValueError(
+                f"cannot {what} column {name!r}: it was renamed — use its "
+                "current name"
+            )
+        return p
+
+    def _filters_to_physical(self, sm: dict, d: dict | None) -> dict | None:
+        """Translate a filter dict's LOGICAL column keys to physical."""
         if not d or not (sm["renames"] or sm["dropped"]):
             return d
-        ren, dropped = sm["renames"], set(sm["dropped"])
-        renamed_away = set(ren.values())
-        out = {}
-        for k, v in d.items():
-            p = ren.get(k, k)
-            if p in dropped:
-                raise ValueError(f"column {k!r} was dropped")
-            if k not in ren and k in renamed_away:
-                raise ValueError(
-                    f"column {k!r} was renamed; filter by its current name"
-                )
-            out[p] = v
-        return out
+        return {self._resolve_name(sm, k, "filter by"): v for k, v in d.items()}
 
-    @staticmethod
     def _names_to_physical(
-        sm: dict, names: Sequence[str] | None
+        self, sm: dict, names: Sequence[str] | None
     ) -> list[str] | None:
         if names is None:
             return None
-        return [sm["renames"].get(n, n) for n in names]
+        return [self._resolve_name(sm, n, "address") for n in names]
 
     @staticmethod
     def _apply_logical(df: DataFrame, sm: dict) -> DataFrame:
-        """Physical frame → logical view: re-label renames, hide drops."""
-        for lg, p in sm["renames"].items():
-            if p in df.columns:
-                df = df.withColumnRenamed(p, lg)
-        drop = [p for p in sm["dropped"] if p in df.columns]
-        return df.drop(*drop) if drop else df
+        """Physical frame → logical view: re-label renames, hide drops.
+        ONE select with per-column aliases — sequential
+        withColumnRenamed is order-sensitive when a mapping's logical
+        name equals another mapping's physical name and corrupts both
+        (review r9)."""
+        if not (sm["renames"] or sm["dropped"]):
+            return df
+        inv = {p: lg for lg, p in sm["renames"].items()}
+        dropped = set(sm["dropped"])
+        return df.select(
+            *[
+                F.col(c).alias(inv.get(c, c))
+                for c in df.columns
+                if c not in dropped
+            ]
+        )
 
     def _batch_to_physical(self, batch: DataFrame, sm: dict) -> DataFrame:
-        """Logical batch → physical columns for the write path; loud on
-        dropped names (re-add unsupported) and on stale old names."""
+        """Logical batch → physical columns for the write path (one
+        order-insensitive select; loud on dropped / stale names via
+        _resolve_name)."""
         if not (sm["renames"] or sm["dropped"]):
             return batch
-        ren, dropped = sm["renames"], set(sm["dropped"])
-        renamed_away = set(ren.values())
-        for c in batch.columns:
-            p = ren.get(c, c)
-            if p in dropped:
-                raise ValueError(
-                    f"column {c!r} was dropped from {self.path}; re-adding "
-                    "a dropped column is not supported (the old physical "
-                    "data would silently resurrect)"
-                )
-            if c not in ren and c in renamed_away:
-                raise ValueError(
-                    f"column {c!r} was renamed; write it under its "
-                    "current name"
-                )
-        for lg, p in ren.items():
-            if lg in batch.columns:
-                batch = batch.withColumnRenamed(lg, p)
-        return batch
+        return batch.select(
+            *[
+                F.col(c).alias(self._resolve_name(sm, c, "write"))
+                for c in batch.columns
+            ]
+        )
 
     def _physical_columns(self, base: int) -> set[str]:
-        """The physical column set, from one partition's parquet footers
-        (schema only — no data read)."""
+        """The FULL physical column set, from every partition's parquet
+        footers via the mergeSchema scan (schema only — no data read).
+        One partition's schema is NOT enough: under additive evolution a
+        later day may carry columns an earlier day predates, and a DDL
+        validated against the wrong sample would reject real columns or
+        admit colliding renames (review r9)."""
         manifest = self._load_manifest(base)
-        first = dict([next(iter(manifest.items()))])
-        return {c for c in self._scan(first).columns if c != "dt"}
+        if not manifest:
+            raise ValueError(
+                f"no partitions at {self.path} v{base}: nothing to "
+                "rename or drop"
+            )
+        return {c for c in self._scan(manifest).columns if c != "dt"}
 
     def _commit_schema_map(
         self, base: int, new_sm: dict, op: str
@@ -1587,19 +1611,16 @@ class ManifestParquetSink:
             schema_map=new_sm,
         )
 
+    # internal column names the mapping must never collide with: the
+    # partition machinery's own ('dt', 'dt_part') and CDF's op marker
+    _RESERVED_NAMES = frozenset({"dt", "dt_part", "_op", "__z"})
+
     def _resolve_logical(self, sm: dict, name: str, base: int) -> str:
-        """Logical name → physical, validating existence."""
-        ren, dropped = sm["renames"], set(sm["dropped"])
-        p = ren.get(name, name)
-        if p in dropped:
-            raise ValueError(f"column {name!r} was dropped")
-        if name not in ren:
-            if name in set(ren.values()):
-                raise ValueError(
-                    f"column {name!r} was renamed; use its current name"
-                )
-            if p not in self._physical_columns(base):
-                raise ValueError(f"no such column {name!r} at {self.path}")
+        """Logical name → physical for DDL, validating existence against
+        the full physical column set."""
+        p = self._resolve_name(sm, name, "alter")
+        if name not in sm["renames"] and p not in self._physical_columns(base):
+            raise ValueError(f"no such column {name!r} at {self.path}")
         return p
 
     def rename_column(
@@ -1609,11 +1630,12 @@ class ManifestParquetSink:
         rewritten; on a 100 TB table this is a JSON write). Reads,
         filters, batches, and CDF all speak ``new`` from the committed
         version on; time travel before it still shows ``old``."""
-        protected = {*self.keys, self.ts_col, "dt"}
+        protected = {*self.keys, self.ts_col} | self._RESERVED_NAMES
         if old in protected or new in protected:
             raise ValueError(
                 f"cannot rename {old!r} → {new!r}: merge keys, "
-                f"{self.ts_col!r} and 'dt' are the table's identity"
+                f"{self.ts_col!r} and the internal columns "
+                "('dt', 'dt_part', '_op') are the table's identity"
             )
         for _ in range(max_retries + 1):
             base = self.current_version()
@@ -1622,11 +1644,19 @@ class ManifestParquetSink:
             sm = manifest_load_schema_map(self.path, base)
             phys = self._resolve_logical(sm, old, base)
             ren = dict(sm["renames"])
+            dropped = set(sm["dropped"])
+            if new in dropped:
+                # _apply_logical would alias the renamed physical to a
+                # name it is simultaneously hiding — both columns vanish
+                raise ValueError(
+                    f"cannot rename to {new!r}: a dropped physical column "
+                    "holds that name"
+                )
             inv = {p: l for l, p in ren.items()}
             logical_now = {
                 inv.get(c, c)
                 for c in self._physical_columns(base)
-                if c not in set(sm["dropped"])
+                if c not in dropped
             }
             if new in logical_now - {old}:
                 raise ValueError(f"column {new!r} already exists")
@@ -1652,10 +1682,10 @@ class ManifestParquetSink:
         fresh physical slot, the hidden data stays hidden. Dropping the
         merge keys / ts column is refused — they are the table's
         identity."""
-        if name in {*self.keys, self.ts_col, "dt"}:
+        if name in {*self.keys, self.ts_col} | self._RESERVED_NAMES:
             raise ValueError(
                 f"cannot drop {name!r}: merge keys, {self.ts_col!r} and "
-                "'dt' are the table's identity"
+                "the internal columns are the table's identity"
             )
         for _ in range(max_retries + 1):
             base = self.current_version()

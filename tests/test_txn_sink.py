@@ -1220,3 +1220,53 @@ def test_rename_then_rename_back_clears_mapping(spark, tmp_path):
     sm = manifest_load_schema_map(str(tmp_path / "tbl"), sink.current_version())
     assert sm == {"renames": {}, "dropped": []}
     assert {r["k"]: r["v"] for r in sink.read().collect()} == {"a": 1.0}
+
+
+def test_chained_renames_translate_order_insensitively(spark, tmp_path):
+    """rename(v→z) then rename(ver→v): the logical name 'v' now maps to
+    physical 'ver' while physical 'v' answers to 'z' — a sequential
+    withColumnRenamed would corrupt both directions; the single-select
+    translation must keep read and write exact (review r9)."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    sink.rename_column("v", "z")
+    sink.rename_column("ver", "v")
+    row = sink.read().collect()[0]
+    assert row["z"] == 1.0 and row["v"] == 1  # z=old v, v=old ver
+    assert "ver" not in sink.read().columns
+    # write under the CURRENT logical names round-trips through merge
+    sink.upsert(
+        spark.createDataFrame(
+            [("a", DAY1, 2, 10.0)], "k string, ts timestamp, v int, z double"
+        )
+    )
+    row = sink.read().collect()[0]
+    assert row["z"] == 10.0 and row["v"] == 2
+    # order-check via the oracle-free invariant: physical files still
+    # carry the original names
+    phys = sink._scan(sink._load_manifest(sink.current_version())).columns
+    assert "ver" in phys and "v" in phys and "z" not in phys
+
+
+def test_rename_guards(spark, tmp_path):
+    """rename to a dropped physical name, to reserved internals, and on
+    an all-days-deleted table all raise descriptive errors (review r9:
+    the first would vanish both columns; the second would duplicate
+    CDF's _op; the third was a bare StopIteration)."""
+    sink = make_sink(spark, tmp_path)
+    sink.upsert(spark.createDataFrame([("a", DAY1, 1, 1.0)], SCHEMA))
+    sink.drop_column("v")
+    with pytest.raises(ValueError, match="dropped physical"):
+        sink.rename_column("ver", "v")
+    with pytest.raises(ValueError, match="identity"):
+        sink.rename_column("ver", "_op")
+    with pytest.raises(ValueError, match="identity"):
+        sink.rename_column("ver", "dt_part")
+    sink.delete(
+        spark.createDataFrame(
+            [("a", DAY1, 9)], "k string, ts timestamp, ver int"
+        )
+    )
+    assert sink._load_manifest(sink.current_version()) == {}
+    with pytest.raises(ValueError, match="no partitions"):
+        sink.rename_column("ver", "version")
