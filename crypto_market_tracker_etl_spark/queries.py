@@ -2452,56 +2452,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r9 window (positions 1-50, per the ATTESTATION.md schedule): the 8
-# new/output-changed r9 queries (bpe_bytes, image_meta, media_catalog,
-# cdc_stream_eq, curation_delete_eq, encoding_quality,
-# schema_evolution_eq, mime_sniff — front by policy) + the 30 remaining
-# r5-vintage queries (the oldest driver rows left: global_sort …
-# dedup_clusters) + the front 12 of the r6-window remainder (k_anonymity
-# … url_normalize). The 8 promotions displaced link_graph, c4_filters,
-# lm_perplexity, ppl_buckets_approx, quality_logit, gram_novelty,
-# html_strip, winnowing past position 50 into the r10-window front. This
-# is the steady-state rolling 3-round re-attestation cycle.
-# Positions 51+ (in order): the 8 displaced r6 queries + the rest of the
-# r6 cohort (together the r10-window front), the full r7 window, then the
-# full r8 window (freshest rows, green in CORRECTNESS_r08.json). The
-# inline section markers below are authoritative for the next rotation.
+# r10 window (positions 1-50, per the ATTESTATION.md schedule): the 34
+# r6-vintage queries (the oldest driver rows left — exactly the 3-round
+# refresh window: link_graph … basket_lift, i.e. the 8 displaced by the
+# r9 promotions plus the rest of the r6 cohort) + the front 16 of the r7
+# window (bpe_tokenize … grouping_sets). New/output-changed r10 queries
+# are promoted to the front as they land, displacing from position 50
+# backwards into the r11 front. This is the steady-state rolling 3-round
+# re-attestation cycle.
+# Positions 51+ (in order): the rest of the r7 window, then the r8
+# window, then the r9 window (freshest rows, green in
+# CORRECTNESS_r09.json). The inline section markers below are
+# authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r9 window: positions 1-50 ======================================
+    # ==== r10 window: positions 1-50 =====================================
     # -- new this round (never attested; front of window by policy) -------
-    "bpe_bytes",
-    # -- output changed this round (WebP classes added; r8 rows stale) ----
-    "image_meta", "media_catalog",
-    # -- new this round: the upsert-path stream≡batch equality ------------
-    "cdc_stream_eq",
-    # -- new this round: erasure proven stream ≡ batch-minus-deleted ------
-    "curation_delete_eq",
-    # -- new this round: the ftfy-class encoding-damage gate --------------
-    "encoding_quality",
-    # -- new this round: column mapping proven vs the batch MERGE oracle --
-    "schema_evolution_eq",
-    # -- output changed: 14-class cycle attests WebP/TIFF/FLAC/MP3 routing
-    "mime_sniff",
-    # -- rest of the r5 cohort (30; oldest driver rows, scheduled refresh)
-    "global_sort", "daily_ohlc_view",
-    "cube", "moving_avg", "ntile_rank", "range_join",
-    "set_ops", "sliding_window", "collect_sorted", "string_funcs",
-    "datetime_parts", "window_frame_values", "decimal_pipeline",
-    "time_interval_join", "gap_fill", "funnel", "cohort_retention",
-    "stats_battery", "profile",
-    "knn_ivfadc",
-    "knn_ivf", "tfidf", "pii_redact",
-    "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
-    "binary_chunks", "dedup_keep_best", "dedup_clusters",
-    # -- front of the r6-window remainder (12; window ends here) ----------
-    "k_anonymity",
-    "bm25_topk", "collocations",
-    "cms_heavy_hitters",
-    "curation_pipeline", "video_meta", "vocab_stats",
-    "tokenize_count", "audio_meta", "epoch_shuffle",
-    "lang_id", "url_normalize",
-    # ==== positions 51+: displaced by the r9 promotions + rest of the ====
-    # ==== r6 cohort (together the r10 window front)                   ====
+    "bpe_bytes_8k",
+    # -- output changed this round (MP3 duration/bitrate; multi-IFD TIFF
+    # -- + VP8X-wrapped VP8L dims; catalog carries both) ------------------
+    "audio_meta", "image_meta", "media_catalog",
+    # -- the 34 r6-vintage queries (oldest rows; scheduled refresh) -------
     "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
     "quality_logit", "gram_novelty", "html_strip", "winnowing",
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
@@ -2512,12 +2482,13 @@ ATTESTATION_ORDER: list[str] = [
     "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
     "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
     "basket_lift",
-    # ==== r7 window (freshest rows, green in CORRECTNESS_r07.json) =======
+    # -- front of the r7 window (12; window ends here) --------------------
     "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
     "lm_perplexity_kn",
     "near_dup_pairs_fast", "simhash_fast",
     "setsim_join", "triangle_count",
     "session_islands", "late_arrivals", "twap",
+    # ==== positions 51+: rest of the r7 window (r11 front) ===============
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
     "tpch_q14", "tpch_q4",
@@ -2543,6 +2514,25 @@ ATTESTATION_ORDER: list[str] = [
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
     "session_window", "json_extract", "rollup", "pivot", "semi_anti",
     "percentiles", "day_in_tz", "upsert_assets",
+    # ==== r9 window (freshest rows, green in CORRECTNESS_r09.json) =======
+    "bpe_bytes", "cdc_stream_eq", "curation_delete_eq", "encoding_quality",
+    "schema_evolution_eq", "mime_sniff",
+    "global_sort", "daily_ohlc_view",
+    "cube", "moving_avg", "ntile_rank", "range_join",
+    "set_ops", "sliding_window", "collect_sorted", "string_funcs",
+    "datetime_parts", "window_frame_values", "decimal_pipeline",
+    "time_interval_join", "gap_fill", "funnel", "cohort_retention",
+    "stats_battery", "profile",
+    "knn_ivfadc",
+    "knn_ivf", "tfidf", "pii_redact",
+    "top_terms", "chunk_docs", "text_redundancy", "embedding_quantize",
+    "binary_chunks", "dedup_keep_best", "dedup_clusters",
+    "k_anonymity",
+    "bm25_topk", "collocations",
+    "cms_heavy_hitters",
+    "curation_pipeline", "video_meta", "vocab_stats",
+    "tokenize_count", "epoch_shuffle",
+    "lang_id", "url_normalize",
 ]
 
 
