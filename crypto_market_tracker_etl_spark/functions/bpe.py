@@ -200,6 +200,7 @@ def bpe_count_kernel(merges: Merges | None = None):
 
     merges = BPE_MERGES if merges is None else merges
     table = _kernel_table(merges)
+    index = _rank_index(table)
 
     def kernel(words):
         memo: dict[str, int] = {}
@@ -209,7 +210,7 @@ def bpe_count_kernel(merges: Merges | None = None):
                 return None  # NULL in, NULL out — matching the cascade
             v = memo.get(w)
             if v is None:
-                v = memo[w] = kernel_encode_len(w, table)
+                v = memo[w] = kernel_encode_len(w, table, index)
             return v
 
         return words.map(f)
@@ -225,17 +226,48 @@ def _kernel_table(merges: Merges) -> list[tuple[tuple[str, str], str, str]]:
     return [((a, b), f" {a} {b} ", f" {a}{b} ") for a, b in merges]
 
 
+def _rank_index(
+    table: list[tuple[tuple[str, str], str, str]],
+) -> dict[tuple[str, str], tuple[int, ...]]:
+    """pair → ascending ranks at which the table merges it. A learned
+    table rarely lists a pair twice, but a repeat is legal (a later
+    merge can recreate an earlier pair's adjacency and the learner may
+    pick it again) — the index keeps ALL ranks so the jump walk stays
+    exact."""
+    idx: dict[tuple[str, str], list[int]] = {}
+    for r, (pair, _, _) in enumerate(table):
+        idx.setdefault(pair, []).append(r)
+    return {p: tuple(rs) for p, rs in idx.items()}
+
+
 def kernel_encode_len(
-    word: str, table: list[tuple[tuple[str, str], str, str]]
+    word: str,
+    table: list[tuple[tuple[str, str], str, str]],
+    index: dict[tuple[str, str], tuple[int, ...]] | None = None,
 ) -> int:
     """The kernel's per-word encode (module-level so tests can pin it
-    against ``bpe_encode_py`` without a Spark session): rank-order walk
-    with the O(1) skip of identity replaces — see bpe_count_kernel for
-    why rank order (not a min-rank priority pick) is load-bearing.
+    against ``bpe_encode_py`` without a Spark session): the rank-order
+    walk as a JUMP WALK (r10) — instead of probing every rank (O(1) per
+    skipped rank, but still O(|table|) probes per word: real money at
+    8k merges), jump straight to the smallest applicable rank ABOVE the
+    last applied one via the pair→ranks index. Between two applied
+    ranks no present pair has an applicable rank (by minimality over a
+    pair set that only changes when a merge applies), so skipping the
+    gap is exactly the cascade's identity replaces — bit-identical
+    output, O(word_len) dict probes per APPLIED merge, cost now
+    independent of table size (measured: the 8192-merge table runs at
+    the 512-table's per-word cost). The strictly-increasing rank cursor
+    is load-bearing: two merges can produce the same output string, so
+    a later rank can resurrect an earlier rank's pattern, and the
+    cascade does NOT go back for it — neither does the cursor.
+
+    ``index``: the prebuilt ``_rank_index(table)``; kernels build it
+    once per table instead of per word. None (tests, ad-hoc calls)
+    builds it on the fly.
 
     A word containing whitespace (impossible for the registered callers,
     which tokenize normalize_ws'd text) takes the no-skip slow path:
-    the skip probe's adjacency set is derived via str.split(), which
+    the jump probe's adjacency set is derived via str.split(), which
     DROPS whitespace characters that the model's spaced string keeps as
     symbols, so the fast path would silently diverge from
     ``bpe_encode_py`` on such input (found in the r8 review; pinned by
@@ -245,13 +277,24 @@ def kernel_encode_len(
     toks = list(word)
     if len(toks) < 2:
         return len(toks)
+    if index is None:
+        index = _rank_index(table)
     s = " " + " ".join(toks) + " "
-    present = set(zip(toks, toks[1:]))
-    for pair, pat, rep in table:
-        if pair in present:
-            s = s.replace(pat, rep).replace(pat, rep)
-            toks = s.split()
-            present = set(zip(toks, toks[1:]))
+    pos = -1
+    while True:
+        nxt = None
+        for p in set(zip(toks, toks[1:])):
+            for r in index.get(p, ()):
+                if r > pos:
+                    if nxt is None or r < nxt:
+                        nxt = r
+                    break
+        if nxt is None:
+            break
+        _pair, pat, rep = table[nxt]
+        s = s.replace(pat, rep).replace(pat, rep)
+        toks = s.split()
+        pos = nxt
     return len(toks)
 
 
@@ -437,6 +480,7 @@ def bpe_bytes_count_kernel(merges: Merges):
     import pandas as pd
 
     table = _kernel_table(merges)
+    index = _rank_index(table)
 
     def kernel(words):
         memo: dict[str, int] = {}
@@ -446,7 +490,9 @@ def bpe_bytes_count_kernel(merges: Merges):
                 return None
             v = memo.get(w)
             if v is None:
-                v = memo[w] = kernel_encode_len(byte_encode_py(w), table)
+                v = memo[w] = kernel_encode_len(
+                    byte_encode_py(w), table, index
+                )
             return v
 
         return words.map(f)
@@ -456,16 +502,31 @@ def bpe_bytes_count_kernel(merges: Merges):
 
 
 def byte_bpe_sql_ctes(
-    source_sql: str, word_col: str = "w", merges: Merges | None = None
+    source_sql: str,
+    word_col: str = "w",
+    merges: Merges | None = None,
+    merges_per_cte: int = 1,
 ) -> str:
     """DuckDB replay of the byte-level tokenizer: a 256-row VALUES map
     (uppercase hex byte → alphabet char) joined against the hex dump of
     each pretoken's UTF-8 encoding rebuilds the byte-encoded string
-    IN SQL, then the standard per-merge CTE chain replays the walk. The
+    IN SQL, then the CTE chain replays the walk merge by merge. The
     oracle never calls the Python mapping — it re-derives it, so the
     hash row is a full differential of pretoken→bytes→merges→count.
     Final CTE ``bpe_vt`` yields (w, ntok) keyed by the ORIGINAL
-    pretoken."""
+    pretoken.
+
+    ``merges_per_cte`` (r10): the production-size strategy past the
+    one-CTE-per-merge ceiling. DuckDB's binder caps expression
+    recursion at 128 (measured: a 128-deep nested replace fails to
+    bind), so one CTE per merge — fine at 512 — would make an 8k-merge
+    chain 8k CTEs deep; instead each CTE applies a CHUNK of
+    ``merges_per_cte`` merges as nested two-pass replaces (depth
+    2·chunk, default 1 = the r9 shape; 16 keeps depth at 32 with 4×
+    headroom under the binder cap and makes the 8k-table oracle a
+    ~512-CTE chain that binds in ~1 s). Chunking changes the GROUPING
+    of steps, not their order — the replay stays merge-for-merge
+    identical to the kernel's rank-order walk."""
     merges = load_merges("bytes_512") if merges is None else merges
     vals = ", ".join(
         f"('{b:02X}', '{_BYTE_MAP[b].replace(chr(39), chr(39) * 2)}')"
@@ -483,17 +544,20 @@ def byte_bpe_sql_ctes(
         "bpe0 AS (SELECT w,"
         " ' ' || regexp_replace(mw, '(.)', '\\1 ', 'g') AS s FROM bmapped)",
     ]
-    for i, (a, b) in enumerate(merges, start=1):
-        pat = f" {a} {b} ".replace("'", "''")
-        rep = f" {a}{b} ".replace("'", "''")
+    n_ctes = 0
+    for lo in range(0, len(merges), merges_per_cte):
+        body = "s"
+        for a, b in merges[lo : lo + merges_per_cte]:
+            pat = f" {a} {b} ".replace("'", "''")
+            rep = f" {a}{b} ".replace("'", "''")
+            body = f"replace(replace({body}, '{pat}', '{rep}'), '{pat}', '{rep}')"
+        n_ctes += 1
         steps.append(
-            f"bpe{i} AS (SELECT w,"
-            f" replace(replace(s, '{pat}', '{rep}'), '{pat}', '{rep}') AS s"
-            f" FROM bpe{i - 1})"
+            f"bpe{n_ctes} AS (SELECT w, {body} AS s FROM bpe{n_ctes - 1})"
         )
     steps.append(
         "bpe_vt AS (SELECT w,"
         " len(regexp_split_to_array(trim(s), ' ')) AS ntok"
-        f" FROM bpe{len(merges)})"
+        f" FROM bpe{n_ctes})"
     )
     return ",\n".join(steps)

@@ -387,14 +387,23 @@ def _int_at_dyn(
 
 
 def synth_tiff(
-    width: F.Column, height: F.Column, little_endian: bool = True
+    width: F.Column,
+    height: F.Column,
+    little_endian: bool = True,
+    dims_in_ifd1: bool = False,
 ) -> F.Column:
     """A real TIFF prefix: endian header + a 2-entry first IFD carrying
     ImageWidth/ImageLength as inline SHORTs — 38 bytes, parseable by any
     IFD walker (the independent pure-Python parser in tests included).
     Entry layout per spec: tag(2) type(2) count(4) value(4), value
     left-justified in its 4-byte field (so a SHORT occupies the FIRST two
-    bytes in both byte orders)."""
+    bytes in both byte orders).
+
+    ``dims_in_ifd1`` (r10) emits the exotic multi-IFD layout some
+    scanners and EXIF writers produce: IFD0 carries only non-dim
+    entries (Compression, ResolutionUnit) and its next-IFD offset
+    points at an IFD1 that holds the dims — 68 bytes; a first-IFD-only
+    parser yields NULLs on it."""
     if little_endian:
         i16 = lambda n: _le_hex(n, 2)  # noqa: E731
         i32 = lambda n: _le_hex(n, 4)  # noqa: E731
@@ -407,6 +416,22 @@ def synth_tiff(
     entry = lambda tag, val: F.concat(  # noqa: E731
         lit(tag, 2), lit(3, 2), lit(1, 4), i16(val), F.lit("0000")
     )
+    if dims_in_ifd1:
+        # header(8) + IFD0 count(2)+2×12+next(4)=38 → IFD1 at offset 38
+        return F.unhex(
+            F.concat(
+                F.lit(sig),
+                lit(8, 4),
+                lit(2, 2),
+                entry(259, F.lit(1)),  # Compression: none
+                entry(296, F.lit(2)),  # ResolutionUnit: inch
+                lit(38, 4),  # next-IFD offset → IFD1
+                lit(2, 2),
+                entry(256, width),
+                entry(257, height),
+                lit(0, 4),
+            )
+        )
     return F.unhex(
         F.concat(
             F.lit(sig),
@@ -423,16 +448,23 @@ def tiff_dims(
     payload: F.Column | str, max_entries: int = TIFF_MAX_IFD_ENTRIES
 ) -> F.Column:
     """struct(width, height) of a TIFF payload, or NULL for non-TIFF
-    bytes / NULL fields when the first IFD carries no inline dims.
+    bytes / NULL fields when neither walked IFD carries inline dims.
     Bounded IFD-entry walk as ONE aggregate over
-    sequence(1, max_entries) — tag/type/count live at fixed strides from
-    the dynamic IFD offset; SHORT(3) and LONG(4) with count 1 are
-    decoded inline per the in-band byte order; offset-valued dims
-    (count > 1 or other types) yield NULL rather than a second
-    dereference (a malicious offset chain must not grow the plan).
-    Entries past ``max_entries`` are not walked: NULL dims, never an
-    error — the image_meta contract. Pass a column NAME to get the
-    memoized tree (see _memo_expr)."""
+    sequence(1, 2·max_entries + 2) — tag/type/count live at fixed
+    strides from the dynamic IFD offset; SHORT(3) and LONG(4) with
+    count 1 are decoded inline per the in-band byte order; offset-valued
+    dims (count > 1 or other types) yield NULL rather than an unbounded
+    dereference.
+
+    r10: when IFD0 ends without both dims, the walk follows its
+    next-IFD offset ONCE into IFD1 — the multi-IFD layout scanners and
+    EXIF writers produce (dims in IFD1 behind a metadata-only IFD0).
+    Exactly one hop: a malicious offset CHAIN still cannot grow the
+    walk (the budget is 2 IFDs × max_entries, constant plan size), and
+    a zero/absent next-IFD offset ends the walk. Entries past
+    ``max_entries`` per IFD are not walked: NULL dims, never an error —
+    the image_meta contract. Pass a column NAME to get the memoized
+    tree (see _memo_expr)."""
     if isinstance(payload, str):
         return _memo_expr(
             ("tiff_dims", payload, max_entries),
@@ -441,29 +473,34 @@ def tiff_dims(
     is_le = _bytes_hex(payload, 1, 4) == TIFF_LE_SIG_HEX
     is_tiff = is_le | (_bytes_hex(payload, 1, 4) == TIFF_BE_SIG_HEX)
 
-    # ifd offset and entry count live in the STATE: init expressions run
-    # once per row, while anything referenced inside step() re-inlines —
-    # and re-executes — per unrolled iteration (HOFs are exempt from
-    # subexpression elimination; the jpeg_dims lesson applied to the
-    # walk's own anchors). The early-exit guard below makes the typical
-    # row pay only the entries up to its dim tags (2-5 in real files):
-    # when() branches evaluate lazily, so a satisfied state skips the
-    # entry decode entirely for the remaining unrolled steps.
+    # ifd offset, entry count, and the per-IFD cursor j live in the
+    # STATE: init expressions run once per row, while anything
+    # referenced inside step() re-inlines — and re-executes — per
+    # iteration (HOFs are exempt from subexpression elimination; the
+    # jpeg_dims lesson applied to the walk's own anchors). The
+    # early-exit guard below makes the typical row pay only the entries
+    # up to its dim tags (2-5 in real files): when() branches evaluate
+    # lazily, so a satisfied state skips the entry decode entirely for
+    # the remaining steps.
     ifd0 = _int_at_dyn(payload, F.lit(1) + 4, 4, is_le) + 1  # 1-based
+    raw_n0 = _int_at_dyn(payload, ifd0, 2, is_le)
     init = F.struct(
         ifd0.alias("ifd"),
-        F.least(
-            _int_at_dyn(payload, ifd0, 2, is_le),
-            F.lit(max_entries).cast("long"),
-        ).alias("n"),
+        # n carries the UNCAPPED count (the hop needs the true
+        # next-IFD position ifd+2+n*12); the cursor guard below caps
+        # the entries actually decoded at max_entries
+        raw_n0.alias("n"),
+        F.lit(1).cast("long").alias("j"),  # entry cursor within the IFD
+        F.lit(0).cast("long").alias("hop"),  # IFDs hopped (≤ 1)
         F.lit(None).cast("long").alias("w"),
         F.lit(None).cast("long").alias("h"),
     )
 
-    def step(st: F.Column, i: F.Column) -> F.Column:
+    def step(st: F.Column, _i: F.Column) -> F.Column:
         ifd, n = st.getField("ifd"), st.getField("n")
+        j, hop = st.getField("j"), st.getField("hop")
         w, h = st.getField("w"), st.getField("h")
-        at = ifd + 2 + (i - 1) * 12
+        at = ifd + 2 + (j - 1) * 12
         tag = _int_at_dyn(payload, at, 2, is_le)
         typ = _int_at_dyn(payload, at + 2, 2, is_le)
         cnt = _int_at_dyn(payload, at + 4, 4, is_le)
@@ -471,19 +508,53 @@ def tiff_dims(
             typ == 4, _int_at_dyn(payload, at + 8, 4, is_le)
         )
         inline = (cnt == 1) & ((typ == 3) | (typ == 4))
-        return F.when(
-            (i > n) | (w.isNotNull() & h.isNotNull()), st
-        ).otherwise(
-            F.struct(
-                ifd.alias("ifd"),
-                n.alias("n"),
-                F.when((tag == 256) & inline & w.isNull(), val)
-                .otherwise(w)
-                .alias("w"),
-                F.when((tag == 257) & inline & h.isNull(), val)
-                .otherwise(h)
-                .alias("h"),
+        # next-IFD offset sits right after the current IFD's entries
+        nxt = _int_at_dyn(payload, ifd + 2 + n * 12, 4, is_le)
+        mk = lambda ifd_, n_, j_, hop_, w_, h_: F.struct(  # noqa: E731
+            ifd_.cast("long").alias("ifd"),
+            n_.cast("long").alias("n"),
+            j_.cast("long").alias("j"),
+            hop_.cast("long").alias("hop"),
+            w_.cast("long").alias("w"),
+            h_.cast("long").alias("h"),
+        )
+        return (
+            F.when((ifd <= 0) | (w.isNotNull() & h.isNotNull()), st)
+            .when(
+                # decode entry j, advance the cursor; entries past the
+                # max_entries bound are never decoded (pinned contract),
+                # but n stays UNCAPPED so the hop below reads the
+                # next-IFD pointer where the file actually put it
+                (j <= n) & (j <= max_entries),
+                mk(
+                    ifd,
+                    n,
+                    j + 1,
+                    hop,
+                    F.when((tag == 256) & inline & w.isNull(), val).otherwise(
+                        w
+                    ),
+                    F.when((tag == 257) & inline & h.isNull(), val).otherwise(
+                        h
+                    ),
+                ),
             )
+            .when(
+                # IFD exhausted without both dims: follow next-IFD once
+                (hop < 1) & (nxt > 0),
+                mk(
+                    nxt + 1,
+                    F.least(
+                        _int_at_dyn(payload, nxt + 1, 2, is_le),
+                        F.lit(max_entries).cast("long"),
+                    ),
+                    F.lit(1),
+                    hop + 1,
+                    w,
+                    h,
+                ),
+            )
+            .otherwise(mk(F.lit(-1), n, j, hop, w, h))  # walk ends
         )
 
     def fin(st: F.Column) -> F.Column:
@@ -498,7 +569,9 @@ def tiff_dims(
 
     return F.when(
         is_tiff,
-        F.aggregate(F.sequence(F.lit(1), F.lit(max_entries)), init, step, fin),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(2 * max_entries + 2)), init, step, fin
+        ),
     )
 
 
@@ -577,27 +650,190 @@ def synth_webp_vp8x(width: F.Column, height: F.Column) -> F.Column:
     )
 
 
+def synth_webp_vp8x_wrapped(
+    canvas_w: F.Column,
+    canvas_h: F.Column,
+    width: F.Column,
+    height: F.Column,
+    lossless: bool = True,
+) -> F.Column:
+    """An extended WebP whose BITSTREAM chunk sits behind the VP8X
+    chunk list (r10): RIFF + 'WEBP' + VP8X (the given canvas dims) +
+    an ICCP chunk (exercising the skip) + the VP8L (or VP8) bitstream
+    chunk carrying the ACTUAL image dims — the layout every
+    still-image VP8X file has, where canvas and bitstream dims can
+    disagree. 55 (VP8L) / 60 (VP8) bytes; parseable by any chunk
+    walker (the independent pure-Python parser in tests included)."""
+    vp8x = F.concat(
+        F.lit(VP8X_FOURCC_HEX),
+        F.lit("0A000000"),  # chunk size 10 (LE32)
+        F.lit("00000000"),  # flags + reserved
+        _le_hex(canvas_w - 1, 3),
+        _le_hex(canvas_h - 1, 3),
+    )
+    iccp = F.lit("49434350" "04000000" "00000000")  # "ICCP", 4 bytes
+    if lossless:
+        bits = (width - 1).cast("long") + (height - 1).cast("long") * 16384
+        stream = F.concat(
+            F.lit(VP8L_FOURCC_HEX),
+            F.lit("05000000"),  # chunk size 5 (LE32)
+            F.lit("2F"),
+            _le_hex(bits, 4),
+        )
+        riff_size = F.lit("2F000000")  # 4+18+12+13 = 47
+    else:
+        stream = F.concat(
+            F.lit(VP8_FOURCC_HEX),
+            F.lit("0A000000"),  # chunk size 10 (LE32)
+            F.lit("900200"),  # frame tag: keyframe, shown
+            F.lit(VP8_START_CODE_HEX),
+            _le_hex(width, 2),
+            _le_hex(height, 2),
+        )
+        riff_size = F.lit("34000000")  # 4+18+12+18 = 52
+    return F.unhex(
+        F.concat(
+            F.lit(WAV_RIFF_HEX),
+            riff_size,
+            F.lit(WEBP_TAG_HEX),
+            vp8x,
+            iccp,
+            stream,
+        )
+    )
+
+
 def _le3_int(payload: F.Column, pos: int) -> F.Column:
     """24-bit little-endian int at 1-based byte offset ``pos``."""
     b = lambda i: F.conv(_bytes_hex(payload, pos + i, 1), 16, 10).cast("int")  # noqa: E731
     return b(0) + b(1) * 256 + b(2) * 65536
 
 
-def webp_dims(payload: F.Column | str) -> F.Column:
+WEBP_MAX_CHUNKS = 8  # bitstream sits within a few chunks of the VP8X
+
+
+def webp_stream_dims(
+    payload: F.Column | str, max_chunks: int = WEBP_MAX_CHUNKS
+) -> F.Column:
+    """struct(width, height) of the BITSTREAM chunk (VP8 / VP8L)
+    inside an extended WebP's chunk list, or NULL fields when none is
+    found within ``max_chunks`` (an animation's frames live inside
+    ANMF chunks — the walk correctly finds no top-level bitstream and
+    the caller falls back to the VP8X canvas).
+
+    Bounded chunk walk as ONE aggregate over sequence(1, max_chunks) —
+    the RIFF chunk grain (fourCC, LE32 size, payload padded to even)
+    starting right after the fixed-size VP8X chunk (1-based byte 31);
+    chunk offsets are DYNAMIC (ICCP/EXIF/XMP payloads vary), the
+    jpeg_sof_walk discipline: runtime iteration, constant plan size,
+    dims extracted in the finish lambda where state reads are free. A
+    hostile chunk size walks past the payload end, reads empty bytes,
+    and ends the walk — NULL dims, never an error. Pass a column NAME
+    to get the memoized tree (see _memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("webp_stream_dims", payload, max_chunks),
+            lambda: webp_stream_dims(F.col(payload), max_chunks),
+        )
+    is_vp8x = (
+        (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX)
+        & (_bytes_hex(payload, 9, 4) == WEBP_TAG_HEX)
+        & (_bytes_hex(payload, 13, 4) == VP8X_FOURCC_HEX)
+    )
+    init = F.struct(
+        # first chunk after the VP8X (8-byte header + 10-byte payload)
+        F.lit(31).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+    )
+
+    def step(st: F.Column, _i: F.Column) -> F.Column:
+        pos, w = st.getField("pos"), st.getField("w")
+        h = st.getField("h")
+        fourcc = F.hex(payload.substr(pos, F.lit(4)))
+        size = _int_at_dyn(payload, pos + 4, 4, F.lit(True))
+        vp8l_ok = (fourcc == VP8L_FOURCC_HEX) & (
+            F.hex(payload.substr(pos + 8, F.lit(1))) == "2F"
+        )
+        vp8_ok = (fourcc == VP8_FOURCC_HEX) & (
+            F.hex(payload.substr(pos + 11, F.lit(3))) == VP8_START_CODE_HEX
+        )
+        lbits = _int_at_dyn(payload, pos + 9, 4, F.lit(True))
+        mk = lambda p_, w_, h_: F.struct(  # noqa: E731
+            p_.cast("long").alias("pos"),
+            w_.cast("long").alias("w"),
+            h_.cast("long").alias("h"),
+        )
+        return (
+            F.when((pos <= 0) | w.isNotNull(), st)
+            .when(
+                fourcc.isNull() | (F.length(fourcc) < 8) | size.isNull(),
+                mk(F.lit(-1), w, h),  # past payload end: walk ends
+            )
+            .when(vp8l_ok, mk(pos, lbits % 16384 + 1, F.shiftright(lbits, 14) % 16384 + 1))
+            .when(
+                vp8_ok,
+                mk(
+                    pos,
+                    _int_at_dyn(payload, pos + 14, 2, F.lit(True)) % 16384,
+                    _int_at_dyn(payload, pos + 16, 2, F.lit(True)) % 16384,
+                ),
+            )
+            .when(
+                # a malformed bitstream chunk (no signature/start code)
+                # carries no trusted dims: stop, don't skip past it
+                fourcc.isin(VP8L_FOURCC_HEX, VP8_FOURCC_HEX),
+                mk(F.lit(-1), w, h),
+            )
+            .otherwise(mk(pos + 8 + size + size % 2, w, h))  # skip chunk
+        )
+
+    def fin(st: F.Column) -> F.Column:
+        return F.struct(
+            st.getField("w").cast("int").alias("width"),
+            st.getField("h").cast("int").alias("height"),
+        )
+
+    return F.when(
+        is_vp8x,
+        F.aggregate(F.sequence(F.lit(1), F.lit(max_chunks)), init, step, fin),
+    )
+
+
+def webp_dims(
+    payload: F.Column | str, vp8x: F.Column | str | None = None
+) -> F.Column:
     """struct(width, height) of a WebP payload, or NULL for non-WebP
     bytes / NULL fields for an unrecognized or malformed first chunk.
     Dispatches on the first chunk's fourCC (byte 13): VP8 dims are LE16
     low-14-bits after the 9D012A start code (absent start code → NULL —
     an interframe or corrupt stream carries no dims), VP8L dims unpack
-    the LE32 bitfield behind the 0x2F signature, VP8X dims are LE24
-    canvas fields + 1. Unlike jpeg_dims this is fixed-offset arithmetic —
-    no higher-order function, so Catalyst's subexpression elimination
-    applies and no alias-barrier staging is required of consumers. Pass
-    a column NAME to get the memoized tree (see _memo_expr)."""
-    if isinstance(payload, str):
+    the LE32 bitfield behind the 0x2F signature. For an extended (VP8X)
+    file, the ACTUAL image dims come from the bitstream chunk behind
+    the VP8X chunk list (``webp_stream_dims``, r10 — canvas and
+    bitstream can disagree, and the bitstream is what a decoder
+    renders); when the bounded walk finds no top-level bitstream (an
+    animation) the LE24 canvas fields + 1 are the documented fallback.
+
+    ``vp8x``: optionally a PRE-STAGED ``webp_stream_dims(payload)``
+    column. The stream walk is a higher-order function — exempt from
+    subexpression elimination — so a caller extracting width AND height
+    re-runs it unless it sits behind an alias barrier (the jpeg_dims /
+    tiff_dims discipline; before r10 this parser was fixed-offset and
+    needed no staging). Default (None) computes it inline: correct
+    everywhere, fastest only for single-field consumers. Pass column
+    NAMEs to get the memoized tree (see _memo_expr)."""
+    if isinstance(payload, str) and (vp8x is None or isinstance(vp8x, str)):
         return _memo_expr(
-            ("webp_dims", payload), lambda: webp_dims(F.col(payload))
+            ("webp_dims", payload, vp8x),
+            lambda: webp_dims(
+                F.col(payload), None if vp8x is None else F.col(vp8x)
+            ),
         )
+    if isinstance(payload, str):
+        payload = F.col(payload)
+    if isinstance(vp8x, str):
+        vp8x = F.col(vp8x)
     is_webp = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
         _bytes_hex(payload, 9, 4) == WEBP_TAG_HEX
     )
@@ -608,15 +844,22 @@ def webp_dims(payload: F.Column | str) -> F.Column:
     vp8l_ok = (fourcc == VP8L_FOURCC_HEX) & (_bytes_hex(payload, 21, 1) == "2F")
     vp8x_ok = fourcc == VP8X_FOURCC_HEX
     bits = _le4_int(payload, 22)  # VP8L (w-1 | h-1<<14) bitfield
+    sd = webp_stream_dims(payload) if vp8x is None else vp8x
     width = (
         F.when(vp8_ok, _le2_int(payload, 27) % 16384)
         .when(vp8l_ok, (bits % 16384 + 1).cast("int"))
-        .when(vp8x_ok, _le3_int(payload, 25) + 1)
+        .when(
+            vp8x_ok,
+            F.coalesce(sd.getField("width"), _le3_int(payload, 25) + 1),
+        )
     )
     height = (
         F.when(vp8_ok, _le2_int(payload, 29) % 16384)
         .when(vp8l_ok, (F.shiftright(bits, 14) % 16384 + 1).cast("int"))
-        .when(vp8x_ok, _le3_int(payload, 28) + 1)
+        .when(
+            vp8x_ok,
+            F.coalesce(sd.getField("height"), _le3_int(payload, 28) + 1),
+        )
     )
     return F.when(
         is_webp,
@@ -645,6 +888,7 @@ def image_meta(
     payload: F.Column | str,
     jpeg: F.Column | str | None = None,
     tiff: F.Column | str | None = None,
+    webpx: F.Column | str | None = None,
 ) -> F.Column:
     """Parse (mime_type, width, height) from an image payload's header.
 
@@ -658,15 +902,17 @@ def image_meta(
     unknown magic), never an error, so one malformed blob cannot fail a
     backfill job.
 
-    ``jpeg`` / ``tiff``: optionally PRE-STAGED ``jpeg_dims(payload)`` /
-    ``tiff_dims(payload)`` columns. The struct this function returns is
-    inlined per extracted field by Catalyst, and the walks —
+    ``jpeg`` / ``tiff`` / ``webpx``: optionally PRE-STAGED
+    ``jpeg_dims(payload)`` / ``tiff_dims(payload)`` /
+    ``webp_stream_dims(payload)`` columns. The struct this function
+    returns is inlined per extracted field by Catalyst, and the walks —
     higher-order functions — are exempt from subexpression elimination,
     so a caller extracting width AND height re-runs them unless each
     walk sits behind an alias barrier (exactly the mvhd_offset pattern
     video_meta uses). Default (None) computes them inline: correct
-    everywhere, fastest only for single-field consumers. (WebP needs no
-    staging: its parse is fixed-offset arithmetic, CSE applies.)
+    everywhere, fastest only for single-field consumers. (The VP8/VP8L
+    first-chunk WebP parse stays fixed-offset — only the r10 VP8X
+    chunk-list walk needs the staging.)
 
     Pass column NAMES (payload and the staged walks) to get the
     memoized tree (see _memo_expr)."""
@@ -674,13 +920,15 @@ def image_meta(
         isinstance(payload, str)
         and (jpeg is None or isinstance(jpeg, str))
         and (tiff is None or isinstance(tiff, str))
+        and (webpx is None or isinstance(webpx, str))
     ):
         return _memo_expr(
-            ("image_meta", payload, jpeg, tiff),
+            ("image_meta", payload, jpeg, tiff, webpx),
             lambda: image_meta(
                 F.col(payload),
                 None if jpeg is None else F.col(jpeg),
                 None if tiff is None else F.col(tiff),
+                None if webpx is None else F.col(webpx),
             ),
         )
     if isinstance(payload, str):
@@ -689,6 +937,8 @@ def image_meta(
         jpeg = F.col(jpeg)
     if isinstance(tiff, str):
         tiff = F.col(tiff)
+    if isinstance(webpx, str):
+        webpx = F.col(webpx)
     is_png = _bytes_hex(payload, 1, 8) == PNG_SIG_HEX
     is_gif = _bytes_hex(payload, 1, 6) == GIF_SIG_HEX
     is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
@@ -698,7 +948,7 @@ def image_meta(
     is_tiff = _bytes_hex(payload, 1, 4).isin(TIFF_LE_SIG_HEX, TIFF_BE_SIG_HEX)
     jd = jpeg_dims(payload) if jpeg is None else jpeg
     td = tiff_dims(payload) if tiff is None else tiff
-    wd = webp_dims(payload)  # fixed-offset exprs: CSE applies, no staging
+    wd = webp_dims(payload, vp8x=webpx)
     null_i = F.lit(None).cast("int")
     return F.struct(
         F.when(is_png, F.lit("image/png"))
@@ -794,14 +1044,26 @@ FLAC_SIG_HEX = "664C6143"  # "fLaC"
 # holds; files commonly start with an ID3v2 tag whose 28-bit SYNCHSAFE
 # size (7 bits per byte) positions the first frame. Header fields:
 # version (2 bits), layer (2), bitrate index (4), sample-rate index (2),
-# channel mode (2). Sample rate needs the version×index table below;
-# duration needs the audio byte length (VBR: a codec concern) — NULL.
+# channel mode (2). Sample rate needs the version×index table below.
+# r10: duration is the standard two-tier estimate — a Xing/Info VBR tag
+# (frame count × samples-per-frame / sample rate) when present, else the
+# CBR arithmetic (audio byte length × 8 / bitrate) over the Layer-III
+# bitrate table; streams shorter than one frame, free-format bitrate
+# (index 0), Layer I/II, and a Xing tag without a frame count stay
+# honestly NULL.
 ID3_SIG_HEX = "494433"  # "ID3"
 MP3_SR_TABLE = {  # version bits -> [idx0, idx1, idx2]; idx 3 reserved
     3: (44100, 48000, 32000),  # MPEG1
     2: (22050, 24000, 16000),  # MPEG2
     0: (11025, 12000, 8000),  # MPEG2.5
 }
+# Layer-III bitrate (kbit/s) by index 1-14; index 0 is free-format
+# (NULL), 15 reserved (rejected by the sync gate). MPEG2 and MPEG2.5
+# share the low-rate column.
+MP3_KBPS_V1L3 = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_KBPS_V2L3 = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+XING_SIG_HEX = "58696E67"  # "Xing" (VBR header)
+INFO_SIG_HEX = "496E666F"  # "Info" (the LAME CBR variant, same layout)
 
 
 def synth_flac(
@@ -835,21 +1097,66 @@ def synth_flac(
     )
 
 
+def _mp3_synth_params(
+    version_bits: F.Column, sr_idx: F.Column
+) -> tuple[F.Column, F.Column, F.Column]:
+    """(sample_rate, kbps, frame_size) for the synthesized Layer-III
+    header with bitrate index 9 — the same tables the parser reads, so
+    the synth/parse pair stays a differential, not a tautology (the
+    independent pure-Python parser in tests is the tie-breaker)."""
+    sr = F.lit(None).cast("int")
+    for vbits, rates in MP3_SR_TABLE.items():
+        for i, rate in enumerate(rates):
+            sr = F.when(
+                (version_bits == vbits) & (sr_idx == i), F.lit(rate)
+            ).otherwise(sr)
+    kbps = F.when(version_bits == 3, F.lit(128)).otherwise(F.lit(80))  # idx 9
+    spf = F.when(version_bits == 3, F.lit(1152)).otherwise(F.lit(576))
+    frame_size = F.floor(spf / 8 * kbps * 1000 / sr)  # padding bit 0
+    return sr, kbps, frame_size
+
+
 def synth_mp3(
     version_bits: F.Column,
     sr_idx: F.Column,
     mono: F.Column,
     id3_pad: F.Column | None = None,
+    n_frames: F.Column | None = None,
+    xing_frames: F.Column | None = None,
 ) -> F.Column:
     """A real MP3 frame header (Layer III, bitrate index 9), optionally
     preceded by an ID3v2.4 tag with ``id3_pad`` zero bytes — the pad is
     encoded SYNCHSAFE (7 bits per byte), so pads past 127 exercise the
-    multi-byte size decode."""
+    multi-byte size decode.
+
+    r10 body variants (mutually exclusive): ``n_frames`` appends a CBR
+    audio body — zero fill to exactly n_frames × frame_size bytes of
+    audio, the length the CBR duration estimate divides; ``xing_frames``
+    appends the version/mode-correct side-info zeros then a Xing VBR tag
+    (flags bit 0 + the BE32 frame count) — the layout every VBR encoder
+    writes and every tag reader trusts over the byte-length estimate."""
     be1 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 2, "0")  # noqa: E731
+    be4 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 8, "0")  # noqa: E731
     h2 = F.lit(0xE0) + version_bits * 8 + F.lit(1) * 2 + 1  # layer III
     h3 = F.lit(9) * 16 + sr_idx * 4
     h4 = F.when(mono, F.lit(0xC0)).otherwise(F.lit(0x40))
     frame = F.concat(F.lit("FF"), be1(h2), be1(h3), be1(h4))
+    if n_frames is not None:
+        _sr, _kbps, frame_size = _mp3_synth_params(version_bits, sr_idx)
+        body = n_frames.cast("long") * frame_size - 4
+        frame = F.concat(frame, F.repeat(F.lit("00"), body.cast("int")))
+    elif xing_frames is not None:
+        side_info = F.when(
+            version_bits == 3,
+            F.when(mono, F.lit(17)).otherwise(F.lit(32)),
+        ).otherwise(F.when(mono, F.lit(9)).otherwise(F.lit(17)))
+        frame = F.concat(
+            frame,
+            F.repeat(F.lit("00"), side_info),
+            F.lit(XING_SIG_HEX),
+            F.lit("00000001"),  # flags: frames field present
+            be4(xing_frames),
+        )
     if id3_pad is None:
         return F.unhex(frame)
     tag = F.concat(
@@ -880,31 +1187,36 @@ def _flac_fields(payload: F.Column) -> dict[str, F.Column]:
     }
 
 
-def _mp3_fields(payload: F.Column) -> dict[str, F.Column]:
-    """Frame-header fields behind the ID3v2 skip; sr NULL on reserved
-    indexes / non-sync bytes (a desynced stream carries no trusted
-    fields)."""
+def _mp3_frame_pos(payload: F.Column) -> F.Column:
+    """1-based position of the first MP3 frame header: byte 1, or past
+    the ID3v2 tag via its synchsafe u28 size."""
     has_id3 = _bytes_hex(payload, 1, 3) == ID3_SIG_HEX
     b = lambda i: _be_int(payload, i, 1)  # noqa: E731
-    id3_size = (
-        b(7) * 2097152 + b(8) * 16384 + b(9) * 128 + b(10)
-    )  # synchsafe u28
-    p = F.when(has_id3, id3_size + 11).otherwise(F.lit(1))
-    h1, h2, h3, h4 = (
+    id3_size = b(7) * 2097152 + b(8) * 16384 + b(9) * 128 + b(10)
+    return F.when(has_id3, id3_size + 11).otherwise(F.lit(1))
+
+
+def _mp3_sync(payload: F.Column) -> F.Column:
+    """Boolean: a trustworthy MP3 frame header behind the ID3v2 skip —
+    the ROUTING slice of the MP3 parse, kept as a plain (flat)
+    expression for sniff_mime. The 11-bit sync alone false-matches
+    arbitrary high bytes (an all-0xFF blob would register as MPEG
+    audio); a real header also has non-reserved version (01), layer
+    (00), bitrate (1111), and sample-rate (11) fields — the standard
+    sniffer tightening. The full field parse (rates, channels, r10
+    bitrate/duration) lives in ``audio_meta``'s single-aggregate
+    finish, where the dynamic frame position is a state anchor."""
+    p = _mp3_frame_pos(payload)
+    h1, h2, h3 = (
         _be_int_dyn(payload, p, 1),
         _be_int_dyn(payload, p + 1, 1),
         _be_int_dyn(payload, p + 2, 1),
-        _be_int_dyn(payload, p + 3, 1),
     )
     ver = F.shiftright(h2, 3) % 4
     layer = F.shiftright(h2, 1) % 4
     br_idx = F.shiftright(h3, 4)
     sr_idx = F.shiftright(h3, 2) % 4
-    # the 11-bit sync alone false-matches arbitrary high bytes (an
-    # all-0xFF blob would register as MPEG audio); a real header also
-    # has non-reserved version (01), layer (00), bitrate (1111), and
-    # sample-rate (11) fields — the standard sniffer tightening
-    sync = (
+    return (
         (h1 == 0xFF)
         & (F.shiftright(h2, 5) == 7)
         & (ver != 1)
@@ -912,16 +1224,6 @@ def _mp3_fields(payload: F.Column) -> dict[str, F.Column]:
         & (br_idx != 15)
         & (sr_idx != 3)
     )
-    sr = F.lit(None).cast("int")
-    for vbits, rates in MP3_SR_TABLE.items():
-        for i, rate in enumerate(rates):
-            sr = F.when((ver == vbits) & (sr_idx == i), F.lit(rate)).otherwise(sr)
-    ch = F.when(F.shiftright(h4, 6) == 3, F.lit(1)).otherwise(F.lit(2))
-    return {
-        "sync": sync,
-        "sr": F.when(sync, sr),
-        "ch": F.when(sync, ch).cast("int"),
-    }
 
 
 def audio_meta(payload: F.Column | str) -> F.Column:
@@ -941,9 +1243,30 @@ def audio_meta(payload: F.Column | str) -> F.Column:
       total-sample count.
     * MP3: frame header located after the optional ID3v2 tag via its
       synchsafe size; sample rate from the version×index table,
-      channels from the mode bits. bits_per_sample is not a thing in
-      MPEG audio and the duration needs the audio byte length (VBR) —
-      both NULL, the honest codec boundary.
+      channels from the mode bits, bitrate from the Layer-III table
+      (r10). Duration (r10) is the standard two-tier estimate: a
+      Xing/Info tag's exact frame count when present, else the CBR
+      byte-length arithmetic; streams shorter than one frame,
+      free-format bitrate, Layer I/II, and a frames-less Xing tag stay
+      NULL. bits_per_sample is not a thing in MPEG audio — NULL, the
+      honest codec boundary.
+
+    r10 adds ``bitrate_kbps``: exact for WAV (byte rate × 8) and MP3
+    (header table); NULL for FLAC — lossless FLAC is inherently VBR and
+    STREAMINFO carries no rate.
+
+    Shape (r10): the whole parse is ONE aggregate over sequence(1,1)
+    whose init computes the dynamic MP3 frame position (the synchsafe
+    ID3v2 skip) and whose finish builds the complete struct — every
+    p+k header read is a constant-size subtree over the state anchor.
+    The flat form re-embedded the ID3-skip CASE tree in each of ~15
+    dynamic reads × 6 extracted fields; at local[32] the interpreted
+    per-task binding of that tree OOMed the default heap (measured
+    r10). Consumers extracting several fields should STAGE this struct
+    behind an alias barrier (the jpeg_dims/tiff_dims discipline) —
+    the aggregate is a higher-order function, exempt from
+    subexpression elimination, so inline per-field references re-run
+    AND re-carry it.
 
     Integer-exact cross-engine. Unknown payloads yield
     ('application/octet-stream', NULL…), never an error — one malformed
@@ -953,42 +1276,120 @@ def audio_meta(payload: F.Column | str) -> F.Column:
         return _memo_expr(
             ("audio_meta", payload), lambda: audio_meta(F.col(payload))
         )
-    is_wav = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
-        _bytes_hex(payload, 9, 8) == WAV_WAVEFMT_HEX
-    )
-    is_flac = _bytes_hex(payload, 1, 4) == FLAC_SIG_HEX
-    flac_si = is_flac & (_be_int(payload, 5, 1) % 128 == 0)  # type-0 first
-    is_mp3_sig = _bytes_hex(payload, 1, 3) == ID3_SIG_HEX
-    mp3 = _mp3_fields(payload)
-    is_mp3 = is_mp3_sig | mp3["sync"]
-    fl = _flac_fields(payload)
-    null_i = F.lit(None).cast("int")
-    byte_rate = _le4_int(payload, 29)
-    data_size = _le4_int(payload, 41)
-    return F.struct(
-        F.when(is_wav, F.lit("audio/x-wav"))
-        .when(is_flac, F.lit("audio/flac"))
-        .when(is_mp3, F.lit("audio/mpeg"))
-        .otherwise(F.lit("application/octet-stream"))
-        .alias("mime_type"),
-        F.when(is_wav, _le2_int(payload, 23))
-        .when(flac_si, fl["ch"])
-        .when(is_mp3, mp3["ch"])
-        .otherwise(null_i)
-        .alias("channels"),
-        F.when(is_wav, _le4_int(payload, 25).cast("int"))
-        .when(flac_si, fl["sr"])
-        .when(is_mp3, mp3["sr"])
-        .otherwise(null_i)
-        .alias("sample_rate_hz"),
-        F.when(is_wav, _le2_int(payload, 35))
-        .when(flac_si, fl["bps"])
-        .otherwise(null_i)
-        .alias("bits_per_sample"),
-        F.when(is_wav, F.floor(data_size * 1000 / byte_rate).cast("long"))
-        .when(flac_si, fl["dur"])
-        .otherwise(F.lit(None).cast("long"))
-        .alias("duration_ms"),
+    init = F.struct(_mp3_frame_pos(payload).cast("long").alias("p"))
+
+    def fin(st: F.Column) -> F.Column:
+        is_wav = (_bytes_hex(payload, 1, 4) == WAV_RIFF_HEX) & (
+            _bytes_hex(payload, 9, 8) == WAV_WAVEFMT_HEX
+        )
+        is_flac = _bytes_hex(payload, 1, 4) == FLAC_SIG_HEX
+        flac_si = is_flac & (_be_int(payload, 5, 1) % 128 == 0)  # type 0
+        fl = _flac_fields(payload)
+        byte_rate = _le4_int(payload, 29)
+        data_size = _le4_int(payload, 41)
+        # ---- MP3 fields over the state-anchored frame position -------
+        p = st.getField("p")
+        h1, h2, h3, h4 = (
+            _be_int_dyn(payload, p, 1),
+            _be_int_dyn(payload, p + 1, 1),
+            _be_int_dyn(payload, p + 2, 1),
+            _be_int_dyn(payload, p + 3, 1),
+        )
+        ver = F.shiftright(h2, 3) % 4
+        layer = F.shiftright(h2, 1) % 4
+        br_idx = F.shiftright(h3, 4)
+        sr_idx = F.shiftright(h3, 2) % 4
+        sync = (
+            (h1 == 0xFF)
+            & (F.shiftright(h2, 5) == 7)
+            & (ver != 1)
+            & (layer != 0)
+            & (br_idx != 15)
+            & (sr_idx != 3)
+        )
+        mp3_sr = F.lit(None).cast("int")
+        for vbits, rates in MP3_SR_TABLE.items():
+            for i, rate in enumerate(rates):
+                mp3_sr = F.when(
+                    (ver == vbits) & (sr_idx == i), F.lit(rate)
+                ).otherwise(mp3_sr)
+        mp3_ch = F.when(F.shiftright(h4, 6) == 3, F.lit(1)).otherwise(
+            F.lit(2)
+        )
+        # bitrate: Layer-III table by version; the when() guard keeps
+        # element_at off index 0 (free-format) under ANSI mode
+        v1 = F.array(*[F.lit(k) for k in MP3_KBPS_V1L3])
+        v2 = F.array(*[F.lit(k) for k in MP3_KBPS_V2L3])
+        kbps = F.when(
+            sync & (layer == 1) & (br_idx >= 1),
+            F.element_at(
+                F.when(ver == 3, v1).otherwise(v2), br_idx.cast("int")
+            ),
+        )
+        # duration: Xing/Info frame count first, else CBR arithmetic
+        spf = F.when(ver == 3, F.lit(1152)).otherwise(F.lit(576))  # L-III
+        mono = F.shiftright(h4, 6) == 3
+        side_info = F.when(
+            ver == 3, F.when(mono, F.lit(17)).otherwise(F.lit(32))
+        ).otherwise(F.when(mono, F.lit(9)).otherwise(F.lit(17)))
+        tag_at = p + 4 + side_info
+        tag = F.hex(payload.substr(tag_at, F.lit(4)))
+        has_xing = sync & (layer == 1) & tag.isin(
+            XING_SIG_HEX, INFO_SIG_HEX
+        )
+        xing_flags = _be_int_dyn(payload, tag_at + 4, 4)
+        xing_frames = _be_int_dyn(payload, tag_at + 8, 4)
+        audio_bytes = F.octet_length(payload) - p + 1
+        frame_size = (
+            F.floor(spf / 8 * kbps * 1000 / mp3_sr) + F.shiftright(h3, 1) % 2
+        )
+        mp3_dur = F.when(
+            has_xing,
+            F.when(
+                xing_flags % 2 == 1,  # frames field present
+                F.floor(xing_frames.cast("long") * spf * 1000 / mp3_sr),
+            ),
+        ).otherwise(
+            F.when(
+                sync & (layer == 1) & (audio_bytes >= frame_size),
+                F.floor(audio_bytes.cast("long") * 8 / kbps),
+            )
+        )
+        is_mp3 = (_bytes_hex(payload, 1, 3) == ID3_SIG_HEX) | sync
+        null_i = F.lit(None).cast("int")
+        return F.struct(
+            F.when(is_wav, F.lit("audio/x-wav"))
+            .when(is_flac, F.lit("audio/flac"))
+            .when(is_mp3, F.lit("audio/mpeg"))
+            .otherwise(F.lit("application/octet-stream"))
+            .alias("mime_type"),
+            F.when(is_wav, _le2_int(payload, 23))
+            .when(flac_si, fl["ch"])
+            .when(is_mp3, F.when(sync, mp3_ch).cast("int"))
+            .otherwise(null_i)
+            .alias("channels"),
+            F.when(is_wav, _le4_int(payload, 25).cast("int"))
+            .when(flac_si, fl["sr"])
+            .when(is_mp3, F.when(sync, mp3_sr))
+            .otherwise(null_i)
+            .alias("sample_rate_hz"),
+            F.when(is_wav, _le2_int(payload, 35))
+            .when(flac_si, fl["bps"])
+            .otherwise(null_i)
+            .alias("bits_per_sample"),
+            F.when(is_wav, F.floor(data_size * 1000 / byte_rate).cast("long"))
+            .when(flac_si, fl["dur"])
+            .when(is_mp3, mp3_dur.cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("duration_ms"),
+            F.when(is_wav, F.floor(byte_rate * 8 / 1000).cast("int"))
+            .when(is_mp3, kbps.cast("int"))
+            .otherwise(null_i)
+            .alias("bitrate_kbps"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(1)), init, lambda s, _x: s, fin
     )
 
 
@@ -1199,7 +1600,7 @@ def sniff_mime(payload: F.Column | str) -> F.Column:
         )
         .when(sig(FLAC_SIG_HEX), F.lit("audio/flac"))
         .when(
-            sig(ID3_SIG_HEX) | _mp3_fields(payload)["sync"],
+            sig(ID3_SIG_HEX) | _mp3_sync(payload),
             F.lit("audio/mpeg"),
         )
         .when(

@@ -33,16 +33,23 @@ def change_vs_asof(
     value: str,
     cutoff: Column,
     order: Sequence[str | Column] | None = None,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Latest value per key vs value as-of ``cutoff``, with pct change.
 
     Both sides are partial-aggregated (max_by) before a small key-level
     join — at scale this joins |keys| rows, not |fact| rows.
+
+    ``carry``: additional columns taken from the LATEST row per key and
+    passed through unrenamed — e.g. the market_cap the reference's
+    ``v_price_change_24h`` orders by (``sql/views.sql:28`` ends
+    ``order by l.market_cap desc nulls last``, and ``l`` is the latest
+    row) — rides the same max_by aggregate, no extra shuffle.
     """
     order = list(order or [ts_col])
-    latest = latest_per_key_agg(df, keys, order, [value]).withColumnRenamed(
-        value, f"{value}_now"
-    )
+    latest = latest_per_key_agg(
+        df, keys, order, [value, *carry]
+    ).withColumnRenamed(value, f"{value}_now")
     asof = asof_lookup(df, keys, ts_col, cutoff, [value]).select(
         *keys, F.col(value).alias(f"{value}_then")
     )

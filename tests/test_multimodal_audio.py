@@ -184,6 +184,110 @@ def test_synth_mp3_roundtrip_and_independent_parser(spark):
         assert len(bytes(r["tagged"])) == 14 + 100 + r.id * 13 % 300
 
 
+def _py_mp3_duration(b: bytes):
+    """Independent pure-Python MP3 duration/bitrate estimate — the same
+    two-tier policy every tag reader ships: Xing/Info frame count when
+    present, else CBR byte-length arithmetic; None when the stream is
+    shorter than one frame. Returns (kbps, duration_ms) or None."""
+    hdr = _py_mp3_header(b)
+    if hdr is None:
+        return None
+    p = 0
+    if b[0:3] == b"ID3":
+        p = 10 + ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9])
+    ver = (b[p + 1] >> 3) & 3
+    layer = (b[p + 1] >> 1) & 3
+    if layer != 1:  # Layer III only
+        return None
+    br_idx = b[p + 2] >> 4
+    if br_idx == 0:
+        return None
+    v1 = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    v2 = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    kbps = (v1 if ver == 3 else v2)[br_idx - 1]
+    sr = hdr[0]
+    spf = 1152 if ver == 3 else 576
+    mono = (b[p + 3] >> 6) == 3
+    si = (17 if mono else 32) if ver == 3 else (9 if mono else 17)
+    tag_at = p + 4 + si
+    if b[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+        flags = int.from_bytes(b[tag_at + 4 : tag_at + 8], "big")
+        if flags & 1:
+            frames = int.from_bytes(b[tag_at + 8 : tag_at + 12], "big")
+            return (kbps, frames * spf * 1000 // sr)
+        return (kbps, None)
+    audio_bytes = len(b) - p
+    frame_size = spf // 8 * kbps * 1000 // sr + ((b[p + 2] >> 1) & 1)
+    if audio_bytes < frame_size:
+        return (kbps, None)
+    return (kbps, audio_bytes * 8 // kbps)
+
+
+def test_mp3_cbr_and_xing_duration(spark):
+    """The r10 duration tiers: a CBR body (duration from byte length ×
+    bitrate), a Xing VBR tag (duration from the exact frame count,
+    overriding the byte estimate), and an ID3-tagged CBR body (the tag
+    bytes must NOT count as audio). The Spark parse and the independent
+    pure-Python estimator agree bit-exactly; bodiless headers keep the
+    honest NULL."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import synth_mp3
+
+    vbits = (
+        F.when(F.col("id") % 3 == 0, F.lit(3))
+        .when(F.col("id") % 3 == 1, F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    sr_idx = F.col("id") * 7 % 3
+    mono = F.col("id") % 2 == 0
+    rows = (
+        spark.range(1, 30)
+        .select(
+            "id",
+            synth_mp3(
+                vbits, sr_idx, mono, n_frames=F.lit(40) + F.col("id") * 3
+            ).alias("cbr"),
+            synth_mp3(
+                vbits, sr_idx, mono, xing_frames=F.lit(900) + F.col("id") * 31
+            ).alias("vbr"),
+            synth_mp3(
+                vbits, sr_idx, mono,
+                id3_pad=F.lit(100) + F.col("id") * 13 % 300,
+                n_frames=F.lit(25),
+            ).alias("tagged_cbr"),
+        )
+        .select(
+            "id", "cbr", "vbr", "tagged_cbr",
+            audio_meta(F.col("cbr")).alias("mc"),
+            audio_meta(F.col("vbr")).alias("mv"),
+            audio_meta(F.col("tagged_cbr")).alias("mt"),
+        )
+        .collect()
+    )
+    for r in rows:
+        for m, p in (("mc", "cbr"), ("mv", "vbr"), ("mt", "tagged_cbr")):
+            kbps, dur = _py_mp3_duration(bytes(r[p]))
+            assert (r[m].bitrate_kbps, r[m].duration_ms) == (kbps, dur), (
+                m, r.id, (r[m].bitrate_kbps, r[m].duration_ms), (kbps, dur),
+            )
+            assert r[m].duration_ms is not None, (m, r.id)
+
+
+def test_mp3_xing_without_frame_count_stays_null(spark):
+    """A Xing tag whose flags clear the frames bit carries no count —
+    duration must stay NULL (not fall through to a CBR estimate over
+    VBR bytes: that is the lie the tag exists to prevent)."""
+    # MPEG1 Layer III, 44100, stereo, idx 9 (128 kbps), side info 32
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x40])
+    xing_noframes = (
+        hdr + b"\x00" * 32 + b"Xing" + b"\x00\x00\x00\x00" + b"\x00" * 400
+    )
+    df = spark.createDataFrame([(xing_noframes,)], "payload binary")
+    m = df.select(audio_meta(F.col("payload")).alias("m")).collect()[0].m
+    assert m.mime_type == "audio/mpeg" and m.bitrate_kbps == 128
+    assert m.duration_ms is None
+    assert _py_mp3_duration(xing_noframes) == (128, None)
+
+
 def test_audio_malformed_flac_mp3_never_error(spark):
     """A FLAC whose first block is not STREAMINFO, an ID3 tag with no
     frame behind it, and a desynced bare header all yield NULL fields

@@ -1246,6 +1246,26 @@ def _py_webp_dims(b: bytes):
         bits = int.from_bytes(b[21:25], "little")
         return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
     if cc == b"VP8X":
+        # r10: the actual image dims come from the bitstream chunk in
+        # the VP8X chunk list; canvas is the fallback (animations)
+        pos = 30
+        for _ in range(8):
+            if pos + 8 > len(b):
+                break
+            sub, size = b[pos : pos + 4], int.from_bytes(
+                b[pos + 4 : pos + 8], "little"
+            )
+            if sub == b"VP8L" and pos + 13 <= len(b) and b[pos + 8] == 0x2F:
+                bits = int.from_bytes(b[pos + 9 : pos + 13], "little")
+                return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            if sub == b"VP8 " and b[pos + 11 : pos + 14] == b"\x9d\x01\x2a":
+                return (
+                    int.from_bytes(b[pos + 14 : pos + 16], "little") & 0x3FFF,
+                    int.from_bytes(b[pos + 16 : pos + 18], "little") & 0x3FFF,
+                )
+            if sub in (b"VP8L", b"VP8 "):
+                break
+            pos += 8 + size + size % 2
         w = int.from_bytes(b[24:27], "little") + 1
         h = int.from_bytes(b[27:30], "little") + 1
         return (w, h)
@@ -1332,7 +1352,9 @@ def test_webp_malformed_and_routing(spark):
 def _py_tiff_dims(b: bytes):
     """Independent pure-Python TIFF IFD walk (the _py_jpeg_dims pattern):
     endian header, first-IFD offset, 12-byte entries; dims are tags
-    256/257 inline as SHORT(3)/LONG(4) count 1. Returns (w, h) or None."""
+    256/257 inline as SHORT(3)/LONG(4) count 1. r10: follows the
+    next-IFD offset ONCE into IFD1 when IFD0 lacks both dims (the
+    multi-IFD scanner/EXIF layout). Returns (w, h) or None."""
     if b[0:4] == b"II\x2a\x00":
         order = "little"
     elif b[0:4] == b"MM\x00\x2a":
@@ -1341,20 +1363,29 @@ def _py_tiff_dims(b: bytes):
         return None
     num = lambda s: int.from_bytes(s, order)  # noqa: E731
     ifd = num(b[4:8])
-    n = num(b[ifd : ifd + 2])
     w = h = None
-    for i in range(min(n, 32)):
-        at = ifd + 2 + i * 12
-        tag, typ, cnt = num(b[at : at + 2]), num(b[at + 2 : at + 4]), num(
-            b[at + 4 : at + 8]
-        )
-        if cnt != 1 or typ not in (3, 4):
-            continue
-        val = num(b[at + 8 : at + 10]) if typ == 3 else num(b[at + 8 : at + 12])
-        if tag == 256 and w is None:
-            w = val
-        if tag == 257 and h is None:
-            h = val
+    for _hop in range(2):  # IFD0, then at most one next-IFD hop
+        n = num(b[ifd : ifd + 2])
+        for i in range(min(n, 32)):
+            at = ifd + 2 + i * 12
+            tag, typ, cnt = num(b[at : at + 2]), num(b[at + 2 : at + 4]), num(
+                b[at + 4 : at + 8]
+            )
+            if cnt != 1 or typ not in (3, 4):
+                continue
+            val = (
+                num(b[at + 8 : at + 10]) if typ == 3 else num(b[at + 8 : at + 12])
+            )
+            if tag == 256 and w is None:
+                w = val
+            if tag == 257 and h is None:
+                h = val
+        if w is not None and h is not None:
+            break
+        nxt = num(b[ifd + 2 + n * 12 : ifd + 2 + n * 12 + 4])
+        if nxt == 0:
+            break
+        ifd = nxt
     return (w, h) if (w is not None and h is not None) else None
 
 
@@ -1467,6 +1498,117 @@ def test_tiff_walk_is_a_real_walk_and_malformed_never_errors(spark):
     assert _py_tiff_dims(cases[1][0]) == (70000, 81)
     assert _py_tiff_dims(cases[2][0]) == (320, 240)
     assert _py_tiff_dims(cases[3][0]) is None
+
+
+def test_tiff_multi_ifd_and_vp8x_wrapped_roundtrip(spark):
+    """The r10 exotic layouts: a TIFF whose dims sit in IFD1 behind a
+    metadata-only IFD0 (both byte orders), and an extended WebP whose
+    bitstream chunk (VP8L and VP8) sits behind the VP8X chunk list with
+    canvas dims that DISAGREE — the parse must return the bitstream
+    dims (what a decoder renders), not the canvas. Both parsers and the
+    independent pure-Python references agree."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_tiff,
+        synth_webp_vp8x_wrapped,
+    )
+
+    w = (F.col("id") * 37 % 4096).cast("int") + 1
+    h = (F.col("id") * 11 % 4096).cast("int") + 1
+    cw = (F.col("id") * 5 % 1000).cast("int") + 2  # mismatched canvas
+    ch = (F.col("id") * 3 % 1000).cast("int") + 2
+    df = spark.range(1, 40).select(
+        "id",
+        synth_tiff(w, h, little_endian=True, dims_in_ifd1=True).alias("t1l"),
+        synth_tiff(w, h, little_endian=False, dims_in_ifd1=True).alias("t1b"),
+        synth_webp_vp8x_wrapped(cw, ch, w, h, lossless=True).alias("xl"),
+        synth_webp_vp8x_wrapped(cw, ch, w, h, lossless=False).alias("x8"),
+    )
+    rows = df.select(
+        "id", "t1l", "t1b", "xl", "x8",
+        image_meta(F.col("t1l")).alias("m1l"),
+        image_meta(F.col("t1b")).alias("m1b"),
+        image_meta(F.col("xl")).alias("mxl"),
+        image_meta(F.col("x8")).alias("mx8"),
+    ).collect()
+    assert len(rows) == 39
+    for r in rows:
+        w_, h_ = r["id"] * 37 % 4096 + 1, r["id"] * 11 % 4096 + 1
+        for m, p, mime in (
+            ("m1l", "t1l", "image/tiff"), ("m1b", "t1b", "image/tiff"),
+            ("mxl", "xl", "image/webp"), ("mx8", "x8", "image/webp"),
+        ):
+            assert (
+                r[m]["mime_type"], r[m]["width"], r[m]["height"]
+            ) == (mime, w_, h_), (m, r["id"])
+            assert _py_webp_dims(bytes(r[p])) == (w_, h_) if p.startswith(
+                "x"
+            ) else _py_tiff_dims(bytes(r[p])) == (w_, h_), (p, r["id"])
+
+
+def test_tiff_hop_and_webp_walk_malformed_never_error(spark):
+    """Hostile inputs against the r10 dereferences: a next-IFD offset
+    past the payload, a self-referential IFD loop (the single-hop
+    budget must end it), a VP8X whose chunk list dead-ends, a hostile
+    chunk size walking past the end, and an ANMF-only animation
+    (canvas fallback). NULL or canvas dims, never an error."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import image_meta
+
+    def tiff_le(entries, nxt, ifd_at=8):
+        hdr = b"II\x2a\x00" + ifd_at.to_bytes(4, "little")
+        body = len(entries).to_bytes(2, "little")
+        for tag, typ, cnt, val in entries:
+            vf = (
+                val.to_bytes(2, "little") + b"\x00\x00"
+                if typ == 3
+                else val.to_bytes(4, "little")
+            )
+            body += (
+                tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                + cnt.to_bytes(4, "little") + vf
+            )
+        return hdr + body + nxt.to_bytes(4, "little")
+
+    def webp(chunks):
+        body = b"WEBP" + b"".join(
+            cc + len(p).to_bytes(4, "little") + p + b"\x00" * (len(p) % 2)
+            for cc, p in chunks
+        )
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    vp8x = (b"VP8X", b"\x00" * 4 + (9).to_bytes(3, "little") + (19).to_bytes(3, "little"))
+    cases = {
+        # next-IFD offset far past the payload end
+        1: (tiff_le([(259, 3, 1, 1)], nxt=5000), "image/tiff", None, None),
+        # IFD0 points back at itself: one hop re-reads it, then ends
+        2: (tiff_le([(259, 3, 1, 1)], nxt=8), "image/tiff", None, None),
+        # dims split across IFDs (w in IFD0, h in IFD1 at offset 26)
+        3: (
+            tiff_le([(256, 3, 1, 640)], nxt=26)
+            + tiff_le([(257, 3, 1, 480)], nxt=0)[8:],
+            "image/tiff", 640, 480,
+        ),
+        # VP8X then end-of-file: canvas fallback
+        4: (webp([vp8x]), "image/webp", 10, 20),
+        # VP8X + chunk whose size runs past the end: canvas fallback
+        5: (webp([vp8x, (b"ICCP", b"\x00" * 4)])[:-6], "image/webp", 10, 20),
+        # VP8X + ANMF only (animation): canvas fallback
+        6: (webp([vp8x, (b"ANMF", b"\x00" * 16)]), "image/webp", 10, 20),
+        # VP8X + malformed VP8L (no 0x2F signature): canvas fallback
+        7: (webp([vp8x, (b"VP8L", b"\x00\x0f\x00\xc0\x03")]), "image/webp",
+            10, 20),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "id long, payload binary"
+    )
+    got = {
+        r["id"]: (r["m"]["mime_type"], r["m"]["width"], r["m"]["height"])
+        for r in df.select(
+            "id", image_meta(F.col("payload")).alias("m")
+        ).collect()
+    }
+    for k, (_, mime, w, h) in cases.items():
+        assert got[k] == (mime, w, h), (k, got[k])
 
 
 def test_parser_random_roundtrip_sweep(spark):

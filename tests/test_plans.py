@@ -704,11 +704,14 @@ def test_audio_meta_expression_only_zero_shuffle(spark):
     assert "Join" not in s
     assert "Generate" not in s
     assert s.count(") Exchange") <= 1
-    # exactly TWO projects: the payload synthesis must stay a separate
-    # alias barrier (CollapseProject would otherwise inline the expensive
-    # synthesis tree into every parsed column — 583 vs 37 expression
-    # nodes, ~7x the planning+codegen time)
-    assert s.count(") Project") == 2
+    # exactly THREE projects: the payload synthesis alias barrier
+    # (CollapseProject would otherwise inline the expensive synthesis
+    # tree into every parsed column — 583 vs 37 expression nodes, ~7x
+    # the planning+codegen time) + the r10 audio_meta struct barrier
+    # (the parse is one state-anchored aggregate, a HOF exempt from
+    # subexpression elimination; six inline per-field references would
+    # each re-carry and re-run it) + the field extract
+    assert s.count(") Project") == 3
 
 
 def test_mime_sniff_expression_only_zero_shuffle(spark):

@@ -34,18 +34,28 @@ def main() -> None:
     txt = "--txt" in sys.argv
     rich = "--rich" in sys.argv
     as_bytes = "--bytes" in sys.argv
+    # --dir=PATH: learn from a different scale factor. The sf0.01 corpus
+    # SATURATES at 1826 byte-level merges (measured r10) — a 4k-8k
+    # production-size table needs sf0.1's vocabulary (15k distinct
+    # customer digit-runs alone). The TABLE is scale-independent: like
+    # any shipped merges.txt it is learned once on whatever corpus is
+    # available and applied everywhere.
+    sf_dir = SF_DIR
+    for a in sys.argv[1:]:
+        if a.startswith("--dir="):
+            sf_dir = a.split("=", 1)[1]
     con = duckdb.connect()
-    sources = [f"select text from read_parquet('{SF_DIR}/documents.parquet')"]
+    sources = [f"select text from read_parquet('{sf_dir}/documents.parquet')"]
     if rich or as_bytes:
         # the documents corpus has only 31 distinct words — it saturates
         # at 89 merges. Production-size tables need a bigger vocabulary,
         # so --rich also learns from the corpus's other string columns
         # (~16k distinct words at sf0.1: part names/types, entity names).
         sources += [
-            f"select p_name from read_parquet('{SF_DIR}/part.parquet')",
-            f"select p_type from read_parquet('{SF_DIR}/part.parquet')",
-            f"select c_name from read_parquet('{SF_DIR}/customer.parquet')",
-            f"select s_name from read_parquet('{SF_DIR}/supplier.parquet')",
+            f"select p_name from read_parquet('{sf_dir}/part.parquet')",
+            f"select p_type from read_parquet('{sf_dir}/part.parquet')",
+            f"select c_name from read_parquet('{sf_dir}/customer.parquet')",
+            f"select s_name from read_parquet('{sf_dir}/supplier.parquet')",
         ]
     wordfreq: Counter[str] = Counter()
     if as_bytes:
