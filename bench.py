@@ -105,6 +105,7 @@ HEADLINE = [
     "media_catalog",
     "image_meta",
     "bpe_bytes",
+    "bpe_bytes_8k",
     "bm25_topk",
     "collocations",
     "k_anonymity",
