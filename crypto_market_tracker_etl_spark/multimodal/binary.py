@@ -1123,6 +1123,7 @@ def synth_mp3(
     id3_pad: F.Column | None = None,
     n_frames: F.Column | None = None,
     xing_frames: F.Column | None = None,
+    vbr_sig: F.Column | None = None,
 ) -> F.Column:
     """A real MP3 frame header (Layer III, bitrate index 9), optionally
     preceded by an ID3v2.4 tag with ``id3_pad`` zero bytes — the pad is
@@ -1134,7 +1135,11 @@ def synth_mp3(
     audio, the length the CBR duration estimate divides; ``xing_frames``
     appends the version/mode-correct side-info zeros then a Xing VBR tag
     (flags bit 0 + the BE32 frame count) — the layout every VBR encoder
-    writes and every tag reader trusts over the byte-length estimate."""
+    writes and every tag reader trusts over the byte-length estimate.
+    ``vbr_sig`` (hex column, default the Xing signature) switches the
+    tag to LAME's "Info" variant — byte-identical layout, but by
+    convention it marks a CBR stream, so the parser keeps the header
+    bitrate instead of the VBR NULL."""
     be1 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 2, "0")  # noqa: E731
     be4 = lambda n: F.lpad(F.conv(n.cast("string"), 10, 16), 8, "0")  # noqa: E731
     h2 = F.lit(0xE0) + version_bits * 8 + F.lit(1) * 2 + 1  # layer III
@@ -1153,7 +1158,7 @@ def synth_mp3(
         frame = F.concat(
             frame,
             F.repeat(F.lit("00"), side_info),
-            F.lit(XING_SIG_HEX),
+            F.lit(XING_SIG_HEX) if vbr_sig is None else vbr_sig,
             F.lit("00000001"),  # flags: frames field present
             be4(xing_frames),
         )
@@ -1251,9 +1256,12 @@ def audio_meta(payload: F.Column | str) -> F.Column:
       NULL. bits_per_sample is not a thing in MPEG audio — NULL, the
       honest codec boundary.
 
-    r10 adds ``bitrate_kbps``: exact for WAV (byte rate × 8) and MP3
-    (header table); NULL for FLAC — lossless FLAC is inherently VBR and
-    STREAMINFO carries no rate.
+    r10 adds ``bitrate_kbps``: exact for WAV (byte rate × 8) and CBR
+    MP3 (header table — including LAME "Info"-tagged streams, whose tag
+    marks CBR by convention); NULL for a Xing-tagged stream (VBR — the
+    nominal first-frame rate misdescribes it; the average is derivable
+    downstream from n_bytes and duration_ms) and for FLAC — lossless
+    FLAC is inherently VBR and STREAMINFO carries no rate.
 
     Shape (r10): the whole parse is ONE aggregate over sequence(1,1)
     whose init computes the dynamic MP3 frame position (the synchsafe
@@ -1337,6 +1345,12 @@ def audio_meta(payload: F.Column | str) -> F.Column:
         has_xing = sync & (layer == 1) & tag.isin(
             XING_SIG_HEX, INFO_SIG_HEX
         )
+        # "Xing" marks a VBR stream: the header's nominal first-frame
+        # rate misdescribes it, so bitrate_kbps is honestly NULL (the
+        # average is derivable downstream from n_bytes and duration_ms).
+        # LAME's "Info" variant is the same layout on a CBR stream —
+        # the header rate stands (r10 review).
+        is_vbr = sync & (layer == 1) & (tag == XING_SIG_HEX)
         xing_flags = _be_int_dyn(payload, tag_at + 4, 4)
         xing_frames = _be_int_dyn(payload, tag_at + 8, 4)
         audio_bytes = F.octet_length(payload) - p + 1
@@ -1383,7 +1397,7 @@ def audio_meta(payload: F.Column | str) -> F.Column:
             .otherwise(F.lit(None).cast("long"))
             .alias("duration_ms"),
             F.when(is_wav, F.floor(byte_rate * 8 / 1000).cast("int"))
-            .when(is_mp3, kbps.cast("int"))
+            .when(is_mp3, F.when(~is_vbr, kbps).cast("int"))
             .otherwise(null_i)
             .alias("bitrate_kbps"),
         )

@@ -69,12 +69,24 @@ def latest_per_key_agg(
 ) -> DataFrame:
     """Partial-aggregation form: one combined shuffle row per key.
 
-    Returns ``keys + payload`` columns where each payload value comes from
-    the row maximizing ``order`` (lexicographic struct comparison).
+    Returns ``keys + payload`` columns where every payload value comes
+    from the SAME row — the one maximizing ``order`` (lexicographic
+    struct comparison). One max_by over a struct of the whole payload,
+    not one per column (r10 review): per-column max_by resolves ties
+    independently, so two payload columns could come from DIFFERENT
+    tied rows — a (price_now, market_cap) combination existing on no
+    input row, which the reference's whole-row DISTINCT ON can never
+    produce. Row atomicity must hold even when the caller's ``order``
+    is not total (the module-docstring caveat covers WHICH row, not
+    row integrity).
     """
     ord_struct = F.struct(*_cols(order))
-    aggs = [F.max_by(F.col(p), ord_struct).alias(p) for p in payload]
-    return df.groupBy(*keys).agg(*aggs)
+    row = F.max_by(F.struct(*[F.col(p) for p in payload]), ord_struct)
+    return (
+        df.groupBy(*keys)
+        .agg(row.alias("__row"))
+        .select(*keys, *[F.col(f"__row.{p}").alias(p) for p in payload])
+    )
 
 
 def arg_max(df: DataFrame, keys: Sequence[str], value: str, by: str | Column) -> DataFrame:

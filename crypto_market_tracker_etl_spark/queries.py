@@ -2375,7 +2375,7 @@ GROUP BY user_id
 # Registry
 # --------------------------------------------------------------------------
 
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
     "ewma": (q_ewma, SQL_EWMA),
     "distinct_bitmap": (q_distinct_bitmap, SQL_DISTINCT_BITMAP),
     "latest_per_key": (q_latest_per_key, SQL_LATEST_PER_KEY),
@@ -2536,7 +2536,7 @@ ATTESTATION_ORDER: list[str] = [
 ]
 
 
-def _full_registry() -> dict[str, tuple[QueryFn, str | None]]:
+def _full_registry() -> dict[str, tuple[QueryFn, str | Callable[[], str] | None]]:
     from .queries_ext import REGISTRY_EXT
     from .queries_ext2 import REGISTRY_EXT2
     from .queries_tpch import REGISTRY_TPCH
@@ -2554,6 +2554,11 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # a registry SQL entry may be a zero-arg callable (deferred build —
+    # the 8192-merge BPE oracle is a 0.66 MB string costing ~0.3 s to
+    # assemble; import shouldn't pay for what only oracle runs use)
     return {
-        name: sql for name, (_, sql) in _full_registry().items() if sql is not None
+        name: (sql() if callable(sql) else sql)
+        for name, (_, sql) in _full_registry().items()
+        if sql is not None
     }

@@ -2287,7 +2287,14 @@ GROUP BY wc.doc_id
 
 
 SQL_BPE_BYTES = _sql_bpe_bytes()
-SQL_BPE_BYTES_8K = _sql_bpe_bytes("bytes_8192", merges_per_cte=16, salt=True)
+@lru_cache(maxsize=1)
+def _sql_bpe_bytes_8k() -> str:
+    """Deferred (r10 review): the 8192-merge oracle is a 0.66 MB string
+    whose build (merges-file load + 512 chunked CTEs) costs ~0.3 s —
+    registry SQL entries may be zero-arg callables, resolved by
+    ``oracle_sql()``, so only processes that actually ask for oracles
+    pay it (the _image_payload_expr import-cost rationale)."""
+    return _sql_bpe_bytes("bytes_8192", merges_per_cte=16, salt=True)
 
 
 CURATION_BUDGET_TOKENS = 8_000  # absolute token budget of the final sample
@@ -3854,6 +3861,11 @@ def _audio_payload_expr() -> F.Column:
             synth_mp3(
                 vbits, sr_idx, mono,
                 xing_frames=(F.lit(500) + (d * 31) % 2000),
+                # even k → Xing (VBR: bitrate honestly NULL), odd k →
+                # LAME "Info" (CBR convention: header bitrate stands)
+                vbr_sig=F.when(k % 2 == 0, F.lit("58696E67")).otherwise(
+                    F.lit("496E666F")
+                ),
             ),
         )
         .otherwise(synth_wav(sr, ch, bits, frames))
@@ -3882,11 +3894,14 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice; 5 → a PNG decoy so the unknown-format path (octet-stream +
     NULLs, never an error) runs in the same plan; 6 → (r10) a CBR MP3
     with a real audio body, duration from byte length × the Layer-III
-    bitrate table, and 7 → (r10) a Xing-tagged VBR MP3, duration from
-    the tag's exact frame count (overriding the byte estimate) — the
-    bodiless 3/4 classes pin the shorter-than-one-frame honest NULL in
-    the same plan. r10 also surfaces bitrate_kbps (WAV byte rate × 8;
-    MP3 header table; FLAC honestly NULL — lossless VBR). The oracle
+    bitrate table, and 7 → (r10) a Xing/Info-tagged MP3 alternating by
+    k parity, duration from the tag's exact frame count (overriding the
+    byte estimate) — the bodiless 3/4 classes pin the
+    shorter-than-one-frame honest NULL in the same plan. r10 also
+    surfaces bitrate_kbps (WAV byte rate × 8; CBR MP3 header table —
+    the "Info" half of class 7 included; honestly NULL for the Xing
+    half, a VBR stream the nominal rate would misdescribe, and for
+    FLAC — lossless VBR). The oracle
     knows the synthesis formulas — including the MP3 bitrate table and
     frame-size arithmetic — and checks the parse analytically. Integer
     arithmetic only; one zero-shuffle projection (plan-asserted)."""
@@ -3981,7 +3996,8 @@ SELECT doc_id,
                  WHEN m = 7 THEN (xf * spf * 1000) // mp3_sr
             END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN m IN (0, 1) THEN (sr * (ch * bits // 8) * 8) // 1000
-                 WHEN m IN (3, 4, 6, 7) THEN kbps
+                 WHEN m IN (3, 4, 6) THEN kbps
+                 WHEN m = 7 AND k % 2 = 1 THEN kbps  -- Info=CBR; Xing=NULL
             END AS INT) AS bitrate_kbps
 FROM r
 """
@@ -5636,7 +5652,7 @@ FROM m
 """
 
 
-REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
+REGISTRY_EXT: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
@@ -5651,7 +5667,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_tokenize_kernel": (q_bpe_tokenize_kernel, SQL_BPE_TOKENIZE),
     "bpe_tokenize_512": (q_bpe_tokenize_512, SQL_BPE_TOKENIZE_512),
     "bpe_bytes": (q_bpe_bytes, SQL_BPE_BYTES),
-    "bpe_bytes_8k": (q_bpe_bytes_8k, SQL_BPE_BYTES_8K),
+    "bpe_bytes_8k": (q_bpe_bytes_8k, _sql_bpe_bytes_8k),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),

@@ -1801,8 +1801,8 @@ def probe_r10(spark) -> None:
     family). Metrics per batch: process_batch wall, per-store bytes +
     file counts; clean() wall + survivor count every 5 batches;
     compact() after batches 13 and 25 with before/after sizes and the
-    post-compact clean() wall. Prints a markdown table pasted into
-    SCALE.md §curation-stream-growth."""
+    post-compact clean() wall. Emits one line per batch/checkpoint; the
+    curves land in SCALE.md §curation-stream-growth."""
     import shutil
     import tempfile
 
@@ -1822,12 +1822,20 @@ def probe_r10(spark) -> None:
         return nbytes, nfiles
 
     def batch_docs(b: int, n: int):
-        # globally unique doc_ids; ~2% of docs reuse the TEXT of the
-        # same slot in batch b-1 (exact cross-batch dup); the w-family
-        # structure plants near-dup neighbours like synth_docs
+        # globally unique doc_ids; ~2% of docs (id % 53 == 0) reuse the
+        # TEXT of slot id+1 in batch b-1 (exact cross-batch dup); the
+        # w-family structure plants near-dup neighbours like synth_docs.
+        # The copy targets the NEIGHBOUR slot, not the same slot: slot
+        # id in batch b-1 was itself redirected (same residue), so its
+        # seed is not its base and "base - n" would chase a text no
+        # batch ever emitted — zero duplicates planted after batch 1
+        # (r10 review, verified by simulation). Slot id+1 has residue 1,
+        # is never redirected, and emits its own base as seed, so
+        # "base - n + 1" is its exact text. id+1 < n always lands inside
+        # batch b-1 here (n = 400k is not ≡ 52 mod 53).
         base = F.col("id") + b * n
         prev_text_seed = F.when(
-            (F.col("id") % 53 == 0) & (F.lit(b) > 0), base - n
+            (F.col("id") % 53 == 0) & (F.lit(b) > 0), base - n + 1
         ).otherwise(base)
         return spark.range(n).select(
             base.alias("doc_id"),
@@ -1853,13 +1861,10 @@ def probe_r10(spark) -> None:
 
     root = tempfile.mkdtemp(prefix="cur_growth_")
     n_batches, per_batch = 25, 400_000
-    rows = []
     try:
         cur = CurationStream(spark, os.path.join(root, "store"))
-        for b in range(n_batches):
-            t0 = time.perf_counter()
-            cur.process_batch(batch_docs(b, per_batch), batch_id=b)
-            t_b = time.perf_counter() - t0
+
+        def store_sizes() -> str:
             sz = {
                 k: du(p)
                 for k, p in (
@@ -1868,67 +1873,38 @@ def probe_r10(spark) -> None:
                     ("pairs", cur.pairs_path),
                 )
             }
-            t_clean = surv = None
-            if (b + 1) % 5 == 0:
-                t0 = time.perf_counter()
-                surv = cur.clean().count()
-                t_clean = time.perf_counter() - t0
-            rows.append((b + 1, t_b, sz, t_clean, surv))
-            msg = (
-                f"batch {b + 1:>2}/{n_batches}: ingest={t_b:.1f}s "
-                + " ".join(
-                    f"{k}={v[0] / 1e6:.0f}MB/{v[1]}f" for k, v in sz.items()
-                )
+            return " ".join(
+                f"{k}={v[0] / 1e6:.0f}MB/{v[1]}f" for k, v in sz.items()
             )
-            if t_clean is not None:
-                msg += f" clean={t_clean:.1f}s survivors={surv / 1e6:.2f}M"
+
+        def timed_clean() -> str:
+            t0 = time.perf_counter()
+            surv = cur.clean().count()
+            return (
+                f"clean={time.perf_counter() - t0:.1f}s"
+                f" survivors={surv / 1e6:.2f}M"
+            )
+
+        def compact_checkpoint(label: str) -> None:
+            t0 = time.perf_counter()
+            cur.compact()
+            t_c = time.perf_counter() - t0
+            print(
+                f"{label}: {t_c:.1f}s -> {store_sizes()} {timed_clean()}",
+                flush=True,
+            )
+
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            cur.process_batch(batch_docs(b, per_batch), batch_id=b)
+            t_b = time.perf_counter() - t0
+            msg = f"batch {b + 1:>2}/{n_batches}: ingest={t_b:.1f}s {store_sizes()}"
+            if (b + 1) % 5 == 0:
+                msg += " " + timed_clean()
             print(msg, flush=True)
             if b + 1 == 13:
-                t0 = time.perf_counter()
-                cur.compact()
-                t_c = time.perf_counter() - t0
-                sz2 = {
-                    k: du(p)
-                    for k, p in (
-                        ("sigs", cur.sigs.path),
-                        ("corpus", cur.corpus_path),
-                        ("pairs", cur.pairs_path),
-                    )
-                }
-                t0 = time.perf_counter()
-                surv2 = cur.clean().count()
-                t_cl2 = time.perf_counter() - t0
-                print(
-                    f"compact@13: {t_c:.1f}s -> "
-                    + " ".join(
-                        f"{k}={v[0] / 1e6:.0f}MB/{v[1]}f"
-                        for k, v in sz2.items()
-                    )
-                    + f" clean={t_cl2:.1f}s survivors={surv2 / 1e6:.2f}M",
-                    flush=True,
-                )
-        t0 = time.perf_counter()
-        cur.compact()
-        t_c = time.perf_counter() - t0
-        sz2 = {
-            k: du(p)
-            for k, p in (
-                ("sigs", cur.sigs.path),
-                ("corpus", cur.corpus_path),
-                ("pairs", cur.pairs_path),
-            )
-        }
-        t0 = time.perf_counter()
-        surv2 = cur.clean().count()
-        t_cl2 = time.perf_counter() - t0
-        print(
-            f"compact@25: {t_c:.1f}s -> "
-            + " ".join(
-                f"{k}={v[0] / 1e6:.0f}MB/{v[1]}f" for k, v in sz2.items()
-            )
-            + f" clean={t_cl2:.1f}s survivors={surv2 / 1e6:.2f}M",
-            flush=True,
-        )
+                compact_checkpoint("compact@13")
+        compact_checkpoint("compact@25")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -188,7 +188,10 @@ def _py_mp3_duration(b: bytes):
     """Independent pure-Python MP3 duration/bitrate estimate — the same
     two-tier policy every tag reader ships: Xing/Info frame count when
     present, else CBR byte-length arithmetic; None when the stream is
-    shorter than one frame. Returns (kbps, duration_ms) or None."""
+    shorter than one frame. Bitrate is None under a Xing tag (VBR — the
+    nominal first-frame rate misdescribes it; r10 review) and the
+    header rate under Info (LAME's CBR convention) or no tag. Returns
+    (kbps, duration_ms) or None."""
     hdr = _py_mp3_header(b)
     if hdr is None:
         return None
@@ -211,11 +214,12 @@ def _py_mp3_duration(b: bytes):
     si = (17 if mono else 32) if ver == 3 else (9 if mono else 17)
     tag_at = p + 4 + si
     if b[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+        tag_kbps = None if b[tag_at : tag_at + 4] == b"Xing" else kbps
         flags = int.from_bytes(b[tag_at + 4 : tag_at + 8], "big")
         if flags & 1:
             frames = int.from_bytes(b[tag_at + 8 : tag_at + 12], "big")
-            return (kbps, frames * spf * 1000 // sr)
-        return (kbps, None)
+            return (tag_kbps, frames * spf * 1000 // sr)
+        return (tag_kbps, None)
     audio_bytes = len(b) - p
     frame_size = spf // 8 * kbps * 1000 // sr + ((b[p + 2] >> 1) & 1)
     if audio_bytes < frame_size:
@@ -251,25 +255,38 @@ def test_mp3_cbr_and_xing_duration(spark):
             ).alias("vbr"),
             synth_mp3(
                 vbits, sr_idx, mono,
+                xing_frames=F.lit(700) + F.col("id") * 17,
+                vbr_sig=F.lit("496E666F"),  # "Info": CBR by convention
+            ).alias("info_cbr"),
+            synth_mp3(
+                vbits, sr_idx, mono,
                 id3_pad=F.lit(100) + F.col("id") * 13 % 300,
                 n_frames=F.lit(25),
             ).alias("tagged_cbr"),
         )
         .select(
-            "id", "cbr", "vbr", "tagged_cbr",
+            "id", "cbr", "vbr", "info_cbr", "tagged_cbr",
             audio_meta(F.col("cbr")).alias("mc"),
             audio_meta(F.col("vbr")).alias("mv"),
+            audio_meta(F.col("info_cbr")).alias("mi"),
             audio_meta(F.col("tagged_cbr")).alias("mt"),
         )
         .collect()
     )
     for r in rows:
-        for m, p in (("mc", "cbr"), ("mv", "vbr"), ("mt", "tagged_cbr")):
+        for m, p in (
+            ("mc", "cbr"), ("mv", "vbr"), ("mi", "info_cbr"),
+            ("mt", "tagged_cbr"),
+        ):
             kbps, dur = _py_mp3_duration(bytes(r[p]))
             assert (r[m].bitrate_kbps, r[m].duration_ms) == (kbps, dur), (
                 m, r.id, (r[m].bitrate_kbps, r[m].duration_ms), (kbps, dur),
             )
             assert r[m].duration_ms is not None, (m, r.id)
+        # the policy itself, pinned explicitly: Xing → VBR → NULL rate;
+        # Info → CBR → header rate
+        assert r["mv"].bitrate_kbps is None
+        assert r["mi"].bitrate_kbps is not None
 
 
 def test_mp3_xing_without_frame_count_stays_null(spark):
@@ -283,9 +300,9 @@ def test_mp3_xing_without_frame_count_stays_null(spark):
     )
     df = spark.createDataFrame([(xing_noframes,)], "payload binary")
     m = df.select(audio_meta(F.col("payload")).alias("m")).collect()[0].m
-    assert m.mime_type == "audio/mpeg" and m.bitrate_kbps == 128
+    assert m.mime_type == "audio/mpeg" and m.bitrate_kbps is None  # VBR
     assert m.duration_ms is None
-    assert _py_mp3_duration(xing_noframes) == (128, None)
+    assert _py_mp3_duration(xing_noframes) == (None, None)
 
 
 def test_audio_malformed_flac_mp3_never_error(spark):
