@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .functions.hashing import hex_prefix_to_long_sql
 from .operators.change import change_vs_asof, lag_change
-from .operators.latest import latest_per_key, latest_per_key_agg
+from .operators.latest import latest_per_key
 from .operators.ohlc import ohlc_daily, ohlc_tumbling
 from .operators.upsert import dedup_keep_latest
 
