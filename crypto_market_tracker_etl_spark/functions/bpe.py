@@ -121,9 +121,14 @@ def load_merges(n: int | str) -> Merges:
     point — the merge closure after which no adjacent pair remains, the
     honest ceiling of what this corpus can teach; both are past the
     Catalyst planning cliff the cascade hits, see SCALE.md §bpe-ceiling),
-    and "bytes_512" (byte-level over GPT-2-class regex pretokens of the
-    RAW corpus — symbols are byte-alphabet chars, learned with
-    tools/learn_bpe.py 512 --txt --bytes).
+    and the byte-level family over GPT-2-class regex pretokens of the
+    RAW corpus (symbols are byte-alphabet chars): "bytes_512" (learned
+    with tools/learn_bpe.py 512 --txt --bytes; the sf0.01 corpus
+    saturates at 1826), "bytes_8192" (r10 — production-size, learned
+    from sf0.1 with --dir), and "bytes_closure" (r10 — sf0.1's full
+    merge closure, 16,045 merges, the honest ceiling of what this
+    corpus can teach; kernel-pinned, not query-registered — see
+    SCALE.md §bpe-8k).
 
     Real-world merges.txt quirks handled the way production loaders do:
     comment/header lines ('#version: 0.2' style) and blank lines are

@@ -182,6 +182,9 @@ def frame_sample(df: DataFrame, every_n: int, id_col: str = "media_id") -> DataF
 
 PNG_SIG_HEX = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
 GIF_SIG_HEX = "474946383961"  # "GIF89a"
+BMP_SIG_HEX = "424D"  # "BM" — weak 2-byte magic; gates also require the
+# 4 reserved bytes (offsets 7-10) to be zero, per spec, so arbitrary
+# text starting "BM" is not routed as an image (the MP3-sync lesson)
 
 
 def _be4_hex(n: F.Column) -> F.Column:
@@ -218,6 +221,64 @@ def synth_gif(width: F.Column, height: F.Column) -> F.Column:
             _le2_hex(width),
             _le2_hex(height),
             F.lit("F70000"),  # GCT flag + background + aspect
+        )
+    )
+
+
+def synth_bmp(
+    width: F.Column,
+    height: F.Column,
+    top_down: F.Column | None = None,
+    core: bool = False,
+) -> F.Column:
+    """A real BMP file header + DIB header (no pixel array — the
+    metadata slice, like synth_png). Two real-world layouts (r10):
+
+    * default: BITMAPINFOHEADER (40-byte DIB, the overwhelmingly common
+      one) — signed LE32 dims at offsets 19/23; ``top_down`` (boolean
+      column) writes the height NEGATIVE (two's complement), the spec's
+      top-down row order that a parser reporting |height| must undo;
+    * ``core=True``: the ancient BITMAPCOREHEADER (12-byte DIB, OS/2) —
+      UNSIGNED LE16 dims at offsets 19/21; still produced by legacy
+      exporters and the reason a parser cannot hardcode one offset.
+
+    54 / 26 bytes; any BMP reader opens them (independent pure-Python
+    parser in tests)."""
+    if core:
+        return F.unhex(
+            F.concat(
+                F.lit(BMP_SIG_HEX),
+                _le_hex(F.lit(26), 4),  # file size
+                F.lit("00000000"),  # reserved (must be 0 — the gate)
+                _le_hex(F.lit(26), 4),  # pixel-array offset
+                _le_hex(F.lit(12), 4),  # DIB size 12 = CORE
+                _le_hex(width, 2),
+                _le_hex(height, 2),
+                F.lit("0100"),  # planes
+                F.lit("1800"),  # 24 bpp
+            )
+        )
+    td = F.lit(False) if top_down is None else top_down
+    h_raw = F.when(
+        td, F.lit(4294967296) - height.cast("long")
+    ).otherwise(height.cast("long"))
+    return F.unhex(
+        F.concat(
+            F.lit(BMP_SIG_HEX),
+            _le_hex(F.lit(54), 4),  # file size
+            F.lit("00000000"),  # reserved
+            _le_hex(F.lit(54), 4),  # pixel-array offset
+            _le_hex(F.lit(40), 4),  # DIB size 40 = INFO
+            _le_hex(width.cast("long"), 4),
+            _le_hex(h_raw, 4),  # signed: negative = top-down
+            F.lit("0100"),  # planes
+            F.lit("1800"),  # 24 bpp
+            F.lit("00000000"),  # compression BI_RGB
+            F.lit("00000000"),  # image size (0 valid for BI_RGB)
+            F.lit("00000000"),  # x ppm
+            F.lit("00000000"),  # y ppm
+            F.lit("00000000"),  # colors used
+            F.lit("00000000"),  # colors important
         )
     )
 
@@ -900,7 +961,9 @@ def image_meta(
     there would gut media_catalog). Unknown formats — and a JPEG whose
     walk finds no SOF — yield NULL dims ('application/octet-stream' for
     unknown magic), never an error, so one malformed blob cannot fail a
-    backfill job.
+    backfill job. BMP (r10): reserved-bytes-tightened "BM" gate, then
+    the DIB-size field dispatches INFO (signed LE32 dims, |height| for
+    top-down files) vs legacy CORE (unsigned LE16) layouts.
 
     ``jpeg`` / ``tiff`` / ``webpx``: optionally PRE-STAGED
     ``jpeg_dims(payload)`` / ``tiff_dims(payload)`` /
@@ -946,6 +1009,30 @@ def image_meta(
         _bytes_hex(payload, 9, 4) == WEBP_TAG_HEX
     )
     is_tiff = _bytes_hex(payload, 1, 4).isin(TIFF_LE_SIG_HEX, TIFF_BE_SIG_HEX)
+    # BMP (r10): "BM" is a weak 2-byte magic, so the gate also requires
+    # the spec-mandated zero reserved bytes; the DIB-size field then
+    # dispatches between the 40-byte INFO layout (signed LE32 dims —
+    # negative height = top-down rows, report |height|) and the legacy
+    # 12-byte CORE layout (unsigned LE16 dims at different offsets)
+    is_bmp = (_bytes_hex(payload, 1, 2) == BMP_SIG_HEX) & (
+        _bytes_hex(payload, 7, 4) == "00000000"
+    )
+    bmp_core = _le4_int(payload, 15) == 12
+    bmp_h_raw = _le4_int(payload, 23)
+    bmp_w = (
+        F.when(bmp_core, _le2_int(payload, 19))
+        .otherwise(_le4_int(payload, 19))
+        .cast("int")
+    )
+    bmp_h = (
+        F.when(bmp_core, _le2_int(payload, 21))
+        .otherwise(
+            F.when(
+                bmp_h_raw >= 2147483648, F.lit(4294967296) - bmp_h_raw
+            ).otherwise(bmp_h_raw)
+        )
+        .cast("int")
+    )
     jd = jpeg_dims(payload) if jpeg is None else jpeg
     td = tiff_dims(payload) if tiff is None else tiff
     wd = webp_dims(payload, vp8x=webpx)
@@ -956,6 +1043,7 @@ def image_meta(
         .when(is_jpeg, F.lit("image/jpeg"))
         .when(is_webp, F.lit("image/webp"))
         .when(is_tiff, F.lit("image/tiff"))
+        .when(is_bmp, F.lit("image/bmp"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime_type"),
         F.when(is_png, _be_int(payload, 17, 4))
@@ -963,6 +1051,7 @@ def image_meta(
         .when(is_jpeg, jd.getField("width"))
         .when(is_webp, wd.getField("width"))
         .when(is_tiff, td.getField("width"))
+        .when(is_bmp, bmp_w)
         .otherwise(null_i)
         .alias("width"),
         F.when(is_png, _be_int(payload, 21, 4))
@@ -970,6 +1059,7 @@ def image_meta(
         .when(is_jpeg, jd.getField("height"))
         .when(is_webp, wd.getField("height"))
         .when(is_tiff, td.getField("height"))
+        .when(is_bmp, bmp_h)
         .otherwise(null_i)
         .alias("height"),
     )
@@ -1040,6 +1130,8 @@ def _le4_int(payload: F.Column, pos: int) -> F.Column:
 # channels-1 (3), bits-per-sample-1 (5), total samples (36). All fixed
 # offsets from the magic, so the parse is plain expressions like WAV.
 FLAC_SIG_HEX = "664C6143"  # "fLaC"
+OGG_SIG_HEX = "4F676753"  # "OggS" (page capture pattern)
+VORBIS_ID_HEX = "01766F72626973"  # packet type 1 + "vorbis"
 # MP3 (r9): a frame header is 4 bytes anywhere the 11-bit sync pattern
 # holds; files commonly start with an ID3v2 tag whose 28-bit SYNCHSAFE
 # size (7 bits per byte) positions the first frame. Header fields:
@@ -1093,6 +1185,46 @@ def synth_flac(
             be(b4, 1),
             be(total_samples % F.lit(4294967296), 4),
             F.lit("00" * 16),  # unset MD5
+        )
+    )
+
+
+def synth_ogg(
+    sample_rate: F.Column, channels: F.Column, nominal_kbps: F.Column
+) -> F.Column:
+    """A real first Ogg page carrying a Vorbis identification header —
+    the layout the spec REQUIRES (the id header alone on the stream's
+    first page): 27-byte page header (version 0, BOS flag, one segment
+    of 30 bytes) + the 30-byte packet (\\x01"vorbis", version 0,
+    channels u8, sample rate LE32, max/nominal/min bitrates LE32,
+    blocksizes, framing bit). 58 bytes; the CRC field is zero — readers
+    that verify page checksums reject it, header parsers (this one, and
+    the independent pure-Python one in tests) read the fields. Duration
+    lives in the LAST page's granule position, which a header slice
+    cannot carry — the parser's honest NULL."""
+    packet = F.concat(
+        F.lit(VORBIS_ID_HEX),
+        F.lit("00000000"),  # vorbis version 0
+        _le_hex(channels, 1),
+        _le_hex(sample_rate, 4),
+        F.lit("00000000"),  # bitrate_maximum: unset
+        _le_hex(nominal_kbps * 1000, 4),
+        F.lit("00000000"),  # bitrate_minimum: unset
+        F.lit("B8"),  # blocksizes 256/2048
+        F.lit("01"),  # framing bit
+    )
+    return F.unhex(
+        F.concat(
+            F.lit(OGG_SIG_HEX),
+            F.lit("00"),  # stream structure version
+            F.lit("02"),  # header type: beginning-of-stream
+            F.lit("0000000000000000"),  # granule position
+            F.lit("01000000"),  # bitstream serial
+            F.lit("00000000"),  # page sequence 0
+            F.lit("00000000"),  # CRC (unverified by header parsers)
+            F.lit("01"),  # one segment
+            F.lit("1E"),  # of 30 bytes
+            packet,
         )
     )
 
@@ -1234,9 +1366,9 @@ def _mp3_sync(payload: F.Column) -> F.Column:
 def audio_meta(payload: F.Column | str) -> F.Column:
     """Parse (mime_type, channels, sample_rate_hz, bits_per_sample,
     duration_ms) from an audio payload's header — pure JVM expressions,
-    no codec, no Python; the audio twin of ``image_meta``. Three
-    formats (r9: + FLAC, MP3 — together with WAV the bulk of crawl
-    audio):
+    no codec, no Python; the audio twin of ``image_meta``. Four formats
+    (r9: + FLAC, MP3; r10: + Ogg Vorbis — together with WAV the bulk of
+    crawl audio):
 
     * WAV, canonical layout (RIFF + "WAVE" + 16-byte fmt + data):
       channels LE16@23, sample rate LE32@25, byte rate LE32@29, bits
@@ -1255,6 +1387,13 @@ def audio_meta(payload: F.Column | str) -> F.Column:
       free-format bitrate, Layer I/II, and a frames-less Xing tag stay
       NULL. bits_per_sample is not a thing in MPEG audio — NULL, the
       honest codec boundary.
+    * Ogg Vorbis (r10): the spec puts the Vorbis identification header
+      alone on the stream's first page, so channels/sample-rate/nominal
+      bitrate sit at fixed offsets behind ONE dynamic hop (28 + the
+      page-segment count). A non-Vorbis Ogg (Opus, Theora, a data page)
+      routes audio/ogg with NULL fields; duration lives in the LAST
+      page's granule position, which a header slice cannot carry —
+      honest NULL.
 
     r10 adds ``bitrate_kbps``: exact for WAV (byte rate × 8) and CBR
     MP3 (header table — including LAME "Info"-tagged streams, whose tag
@@ -1370,20 +1509,39 @@ def audio_meta(payload: F.Column | str) -> F.Column:
             )
         )
         is_mp3 = (_bytes_hex(payload, 1, 3) == ID3_SIG_HEX) | sync
+        # ---- Ogg (r10): the first page must carry the Vorbis id header
+        # alone (spec), so the packet sits at a one-hop dynamic offset —
+        # 28 + the page-segment count. A non-Vorbis Ogg (Opus, Theora,
+        # a data page) still routes audio/ogg with NULL fields. Duration
+        # lives in the LAST page's granule — honest NULL here.
+        is_ogg = _bytes_hex(payload, 1, 4) == OGG_SIG_HEX
+        ogg_p = (F.lit(28) + _be_int(payload, 27, 1)).cast("long")
+        is_vorbis = is_ogg & (
+            F.hex(payload.substr(ogg_p, F.lit(7))) == VORBIS_ID_HEX
+        )
+        ogg_ch = _be_int_dyn(payload, ogg_p + 11, 1).cast("int")
+        ogg_sr = _int_at_dyn(payload, ogg_p + 12, 4, F.lit(True)).cast("int")
+        ogg_nom = _int_at_dyn(payload, ogg_p + 20, 4, F.lit(True))
+        ogg_kbps = F.when(
+            (ogg_nom > 0) & (ogg_nom < 2147483648), F.floor(ogg_nom / 1000)
+        ).cast("int")
         null_i = F.lit(None).cast("int")
         return F.struct(
             F.when(is_wav, F.lit("audio/x-wav"))
             .when(is_flac, F.lit("audio/flac"))
+            .when(is_ogg, F.lit("audio/ogg"))
             .when(is_mp3, F.lit("audio/mpeg"))
             .otherwise(F.lit("application/octet-stream"))
             .alias("mime_type"),
             F.when(is_wav, _le2_int(payload, 23))
             .when(flac_si, fl["ch"])
+            .when(is_vorbis, ogg_ch)
             .when(is_mp3, F.when(sync, mp3_ch).cast("int"))
             .otherwise(null_i)
             .alias("channels"),
             F.when(is_wav, _le4_int(payload, 25).cast("int"))
             .when(flac_si, fl["sr"])
+            .when(is_vorbis, ogg_sr)
             .when(is_mp3, F.when(sync, mp3_sr))
             .otherwise(null_i)
             .alias("sample_rate_hz"),
@@ -1397,6 +1555,7 @@ def audio_meta(payload: F.Column | str) -> F.Column:
             .otherwise(F.lit(None).cast("long"))
             .alias("duration_ms"),
             F.when(is_wav, F.floor(byte_rate * 8 / 1000).cast("int"))
+            .when(is_vorbis, ogg_kbps)  # declared nominal rate, if set
             .when(is_mp3, F.when(~is_vbr, kbps).cast("int"))
             .otherwise(null_i)
             .alias("bitrate_kbps"),
@@ -1613,6 +1772,15 @@ def sniff_mime(payload: F.Column | str) -> F.Column:
             F.lit("image/tiff"),
         )
         .when(sig(FLAC_SIG_HEX), F.lit("audio/flac"))
+        # Ogg routes audio/ogg at the CONTAINER level (r10): the codec
+        # (Vorbis/Opus/Theora) lives in the first packet, and audio
+        # codecs dominate crawled .ogg — the router's documented default,
+        # the BMFF-brand rationale in reverse (no still-image Ogg exists)
+        .when(sig(OGG_SIG_HEX), F.lit("audio/ogg"))
+        .when(
+            sig(BMP_SIG_HEX) & (_bytes_hex(payload, 7, 4) == "00000000"),
+            F.lit("image/bmp"),
+        )
         .when(
             sig(ID3_SIG_HEX) | _mp3_sync(payload),
             F.lit("audio/mpeg"),

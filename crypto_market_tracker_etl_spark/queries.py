@@ -2468,9 +2468,12 @@ ATTESTATION_ORDER: list[str] = [
     # ==== r10 window: positions 1-50 =====================================
     # -- new this round (never attested; front of window by policy) -------
     "bpe_bytes_8k",
-    # -- output changed this round (MP3 duration/bitrate; multi-IFD TIFF
-    # -- + VP8X-wrapped VP8L dims; catalog carries both) ------------------
-    "audio_meta", "image_meta", "media_catalog",
+    # -- output changed this round (MP3 duration/bitrate + Xing/Info
+    # -- policy; multi-IFD TIFF + VP8X-wrapped VP8L dims; BMP both DIB
+    # -- layouts + Ogg Vorbis across all four multimodal queries —
+    # -- mime_sniff promoted from the r9 window when its cycle grew,
+    # -- displacing twap into the r11 front) ------------------------------
+    "audio_meta", "image_meta", "media_catalog", "mime_sniff",
     # -- the 34 r6-vintage queries (oldest rows; scheduled refresh) -------
     "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
     "quality_logit", "gram_novelty", "html_strip", "winnowing",
@@ -2487,8 +2490,9 @@ ATTESTATION_ORDER: list[str] = [
     "lm_perplexity_kn",
     "near_dup_pairs_fast", "simhash_fast",
     "setsim_join", "triangle_count",
-    "session_islands", "late_arrivals", "twap",
+    "session_islands", "late_arrivals",
     # ==== positions 51+: rest of the r7 window (r11 front) ===============
+    "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
     "tpch_q14", "tpch_q4",
@@ -2516,7 +2520,7 @@ ATTESTATION_ORDER: list[str] = [
     "percentiles", "day_in_tz", "upsert_assets",
     # ==== r9 window (freshest rows, green in CORRECTNESS_r09.json) =======
     "bpe_bytes", "cdc_stream_eq", "curation_delete_eq", "encoding_quality",
-    "schema_evolution_eq", "mime_sniff",
+    "schema_evolution_eq",
     "global_sort", "daily_ohlc_view",
     "cube", "moving_avg", "ntile_rank", "range_join",
     "set_ops", "sliding_window", "collect_sorted", "string_funcs",

@@ -3691,8 +3691,15 @@ def _image_payload_expr() -> F.Column:
     metadata-only IFD0; alternating byte order by doc) and an extended
     WebP whose VP8L bitstream sits behind the VP8X chunk list with a
     DISAGREEING canvas (w+1, h+1) — the parse must return the
-    bitstream dims."""
+    bitstream dims.
+
+    r10 classes 10/11: BMP in BOTH real DIB layouts — INFO (signed
+    LE32 dims; every other doc of the class is TOP-DOWN, i.e. a
+    negative stored height the parse must report as |height| — the
+    parity rides d//12, not d, which is constant within a mod-12
+    class) and the legacy CORE (unsigned LE16 at different offsets)."""
     from .multimodal.binary import (
+        synth_bmp,
         synth_gif,
         synth_jpeg,
         synth_png,
@@ -3704,7 +3711,7 @@ def _image_payload_expr() -> F.Column:
     )
 
     d = F.col("doc_id")
-    m = d % 10
+    m = d % 12
     w = (F.lit(100) + d % 800).cast("int")
     h = (F.lit(100) + (d * 7) % 800).cast("int")
     return (
@@ -3724,7 +3731,9 @@ def _image_payload_expr() -> F.Column:
                 dims_in_ifd1=True,
             ),
         )
-        .otherwise(synth_webp_vp8x_wrapped(w + 1, h + 1, w, h))
+        .when(m == 9, synth_webp_vp8x_wrapped(w + 1, h + 1, w, h))
+        .when(m == 10, synth_bmp(w, h, top_down=(F.floor(d / 12) % 2 == 1)))
+        .otherwise(synth_bmp(w, h, core=True))
     )
 
 
@@ -3739,7 +3748,7 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL dims for it (r7 verdict #5).
 
     Payloads are genuine header bytes synthesized per doc (doc_id mod
-    10: 0 → PNG, 1 → GIF, 2 → JPEG with SOF0 as the THIRD segment,
+    12: 0 → PNG, 1 → GIF, 2 → JPEG with SOF0 as the THIRD segment,
     after APP0/JFIF and a DQT, so the walk is exercised, not a fixed
     offset; 3/4/5 → WebP in its three first-chunk variants VP8 / VP8L /
     VP8X — r9: the second most common crawl image class, fixed-offset
@@ -3749,11 +3758,15 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a metadata-only IFD0, exercising the single next-IFD hop; 9 →
     (r10) an extended WebP whose VP8L bitstream sits behind the VP8X
     chunk list with a DISAGREEING canvas — the bounded chunk walk must
-    return the bitstream dims, not canvas+1); the oracle knows the
-    synthesis formula and checks the parse analytically — a
-    differential test of the parser itself. Independent pure-Python
-    parsers validate synth_jpeg, all the synth_webp variants, and
-    synth_tiff in both layouts in tests (the synth_mp4 pattern)."""
+    return the bitstream dims, not canvas+1; 10/11 → (r10) BMP in both
+    real DIB layouts — INFO with signed LE32 dims, every other doc
+    top-down (negative stored height, |height| reported), and the
+    legacy CORE with unsigned LE16 dims at different offsets); the
+    oracle knows the synthesis formula and checks the parse
+    analytically — a differential test of the parser itself.
+    Independent pure-Python parsers validate synth_jpeg, all the
+    synth_webp variants, synth_tiff in both layouts, and synth_bmp in
+    both DIB layouts in tests (the synth_mp4 pattern)."""
     from .multimodal.binary import (
         image_meta,
         jpeg_dims,
@@ -3792,14 +3805,16 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IMAGE_META = """
 SELECT doc_id,
-       CAST(CASE doc_id % 10 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 40
+       CAST(CASE doc_id % 12 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 40
             WHEN 3 THEN 30 WHEN 4 THEN 25 WHEN 5 THEN 30
             WHEN 8 THEN 68 WHEN 9 THEN 55
+            WHEN 10 THEN 54 WHEN 11 THEN 26
             ELSE 38 END AS INT) AS n_bytes,
-       CASE WHEN doc_id % 10 = 0 THEN 'image/png'
-            WHEN doc_id % 10 = 1 THEN 'image/gif'
-            WHEN doc_id % 10 = 2 THEN 'image/jpeg'
-            WHEN doc_id % 10 IN (3, 4, 5, 9) THEN 'image/webp'
+       CASE WHEN doc_id % 12 = 0 THEN 'image/png'
+            WHEN doc_id % 12 = 1 THEN 'image/gif'
+            WHEN doc_id % 12 = 2 THEN 'image/jpeg'
+            WHEN doc_id % 12 IN (3, 4, 5, 9) THEN 'image/webp'
+            WHEN doc_id % 12 IN (10, 11) THEN 'image/bmp'
             ELSE 'image/tiff' END AS mime_type,
        CAST(100 + doc_id % 800 AS INT) AS width,
        CAST(100 + (doc_id * 7) % 800 AS INT) AS height
@@ -3809,11 +3824,11 @@ FROM documents
 
 @lru_cache(maxsize=1)
 def _audio_payload_expr() -> F.Column:
-    """The 8-class synthesized audio payload over F.col('doc_id') —
+    """The 9-class synthesized audio payload over F.col('doc_id') —
     built once per process (the _image_payload_expr rationale).
 
-    Per-format parameters derive from k = doc_id // 8, NOT from doc_id
-    itself: the format selector is doc_id % 8, so any doc_id-modulus
+    Per-format parameters derive from k = doc_id // 9, NOT from doc_id
+    itself: the format selector is doc_id % 9, so any doc_id-modulus
     parameter would be CONSTANT (or near-constant) within a format
     class — which would silently kill the adversarial cases the formats
     exist to exercise (the FLAC 36-bit boundary crossing, the
@@ -3821,13 +3836,21 @@ def _audio_payload_expr() -> F.Column:
     k walks every residue inside every class (review r9).
 
     r10 classes 6/7: a CBR MP3 with a real audio body (duration from
-    byte length × bitrate) and a Xing-tagged VBR MP3 (duration from
-    the exact frame count)."""
-    from .multimodal.binary import synth_flac, synth_mp3, synth_png, synth_wav
+    byte length × bitrate) and a Xing/Info-tagged MP3 (duration from
+    the exact frame count). r10 class 8: Ogg Vorbis — the id-header
+    fields behind the one-hop page-segment offset, with a per-doc
+    declared nominal bitrate."""
+    from .multimodal.binary import (
+        synth_flac,
+        synth_mp3,
+        synth_ogg,
+        synth_png,
+        synth_wav,
+    )
 
     d = F.col("doc_id")
-    m = d % 8
-    k = F.floor(d / 8)
+    m = d % 9
+    k = F.floor(d / 9)
     sr = F.element_at(
         F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
         (k % 4 + 1).cast("int"),
@@ -3868,6 +3891,10 @@ def _audio_payload_expr() -> F.Column:
                 ),
             ),
         )
+        .when(
+            m == 8,
+            synth_ogg(sr, ch, (F.lit(64) + (k * 7) % 256).cast("int")),
+        )
         .otherwise(synth_wav(sr, ch, bits, frames))
     )
 
@@ -3878,11 +3905,11 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ID3v2 parsing (channels, sample rate, bit depth, duration) as pure
     JVM expressions — the audio twin of image_meta, covering the
     metadata backfill every audio pipeline runs before any sample is
-    decoded; with FLAC and MP3 (r9) the three formats cover the bulk of
-    crawl audio.
+    decoded; with FLAC and MP3 (r9) and Ogg Vorbis (r10) the four
+    formats cover the bulk of crawl audio.
 
-    Payloads cycle by doc_id % 8 with per-format parameters derived
-    from doc_id // 8 (decorrelated from the class selector — see
+    Payloads cycle by doc_id % 9 with per-format parameters derived
+    from doc_id // 9 (decorrelated from the class selector — see
     _audio_payload_expr): 0/1 → genuine 44-byte WAV headers (the stdlib
     ``wave`` module opens them — tests/test_multimodal_audio.py);
     2 → FLAC, every other FLAC doc's total-sample count crossing the
@@ -3897,11 +3924,16 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitrate table, and 7 → (r10) a Xing/Info-tagged MP3 alternating by
     k parity, duration from the tag's exact frame count (overriding the
     byte estimate) — the bodiless 3/4 classes pin the
-    shorter-than-one-frame honest NULL in the same plan. r10 also
+    shorter-than-one-frame honest NULL in the same plan; 8 → (r10) Ogg
+    Vorbis — channels / sample rate / declared nominal bitrate from the
+    id header behind the one-hop page-segment offset, duration honestly
+    NULL (it lives in the LAST page's granule, which a header slice
+    cannot carry). r10 also
     surfaces bitrate_kbps (WAV byte rate × 8; CBR MP3 header table —
     the "Info" half of class 7 included; honestly NULL for the Xing
     half, a VBR stream the nominal rate would misdescribe, and for
-    FLAC — lossless VBR). The oracle
+    FLAC — lossless VBR; Vorbis: the id header's declared nominal
+    rate). The oracle
     knows the synthesis formulas — including the MP3 bitrate table and
     frame-size arithmetic — and checks the parse analytically. Integer
     arithmetic only; one zero-shuffle projection (plan-asserted)."""
@@ -3939,19 +3971,20 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AUDIO_META = """
 WITH p AS (
-  SELECT doc_id, doc_id % 8 AS m, doc_id // 8 AS k,
-         CASE (doc_id // 8) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+  SELECT doc_id, doc_id % 9 AS m, doc_id // 9 AS k,
+         CASE (doc_id // 9) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                          WHEN 2 THEN 22050 ELSE 44100 END AS sr,
-         CAST((doc_id // 8) % 2 + 1 AS INT) AS ch,
-         CASE WHEN (doc_id // 8) % 3 = 0 THEN 16 ELSE 8 END AS bits,
+         CAST((doc_id // 9) % 2 + 1 AS INT) AS ch,
+         CASE WHEN (doc_id // 9) % 3 = 0 THEN 16 ELSE 8 END AS bits,
          1000 + (doc_id * 37) % 44100 AS frames,
-         CASE (doc_id // 8) % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0
+         CASE (doc_id // 9) % 3 WHEN 0 THEN 3 WHEN 1 THEN 2 ELSE 0
               END AS vbits,
-         ((doc_id // 8) // 3) % 3 AS sr_idx,
-         (doc_id // 8) % 2 = 0 AS mono,
+         ((doc_id // 9) // 3) % 3 AS sr_idx,
+         (doc_id // 9) % 2 = 0 AS mono,
          100 + doc_id % 300 AS pad,
          20 + (doc_id * 13) % 80 AS nf,
-         500 + (doc_id * 31) % 2000 AS xf
+         500 + (doc_id * 31) % 2000 AS xf,
+         64 + ((doc_id // 9) * 7) % 256 AS okbps
   FROM documents
 ),
 q AS (
@@ -3976,16 +4009,17 @@ r AS (
 SELECT doc_id,
        CAST(CASE m WHEN 2 THEN 42 WHEN 3 THEN 4 WHEN 4 THEN 14 + pad
             WHEN 5 THEN 29 WHEN 6 THEN nf * fs WHEN 7 THEN 16 + si
-            ELSE 44 END AS INT) AS n_bytes,
+            WHEN 8 THEN 58 ELSE 44 END AS INT) AS n_bytes,
        CASE m WHEN 2 THEN 'audio/flac'
             WHEN 3 THEN 'audio/mpeg' WHEN 4 THEN 'audio/mpeg'
             WHEN 5 THEN 'application/octet-stream'
             WHEN 6 THEN 'audio/mpeg' WHEN 7 THEN 'audio/mpeg'
+            WHEN 8 THEN 'audio/ogg'
             ELSE 'audio/x-wav' END AS mime_type,
-       CASE WHEN m IN (0, 1, 2) THEN ch
+       CASE WHEN m IN (0, 1, 2, 8) THEN ch
             WHEN m IN (3, 4, 6, 7) THEN CASE WHEN mono THEN 1 ELSE 2 END
        END AS channels,
-       CAST(CASE WHEN m IN (0, 1, 2) THEN sr
+       CAST(CASE WHEN m IN (0, 1, 2, 8) THEN sr
                  WHEN m IN (3, 4, 6, 7) THEN mp3_sr
             END AS INT) AS sample_rate_hz,
        CAST(CASE WHEN m IN (0, 1, 2) THEN bits END AS INT) AS bits_per_sample,
@@ -3998,6 +4032,7 @@ SELECT doc_id,
        CAST(CASE WHEN m IN (0, 1) THEN (sr * (ch * bits // 8) * 8) // 1000
                  WHEN m IN (3, 4, 6) THEN kbps
                  WHEN m = 7 AND k % 2 = 1 THEN kbps  -- Info=CBR; Xing=NULL
+                 WHEN m = 8 THEN okbps  -- Vorbis declared nominal
             END AS INT) AS bitrate_kbps
 FROM r
 """
@@ -4008,10 +4043,11 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ingestion fan-out that decides which decode pipeline (image /
     audio / document / archive) each blob enters, before any codec runs.
     Every route is exercised: payloads cycle PNG, GIF, WAV, MP4, JPEG,
-    PDF, ZIP, GZIP, HEIC, M4A, WebP, TIFF, FLAC, bare-sync MP3 by
-    doc_id % 14 (real container prefixes — the synthesized ones are the
-    same synthesizers the parsers consume; the rest are literal
-    signature bytes). The HEIC and M4A payloads are genuine ISO-BMFF
+    PDF, ZIP, GZIP, HEIC, M4A, WebP, TIFF, FLAC, bare-sync MP3, BMP,
+    Ogg by doc_id % 16 (real container prefixes — the synthesized ones
+    are the same synthesizers the parsers consume; the rest are literal
+    signature bytes). The r10 two attest the reserved-bytes-tightened
+    BMP gate and the container-level audio/ogg route. The HEIC and M4A payloads are genuine ISO-BMFF
     prefixes whose MAJOR BRAND differs — they attest the brand routing
     (image/heic, audio/mp4) the r7 fix added, not just the ftyp check;
     the r9 four attest the WebP RIFF-tenant split (image, not audio),
@@ -4021,10 +4057,12 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     never enter Python."""
     from .multimodal.binary import (
         sniff_mime,
+        synth_bmp,
         synth_flac,
         synth_gif,
         synth_mp3,
         synth_mp4,
+        synth_ogg,
         synth_png,
         synth_tiff,
         synth_wav,
@@ -4032,7 +4070,7 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _documents(spark, sf_dir)
-    m = F.col("doc_id") % 14
+    m = F.col("doc_id") % 16
     w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
     h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
     payload = (
@@ -4064,8 +4102,14 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
             m == 12,
             synth_flac(F.lit(44100), F.lit(2).cast("int"), F.lit(16), F.lit(44100)),
         )
-        .otherwise(  # bare MPEG1 Layer-III header, valid fields
-            synth_mp3(F.lit(3), F.lit(0), F.lit(False))
+        .when(
+            m == 13,  # bare MPEG1 Layer-III header, valid fields
+            synth_mp3(F.lit(3), F.lit(0), F.lit(False)),
+        )
+        .when(m == 14, synth_bmp(w, h))
+        .otherwise(  # Ogg page + Vorbis id header → audio/ogg
+            synth_ogg(F.lit(48000).cast("int"), F.lit(2).cast("int"),
+                      F.lit(160).cast("int"))
         )
     )
     # two-step select: the audio_meta alias barrier (see its comment)
@@ -4085,21 +4129,23 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MIME_SNIFF = """
 SELECT doc_id,
-       CAST(CASE doc_id % 14 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
+       CAST(CASE doc_id % 16 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 44
             WHEN 3 THEN 136 WHEN 4 THEN 10 WHEN 5 THEN 8 WHEN 6 THEN 6
             WHEN 7 THEN 6 WHEN 8 THEN 136 WHEN 9 THEN 136
             WHEN 10 THEN 30 WHEN 11 THEN 38 WHEN 12 THEN 42
-            ELSE 4 END AS INT) AS n_bytes,
-       CASE doc_id % 14 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            WHEN 13 THEN 4 WHEN 14 THEN 54
+            ELSE 58 END AS INT) AS n_bytes,
+       CASE doc_id % 16 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
             WHEN 6 THEN 'application/zip' WHEN 7 THEN 'application/gzip'
             WHEN 8 THEN 'image/heic' WHEN 9 THEN 'audio/mp4'
             WHEN 10 THEN 'image/webp' WHEN 11 THEN 'image/tiff'
-            WHEN 12 THEN 'audio/flac'
-            ELSE 'audio/mpeg' END AS mime_type,
-       doc_id % 14 IN (0, 1, 4, 8, 10, 11) AS is_image,
-       doc_id % 14 NOT IN (5, 6, 7) AS is_media
+            WHEN 12 THEN 'audio/flac' WHEN 13 THEN 'audio/mpeg'
+            WHEN 14 THEN 'image/bmp'
+            ELSE 'audio/ogg' END AS mime_type,
+       doc_id % 16 IN (0, 1, 4, 8, 10, 11, 14) AS is_image,
+       doc_id % 16 NOT IN (5, 6, 7) AS is_media
 FROM documents
 """
 
@@ -4194,12 +4240,15 @@ FROM p
 
 @lru_cache(maxsize=1)
 def _media_payload_expr() -> F.Column:
-    """The 15-format synthesized media payload over F.col('doc_id') —
+    """The 17-format synthesized media payload over F.col('doc_id') —
     built once per process (the _image_payload_expr rationale). r10
     classes 12/13/14: the multi-IFD TIFF, the VP8X-wrapped VP8L (canvas
     disagreeing), and a CBR MP3 with a real audio body (non-NULL
-    duration through the catalog's unified schema)."""
+    duration through the catalog's unified schema); r10 classes 15/16:
+    BMP (INFO layout) and Ogg Vorbis (sample rate through the unified
+    schema, duration honestly NULL — it lives in the last page)."""
     from .multimodal.binary import (
+        synth_bmp,
         synth_flac,
         synth_gif,
         synth_jpeg,
@@ -4207,13 +4256,14 @@ def _media_payload_expr() -> F.Column:
         synth_mp4,
         synth_png,
         synth_tiff,
+        synth_ogg,
         synth_wav,
         synth_webp_vp8,
         synth_webp_vp8x_wrapped,
     )
 
     d = F.col("doc_id")
-    m = d % 15
+    m = d % 17
     w = (F.lit(100) + d % 800).cast("int")
     h = (F.lit(100) + (d * 7) % 800).cast("int")
     frames = (F.lit(16000) + (d * 11) % 8000).cast("long")
@@ -4242,10 +4292,19 @@ def _media_payload_expr() -> F.Column:
         )
         .when(m == 12, synth_tiff(w, h, little_endian=False, dims_in_ifd1=True))
         .when(m == 13, synth_webp_vp8x_wrapped(w + 1, h + 1, w, h))
-        .otherwise(  # CBR MPEG1 Layer-III body, 44100 stereo, 128 kbps
+        .when(
+            m == 14,  # CBR MPEG1 Layer-III body, 44100 stereo, 128 kbps
             synth_mp3(
                 F.lit(3), F.lit(0), F.lit(False),
                 n_frames=(F.lit(20) + (d * 13) % 80),
+            ),
+        )
+        .when(m == 15, synth_bmp(w, h))
+        .otherwise(  # Ogg Vorbis id header, varying nominal rate
+            synth_ogg(
+                F.lit(48000).cast("int"),
+                F.lit(2).cast("int"),
+                (F.lit(64) + (d * 7) % 256).cast("int"),
             )
         )
     )
@@ -4265,7 +4324,8 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP, TIFF,
     FLAC, ID3-tagged MP3, multi-IFD TIFF, VP8X-wrapped VP8L, CBR-body
-    MP3 by doc_id % 15 with per-doc parameters, so every route, every
+    MP3, BMP, Ogg Vorbis by doc_id % 17 with per-doc parameters, so
+    every route, every
     parser — including the JPEG SOF segment walk (r8; the catalog's
     majority class in a real crawl no longer emits NULL dims), the WebP
     RIFF parse, the TIFF IFD walk, the FLAC STREAMINFO bit-unpack and
@@ -4291,9 +4351,12 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_i = F.lit(None).cast("int")
     is_img = F.col("mime_type").isin(
-        "image/png", "image/gif", "image/jpeg", "image/webp", "image/tiff"
+        "image/png", "image/gif", "image/jpeg", "image/webp", "image/tiff",
+        "image/bmp",
     )  # parseable
-    is_aud = F.col("mime_type").isin("audio/x-wav", "audio/flac", "audio/mpeg")
+    is_aud = F.col("mime_type").isin(
+        "audio/x-wav", "audio/flac", "audio/mpeg", "audio/ogg"
+    )
     is_vid = F.col("mime_type") == "video/mp4"
     # THREE-step select: payload alias barrier, then the mvhd OFFSET as
     # its own alias (the moov-anchored locate is the one expensive parse
@@ -4349,7 +4412,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_CATALOG = """
 WITH p AS (
-  SELECT doc_id, doc_id % 15 AS m,
+  SELECT doc_id, doc_id % 17 AS m,
          CAST(100 + doc_id % 800 AS INT) AS w,
          CAST(100 + (doc_id * 7) % 800 AS INT) AS h,
          16000 + (doc_id * 11) % 8000 AS frames,
@@ -4365,8 +4428,9 @@ SELECT doc_id,
             WHEN 3 THEN 136 WHEN 4 THEN 40 WHEN 5 THEN 8
             WHEN 6 THEN 6 WHEN 7 THEN 6 WHEN 8 THEN 30
             WHEN 9 THEN 38 WHEN 10 THEN 42 WHEN 11 THEN 14 + pad
-            WHEN 12 THEN 68 WHEN 13 THEN 55
-            ELSE nf * fs END AS INT) AS n_bytes,
+            WHEN 12 THEN 68 WHEN 13 THEN 55 WHEN 14 THEN nf * fs
+            WHEN 15 THEN 54
+            ELSE 58 END AS INT) AS n_bytes,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
@@ -4374,17 +4438,20 @@ SELECT doc_id,
             WHEN 8 THEN 'image/webp' WHEN 9 THEN 'image/tiff'
             WHEN 10 THEN 'audio/flac' WHEN 11 THEN 'audio/mpeg'
             WHEN 12 THEN 'image/tiff' WHEN 13 THEN 'image/webp'
-            ELSE 'audio/mpeg' END AS mime_type,
+            WHEN 14 THEN 'audio/mpeg' WHEN 15 THEN 'image/bmp'
+            ELSE 'audio/ogg' END AS mime_type,
        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
             WHEN 3 THEN 'video' WHEN 4 THEN 'image' WHEN 5 THEN 'document'
             WHEN 6 THEN 'archive' WHEN 7 THEN 'archive'
             WHEN 8 THEN 'image' WHEN 9 THEN 'image' WHEN 10 THEN 'audio'
             WHEN 11 THEN 'audio' WHEN 12 THEN 'image' WHEN 13 THEN 'image'
+            WHEN 14 THEN 'audio' WHEN 15 THEN 'image'
             ELSE 'audio' END AS modality,
-       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13) THEN w END AS width,
-       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13) THEN h END AS height,
+       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13, 15) THEN w END AS width,
+       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13, 15) THEN h END AS height,
        CAST(CASE WHEN m = 2 THEN 16000 WHEN m = 10 THEN 22050
-                 WHEN m IN (11, 14) THEN 44100 END AS INT) AS sample_rate_hz,
+                 WHEN m IN (11, 14) THEN 44100
+                 WHEN m = 16 THEN 48000 END AS INT) AS sample_rate_hz,
        CAST(CASE WHEN m = 2 THEN (frames * 1000) // 16000
                  WHEN m = 3 THEN (dur * 1000) // 1000
                  WHEN m = 10 THEN (frames * 1000) // 22050

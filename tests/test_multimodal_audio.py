@@ -358,3 +358,94 @@ def test_sniff_mime_signatures(spark):
     df = spark.createDataFrame([(p,) for p, _ in cases], "payload binary")
     got = [r[0] for r in df.select(sniff_mime(F.col("payload"))).collect()]
     assert got == [m for _, m in cases]
+
+
+def _py_ogg_vorbis(b: bytes):
+    """Independent pure-Python Ogg Vorbis id-header parse: page header →
+    segment-count hop → packet fields. None when not an Ogg page or the
+    first packet is not a Vorbis id header."""
+    import struct
+
+    if b[:4] != b"OggS" or len(b) < 28:
+        return None
+    n_segs = b[26]
+    p = 27 + n_segs
+    if b[p : p + 7] != b"\x01vorbis":
+        return None
+    ch = b[p + 11]
+    sr = struct.unpack("<I", b[p + 12 : p + 16])[0]
+    nominal = struct.unpack("<i", b[p + 20 : p + 24])[0]
+    kbps = nominal // 1000 if 0 < nominal else None
+    return (ch, sr, kbps)
+
+
+def test_ogg_vorbis_roundtrip(spark):
+    """r10 Ogg Vorbis: channels / sample rate / declared nominal
+    bitrate from the id header behind the one-hop page-segment offset;
+    duration honestly NULL (it lives in the LAST page's granule). Spark
+    parse ≡ the independent pure-Python reference."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        audio_meta,
+        sniff_mime,
+        synth_ogg,
+    )
+
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(22050), F.lit(44100), F.lit(48000)),
+        (F.col("id") % 4 + 1).cast("int"),
+    ).cast("int")
+    ch = (F.col("id") % 2 + 1).cast("int")
+    kbps = (F.lit(48) + F.col("id") * 13 % 400).cast("int")
+    rows = (
+        spark.range(1, 30)
+        .select("id", synth_ogg(sr, ch, kbps).alias("ogg"))
+        .select(
+            "id", "ogg",
+            audio_meta(F.col("ogg")).alias("m"),
+            sniff_mime(F.col("ogg")).alias("mime"),
+        )
+        .collect()
+    )
+    for r in rows:
+        got = (r["m"]["channels"], r["m"]["sample_rate_hz"],
+               r["m"]["bitrate_kbps"])
+        assert got == _py_ogg_vorbis(bytes(r["ogg"])), r["id"]
+        assert r["m"]["mime_type"] == "audio/ogg" and r["mime"] == "audio/ogg"
+        assert r["m"]["duration_ms"] is None  # honest: needs last page
+        assert r["m"]["bits_per_sample"] is None  # not a Vorbis concept
+
+
+def test_ogg_non_vorbis_routes_with_null_fields(spark):
+    """A real Ogg page whose first packet is NOT a Vorbis id header —
+    an Opus stream ("OpusHead") and a bare data page — still routes
+    audio/ogg (container-level) with NULL fields; a truncated page
+    never errors."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        audio_meta,
+        sniff_mime,
+    )
+
+    page = (
+        b"OggS" + b"\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+        + b"\x00" * 8 + b"\x01\x13"
+    )
+    cases = [
+        (1, page + b"OpusHead\x01\x02\x38\x01\x80\xbb\x00\x00\x00\x00\x00"),
+        (2, page + b"\x00" * 19),  # data bytes, no id header
+        (3, b"OggS\x00"),  # truncated mid page header
+    ]
+    rows = (
+        spark.createDataFrame(cases, "id long, payload binary")
+        .select(
+            "id",
+            audio_meta(F.col("payload")).alias("m"),
+            sniff_mime(F.col("payload")).alias("mime"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["mime"] == "audio/ogg", r["id"]
+        assert r["m"]["mime_type"] == "audio/ogg"
+        assert r["m"]["channels"] is None
+        assert r["m"]["sample_rate_hz"] is None
+        assert r["m"]["bitrate_kbps"] is None

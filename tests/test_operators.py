@@ -2608,3 +2608,92 @@ def test_minhash_store_ignores_uncommitted_batch_dirs(spark, tmp_path):
     store.compact()
     assert not os.path.isdir(partial)  # swept
     assert store.read().count() == n
+
+
+def _py_bmp_dims(b: bytes):
+    """Independent pure-Python BMP dims: the same two-layout dispatch
+    any image library ships — DIB size 12 = CORE (unsigned LE16), else
+    INFO-class (signed LE32, |height| for top-down files)."""
+    import struct
+
+    if b[:2] != b"BM" or b[6:10] != b"\x00\x00\x00\x00":
+        return None
+    dib = struct.unpack("<I", b[14:18])[0]
+    if dib == 12:
+        return struct.unpack("<HH", b[18:22])
+    w, h = struct.unpack("<ii", b[18:26])
+    return (w, abs(h))
+
+
+def test_bmp_roundtrip_both_layouts(spark):
+    """r10 BMP: INFO layout (signed LE32 dims — the top-down half
+    stores a NEGATIVE height the parse must report as |height|) and the
+    legacy CORE layout (unsigned LE16 at different offsets). Spark
+    parse ≡ the independent pure-Python reference on every row."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        sniff_mime,
+        synth_bmp,
+    )
+
+    w = (F.col("id") * 37 % 4096).cast("int") + 1
+    h = (F.col("id") * 11 % 4096).cast("int") + 1
+    rows = (
+        spark.range(1, 40)
+        .select(
+            "id",
+            synth_bmp(w, h, top_down=(F.col("id") % 2 == 0)).alias("info"),
+            synth_bmp(w, h, core=True).alias("core"),
+        )
+        .select(
+            "id", "info", "core",
+            image_meta(F.col("info")).alias("mi"),
+            image_meta(F.col("core")).alias("mc"),
+            sniff_mime(F.col("info")).alias("si"),
+        )
+        .collect()
+    )
+    for r in rows:
+        w_, h_ = r["id"] * 37 % 4096 + 1, r["id"] * 11 % 4096 + 1
+        for m, p in (("mi", "info"), ("mc", "core")):
+            assert (
+                r[m]["mime_type"], r[m]["width"], r[m]["height"]
+            ) == ("image/bmp", w_, h_), (m, r["id"])
+            assert _py_bmp_dims(bytes(r[p])) == (w_, h_), (p, r["id"])
+        assert r["si"] == "image/bmp"
+        if r["id"] % 2 == 0:  # the top-down half really stores negative
+            import struct
+
+            assert struct.unpack("<i", bytes(r["info"])[22:26])[0] == -h_
+
+
+def test_bmp_weak_magic_gate(spark):
+    """"BM" alone is two bytes of text; the gate requires the
+    spec-mandated zero reserved bytes, so "BMW motorcycles are..." is
+    NOT routed as an image (the MP3-sync tightening applied to BMP)."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        sniff_mime,
+    )
+
+    cases = [
+        (1, b"BMW motorcycles are built in Berlin since 1969"),
+        (2, b"BM"),  # too short for any header
+        (3, b"BM\x00\x00\x00\x00\x00\x00\x00\x00"),  # reserved ok, no DIB
+    ]
+    rows = (
+        spark.createDataFrame(cases, "id long, payload binary")
+        .select(
+            "id",
+            sniff_mime(F.col("payload")).alias("mime"),
+            image_meta(F.col("payload")).alias("m"),
+        )
+        .collect()
+    )
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["mime"] == "application/octet-stream"
+    assert by_id[1]["m"]["mime_type"] == "application/octet-stream"
+    assert by_id[2]["mime"] == "application/octet-stream"
+    # truncated-but-gated: routed image/bmp, dims NULL, never an error
+    assert by_id[3]["mime"] == "image/bmp"
+    assert by_id[3]["m"]["width"] is None and by_id[3]["m"]["height"] is None

@@ -920,6 +920,39 @@ def test_bpe_bytes_kernel_matches_model(word):
         assert got == len(want), (name, word, got, want)
 
 
+def test_bpe_bytes_kernel_at_corpus_closure():
+    """The sf0.1 corpus's byte-level merge CLOSURE is 16,045 merges
+    (measured r10: tools/learn_bpe.py saturates there — the honest
+    ceiling of what this corpus can teach; shipped vocabularies are
+    ~50k, so the remaining gap is corpus richness, not engine
+    capacity). The jump-walk kernel must stay bit-identical to the
+    pure-Python model at this table size too — the largest shipped
+    table, double the attested bytes_8192."""
+    import random
+
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        _kernel_table,
+        _rank_index,
+        bpe_bytes_encode_py,
+        byte_encode_py,
+        kernel_encode_len,
+        load_merges,
+    )
+
+    merges = load_merges("bytes_closure")
+    assert len(merges) == 16045
+    table = _kernel_table(merges)
+    index = _rank_index(table)
+    rng = random.Random(20260816)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 é²"
+    for _ in range(120):
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 18)))
+        enc = byte_encode_py(w)
+        assert kernel_encode_len(enc, table, index) == len(
+            bpe_bytes_encode_py(w, merges)
+        ), w
+
+
 def test_bpe_bytes_space_prefix_economics():
     """The point of byte level: ' customer' (space-prefixed, the form
     that dominates running text) is ONE token under the learned table
