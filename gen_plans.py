@@ -211,19 +211,28 @@ SHOWCASE = {
         "map-side -- the r8 kernel economics carried to the "
         "production-fidelity byte alphabet."
     ),
+    "bpe_bytes_8k": (
+        "The SAME plan shape as bpe_bytes under the 8192-merge "
+        "production-size table: still exactly ONE ArrowEvalPython node "
+        "on the distinct-pretoken grain -- table size changes the "
+        "kernel's Python-side dict, never the plan (the jump walk keeps "
+        "per-word cost flat too, SCALE.md \u00a7bpe-8k)."
+    ),
     "image_meta": (
-        "Five image format families (PNG, GIF, JPEG, 3-variant WebP, "
-        "both-endian TIFF), zero shuffles beyond the corpus spread: the "
-        "JPEG SOF walk and the TIFF IFD walk are each staged ONCE behind "
-        "an alias barrier (HOFs are exempt from subexpression "
-        "elimination), WebP/PNG/GIF are fixed-offset expressions; blobs "
-        "never enter Python."
+        "Six image format families (PNG, GIF, JPEG, 3-variant WebP "
+        "incl. the r10 VP8X-wrapped chunk walk, both-endian multi-IFD "
+        "TIFF, both-layout BMP), zero shuffles beyond the corpus "
+        "spread: the JPEG SOF walk, the TIFF IFD walk, and the VP8X "
+        "chunk walk are each staged ONCE behind an alias barrier (HOFs "
+        "are exempt from subexpression elimination), "
+        "WebP-first-chunk/PNG/GIF/BMP are fixed-offset expressions; "
+        "blobs never enter Python."
     ),
     "media_catalog": (
-        "The 12-format router + all three modality parsers fused into "
-        "one codegen'd projection: sniff dispatch, both bounded walks "
-        "and the mvhd locate staged as columns, union schema per blob; "
-        "zero joins, zero Python."
+        "The 17-format router + all three modality parsers fused into "
+        "one codegen'd projection: sniff dispatch, the three bounded "
+        "walks, the audio aggregate and the mvhd locate staged as "
+        "columns, union schema per blob; zero joins, zero Python."
     ),
 }
 
