@@ -244,6 +244,12 @@ def synth_bmp(
 
     54 / 26 bytes; any BMP reader opens them (independent pure-Python
     parser in tests)."""
+    if core and top_down is not None:
+        raise ValueError(
+            "CORE (BITMAPCOREHEADER) dims are unsigned — no top-down "
+            "form exists; a silently-ignored top_down would make a test "
+            "mean nothing"
+        )
     if core:
         return F.unhex(
             F.concat(
@@ -1520,8 +1526,8 @@ def audio_meta(payload: F.Column | str) -> F.Column:
             F.hex(payload.substr(ogg_p, F.lit(7))) == VORBIS_ID_HEX
         )
         ogg_ch = _be_int_dyn(payload, ogg_p + 11, 1).cast("int")
-        ogg_sr = _int_at_dyn(payload, ogg_p + 12, 4, F.lit(True)).cast("int")
-        ogg_nom = _int_at_dyn(payload, ogg_p + 20, 4, F.lit(True))
+        ogg_sr = _le_int_dyn(payload, ogg_p + 12, 4).cast("int")
+        ogg_nom = _le_int_dyn(payload, ogg_p + 20, 4)
         ogg_kbps = F.when(
             (ogg_nom > 0) & (ogg_nom < 2147483648), F.floor(ogg_nom / 1000)
         ).cast("int")
@@ -1732,6 +1738,17 @@ def video_meta(
 def _be_int_dyn(payload: F.Column, pos: F.Column, n: int) -> F.Column:
     """Big-endian int of ``n`` bytes at a runtime 1-based offset."""
     return F.conv(F.hex(payload.substr(pos, F.lit(n))), 16, 10).cast("long")
+
+
+def _le_int_dyn(payload: F.Column, pos: F.Column, n: int) -> F.Column:
+    """Little-endian int of ``n`` bytes at a runtime 1-based offset —
+    the LE half of _int_at_dyn without the dead BE arm (r10 review:
+    a constant-true _int_at_dyn builds ~2× the expression subtree,
+    the construction cost this module memoizes parsers to avoid)."""
+    b = lambda i: F.conv(  # noqa: E731
+        F.hex(payload.substr(pos + i, F.lit(1))), 16, 10
+    ).cast("long")
+    return sum([b(i) * (256**i) for i in range(n)], F.lit(0).cast("long"))
 
 
 def sniff_mime(payload: F.Column | str) -> F.Column:

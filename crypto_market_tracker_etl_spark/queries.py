@@ -2485,7 +2485,8 @@ ATTESTATION_ORDER: list[str] = [
     "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
     "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
     "basket_lift",
-    # -- front of the r7 window (12; window ends here) --------------------
+    # -- front of the r7 window (11 — twap was displaced to the r11 front
+    # -- by the mime_sniff promotion; window ends here) -------------------
     "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
     "lm_perplexity_kn",
     "near_dup_pairs_fast", "simhash_fast",
