@@ -956,6 +956,7 @@ def image_meta(
     jpeg: F.Column | str | None = None,
     tiff: F.Column | str | None = None,
     webpx: F.Column | str | None = None,
+    ispe: F.Column | str | None = None,
 ) -> F.Column:
     """Parse (mime_type, width, height) from an image payload's header.
 
@@ -969,7 +970,13 @@ def image_meta(
     unknown magic), never an error, so one malformed blob cannot fail a
     backfill job. BMP (r10): reserved-bytes-tightened "BM" gate, then
     the DIB-size field dispatches INFO (signed LE32 dims, |height| for
-    top-down files) vs legacy CORE (unsigned LE16) layouts.
+    top-down files) vs legacy CORE (unsigned LE16) layouts. HEIF family
+    (r10): a BMFF payload whose major brand is a STILL-IMAGE brand
+    (heic/heix → image/heic, mif1/msf1 → image/heif, avif/avis →
+    image/avif — the sniff_mime brand table) takes dims from the ispe
+    box via the meta-anchored locate (``ispe_dims``); video brands stay
+    octet-stream here — image_meta parses images, the catalog routes
+    video to video_meta.
 
     ``jpeg`` / ``tiff`` / ``webpx``: optionally PRE-STAGED
     ``jpeg_dims(payload)`` / ``tiff_dims(payload)`` /
@@ -990,14 +997,16 @@ def image_meta(
         and (jpeg is None or isinstance(jpeg, str))
         and (tiff is None or isinstance(tiff, str))
         and (webpx is None or isinstance(webpx, str))
+        and (ispe is None or isinstance(ispe, str))
     ):
         return _memo_expr(
-            ("image_meta", payload, jpeg, tiff, webpx),
+            ("image_meta", payload, jpeg, tiff, webpx, ispe),
             lambda: image_meta(
                 F.col(payload),
                 None if jpeg is None else F.col(jpeg),
                 None if tiff is None else F.col(tiff),
                 None if webpx is None else F.col(webpx),
+                None if ispe is None else F.col(ispe),
             ),
         )
     if isinstance(payload, str):
@@ -1008,6 +1017,8 @@ def image_meta(
         tiff = F.col(tiff)
     if isinstance(webpx, str):
         webpx = F.col(webpx)
+    if isinstance(ispe, str):
+        ispe = F.col(ispe)
     is_png = _bytes_hex(payload, 1, 8) == PNG_SIG_HEX
     is_gif = _bytes_hex(payload, 1, 6) == GIF_SIG_HEX
     is_jpeg = _bytes_hex(payload, 1, 3) == JPEG_SIG_HEX
@@ -1039,9 +1050,18 @@ def image_meta(
         )
         .cast("int")
     )
+    # HEIF family (r10): BMFF + still-image major brand (sniff_mime's
+    # brand table) → dims from the ispe box
+    is_bmff = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
+    heif_brand = _bytes_hex(payload, 9, 4)
+    is_heic = is_bmff & heif_brand.isin("68656963", "68656978")
+    is_heif = is_bmff & heif_brand.isin("6D696631", "6D736631")
+    is_avif = is_bmff & heif_brand.isin("61766966", "61766973")
+    is_heif_family = is_heic | is_heif | is_avif
     jd = jpeg_dims(payload) if jpeg is None else jpeg
     td = tiff_dims(payload) if tiff is None else tiff
     wd = webp_dims(payload, vp8x=webpx)
+    sd = ispe_dims(payload) if ispe is None else ispe
     null_i = F.lit(None).cast("int")
     return F.struct(
         F.when(is_png, F.lit("image/png"))
@@ -1050,6 +1070,9 @@ def image_meta(
         .when(is_webp, F.lit("image/webp"))
         .when(is_tiff, F.lit("image/tiff"))
         .when(is_bmp, F.lit("image/bmp"))
+        .when(is_heic, F.lit("image/heic"))
+        .when(is_heif, F.lit("image/heif"))
+        .when(is_avif, F.lit("image/avif"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime_type"),
         F.when(is_png, _be_int(payload, 17, 4))
@@ -1058,6 +1081,7 @@ def image_meta(
         .when(is_webp, wd.getField("width"))
         .when(is_tiff, td.getField("width"))
         .when(is_bmp, bmp_w)
+        .when(is_heif_family, sd.getField("width"))
         .otherwise(null_i)
         .alias("width"),
         F.when(is_png, _be_int(payload, 21, 4))
@@ -1066,6 +1090,7 @@ def image_meta(
         .when(is_webp, wd.getField("height"))
         .when(is_tiff, td.getField("height"))
         .when(is_bmp, bmp_h)
+        .when(is_heif_family, sd.getField("height"))
         .otherwise(null_i)
         .alias("height"),
     )
@@ -1621,6 +1646,80 @@ def synth_mp4(
             F.lit("0" * 48),  # pre_defined[6] (6×u32)
             _be4_hex(n_tracks + 1),  # next_track_ID
         )
+    )
+
+
+def synth_heic(
+    brand: F.Column, width: F.Column, height: F.Column
+) -> F.Column:
+    """A real HEIF-family prefix (HEIC / AVIF — the modern web image
+    classes): 20-byte ftyp (major brand heic/avif/mif1/…) + a meta
+    fullbox containing a pict-handler hdlr and the property chain
+    iprp → ipco → ispe, where ispe (ImageSpatialExtents) carries the
+    BE32 dims every HEIF reader reports. 101 bytes, walkable by any box
+    parser (the independent pure-Python walker in tests descends the
+    real meta/iprp/ipco nesting — the synth_mp4 pattern)."""
+    return F.unhex(
+        F.concat(
+            F.lit("00000014"),  # ftyp box size 20 (BE)
+            F.lit(MP4_FTYP_HEX),
+            F.hex(F.encode(brand, "UTF-8")),  # major brand
+            F.lit("00000000"),  # minor version
+            F.lit("6D696631"),  # compatible brand "mif1"
+            F.lit("00000051"),  # meta box size 81 = 12 + hdlr 33 + iprp 36
+            F.lit("6D657461"),  # "meta"
+            F.lit("00000000"),  # meta version 0 + flags
+            F.lit("00000021"),  # hdlr box size 33
+            F.lit("68646C72"),  # "hdlr"
+            F.lit("00000000"),  # version + flags
+            F.lit("00000000"),  # pre_defined
+            F.lit("70696374"),  # handler_type "pict"
+            F.lit("0" * 24),  # reserved[3]
+            F.lit("00"),  # empty NUL name
+            F.lit("00000024"),  # iprp box size 36
+            F.lit("69707270"),  # "iprp"
+            F.lit("0000001C"),  # ipco box size 28
+            F.lit("6970636F"),  # "ipco"
+            F.lit("00000014"),  # ispe box size 20
+            F.lit("69737065"),  # "ispe"
+            F.lit("00000000"),  # version + flags
+            _be4_hex(width),
+            _be4_hex(height),
+        )
+    )
+
+
+def ispe_dims(payload: F.Column | str) -> F.Column:
+    """(width, height) struct from a HEIF-family payload's ispe box
+    (ImageSpatialExtents — where HEIC/AVIF dims live), located by a
+    meta-ANCHORED byte-aligned scan: first the aligned 'meta' tag, then
+    the first aligned 'ispe' AFTER it (the mvhd_offset discipline — a
+    stray 'ispe' byte pattern before the meta box cannot mislead the
+    parse; a deceptive aligned one between meta and the real property
+    box would win, and the caller's brand gate plus NULL dims bound the
+    damage). Dims are BE32 at tag+8/tag+12 (past the 4cc and the
+    fullbox version/flags). 0-locate → NULL dims, never an error.
+    Consumers extracting both fields should STAGE this behind an alias
+    barrier (the jpeg_dims/tiff_dims discipline). Pass a column NAME to
+    get the memoized tree (_memo_expr)."""
+    if isinstance(payload, str):
+        return _memo_expr(
+            ("ispe_dims", payload), lambda: ispe_dims(F.col(payload))
+        )
+    hx = F.hex(payload)
+    meta_hexpos = _aligned_locate(hx, "6D657461")  # "meta"; 0 when absent
+    hexpos = F.when(
+        meta_hexpos > 0, _aligned_locate(hx, "69737065", start=meta_hexpos)
+    ).otherwise(F.lit(0))
+    b = ((hexpos + 1) / 2).cast("long")  # hex pos → byte pos; 0 stays 0
+    null_i = F.lit(None).cast("int")
+    return F.struct(
+        F.when(b > 0, _be4_int_at(payload, b + 8).cast("int"))
+        .otherwise(null_i)
+        .alias("width"),
+        F.when(b > 0, _be4_int_at(payload, b + 12).cast("int"))
+        .otherwise(null_i)
+        .alias("height"),
     )
 
 

@@ -3696,11 +3696,17 @@ def _image_payload_expr() -> F.Column:
     r10 classes 10/11: BMP in BOTH real DIB layouts — INFO (signed
     LE32 dims; every other doc of the class is TOP-DOWN, i.e. a
     negative stored height the parse must report as |height| — the
-    parity rides d//12, not d, which is constant within a mod-12
-    class) and the legacy CORE (unsigned LE16 at different offsets)."""
+    parity rides d//14, not d, which is constant within a mod-14
+    class) and the legacy CORE (unsigned LE16 at different offsets).
+
+    r10 classes 12/13: the HEIF family — genuine BMFF prefixes with a
+    real meta → hdlr(pict) → iprp → ipco → ispe nesting, HEIC and AVIF
+    major brands, dims in the ispe box behind the meta-anchored
+    locate."""
     from .multimodal.binary import (
         synth_bmp,
         synth_gif,
+        synth_heic,
         synth_jpeg,
         synth_png,
         synth_tiff,
@@ -3711,7 +3717,7 @@ def _image_payload_expr() -> F.Column:
     )
 
     d = F.col("doc_id")
-    m = d % 12
+    m = d % 14
     w = (F.lit(100) + d % 800).cast("int")
     h = (F.lit(100) + (d * 7) % 800).cast("int")
     return (
@@ -3732,8 +3738,10 @@ def _image_payload_expr() -> F.Column:
             ),
         )
         .when(m == 9, synth_webp_vp8x_wrapped(w + 1, h + 1, w, h))
-        .when(m == 10, synth_bmp(w, h, top_down=(F.floor(d / 12) % 2 == 1)))
-        .otherwise(synth_bmp(w, h, core=True))
+        .when(m == 10, synth_bmp(w, h, top_down=(F.floor(d / 14) % 2 == 1)))
+        .when(m == 11, synth_bmp(w, h, core=True))
+        .when(m == 12, synth_heic(F.lit("heic"), w, h))
+        .otherwise(synth_heic(F.lit("avif"), w, h))
     )
 
 
@@ -3761,14 +3769,19 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return the bitstream dims, not canvas+1; 10/11 → (r10) BMP in both
     real DIB layouts — INFO with signed LE32 dims, every other doc
     top-down (negative stored height, |height| reported), and the
-    legacy CORE with unsigned LE16 dims at different offsets); the
+    legacy CORE with unsigned LE16 dims at different offsets; 12/13 →
+    (r10) the HEIF family — genuine BMFF with a real meta→iprp→ipco→
+    ispe nesting under HEIC and AVIF major brands, dims from the ispe
+    box behind the meta-anchored locate); the
     oracle knows the synthesis formula and checks the parse
     analytically — a differential test of the parser itself.
     Independent pure-Python parsers validate synth_jpeg, all the
-    synth_webp variants, synth_tiff in both layouts, and synth_bmp in
-    both DIB layouts in tests (the synth_mp4 pattern)."""
+    synth_webp variants, synth_tiff in both layouts, synth_bmp in both
+    DIB layouts, and synth_heic's box nesting in tests (the synth_mp4
+    pattern)."""
     from .multimodal.binary import (
         image_meta,
+        ispe_dims,
         jpeg_dims,
         tiff_dims,
         webp_stream_dims,
@@ -3784,7 +3797,7 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # these trees costs hundreds of py4j round-trips, which at test
     # scale dwarfed execution.
     p = F.col("payload")
-    meta = image_meta("payload", jpeg="jd", tiff="td", webpx="wx")
+    meta = image_meta("payload", jpeg="jd", tiff="td", webpx="wx", ispe="sd")
     return (
         docs.select("doc_id", _image_payload_expr().alias("payload"))
         .select(
@@ -3792,6 +3805,7 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             jpeg_dims("payload").alias("jd"),
             tiff_dims("payload").alias("td"),
             webp_stream_dims("payload").alias("wx"),
+            ispe_dims("payload").alias("sd"),
         )
         .select(
             "doc_id",
@@ -3805,16 +3819,19 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IMAGE_META = """
 SELECT doc_id,
-       CAST(CASE doc_id % 12 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 40
+       CAST(CASE doc_id % 14 WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 40
             WHEN 3 THEN 30 WHEN 4 THEN 25 WHEN 5 THEN 30
             WHEN 8 THEN 68 WHEN 9 THEN 55
             WHEN 10 THEN 54 WHEN 11 THEN 26
+            WHEN 12 THEN 101 WHEN 13 THEN 101
             ELSE 38 END AS INT) AS n_bytes,
-       CASE WHEN doc_id % 12 = 0 THEN 'image/png'
-            WHEN doc_id % 12 = 1 THEN 'image/gif'
-            WHEN doc_id % 12 = 2 THEN 'image/jpeg'
-            WHEN doc_id % 12 IN (3, 4, 5, 9) THEN 'image/webp'
-            WHEN doc_id % 12 IN (10, 11) THEN 'image/bmp'
+       CASE WHEN doc_id % 14 = 0 THEN 'image/png'
+            WHEN doc_id % 14 = 1 THEN 'image/gif'
+            WHEN doc_id % 14 = 2 THEN 'image/jpeg'
+            WHEN doc_id % 14 IN (3, 4, 5, 9) THEN 'image/webp'
+            WHEN doc_id % 14 IN (10, 11) THEN 'image/bmp'
+            WHEN doc_id % 14 = 12 THEN 'image/heic'
+            WHEN doc_id % 14 = 13 THEN 'image/avif'
             ELSE 'image/tiff' END AS mime_type,
        CAST(100 + doc_id % 800 AS INT) AS width,
        CAST(100 + (doc_id * 7) % 800 AS INT) AS height
@@ -4246,11 +4263,15 @@ def _media_payload_expr() -> F.Column:
     disagreeing), and a CBR MP3 with a real audio body (non-NULL
     duration through the catalog's unified schema); r10 classes 15/16:
     BMP (INFO layout) and Ogg Vorbis (sample rate through the unified
-    schema, duration honestly NULL — it lives in the last page)."""
+    schema, duration honestly NULL — it lives in the last page); r10
+    class 17: HEIC — a genuine BMFF still image whose dims come from
+    the ispe box, proving the catalog routes BMFF by BRAND (image, not
+    the video default) and parses what it routed."""
     from .multimodal.binary import (
         synth_bmp,
         synth_flac,
         synth_gif,
+        synth_heic,
         synth_jpeg,
         synth_mp3,
         synth_mp4,
@@ -4263,7 +4284,7 @@ def _media_payload_expr() -> F.Column:
     )
 
     d = F.col("doc_id")
-    m = d % 17
+    m = d % 18
     w = (F.lit(100) + d % 800).cast("int")
     h = (F.lit(100) + (d * 7) % 800).cast("int")
     frames = (F.lit(16000) + (d * 11) % 8000).cast("long")
@@ -4300,13 +4321,15 @@ def _media_payload_expr() -> F.Column:
             ),
         )
         .when(m == 15, synth_bmp(w, h))
-        .otherwise(  # Ogg Vorbis id header, varying nominal rate
+        .when(
+            m == 16,  # Ogg Vorbis id header, varying nominal rate
             synth_ogg(
                 F.lit(48000).cast("int"),
                 F.lit(2).cast("int"),
                 (F.lit(64) + (d * 7) % 256).cast("int"),
-            )
+            ),
         )
+        .otherwise(synth_heic(F.lit("heic"), w, h))
     )
 
 
@@ -4324,8 +4347,8 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP, TIFF,
     FLAC, ID3-tagged MP3, multi-IFD TIFF, VP8X-wrapped VP8L, CBR-body
-    MP3, BMP, Ogg Vorbis by doc_id % 17 with per-doc parameters, so
-    every route, every
+    MP3, BMP, Ogg Vorbis, HEIC by doc_id % 18 with per-doc parameters,
+    so every route, every
     parser — including the JPEG SOF segment walk (r8; the catalog's
     majority class in a real crawl no longer emits NULL dims), the WebP
     RIFF parse, the TIFF IFD walk, the FLAC STREAMINFO bit-unpack and
@@ -4352,7 +4375,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_i = F.lit(None).cast("int")
     is_img = F.col("mime_type").isin(
         "image/png", "image/gif", "image/jpeg", "image/webp", "image/tiff",
-        "image/bmp",
+        "image/bmp", "image/heic",
     )  # parseable
     is_aud = F.col("mime_type").isin(
         "audio/x-wav", "audio/flac", "audio/mpeg", "audio/ogg"
@@ -4364,9 +4387,15 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the q_video_meta lesson), then the unified catalog row: with the
     # offset staged, every parser's per-field extract is a cheap subtree
     # over column refs.
-    from .multimodal.binary import jpeg_dims, mvhd_offset, tiff_dims, webp_stream_dims
+    from .multimodal.binary import (
+        ispe_dims,
+        jpeg_dims,
+        mvhd_offset,
+        tiff_dims,
+        webp_stream_dims,
+    )
 
-    img = image_meta("payload", jpeg="jd", tiff="td", webpx="wx")
+    img = image_meta("payload", jpeg="jd", tiff="td", webpx="wx", ispe="sd")
     vid = video_meta("payload", "mp")
     am = F.col("am")
     return (
@@ -4382,6 +4411,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             jpeg_dims("payload").alias("jd"),
             tiff_dims("payload").alias("td"),
             webp_stream_dims("payload").alias("wx"),
+            ispe_dims("payload").alias("sd"),
             audio_meta("payload").alias("am"),
             F.octet_length(p).alias("n_bytes"),
             mime.alias("mime_type"),
@@ -4412,7 +4442,7 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_CATALOG = """
 WITH p AS (
-  SELECT doc_id, doc_id % 17 AS m,
+  SELECT doc_id, doc_id % 18 AS m,
          CAST(100 + doc_id % 800 AS INT) AS w,
          CAST(100 + (doc_id * 7) % 800 AS INT) AS h,
          16000 + (doc_id * 11) % 8000 AS frames,
@@ -4429,8 +4459,8 @@ SELECT doc_id,
             WHEN 6 THEN 6 WHEN 7 THEN 6 WHEN 8 THEN 30
             WHEN 9 THEN 38 WHEN 10 THEN 42 WHEN 11 THEN 14 + pad
             WHEN 12 THEN 68 WHEN 13 THEN 55 WHEN 14 THEN nf * fs
-            WHEN 15 THEN 54
-            ELSE 58 END AS INT) AS n_bytes,
+            WHEN 15 THEN 54 WHEN 16 THEN 58
+            ELSE 101 END AS INT) AS n_bytes,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
             WHEN 4 THEN 'image/jpeg' WHEN 5 THEN 'application/pdf'
@@ -4439,16 +4469,18 @@ SELECT doc_id,
             WHEN 10 THEN 'audio/flac' WHEN 11 THEN 'audio/mpeg'
             WHEN 12 THEN 'image/tiff' WHEN 13 THEN 'image/webp'
             WHEN 14 THEN 'audio/mpeg' WHEN 15 THEN 'image/bmp'
-            ELSE 'audio/ogg' END AS mime_type,
+            WHEN 16 THEN 'audio/ogg'
+            ELSE 'image/heic' END AS mime_type,
        CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
             WHEN 3 THEN 'video' WHEN 4 THEN 'image' WHEN 5 THEN 'document'
             WHEN 6 THEN 'archive' WHEN 7 THEN 'archive'
             WHEN 8 THEN 'image' WHEN 9 THEN 'image' WHEN 10 THEN 'audio'
             WHEN 11 THEN 'audio' WHEN 12 THEN 'image' WHEN 13 THEN 'image'
             WHEN 14 THEN 'audio' WHEN 15 THEN 'image'
-            ELSE 'audio' END AS modality,
-       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13, 15) THEN w END AS width,
-       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13, 15) THEN h END AS height,
+            WHEN 16 THEN 'audio'
+            ELSE 'image' END AS modality,
+       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13, 15, 17) THEN w END AS width,
+       CASE WHEN m IN (0, 1, 4, 8, 9, 12, 13, 15, 17) THEN h END AS height,
        CAST(CASE WHEN m = 2 THEN 16000 WHEN m = 10 THEN 22050
                  WHEN m IN (11, 14) THEN 44100
                  WHEN m = 16 THEN 48000 END AS INT) AS sample_rate_hz,

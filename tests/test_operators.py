@@ -2697,3 +2697,104 @@ def test_bmp_weak_magic_gate(spark):
     # truncated-but-gated: routed image/bmp, dims NULL, never an error
     assert by_id[3]["mime"] == "image/bmp"
     assert by_id[3]["m"]["width"] is None and by_id[3]["m"]["height"] is None
+
+
+def _py_ispe_dims(b: bytes):
+    """Independent pure-Python HEIF dims: a REAL box walk descending
+    meta (fullbox) → iprp → ipco to the ispe ImageSpatialExtents — the
+    walk any HEIF reader performs, not an offset table."""
+    import struct
+
+    def walk(lo, hi):
+        p = lo
+        while p + 8 <= hi:
+            size, tag = struct.unpack(">I4s", b[p : p + 8])
+            if size < 8:
+                return None
+            if tag == b"ispe":
+                return struct.unpack(">II", b[p + 12 : p + 20])
+            if tag in (b"meta", b"iprp", b"ipco"):
+                got = walk(p + (12 if tag == b"meta" else 8), p + size)
+                if got:
+                    return got
+            p += size
+        return None
+
+    return walk(0, len(b))
+
+
+def test_heic_avif_ispe_roundtrip(spark):
+    """r10 HEIF family: genuine BMFF prefixes with the real
+    meta→hdlr→iprp→ipco→ispe nesting under HEIC and AVIF major brands;
+    dims come from the ispe box via the meta-anchored locate. Spark
+    parse ≡ the independent pure-Python box WALKER (which descends the
+    actual nesting, proving the synth is a real HEIF layout)."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        sniff_mime,
+        synth_heic,
+    )
+
+    w = (F.col("id") * 37 % 4096).cast("int") + 1
+    h = (F.col("id") * 11 % 4096).cast("int") + 1
+    rows = (
+        spark.range(1, 40)
+        .select(
+            "id",
+            synth_heic(F.lit("heic"), w, h).alias("hc"),
+            synth_heic(F.lit("avif"), w, h).alias("av"),
+            synth_heic(F.lit("mif1"), w, h).alias("mf"),
+        )
+        .select(
+            "id", "hc", "av", "mf",
+            image_meta(F.col("hc")).alias("mc"),
+            image_meta(F.col("av")).alias("ma"),
+            image_meta(F.col("mf")).alias("mm"),
+            sniff_mime(F.col("hc")).alias("sc"),
+        )
+        .collect()
+    )
+    for r in rows:
+        w_, h_ = r["id"] * 37 % 4096 + 1, r["id"] * 11 % 4096 + 1
+        for m, p, mime in (
+            ("mc", "hc", "image/heic"), ("ma", "av", "image/avif"),
+            ("mm", "mf", "image/heif"),
+        ):
+            assert (
+                r[m]["mime_type"], r[m]["width"], r[m]["height"]
+            ) == (mime, w_, h_), (m, r["id"])
+            assert _py_ispe_dims(bytes(r[p])) == (w_, h_), (p, r["id"])
+        assert r["sc"] == "image/heic"  # router and parser agree
+
+
+def test_heic_gate_and_malformed_never_error(spark):
+    """The brand gate and the honest NULLs: a video-brand BMFF is NOT
+    an image here (video_meta's territory — the catalog routes it);
+    an HEIC ftyp with no meta box, and one whose meta carries no ispe,
+    are routed image/heic with NULL dims, never an error."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        synth_heic,
+        synth_mp4,
+    )
+
+    df = spark.range(1).select(
+        synth_mp4(
+            F.lit("isom"), F.lit(600), F.lit(6000), F.lit(1).cast("int")
+        ).alias("vid"),
+        synth_heic(F.lit("heic"), F.lit(9).cast("int"), F.lit(9).cast("int"))
+        .substr(1, 20)
+        .alias("nometa"),  # ftyp only
+        synth_heic(F.lit("heic"), F.lit(9).cast("int"), F.lit(9).cast("int"))
+        .substr(1, 60)
+        .alias("noispe"),  # meta truncated before the property chain
+    )
+    r = df.select(
+        image_meta(F.col("vid")).alias("v"),
+        image_meta(F.col("nometa")).alias("nm"),
+        image_meta(F.col("noispe")).alias("ni"),
+    ).collect()[0]
+    assert r["v"]["mime_type"] == "application/octet-stream"  # not an image
+    for k in ("nm", "ni"):
+        assert r[k]["mime_type"] == "image/heic"
+        assert r[k]["width"] is None and r[k]["height"] is None, k
