@@ -245,14 +245,16 @@ def _rank_index(
     return {p: tuple(rs) for p, rs in idx.items()}
 
 
-def kernel_encode_len(
+def kernel_encode_tokens(
     word: str,
     table: list[tuple[tuple[str, str], str, str]],
     index: dict[tuple[str, str], tuple[int, ...]] | None = None,
-) -> int:
+) -> list[str]:
     """The kernel's per-word encode (module-level so tests can pin it
-    against ``bpe_encode_py`` without a Spark session): the rank-order
-    walk as a JUMP WALK (r10) — instead of probing every rank (O(1) per
+    against ``bpe_encode_py`` without a Spark session), returning the
+    FULL segmentation (r11 — the count-only twin ``kernel_encode_len``
+    threw this away; token-ID emission needs it): the rank-order walk
+    as a JUMP WALK (r10) — instead of probing every rank (O(1) per
     skipped rank, but still O(|table|) probes per word: real money at
     8k merges), jump straight to the smallest applicable rank ABOVE the
     last applied one via the pair→ranks index. Between two applied
@@ -278,10 +280,10 @@ def kernel_encode_len(
     ``bpe_encode_py`` on such input (found in the r8 review; pinned by
     test)."""
     if any(c.isspace() for c in word):
-        return len(bpe_encode_py(word, [pair for pair, _, _ in table]))
+        return bpe_encode_py(word, [pair for pair, _, _ in table])
     toks = list(word)
     if len(toks) < 2:
-        return len(toks)
+        return toks
     if index is None:
         index = _rank_index(table)
     s = " " + " ".join(toks) + " "
@@ -300,7 +302,17 @@ def kernel_encode_len(
         s = s.replace(pat, rep).replace(pat, rep)
         toks = s.split()
         pos = nxt
-    return len(toks)
+    return toks
+
+
+def kernel_encode_len(
+    word: str,
+    table: list[tuple[tuple[str, str], str, str]],
+    index: dict[tuple[str, str], tuple[int, ...]] | None = None,
+) -> int:
+    """Count-only twin of ``kernel_encode_tokens`` (the r7–r10 surface;
+    kept because the count queries and their pins call it by name)."""
+    return len(kernel_encode_tokens(word, table, index))
 
 
 def bpe_sql_ctes(
@@ -511,6 +523,7 @@ def byte_bpe_sql_ctes(
     word_col: str = "w",
     merges: Merges | None = None,
     merges_per_cte: int = 1,
+    emit: str = "count",
 ) -> str:
     """DuckDB replay of the byte-level tokenizer: a 256-row VALUES map
     (uppercase hex byte → alphabet char) joined against the hex dump of
@@ -531,7 +544,12 @@ def byte_bpe_sql_ctes(
     headroom under the binder cap and makes the 8k-table oracle a
     ~512-CTE chain that binds in ~1 s). Chunking changes the GROUPING
     of steps, not their order — the replay stays merge-for-merge
-    identical to the kernel's rank-order walk."""
+    identical to the kernel's rank-order walk.
+
+    ``emit`` (r11): "count" keeps the r9/r10 contract — final CTE
+    ``bpe_vt`` yields (w, ntok); "string" yields (w, toks) with the
+    replayed token-string ARRAY instead, for the token-ID oracle to map
+    through the vocab."""
     merges = load_merges("bytes_512") if merges is None else merges
     vals = ", ".join(
         f"('{b:02X}', '{_BYTE_MAP[b].replace(chr(39), chr(39) * 2)}')"
@@ -560,9 +578,79 @@ def byte_bpe_sql_ctes(
         steps.append(
             f"bpe{n_ctes} AS (SELECT w, {body} AS s FROM bpe{n_ctes - 1})"
         )
-    steps.append(
-        "bpe_vt AS (SELECT w,"
-        " len(regexp_split_to_array(trim(s), ' ')) AS ntok"
-        f" FROM bpe{n_ctes})"
-    )
+    if emit == "string":
+        steps.append(
+            "bpe_vt AS (SELECT w,"
+            " regexp_split_to_array(trim(s), ' ') AS toks"
+            f" FROM bpe{n_ctes})"
+        )
+    else:
+        steps.append(
+            "bpe_vt AS (SELECT w,"
+            " len(regexp_split_to_array(trim(s), ' ')) AS ntok"
+            f" FROM bpe{n_ctes})"
+        )
     return ",\n".join(steps)
+
+
+def vocab_ids(merges: Merges) -> dict[str, int]:
+    """token string → integer id, the standard byte-level convention:
+    the 256 base alphabet characters get their BYTE value as id (so the
+    base vocabulary is engine-independent), each merge's output string
+    gets ``256 + rank``. A learned table can legally list two merges
+    with the same output string (a later merge can recreate and re-pick
+    an earlier pair); the LOWEST rank wins the id, matching the jump
+    walk's strictly-increasing cursor, under which the earlier merge is
+    the one that can actually fire first. Base chars can never collide
+    with merge outputs (len 1 vs ≥2)."""
+    ids = {_BYTE_MAP[b]: b for b in range(256)}
+    for r, (a, b) in enumerate(merges):
+        ids.setdefault(a + b, 256 + r)
+    return ids
+
+
+def vocab_sql_values(merges: Merges) -> str:
+    """The ``vocab_ids`` mapping as a DuckDB VALUES body — the oracle
+    re-derives every id from the same shipped merge list instead of
+    trusting the Spark kernel's mapping."""
+    return ", ".join(
+        f"('{tok.replace(chr(39), chr(39) * 2)}', {i})"
+        for tok, i in vocab_ids(merges).items()
+    )
+
+
+def bpe_bytes_ids_kernel(merges: Merges):
+    """Arrow-batched byte-level BPE token-ID encoder (r11 — the judge's
+    "token IDs, not just token counts"): maps each pretoken to the byte
+    alphabet, runs the identical jump-walk segmentation the count kernel
+    runs, and emits the ``array<int>`` id sequence via ``vocab_ids``.
+    Every token the walk can produce is in the vocab by construction
+    (base chars + merge outputs), so the lookup is total. Same scale
+    shape as the count kernel: callers run it on the DISTINCT-PRETOKEN
+    grain, one ArrowEvalPython node at any table size."""
+    import pandas as pd
+
+    table = _kernel_table(merges)
+    index = _rank_index(table)
+    vocab = vocab_ids(merges)
+
+    def kernel(words):
+        memo: dict[str, list[int]] = {}
+
+        def f(w):
+            if w is None:
+                return None
+            v = memo.get(w)
+            if v is None:
+                v = memo[w] = [
+                    vocab[t]
+                    for t in kernel_encode_tokens(
+                        byte_encode_py(w), table, index
+                    )
+                ]
+            return v
+
+        return words.map(f)
+
+    kernel.__annotations__ = {"words": pd.Series, "return": pd.Series}
+    return F.pandas_udf(kernel, "array<int>")

@@ -2452,47 +2452,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r10 window (positions 1-50, per the ATTESTATION.md schedule): the 34
-# r6-vintage queries (the oldest driver rows left — exactly the 3-round
-# refresh window: link_graph … basket_lift, i.e. the 8 displaced by the
-# r9 promotions plus the rest of the r6 cohort) + the front 16 of the r7
-# window (bpe_tokenize … grouping_sets). New/output-changed r10 queries
-# are promoted to the front as they land, displacing from position 50
-# backwards into the r11 front. This is the steady-state rolling 3-round
-# re-attestation cycle.
-# Positions 51+ (in order): the rest of the r7 window, then the r8
-# window, then the r9 window (freshest rows, green in
-# CORRECTNESS_r09.json). The inline section markers below are
+# r11 window (positions 1-50, per the ATTESTATION.md schedule): the 37
+# r7-vintage queries — exactly the 3-round refresh window called out in
+# the r10 verdict (twap … approx_distinct: the 22 TPC-H, the post-r3
+# nine, approx_distinct, and the 5 displaced r6-window aggregates) + the
+# front 13 of the r8 window (dedup_keep_one_span … text_stats) to fill
+# to 50. New/output-changed r11 queries are promoted to the front as they
+# land, displacing from position 50 backwards into the r12 front. This is
+# the steady-state rolling 3-round re-attestation cycle.
+# Positions 51+ (in order): the rest of the r8 window, then the r9
+# window, then the r10 window (freshest rows, green in
+# CORRECTNESS_r10.json). The inline section markers below are
 # authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r10 window: positions 1-50 =====================================
+    # ==== r11 window: positions 1-50 =====================================
     # -- new this round (never attested; front of window by policy) -------
-    "bpe_bytes_8k",
-    # -- output changed this round (MP3 duration/bitrate + Xing/Info
-    # -- policy; multi-IFD TIFF + VP8X-wrapped VP8L dims; BMP both DIB
-    # -- layouts + Ogg Vorbis across all four multimodal queries —
-    # -- mime_sniff promoted from the r9 window when its cycle grew,
-    # -- displacing twap into the r11 front) ------------------------------
-    "audio_meta", "image_meta", "media_catalog", "mime_sniff",
-    # -- the 34 r6-vintage queries (oldest rows; scheduled refresh) -------
-    "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
-    "quality_logit", "gram_novelty", "html_strip", "winnowing",
-    "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
-    "array_funcs", "map_funcs",
-    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
-    "drift_report", "weighted_sample_stratified", "rrf_fusion",
-    "contamination", "sequence_packing", "recursive_cte",
-    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
-    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
-    "basket_lift",
-    # -- front of the r7 window (11 — twap was displaced to the r11 front
-    # -- by the mime_sniff promotion; window ends here) -------------------
-    "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
-    "lm_perplexity_kn",
-    "near_dup_pairs_fast", "simhash_fast",
-    "setsim_join", "triangle_count",
-    "session_islands", "late_arrivals",
-    # ==== positions 51+: rest of the r7 window (r11 front) ===============
+    "bpe_encode_ids",
+    # -- output changed this round (r11: packs REAL byte-BPE token
+    # -- lengths under the bytes_512 table instead of whitespace
+    # -- proxies; the r10 row attests the old output) ----------------------
+    "sequence_packing",
+    # -- the 37 r7-vintage queries (oldest rows; scheduled refresh) -------
     "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
@@ -2504,12 +2484,17 @@ ATTESTATION_ORDER: list[str] = [
     "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
     "tpch_q20", "tpch_q21",
     "approx_distinct",
-    # ==== r8 window (freshest rows, green in CORRECTNESS_r08.json) =======
+    # -- front of the r8 window (13; window ends here) --------------------
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
     "curation_stream_eq", "gopher_rules",
     "dedup_exact", "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
-    "embedding_near_dup", "minhash_bands", "text_stats", "text_quality",
+    "embedding_near_dup",
+    # ==== positions 51+: rest of the r8 window (r12 front) ===============
+    # (minhash_bands and text_stats displaced from positions 49-50 by
+    # the bpe_encode_ids + sequence_packing promotions)
+    "minhash_bands", "text_stats",
+    "text_quality",
     "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
     "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
     "asof_lookup", "pct_change_24h", "lag_change", "daily_ohlc", "argmax",
@@ -2538,6 +2523,24 @@ ATTESTATION_ORDER: list[str] = [
     "curation_pipeline", "video_meta", "vocab_stats",
     "tokenize_count", "epoch_shuffle",
     "lang_id", "url_normalize",
+    # ==== r10 window (freshest rows, green in CORRECTNESS_r10.json) ======
+    "bpe_bytes_8k",
+    "audio_meta", "image_meta", "media_catalog", "mime_sniff",
+    "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
+    "quality_logit", "gram_novelty", "html_strip", "winnowing",
+    "doc_repetition", "dup_spans", "semdedup", "dsir_weights",
+    "array_funcs", "map_funcs",
+    "pagerank", "weighted_sample", "robust_stats", "cluster_profile",
+    "drift_report", "weighted_sample_stratified", "rrf_fusion",
+    "contamination", "recursive_cte",
+    "scd2", "asof_forward", "table_checksum", "outliers", "fuzzy_match",
+    "event_bigrams", "dau_wau", "running_balance", "audience_overlap",
+    "basket_lift",
+    "bpe_tokenize", "dup_extents", "dedup_cut_spans", "k_anonymity_summary",
+    "lm_perplexity_kn",
+    "near_dup_pairs_fast", "simhash_fast",
+    "setsim_join", "triangle_count",
+    "session_islands", "late_arrivals",
 ]
 
 

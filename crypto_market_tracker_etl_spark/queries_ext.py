@@ -2287,6 +2287,116 @@ GROUP BY wc.doc_id
 
 
 SQL_BPE_BYTES = _sql_bpe_bytes()
+
+
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[LLM curation] REAL token-ID sequences, not just counts (r10
+    verdict "What's missing #1"): byte-level BPE under the 8192-merge
+    production table, emitting each document's full ordered token-id
+    sequence. Ids are the standard byte-level convention re-derived by
+    BOTH engines from the shipped merge list (base byte chars → their
+    byte value, merge rank r's output → 256+r; functions/bpe.py::
+    vocab_ids) — this is what packing, contamination-by-token, and true
+    sequence lengths consume downstream.
+
+    Plan: posexplode keeps each pretoken's POSITION (the count queries'
+    wc grain deliberately forgets order; sequences can't), the ids
+    kernel (one ArrowEvalPython node, jump walk) runs on the
+    DISTINCT-PRETOKEN grain only, the w-keyed join carries the per-word
+    id arrays back to the positional grain, and one doc_id shuffle
+    rebuilds the document sequence via array_sort(collect_list(struct
+    (pos, ids))) → flatten. Emitted as a comma-joined string (the
+    [collect_sorted] comparator convention) plus n_tokens. Scale shape:
+    two shuffles (distinct-w, doc_id) + one w-keyed join — at 100 TB
+    the vt side is the corpus vocabulary, orders of magnitude smaller
+    than the token instance grain the join streams.
+
+    The DuckDB oracle replays the ENTIRE path independently: pretoken
+    regex in RE2, byte mapping re-derived in SQL, all 8192 merges as
+    chunked CTEs rebuilding the token STRING array, ids mapped through
+    a vocab VALUES table re-derived from the same merge list, sequences
+    reassembled by replayed positions — a full differential of
+    pretoken→bytes→merges→segmentation→ids→order. Same md5 salt as
+    [bpe_bytes_8k] (same rationale: the raw corpus vocabulary is closed
+    under the table; the salt keeps the walks non-degenerate), replayed
+    on both sides."""
+    from .functions.bpe import bpe_bytes_ids_kernel, load_merges, pretokens
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"), F.md5(F.col("text").cast("binary"))
+        ).alias("text"),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(pretokens(F.col("text"))).alias("pos", "w")
+    )
+    kernel = bpe_bytes_ids_kernel(load_merges("bytes_8192"))
+    vt = toks.select("w").distinct().select("w", kernel(F.col("w")).alias("ids"))
+    seq = (
+        toks.join(vt, "w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "ids"))).alias("seq"))
+        .select("doc_id", F.flatten(F.col("seq").getField("ids")).alias("flat"))
+    )
+    return seq.select(
+        "doc_id",
+        F.size(F.col("flat")).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(F.col("flat"), lambda x: x.cast("string")), ","
+        ).alias("token_ids"),
+    )
+
+
+@lru_cache(maxsize=1)
+def _sql_bpe_encode_ids() -> str:
+    """Deferred like the 8k count oracle (same 0.66 MB CTE chain +
+    vocab VALUES); see _sql_bpe_bytes_8k."""
+    from .functions.bpe import (
+        PRETOKEN_PATTERN,
+        byte_bpe_sql_ctes,
+        load_merges,
+        vocab_sql_values,
+    )
+
+    merges = load_merges("bytes_8192")
+    pat = PRETOKEN_PATTERN.replace("'", "''")
+    ctes = byte_bpe_sql_ctes(
+        "SELECT DISTINCT w FROM tok",
+        merges=merges,
+        merges_per_cte=16,
+        emit="string",
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{pat}')) AS w,
+         unnest(range(1, len(regexp_extract_all(text, '{pat}')) + 1)) AS pos
+  FROM (SELECT doc_id, text || ' ' || md5(text) AS text FROM documents)
+),
+{ctes},
+vocab(tok_s, id) AS (VALUES {vocab_sql_values(merges)}),
+tpos AS (
+  SELECT w, unnest(toks) AS t,
+         unnest(range(1, len(toks) + 1)) AS ti
+  FROM bpe_vt
+),
+wids AS (
+  SELECT w, list(v.id ORDER BY ti) AS ids
+  FROM tpos JOIN vocab v ON t = v.tok_s GROUP BY w
+),
+seq AS (
+  SELECT tok.doc_id, flatten(list(wids.ids ORDER BY tok.pos)) AS flat
+  FROM tok JOIN wids USING (w) GROUP BY tok.doc_id
+)
+SELECT doc_id,
+       CAST(len(flat) AS BIGINT) AS n_tokens,
+       array_to_string(list_transform(flat, x -> CAST(x AS VARCHAR)), ',')
+         AS token_ids
+FROM seq
+"""
+
+
 @lru_cache(maxsize=1)
 def _sql_bpe_bytes_8k() -> str:
     """Deferred (r10 review): the 8192-merge oracle is a 0.66 MB string
@@ -5767,6 +5877,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
     "bpe_tokenize_512": (q_bpe_tokenize_512, SQL_BPE_TOKENIZE_512),
     "bpe_bytes": (q_bpe_bytes, SQL_BPE_BYTES),
     "bpe_bytes_8k": (q_bpe_bytes_8k, _sql_bpe_bytes_8k),
+    "bpe_encode_ids": (q_bpe_encode_ids, _sql_bpe_encode_ids),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
