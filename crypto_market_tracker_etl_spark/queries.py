@@ -2468,10 +2468,13 @@ ATTESTATION_ORDER: list[str] = [
     # ==== r11 window: positions 1-50 =====================================
     # -- new this round (never attested; front of window by policy) -------
     "bpe_encode_ids",
-    # -- output changed this round (r11: packs REAL byte-BPE token
-    # -- lengths under the bytes_512 table instead of whitespace
-    # -- proxies; the r10 row attests the old output) ----------------------
-    "sequence_packing",
+    # -- output changed this round (sequence_packing: packs REAL
+    # -- byte-BPE token lengths under the bytes_512 table instead of
+    # -- whitespace proxies; audio_meta: Ogg duration from the last
+    # -- page's EOS granule via the bounded tail locate, class 8 now
+    # -- alternating header-slice/full-file; the r10 rows attest the
+    # -- old outputs) ------------------------------------------------------
+    "sequence_packing", "audio_meta",
     # -- the 37 r7-vintage queries (oldest rows; scheduled refresh) -------
     "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
@@ -2489,11 +2492,11 @@ ATTESTATION_ORDER: list[str] = [
     "curation_stream_eq", "gopher_rules",
     "dedup_exact", "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
-    "embedding_near_dup",
     # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (minhash_bands and text_stats displaced from positions 49-50 by
-    # the bpe_encode_ids + sequence_packing promotions)
-    "minhash_bands", "text_stats",
+    # (embedding_near_dup, minhash_bands and text_stats displaced from
+    # positions 48-50 by the bpe_encode_ids + sequence_packing +
+    # audio_meta promotions)
+    "embedding_near_dup", "minhash_bands", "text_stats",
     "text_quality",
     "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
     "ewma", "distinct_bitmap", "latest_per_key", "dim_join", "group_max",
@@ -2525,7 +2528,7 @@ ATTESTATION_ORDER: list[str] = [
     "lang_id", "url_normalize",
     # ==== r10 window (freshest rows, green in CORRECTNESS_r10.json) ======
     "bpe_bytes_8k",
-    "audio_meta", "image_meta", "media_catalog", "mime_sniff",
+    "image_meta", "media_catalog", "mime_sniff",
     "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
     "quality_logit", "gram_novelty", "html_strip", "winnowing",
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",

@@ -3971,6 +3971,7 @@ def _audio_payload_expr() -> F.Column:
         synth_flac,
         synth_mp3,
         synth_ogg,
+        synth_ogg_full,
         synth_png,
         synth_wav,
     )
@@ -4020,7 +4021,21 @@ def _audio_payload_expr() -> F.Column:
         )
         .when(
             m == 8,
-            synth_ogg(sr, ch, (F.lit(64) + (k * 7) % 256).cast("int")),
+            # r11: even k → the header-only slice (duration honestly
+            # NULL), odd k → a full tiny file whose EOS page carries the
+            # granule the tail locate reads — both honesty branches of
+            # the Ogg duration contract attested in one plan
+            F.when(
+                k % 2 == 0,
+                synth_ogg(sr, ch, (F.lit(64) + (k * 7) % 256).cast("int")),
+            ).otherwise(
+                synth_ogg_full(
+                    sr,
+                    ch,
+                    (F.lit(64) + (k * 7) % 256).cast("int"),
+                    (sr * (F.lit(5) + k % 20) + d % 1000).cast("long"),
+                )
+            ),
         )
         .otherwise(synth_wav(sr, ch, bits, frames))
     )
@@ -4053,9 +4068,11 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte estimate) — the bodiless 3/4 classes pin the
     shorter-than-one-frame honest NULL in the same plan; 8 → (r10) Ogg
     Vorbis — channels / sample rate / declared nominal bitrate from the
-    id header behind the one-hop page-segment offset, duration honestly
-    NULL (it lives in the LAST page's granule, which a header slice
-    cannot carry). r10 also
+    id header behind the one-hop page-segment offset; duration (r11)
+    alternates the contract's two honesty branches by k parity: even k
+    keeps the header-only slice (no EOS page anywhere → NULL), odd k is
+    a full tiny file whose EOS page carries the granule the bounded
+    tail locate reads (duration = granule·1000/sr). r10 also
     surfaces bitrate_kbps (WAV byte rate × 8; CBR MP3 header table —
     the "Info" half of class 7 included; honestly NULL for the Xing
     half, a VBR stream the nominal rate would misdescribe, and for
@@ -4111,7 +4128,8 @@ WITH p AS (
          100 + doc_id % 300 AS pad,
          20 + (doc_id * 13) % 80 AS nf,
          500 + (doc_id * 31) % 2000 AS xf,
-         64 + ((doc_id // 9) * 7) % 256 AS okbps
+         64 + ((doc_id // 9) * 7) % 256 AS okbps,
+         doc_id % 1000 AS osalt
   FROM documents
 ),
 q AS (
@@ -4131,12 +4149,15 @@ q AS (
   FROM p
 ),
 r AS (
-  SELECT *, (spf // 8 * kbps * 1000) // mp3_sr AS fs FROM q
+  SELECT *, (spf // 8 * kbps * 1000) // mp3_sr AS fs,
+         sr * (5 + k % 20) + osalt AS ogran
+  FROM q
 )
 SELECT doc_id,
        CAST(CASE m WHEN 2 THEN 42 WHEN 3 THEN 4 WHEN 4 THEN 14 + pad
             WHEN 5 THEN 29 WHEN 6 THEN nf * fs WHEN 7 THEN 16 + si
-            WHEN 8 THEN 58 ELSE 44 END AS INT) AS n_bytes,
+            WHEN 8 THEN CASE WHEN k % 2 = 0 THEN 58 ELSE 134 END
+            ELSE 44 END AS INT) AS n_bytes,
        CASE m WHEN 2 THEN 'audio/flac'
             WHEN 3 THEN 'audio/mpeg' WHEN 4 THEN 'audio/mpeg'
             WHEN 5 THEN 'application/octet-stream'
@@ -4155,6 +4176,7 @@ SELECT doc_id,
                  WHEN m = 2 THEN (ts36 * 1000) // sr
                  WHEN m = 6 THEN (nf * fs * 8) // kbps
                  WHEN m = 7 THEN (xf * spf * 1000) // mp3_sr
+                 WHEN m = 8 AND k % 2 = 1 THEN (ogran * 1000) // sr
             END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN m IN (0, 1) THEN (sr * (ch * bits // 8) * 8) // 1000
                  WHEN m IN (3, 4, 6) THEN kbps

@@ -379,6 +379,128 @@ def _py_ogg_vorbis(b: bytes):
     return (ch, sr, kbps)
 
 
+def _py_ogg_duration_ms(b: bytes):
+    """Independent pure-Python Ogg page WALK — not a tail scan: hops
+    page to page via the real lacing values (27-byte header + segment
+    table + summed segment lengths), tracking the granule of the page
+    that carries the EOS flag. Returns duration_ms from that granule
+    and the id header's sample rate, or None when the stream has no
+    well-formed EOS page (header-only slices, truncations). Because it
+    walks structurally, it also validates the SYNTH's page sizes — a
+    synth whose lacing doesn't match its body would break the walk."""
+    info = _py_ogg_vorbis(b)
+    if info is None or not info[1]:
+        return None
+    sr = info[1]
+    p, eos_granule = 0, None
+    while p + 27 <= len(b):
+        if b[p : p + 4] != b"OggS" or b[p + 4] != 0:
+            return None  # walk landed off a page boundary: malformed
+        import struct
+
+        typ = b[p + 5]
+        granule = struct.unpack("<q", b[p + 6 : p + 14])[0]
+        n_segs = b[p + 26]
+        seg_table = b[p + 27 : p + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            return None
+        if typ & 0x04:
+            eos_granule = granule
+        p += 27 + n_segs + sum(seg_table)
+    if p != len(b) or eos_granule is None or eos_granule <= 0:
+        return None
+    return eos_granule * 1000 // sr
+
+
+def test_ogg_full_file_duration(spark):
+    """r11 Ogg duration: a full synthesized Vorbis file (BOS id page +
+    middle audio page + EOS page) yields duration_ms from the LAST
+    page's granule; the Spark tail-locate must agree with the
+    independent pure-Python page WALKER on every payload, and the
+    header-only slice in the same plan stays honestly NULL."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        audio_meta,
+        synth_ogg,
+        synth_ogg_full,
+    )
+
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(22050), F.lit(44100), F.lit(48000)),
+        (F.col("id") % 4 + 1).cast("int"),
+    ).cast("int")
+    ch = (F.col("id") % 2 + 1).cast("int")
+    kbps = (F.lit(48) + F.col("id") * 13 % 400).cast("int")
+    gran = (sr * (F.lit(2) + F.col("id") % 17) + F.col("id") * 331 % 997).cast(
+        "long"
+    )
+    payload = F.when(
+        F.col("id") % 3 == 2, synth_ogg(sr, ch, kbps)
+    ).otherwise(synth_ogg_full(sr, ch, kbps, gran))
+    rows = (
+        spark.range(1, 40)
+        .select("id", payload.alias("ogg"))
+        .select("id", "ogg", audio_meta(F.col("ogg")).alias("m"))
+        .collect()
+    )
+    full = header_only = 0
+    for r in rows:
+        want = _py_ogg_duration_ms(bytes(r["ogg"]))
+        assert r["m"]["duration_ms"] == want, (r["id"], want)
+        assert r["m"]["mime_type"] == "audio/ogg"
+        if r["id"] % 3 == 2:
+            assert want is None
+            header_only += 1
+        else:
+            assert want is not None and want > 0
+            full += 1
+    assert full > 0 and header_only > 0
+
+
+def test_ogg_tail_guards_reject_fakes(spark):
+    """The tail locate trusts a granule only behind structural guards:
+    an appended data blob that SPELLS 'OggS' but has a nonzero version
+    byte, undefined type bits, a missing EOS flag, or an absurd granule
+    must leave duration NULL rather than misreport it — and must not
+    shadow anything (these candidates are LAST, so a weaker parser
+    would read them)."""
+    import struct
+
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        audio_meta,
+        synth_ogg,
+    )
+
+    def fake(ver, typ, granule):
+        return (
+            b"OggS" + bytes([ver, typ]) + struct.pack("<q", granule)
+            + b"\x01\x00\x00\x00" + b"\x03\x00\x00\x00"
+            + b"\x00\x00\x00\x00" + b"\x01\x05" + b"\x00" * 5
+        )
+
+    hdr_df = spark.range(1, 2).select(
+        synth_ogg(
+            F.lit(44100).cast("int"), F.lit(2).cast("int"),
+            F.lit(96).cast("int"),
+        ).alias("h")
+    )
+    hdr = bytes(hdr_df.collect()[0]["h"])
+    cases = [
+        (1, hdr + fake(1, 4, 44100)),  # bad version byte
+        (2, hdr + fake(0, 0x44, 44100)),  # undefined type bit
+        (3, hdr + fake(0, 0, 44100)),  # no EOS flag (plain data page)
+        (4, hdr + fake(0, 4, -1)),  # granule -1: "no packet ends here"
+        (5, hdr + fake(0, 4, 2**60)),  # absurd granule
+        (6, hdr + fake(0, 4, 44100)),  # control: this one IS trusted
+    ]
+    rows = (
+        spark.createDataFrame(cases, "id long, payload binary")
+        .select("id", audio_meta(F.col("payload")).alias("m"))
+        .collect()
+    )
+    got = {r["id"]: r["m"]["duration_ms"] for r in rows}
+    assert got == {1: None, 2: None, 3: None, 4: None, 5: None, 6: 1000}
+
+
 def test_ogg_vorbis_roundtrip(spark):
     """r10 Ogg Vorbis: channels / sample rate / declared nominal
     bitrate from the id header behind the one-hop page-segment offset;
