@@ -145,6 +145,20 @@ ITERATIVE = [
 
 RUNS = 3  # min-of-3 protocol (BENCH_BASELINE.md)
 
+# Multimodal payload parsers whose wall-seconds scale with the SYNTH
+# CORPUS BYTE VOLUME, not just parser cost (r10 ledger lesson: adding
+# payload classes grew image_meta +137% while per-byte cost stayed
+# flat). bench records each one's total payload megabytes so the ledger
+# can normalize: a mover whose seconds-per-byte is flat is corpus
+# growth, not a parser regression (tools/bench_diff.py bytes_norm).
+PAYLOAD_QUERIES = [
+    "audio_meta",
+    "image_meta",
+    "media_catalog",
+    "mime_sniff",
+    "video_meta",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -202,6 +216,20 @@ def main() -> None:
     for name in ITERATIVE:
         iterative[name], spreads[name] = time_query(spark, registry, name)
 
+    # payload byte volume (outside the timing loop — one cheap aggregate
+    # per multimodal query; every PAYLOAD_QUERY emits n_bytes)
+    payload_mb: dict[str, float] = {}
+    for name in PAYLOAD_QUERIES:
+        if name in timings or name in iterative:
+            from pyspark.sql import functions as F
+
+            row = (
+                registry[name](spark, SF_DIR)
+                .agg(F.sum("n_bytes").alias("b"))
+                .collect()[0]
+            )
+            payload_mb[name] = round((row["b"] or 0) / 1e6, 2)
+
     total = round(sum(timings.values()), 3)
     # stop FIRST: the JVM occasionally writes warnings (e.g. GCLocker) to
     # stdout, and an interleaved line after the JSON would break the
@@ -217,6 +245,7 @@ def main() -> None:
         "iterative": iterative,
         "iterative_total": round(sum(iterative.values()), 3),
         "spread_pct": spreads,
+        "payload_mb": payload_mb,
         "sf": sf_val,
     }
     try:

@@ -2472,9 +2472,11 @@ ATTESTATION_ORDER: list[str] = [
     # -- byte-BPE token lengths under the bytes_512 table instead of
     # -- whitespace proxies; audio_meta: Ogg duration from the last
     # -- page's EOS granule via the bounded tail locate, class 8 now
-    # -- alternating header-slice/full-file; the r10 rows attest the
-    # -- old outputs) ------------------------------------------------------
-    "sequence_packing", "audio_meta",
+    # -- alternating header-slice/full-file; image_meta: HEIF dims via
+    # -- the single-aggregate box DESCENT, every other HEIC/AVIF doc
+    # -- carrying the decoy-'ispe'-in-hdlr adversary; the r10 rows
+    # -- attest the old outputs) -------------------------------------------
+    "sequence_packing", "audio_meta", "image_meta",
     # -- the 37 r7-vintage queries (oldest rows; scheduled refresh) -------
     "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
@@ -2491,11 +2493,12 @@ ATTESTATION_ORDER: list[str] = [
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
     "curation_stream_eq", "gopher_rules",
     "dedup_exact", "near_dup_pairs",
-    "simhash", "cosine_topk", "knn_lsh",
+    "simhash", "cosine_topk",
     # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (embedding_near_dup, minhash_bands and text_stats displaced from
-    # positions 48-50 by the bpe_encode_ids + sequence_packing +
-    # audio_meta promotions)
+    # (knn_lsh, embedding_near_dup, minhash_bands and text_stats
+    # displaced from positions 47-50 by the bpe_encode_ids +
+    # sequence_packing + audio_meta + image_meta promotions)
+    "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats",
     "text_quality",
     "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",
@@ -2528,7 +2531,7 @@ ATTESTATION_ORDER: list[str] = [
     "lang_id", "url_normalize",
     # ==== r10 window (freshest rows, green in CORRECTNESS_r10.json) ======
     "bpe_bytes_8k",
-    "image_meta", "media_catalog", "mime_sniff",
+    "media_catalog", "mime_sniff",
     "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
     "quality_logit", "gram_novelty", "html_strip", "winnowing",
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",

@@ -3811,8 +3811,10 @@ def _image_payload_expr() -> F.Column:
 
     r10 classes 12/13: the HEIF family — genuine BMFF prefixes with a
     real meta → hdlr(pict) → iprp → ipco → ispe nesting, HEIC and AVIF
-    major brands, dims in the ispe box behind the meta-anchored
-    locate."""
+    major brands, dims in the ispe box. r11: every other doc of each
+    class carries the DECOY variant — a fake byte-aligned 'ispe' with
+    wrong dims planted in the hdlr name field — which the bounded box
+    DESCENT must hop over (the r10 anchored scan would read it)."""
     from .multimodal.binary import (
         synth_bmp,
         synth_gif,
@@ -3850,8 +3852,25 @@ def _image_payload_expr() -> F.Column:
         .when(m == 9, synth_webp_vp8x_wrapped(w + 1, h + 1, w, h))
         .when(m == 10, synth_bmp(w, h, top_down=(F.floor(d / 14) % 2 == 1)))
         .when(m == 11, synth_bmp(w, h, core=True))
-        .when(m == 12, synth_heic(F.lit("heic"), w, h))
-        .otherwise(synth_heic(F.lit("avif"), w, h))
+        # r11: every other HEIC/AVIF doc carries the DECOY — a fake
+        # byte-aligned 'ispe' pattern with wrong dims inside the hdlr
+        # name, between the meta header and the real property chain.
+        # The box descent must report the REAL dims on both variants;
+        # the r10 anchored scan would read the fakes (parity rides
+        # d//14: constant within a mod-14 class, varies across docs).
+        .when(
+            m == 12,
+            F.when(
+                F.floor(d / 14) % 2 == 1,
+                synth_heic(F.lit("heic"), w, h, decoy=True),
+            ).otherwise(synth_heic(F.lit("heic"), w, h)),
+        )
+        .otherwise(
+            F.when(
+                F.floor(d / 14) % 2 == 1,
+                synth_heic(F.lit("avif"), w, h, decoy=True),
+            ).otherwise(synth_heic(F.lit("avif"), w, h))
+        )
     )
 
 
@@ -3882,7 +3901,8 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     legacy CORE with unsigned LE16 dims at different offsets; 12/13 →
     (r10) the HEIF family — genuine BMFF with a real meta→iprp→ipco→
     ispe nesting under HEIC and AVIF major brands, dims from the ispe
-    box behind the meta-anchored locate); the
+    box via the r11 bounded box DESCENT, with every other doc carrying
+    the decoy-'ispe'-in-hdlr adversary the descent must hop over); the
     oracle knows the synthesis formula and checks the parse
     analytically — a differential test of the parser itself.
     Independent pure-Python parsers validate synth_jpeg, all the
@@ -3933,7 +3953,10 @@ SELECT doc_id,
             WHEN 3 THEN 30 WHEN 4 THEN 25 WHEN 5 THEN 30
             WHEN 8 THEN 68 WHEN 9 THEN 55
             WHEN 10 THEN 54 WHEN 11 THEN 26
-            WHEN 12 THEN 101 WHEN 13 THEN 101
+            WHEN 12 THEN CASE WHEN (doc_id // 14) % 2 = 1
+                              THEN 121 ELSE 101 END
+            WHEN 13 THEN CASE WHEN (doc_id // 14) % 2 = 1
+                              THEN 121 ELSE 101 END
             ELSE 38 END AS INT) AS n_bytes,
        CASE WHEN doc_id % 14 = 0 THEN 'image/png'
             WHEN doc_id % 14 = 1 THEN 'image/gif'

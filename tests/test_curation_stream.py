@@ -476,3 +476,33 @@ def test_curation_stream_compact_crash_injection(spark, tmp_path):
             # recovery left exactly one live dir, no residue
             assert os.path.isdir(path)
             assert not os.path.isdir(staged) and not os.path.isdir(old)
+
+
+def test_auto_compaction_policy_bounds_files_and_preserves_results(
+    spark, tmp_path
+):
+    """r11 auto-compaction: with a deliberately tiny file threshold the
+    stream must compact ITSELF mid-run (no operator call), keep the
+    store file count bounded (sawtooth, never monotone growth), and
+    leave clean() and the funnel EXACTLY equal to a never-compacted
+    twin — compaction is maintenance, not semantics."""
+    corpus = _corpus(spark)
+    auto = CurationStream(
+        spark, str(tmp_path / "auto"), auto_compact_files=24
+    )
+    manual = CurationStream(
+        spark, str(tmp_path / "manual"), auto_compact_files=None
+    )
+    peak = 0
+    for rem in (3, 2, 1, 0):
+        b = corpus.filter(F.col("doc_id") % 4 == rem)
+        auto.process_batch(b)
+        manual.process_batch(b)
+        peak = max(peak, auto._store_file_count())
+    assert auto.auto_compactions >= 1, "threshold never fired"
+    assert manual.auto_compactions == 0
+    # bounded: the post-run debt stays in the same order as one batch's
+    # worth of files; the never-compacted twin keeps all four batches'
+    assert auto._store_file_count() < manual._store_file_count()
+    assert _clean_ids(auto.clean()) == _clean_ids(manual.clean())
+    assert auto.funnel() == manual.funnel()

@@ -2767,6 +2767,50 @@ def test_heic_avif_ispe_roundtrip(spark):
         assert r["sc"] == "image/heic"  # router and parser agree
 
 
+def test_heic_decoy_ispe_defeated_by_descent(spark):
+    """r11 HEIF hardening: the decoy synth plants a byte-aligned fake
+    'ispe' pattern (with dims +9999) inside the hdlr NAME, between the
+    meta header and the real property chain — exactly where the r10
+    anchored byte scan looked first. The box descent must hop hdlr as
+    one sibling and report the REAL dims on every doc; the independent
+    pure-Python walker (which descends the true nesting) must agree —
+    and must ALSO be undeceived, proving the decoy is inside a box
+    body, not accidentally a well-formed sibling box."""
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        image_meta,
+        sniff_mime,
+        synth_heic,
+    )
+
+    w = (F.col("id") * 37 % 4096).cast("int") + 1
+    h = (F.col("id") * 11 % 4096).cast("int") + 1
+    rows = (
+        spark.range(1, 40)
+        .select(
+            "id",
+            synth_heic(F.lit("heic"), w, h, decoy=True).alias("hc"),
+            synth_heic(F.lit("avif"), w, h, decoy=True).alias("av"),
+        )
+        .select(
+            "id", "hc", "av",
+            image_meta(F.col("hc")).alias("mc"),
+            image_meta(F.col("av")).alias("ma"),
+            sniff_mime(F.col("hc")).alias("sc"),
+        )
+        .collect()
+    )
+    for r in rows:
+        w_, h_ = r["id"] * 37 % 4096 + 1, r["id"] * 11 % 4096 + 1
+        for m, p, mime in (("mc", "hc", "image/heic"), ("ma", "av", "image/avif")):
+            blob = bytes(r[p])
+            assert b"ispe" in blob[:81], "decoy missing from hdlr area"
+            assert (
+                r[m]["mime_type"], r[m]["width"], r[m]["height"]
+            ) == (mime, w_, h_), (m, r["id"], r[m])
+            assert _py_ispe_dims(blob) == (w_, h_), (p, r["id"])
+        assert r["sc"] == "image/heic"
+
+
 def test_heic_gate_and_malformed_never_error(spark):
     """The brand gate and the honest NULLs: a video-brand BMFF is NOT
     an image here (video_meta's territory — the catalog routes it);

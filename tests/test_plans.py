@@ -341,14 +341,18 @@ def test_contamination_corpus_never_shuffles_for_join(spark):
 
 def test_sequence_packing_single_window_pass(spark):
     s = plan_of(spark, "sequence_packing")
-    # pack assignment and the pack aggregate share the source partitioning:
-    # exactly one exchange of fact-derived rows (plus the documented
-    # CPU-spreading input repartition)
+    # r11 (real BPE token lengths): the tokenize stage adds the
+    # vocabulary-grain exchanges (w-keyed distinct + join, doc_id count
+    # aggregate) with the kernel as ONE Arrow node on the distinct-
+    # pretoken grain; pack assignment and the pack aggregate still share
+    # the source partitioning, and nothing range-partitions
     import re
 
     parts = set(re.findall(r"hashpartitioning\((\w+)", s))
-    assert parts <= {"source", "doc_id"}, parts
+    assert parts <= {"source", "doc_id", "w"}, parts
     assert "rangepartitioning" not in s
+    assert s.count(") ArrowEvalPython") == 1  # detail section: one node
+    assert "BatchEvalPython" not in s
 
 
 def test_knn_pq_adc_no_corpus_shuffle(spark):

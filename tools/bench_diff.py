@@ -84,14 +84,14 @@ def _load(path: str) -> dict:
             if not qs:
                 raise SystemExit(f"{path}: no per-query timings found")
             return {"queries": qs, "spread": spread, "path": path,
-                    "partial": True}
+                    "payload_mb": {}, "partial": True}
         d = d["parsed"]
     qs = dict(d.get("queries", {}))
     qs.update(d.get("iterative", {}))
     if not qs:
         raise SystemExit(f"{path}: no per-query timings found")
     return {"queries": qs, "spread": d.get("spread_pct", {}), "path": path,
-            "partial": partial}
+            "payload_mb": d.get("payload_mb", {}), "partial": partial}
 
 
 def _default_old() -> str:
@@ -132,6 +132,26 @@ def diff_record(old_path: str, new_path: str) -> dict:
     total_old = sum(old["queries"][q] for q in shared)
     total_new = sum(new["queries"][q] for q in shared)
 
+    # bytes-normalized throughput for the multimodal payload parsers
+    # (r10 verdict: wall-seconds conflate parser cost with synth corpus
+    # byte volume — a mover whose seconds-per-megabyte is flat is corpus
+    # growth, not a parser regression). Present only when BOTH records
+    # carry bench.py's payload_mb section for the query.
+    bytes_norm = {}
+    for q in shared:
+        mb_a = float(old["payload_mb"].get(q, 0.0))
+        mb_b = float(new["payload_mb"].get(q, 0.0))
+        if mb_a > 0 and mb_b > 0:
+            spgb_a = old["queries"][q] / mb_a * 1000  # sec per GB
+            spgb_b = new["queries"][q] / mb_b * 1000
+            bytes_norm[q] = {
+                "mb_old": round(mb_a, 2),
+                "mb_new": round(mb_b, 2),
+                "s_per_gb_old": round(spgb_a, 2),
+                "s_per_gb_new": round(spgb_b, 2),
+                "norm_move_pct": round((spgb_b - spgb_a) / spgb_a * 100, 1),
+            }
+
     movers = []
     for q in shared:
         a, b = old["queries"][q], new["queries"][q]
@@ -143,16 +163,21 @@ def diff_record(old_path: str, new_path: str) -> dict:
             REL_FLOOR_PCT,
         )
         if abs(rel) > tol and abs(delta) > ABS_FLOOR_SEC:
-            movers.append(
-                {
-                    "query": q,
-                    "old_s": round(a, 3),
-                    "new_s": round(b, 3),
-                    "delta_s": round(delta, 3),
-                    "move_pct": round(rel, 1),
-                    "tol_pct": round(tol, 1),
-                }
-            )
+            m = {
+                "query": q,
+                "old_s": round(a, 3),
+                "new_s": round(b, 3),
+                "delta_s": round(delta, 3),
+                "move_pct": round(rel, 1),
+                "tol_pct": round(tol, 1),
+            }
+            bn = bytes_norm.get(q)
+            if bn:
+                m["norm_move_pct"] = bn["norm_move_pct"]
+                # seconds moved past tolerance but seconds-per-byte did
+                # not: the payload corpus grew, the parser did not slow
+                m["corpus_growth"] = abs(bn["norm_move_pct"]) <= tol
+            movers.append(m)
     movers.sort(key=lambda m: -abs(m["move_pct"]))
     return {
         "old": old["path"],
@@ -169,6 +194,7 @@ def diff_record(old_path: str, new_path: str) -> dict:
         ),
         "removed": removed,
         "movers": movers,
+        **({"bytes_norm": bytes_norm} if bytes_norm else {}),
         **(
             {"partial": True}
             if old.get("partial") or new.get("partial")
@@ -194,14 +220,28 @@ def _print_prose(rec: dict) -> None:
     if not rec["movers"]:
         print("\nno movers past their recorded warm spread.")
         return
-    print("\n| query | old s | new s | delta | move | spread tol |")
-    print("|---|---|---|---|---|---|")
+    print("\n| query | old s | new s | delta | move | spread tol | note |")
+    print("|---|---|---|---|---|---|---|")
     for m in rec["movers"]:
+        note = ""
+        if "norm_move_pct" in m:
+            note = f"bytes-norm {m['norm_move_pct']:+.1f}%"
+            if m.get("corpus_growth"):
+                note += " (corpus growth)"
         print(
             f"| {m['query']} | {m['old_s']:.2f} | {m['new_s']:.2f} "
             f"| {m['delta_s']:+.2f} | {m['move_pct']:+.1f}% "
-            f"| {m['tol_pct']:.0f}% |"
+            f"| {m['tol_pct']:.0f}% | {note} |"
         )
+    bn = rec.get("bytes_norm")
+    if bn:
+        print("\npayload throughput (s/GB, bytes-normalized):")
+        for q, v in sorted(bn.items()):
+            print(
+                f"  {q}: {v['s_per_gb_old']:.2f} -> {v['s_per_gb_new']:.2f}"
+                f" s/GB ({v['norm_move_pct']:+.1f}%) over"
+                f" {v['mb_old']:.1f} -> {v['mb_new']:.1f} MB"
+            )
 
 
 def main() -> None:
