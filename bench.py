@@ -88,6 +88,8 @@ HEADLINE = [
     "audio_meta",
     "mime_sniff",
     "video_meta",
+    "image_ahash",
+    "ahash_near_dup",
     "epoch_shuffle",
     "vocab_stats",
     "tokenize_count",

@@ -2467,7 +2467,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
 ATTESTATION_ORDER: list[str] = [
     # ==== r11 window: positions 1-50 =====================================
     # -- new this round (never attested; front of window by policy) -------
-    "bpe_encode_ids",
+    "bpe_encode_ids", "image_ahash", "ahash_near_dup",
     # -- output changed this round (sequence_packing: packs REAL
     # -- byte-BPE token lengths under the bytes_512 table instead of
     # -- whitespace proxies; audio_meta: Ogg duration from the last
@@ -2493,12 +2493,11 @@ ATTESTATION_ORDER: list[str] = [
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
     "curation_stream_eq", "gopher_rules",
     "dedup_exact", "near_dup_pairs",
-    "simhash", "cosine_topk",
     # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (knn_lsh, embedding_near_dup, minhash_bands and text_stats
-    # displaced from positions 47-50 by the bpe_encode_ids +
-    # sequence_packing + audio_meta + image_meta promotions)
-    "knn_lsh",
+    # (simhash … text_stats displaced from positions 45-50 by the six
+    # r11 promotions: bpe_encode_ids, image_ahash, ahash_near_dup,
+    # sequence_packing, audio_meta, image_meta)
+    "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats",
     "text_quality",
     "text_fingerprint", "binary_meta", "stratified_sample", "simhash_pairs",

@@ -4210,6 +4210,260 @@ FROM r
 """
 
 
+# --------------------------------------------------------------- perceptual
+# Image near-dup via average hash (r11): the visual-modality member of
+# the dedup ladder (exact md5 → MinHash/SimHash text → embedding cosine
+# → NOW pixel-space perceptual hash). The decode step is the honest
+# codec boundary (multimodal/binary.py:65 — no image libraries in this
+# container), so the "decoded" 8×8 grayscale tile is a DETERMINISTIC
+# FAKE derived from doc_id — the Spark-side plumbing (binary payload,
+# byte extraction, hash arithmetic, banded pairing) is real and
+# oracle-replayed end to end.
+
+AHASH_MAX_BUCKET = 64  # deterministic hot-bucket cap (replayed by SQL)
+AHASH_HAM_MAX = 8  # verify threshold (64-bit hash; twins flip ≤3 bits)
+
+
+def _ahash_tile_expr() -> F.Column:
+    """64-byte synthesized 'decoded' 8×8 grayscale tile over
+    F.col('doc_id'): the bytes of md5(seed || '#' || block) for blocks
+    0–3 (4 × 16 bytes), with seed = doc_id — EXCEPT docs with
+    doc_id ≡ 1 (mod 7), which reuse the PREVIOUS doc's seed (a planted
+    visual near-twin) with pixels 1–3 brightened by +96 mod 256: the
+    2-3 bit perturbation (plus the small mean shift) a near-dup pass
+    must tolerate. md5 is the mix deliberately: earlier multiplicative
+    formulas left residue structure mod 256 that made unrelated docs
+    collide at Hamming ≤ 8 by the hundreds (measured — mod of a
+    product sees only the low byte); avalanche bytes make non-twin
+    collisions vanish (0 in a 2M-pair simulation) and BOTH engines
+    replay md5 identically (the bpe salt precedent). Built hex →
+    unhex: a real binary column, parsed back byte-by-byte by the hash
+    (the oracle recomputes the pixels from the same digests — the
+    multimodal differential pattern)."""
+    d = F.col("doc_id")
+    seed = F.when(d % 7 == 1, d - 1).otherwise(d)
+    hs = [
+        F.md5(F.concat(seed.cast("string"), F.lit(f"#{b}")).cast("binary"))
+        for b in range(4)
+    ]
+    pert = F.concat(
+        *[
+            F.lpad(
+                F.conv(
+                    (
+                        (F.conv(F.substring(hs[0], 2 * i - 1, 2), 16, 10) + 96)
+                        % 256
+                    ).cast("string"),
+                    10,
+                    16,
+                ),
+                2,
+                "0",
+            )
+            for i in (1, 2, 3)
+        ]
+    )
+    h0 = F.when(
+        d % 7 == 1, F.concat(pert, F.substring(hs[0], 7, 26))
+    ).otherwise(hs[0])
+    return F.unhex(F.concat(h0, hs[1], hs[2], hs[3]))
+
+
+def _ahash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, brightness, ahash_lo, ahash_hi) — the shared plan of
+    [image_ahash] and [ahash_near_dup]. Average hash: bit i set iff
+    pixel i exceeds the tile mean (compared as px·64 > sum — integer-
+    exact, no division); the 64 bits split into two NON-NEGATIVE 32-bit
+    halves (lo = pixels 1–32, hi = 33–64) so the values port across
+    engines without sign games. Shape: zero-shuffle projection — the
+    tile synth, the byte unpack (one transform lambda), the sum and
+    both bit folds are all expressions; pxs and s are STAGED columns
+    (alias barriers) so the HOF trees run once per row."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    staged = docs.select("doc_id", _ahash_tile_expr().alias("payload"))
+    pxs = F.expr(
+        "transform(sequence(1, 64),"
+        " i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) AS bigint))"
+    )
+    st2 = staged.select("doc_id", pxs.alias("pxs"))
+    st3 = st2.select(
+        "doc_id", "pxs",
+        F.expr("aggregate(pxs, 0L, (a, x) -> a + x)").alias("s"),
+    )
+
+    def fold(base: int) -> F.Column:
+        return F.expr(
+            "aggregate(transform(sequence(0, 31),"
+            f" j -> if(element_at(pxs, j + {base + 1}) * 64 > s,"
+            " shiftleft(1L, cast(j AS int)), 0L)), 0L, (a, x) -> a + x)"
+        )
+
+    return st3.select(
+        "doc_id",
+        F.floor(F.col("s") / 64).cast("int").alias("brightness"),
+        fold(0).alias("ahash_lo"),
+        fold(32).alias("ahash_hi"),
+    )
+
+
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal dedup] Per-image perceptual AVERAGE HASH (aHash) over
+    the decoded-tile column: the 64-bit visual fingerprint image-dedup
+    pipelines bucket on (pHash/aHash/dHash family — aHash is the
+    portable member: mean + threshold, no DCT, integer-exact across
+    engines). Emits (doc_id, brightness, ahash_lo, ahash_hi). The
+    DuckDB oracle recomputes the pixels from the synthesis formula and
+    replays sum → threshold → bit folds — a full differential of the
+    hash arithmetic. Scale: zero-shuffle, scan-speed; the decode stub
+    is the documented codec boundary."""
+    return _ahash_df(spark, sf_dir)
+
+
+SQL_AHASH_CORE = """
+hh AS (
+  SELECT doc_id,
+         md5(CAST(CASE WHEN doc_id % 7 = 1 THEN doc_id - 1 ELSE doc_id END
+                  AS VARCHAR) || '#0')
+         || md5(CAST(CASE WHEN doc_id % 7 = 1 THEN doc_id - 1 ELSE doc_id
+                     END AS VARCHAR) || '#1')
+         || md5(CAST(CASE WHEN doc_id % 7 = 1 THEN doc_id - 1 ELSE doc_id
+                     END AS VARCHAR) || '#2')
+         || md5(CAST(CASE WHEN doc_id % 7 = 1 THEN doc_id - 1 ELSE doc_id
+                     END AS VARCHAR) || '#3') AS hx
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range(1, 65), i -> (
+           (strpos('0123456789abcdef',
+                   substr(hx, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef',
+                     substr(hx, CAST(2 * i AS INT), 1)) - 1)
+           + CASE WHEN doc_id % 7 = 1 AND i <= 3 THEN 96 ELSE 0 END
+         ) % 256) AS pxs
+  FROM hh
+),
+ps AS (
+  SELECT doc_id, pxs,
+         CAST(list_aggregate(pxs, 'sum') AS BIGINT) AS s
+  FROM px
+),
+ah AS (
+  SELECT doc_id,
+         CAST(s // 64 AS INT) AS brightness,
+         CAST(list_aggregate(list_transform(range(0, 32),
+           j -> CASE WHEN pxs[CAST(j + 1 AS INT)] * 64 > s
+                     THEN 1::BIGINT << CAST(j AS INT) ELSE 0::BIGINT END),
+           'sum') AS BIGINT) AS ahash_lo,
+         CAST(list_aggregate(list_transform(range(0, 32),
+           j -> CASE WHEN pxs[CAST(j + 33 AS INT)] * 64 > s
+                     THEN 1::BIGINT << CAST(j AS INT) ELSE 0::BIGINT END),
+           'sum') AS BIGINT) AS ahash_hi
+  FROM ps
+)
+"""
+
+SQL_IMAGE_AHASH = f"""
+WITH {SQL_AHASH_CORE}
+SELECT doc_id, brightness, ahash_lo, ahash_hi FROM ah
+"""
+
+
+def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal dedup] Visual near-duplicate PAIRS via banded LSH
+    over the aHash: the 64-bit hash splits into 4 × 16-bit bands; docs
+    sharing any band value become candidates (bucket join — never an
+    all-pairs product, the MinHash/SimHash discipline), hot buckets
+    capped DETERMINISTICALLY at AHASH_MAX_BUCKET members (count ≤ cap —
+    replayable in SQL, unlike a sampled cap), and candidates verified
+    by exact Hamming distance ≤ AHASH_HAM_MAX (xor + bit_count on both
+    halves). The planted twins (doc_id ≡ 1 mod 7 reusing the previous
+    doc's tile with 3 pixels brightened) flip only low-half bits, so
+    bands 2–4 stay identical — every twin must surface as a verified
+    pair with hamming ≤ 3. Scale: one explode (4 rows/doc), one
+    band-keyed shuffle, verify on the candidate sliver; at 100 TB the
+    cap bounds any degenerate bucket (an all-black corpus) the way
+    simhash_fast's cap does, and the threshold/band trade is the
+    standard r-band s-curve."""
+    ah = _ahash_df(spark, sf_dir)
+    lo, hi = F.col("ahash_lo"), F.col("ahash_hi")
+    bands = ah.select(
+        "doc_id", "ahash_lo", "ahash_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("idx"), (lo % 65536).alias("val")),
+                F.struct(
+                    F.lit(1).alias("idx"),
+                    F.shiftright(lo, 16).alias("val"),
+                ),
+                F.struct(F.lit(2).alias("idx"), (hi % 65536).alias("val")),
+                F.struct(
+                    F.lit(3).alias("idx"),
+                    F.shiftright(hi, 16).alias("val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "ahash_lo", "ahash_hi", "b.idx", "b.val")
+    ok = (
+        bands.groupBy("idx", "val")
+        .count()
+        .filter(F.col("count") <= AHASH_MAX_BUCKET)
+        .select("idx", "val")
+    )
+    capped = bands.join(ok, ["idx", "val"], "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(
+                    F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
+                )
+                + F.bit_count(
+                    F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
+                )
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= AHASH_HAM_MAX)
+
+
+SQL_AHASH_NEAR_DUP = f"""
+WITH {SQL_AHASH_CORE},
+bands AS (
+  SELECT doc_id, ahash_lo, ahash_hi, u.idx,
+         CASE u.idx WHEN 0 THEN ahash_lo % 65536
+                    WHEN 1 THEN ahash_lo >> 16
+                    WHEN 2 THEN ahash_hi % 65536
+                    ELSE ahash_hi >> 16 END AS val
+  FROM ah, (SELECT unnest(range(0, 4)) AS idx) u
+),
+ok AS (
+  SELECT idx, val FROM bands GROUP BY idx, val
+  HAVING count(*) <= {AHASH_MAX_BUCKET}
+),
+capped AS (
+  SELECT b.* FROM bands b JOIN ok USING (idx, val)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+            + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT) AS hamming
+FROM capped a
+JOIN capped b
+  ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+      + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= {AHASH_HAM_MAX}
+"""
+
+
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[multimodal] Magic-byte MIME routing over a mixed binary column —
     the ingestion fan-out that decides which decode pipeline (image /
@@ -5910,6 +6164,8 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
     "image_meta": (q_image_meta, SQL_IMAGE_META),
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
+    "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
+    "ahash_near_dup": (q_ahash_near_dup, SQL_AHASH_NEAR_DUP),
     "video_meta": (q_video_meta, SQL_VIDEO_META),
     "media_catalog": (q_media_catalog, SQL_MEDIA_CATALOG),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

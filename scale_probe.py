@@ -1909,6 +1909,86 @@ def probe_r10(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_r11(spark) -> None:
+    """r11 auto-compaction policy at 25 batches / 2.5M docs: the r10
+    growth probe compacted MANUALLY at batches 13/25; this run sets a
+    file-count trigger (auto_compact_files=700 — the measured accrual
+    is ~64 corpus+sigs files per 100k-doc batch at this parallelism,
+    so the policy should fire roughly every 10-11 batches) and makes NO
+    compact() calls at all. Claims to pin: (a) the stream compacts
+    ITSELF ≥2 times, (b) the corpus+sigs file count is a bounded
+    sawtooth, never monotone growth, (c) ingest stays flat in batch
+    count with the policy's overhead amortized, (d) clean() at the end
+    returns the planted survivor structure (same generator as the r10
+    probe — ~2% cross-batch exact dups + near-dup neighbours)."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.plans.curation_stream import (
+        CurationStream,
+    )
+
+    def batch_docs(b: int, n: int):
+        # same planted structure as probe_r10 (see its comment for why
+        # the copy targets slot id+1 in batch b-1)
+        base = F.col("id") + b * n
+        prev_text_seed = F.when(
+            (F.col("id") % 53 == 0) & (F.lit(b) > 0), base - n + 1
+        ).otherwise(base)
+        return spark.range(n).select(
+            base.alias("doc_id"),
+            F.concat(F.lit("src"), (base % 5).cast("string")).alias("source"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"w{j}_"),
+                        (
+                            (prev_text_seed / 2).cast("long") * 131 + j * 17
+                        ).cast("string"),
+                    )
+                    if j < 28
+                    else F.concat(
+                        F.lit(f"u{j}_"),
+                        (prev_text_seed * 7 + j).cast("string"),
+                    )
+                    for j in range(30)
+                ],
+            ).alias("text"),
+        ).repartition(32)
+
+    root = tempfile.mkdtemp(prefix="cur_auto_")
+    n_batches, per_batch = 25, 100_000
+    try:
+        cur = CurationStream(
+            spark, os.path.join(root, "store"), auto_compact_files=700
+        )
+        peak = 0
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            res = cur.process_batch(batch_docs(b, per_batch), batch_id=b)
+            t_b = time.perf_counter() - t0
+            files = cur._store_file_count()
+            peak = max(peak, files)
+            print(
+                f"batch {b + 1:>2}/{n_batches}: ingest={t_b:.1f}s"
+                f" files={files}"
+                + (" [auto-compacted]" if res.get("compacted") else ""),
+                flush=True,
+            )
+        t0 = time.perf_counter()
+        surv = cur.clean().count()
+        print(
+            f"auto_compactions={cur.auto_compactions} peak_files={peak}"
+            f" end_files={cur._store_file_count()}"
+            f" clean={time.perf_counter() - t0:.1f}s"
+            f" survivors={surv / 1e6:.2f}M",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_r9(spark) -> None:
     """r9 additions at generated scale: byte-level BPE over GPT-2-class
     pretokens (the distinct-PRETOKEN grain is larger than the r8
@@ -2195,6 +2275,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_BPE8K"):
         probe_bpe8k(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_R11"):
+        probe_r11(spark)
         spark.stop()
         return
     rows = []

@@ -718,6 +718,59 @@ def test_audio_meta_expression_only_zero_shuffle(spark):
     assert s.count(") Project") == 3
 
 
+def test_image_ahash_expression_only_zero_shuffle(spark):
+    """The perceptual hash is pure expressions over the tile payload —
+    tile synth, byte unpack, sum and both bit folds — with pxs and s
+    STAGED as columns (HOFs are exempt from subexpression elimination,
+    the audio_meta lesson): no join, no explode, no aggregate exchange,
+    no Python; visual fingerprinting at scan speed."""
+    s = plan_of(spark, "image_ahash")
+    assert "Join" not in s
+    assert "Generate" not in s
+    assert s.count(") Exchange") <= 1
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_ahash_near_dup_banded_join_never_all_pairs(spark):
+    """Visual near-dup pairing is the banded-LSH shape: one Generate
+    (the 4-band explode), the band-keyed bucket join, never a
+    cartesian/nested-loop product, and no Python — the
+    MinHash/SimHash discipline on the visual modality."""
+    s = plan_of(spark, "ahash_near_dup")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    # the 4-band explode textualizes once per reference (cap semi-join +
+    # both self-join sides + probe) — the lsh_candidate_pairs house
+    # shape; the tile synth feeding it is pure expressions either way
+    assert 1 <= s.count(") Generate") <= 4
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_ahash_near_dup_recall_on_planted_twins(spark):
+    """Every planted visual twin (doc_id ≡ 1 mod 7 reusing the previous
+    doc's tile with 3 pixels brightened) must surface as a verified
+    pair — the perturbation flips only low-half bits, so bands 3-4
+    stay identical and the candidate is guaranteed — and NOTHING else
+    may pair (md5 avalanche tiles: measured zero non-twin collisions
+    at 2M simulated pairs)."""
+    from crypto_market_tracker_etl_spark.queries_ext import q_ahash_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in q_ahash_near_dup(spark, sf).collect()
+    }
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    want = {(d - 1, d) for d in docs if d % 7 == 1 and d - 1 in docs}
+    assert set(got) == want
+    assert all(0 <= h <= 8 for h in got.values())
+
+
 def test_mime_sniff_expression_only_zero_shuffle(spark):
     """Magic-byte MIME routing is one codegen'd projection -- the
     signature dispatch is a CASE chain over byte slices, so the
