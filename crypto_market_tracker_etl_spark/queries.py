@@ -2467,7 +2467,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
 ATTESTATION_ORDER: list[str] = [
     # ==== r11 window: positions 1-50 =====================================
     # -- new this round (never attested; front of window by policy) -------
-    "bpe_encode_ids", "image_ahash", "ahash_near_dup",
+    "bpe_encode_ids", "contamination_ids", "image_ahash", "ahash_near_dup",
     # -- output changed this round (sequence_packing: packs REAL
     # -- byte-BPE token lengths under the bytes_512 table instead of
     # -- whitespace proxies; audio_meta: Ogg duration from the last
@@ -2492,11 +2492,13 @@ ATTESTATION_ORDER: list[str] = [
     # -- front of the r8 window (13; window ends here) --------------------
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
     "curation_stream_eq", "gopher_rules",
-    "dedup_exact", "near_dup_pairs",
+    "dedup_exact",
     # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (simhash … text_stats displaced from positions 45-50 by the six
-    # r11 promotions: bpe_encode_ids, image_ahash, ahash_near_dup,
-    # sequence_packing, audio_meta, image_meta)
+    # (near_dup_pairs … text_stats displaced from positions 44-50 by the
+    # seven r11 promotions: bpe_encode_ids, contamination_ids,
+    # image_ahash, ahash_near_dup, sequence_packing, audio_meta,
+    # image_meta)
+    "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats",
     "text_quality",

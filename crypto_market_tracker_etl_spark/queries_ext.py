@@ -2320,26 +2320,7 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     [bpe_bytes_8k] (same rationale: the raw corpus vocabulary is closed
     under the table; the salt keeps the walks non-degenerate), replayed
     on both sides."""
-    from .functions.bpe import bpe_bytes_ids_kernel, load_merges, pretokens
-
-    docs = _documents(spark, sf_dir).select(
-        "doc_id",
-        F.concat_ws(
-            " ", F.col("text"), F.md5(F.col("text").cast("binary"))
-        ).alias("text"),
-    )
-    toks = docs.select(
-        "doc_id", F.posexplode(pretokens(F.col("text"))).alias("pos", "w")
-    )
-    kernel = bpe_bytes_ids_kernel(load_merges("bytes_8192"))
-    vt = toks.select("w").distinct().select("w", kernel(F.col("w")).alias("ids"))
-    seq = (
-        toks.join(vt, "w")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "ids"))).alias("seq"))
-        .select("doc_id", F.flatten(F.col("seq").getField("ids")).alias("flat"))
-    )
-    return seq.select(
+    return _bpe_ids_df(spark, sf_dir, "bytes_8192", salt=True).select(
         "doc_id",
         F.size(F.col("flat")).cast("long").alias("n_tokens"),
         F.array_join(
@@ -2348,10 +2329,42 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@lru_cache(maxsize=1)
-def _sql_bpe_encode_ids() -> str:
-    """Deferred like the 8k count oracle (same 0.66 MB CTE chain +
-    vocab VALUES); see _sql_bpe_bytes_8k."""
+def _bpe_ids_df(
+    spark: SparkSession, sf_dir: str, table: str, salt: bool = False
+) -> DataFrame:
+    """(doc_id, flat array<int>) — each document's ordered byte-BPE
+    token-ID sequence under ``table``; the shared plan of
+    [bpe_encode_ids] (8192, salted) and [contamination_ids] (512,
+    unsalted — contamination must see the real document)."""
+    from .functions.bpe import bpe_bytes_ids_kernel, load_merges, pretokens
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    if salt:
+        docs = docs.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("text"), F.md5(F.col("text").cast("binary"))
+            ).alias("text"),
+        )
+    toks = docs.select(
+        "doc_id", F.posexplode(pretokens(F.col("text"))).alias("pos", "w")
+    )
+    kernel = bpe_bytes_ids_kernel(load_merges(table))
+    vt = toks.select("w").distinct().select("w", kernel(F.col("w")).alias("ids"))
+    return (
+        toks.join(vt, "w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "ids"))).alias("seq"))
+        .select("doc_id", F.flatten(F.col("seq").getField("ids")).alias("flat"))
+    )
+
+
+def _sql_bpe_ids_core(table: str, merges_per_cte: int, salt: bool) -> str:
+    """CTE chain rebuilding every doc's ordered token-ID LIST in DuckDB
+    (ends with ``seq(doc_id, flat)``): pretokenize with positions →
+    byte-map + full merge replay (chunked CTEs) keeping the token
+    STRING array → vocab VALUES re-derived from the same merge list →
+    per-word id lists → positional reassembly."""
     from .functions.bpe import (
         PRETOKEN_PATTERN,
         byte_bpe_sql_ctes,
@@ -2359,20 +2372,24 @@ def _sql_bpe_encode_ids() -> str:
         vocab_sql_values,
     )
 
-    merges = load_merges("bytes_8192")
+    merges = load_merges(table)
     pat = PRETOKEN_PATTERN.replace("'", "''")
     ctes = byte_bpe_sql_ctes(
         "SELECT DISTINCT w FROM tok",
         merges=merges,
-        merges_per_cte=16,
+        merges_per_cte=merges_per_cte,
         emit="string",
     )
-    return f"""
-WITH tok AS (
+    src = (
+        "(SELECT doc_id, text || ' ' || md5(text) AS text FROM documents)"
+        if salt
+        else "documents"
+    )
+    return f"""tok AS (
   SELECT doc_id,
          unnest(regexp_extract_all(text, '{pat}')) AS w,
          unnest(range(1, len(regexp_extract_all(text, '{pat}')) + 1)) AS pos
-  FROM (SELECT doc_id, text || ' ' || md5(text) AS text FROM documents)
+  FROM {src}
 ),
 {ctes},
 vocab(tok_s, id) AS (VALUES {vocab_sql_values(merges)}),
@@ -2388,12 +2405,100 @@ wids AS (
 seq AS (
   SELECT tok.doc_id, flatten(list(wids.ids ORDER BY tok.pos)) AS flat
   FROM tok JOIN wids USING (w) GROUP BY tok.doc_id
-)
+)"""
+
+
+@lru_cache(maxsize=1)
+def _sql_bpe_encode_ids() -> str:
+    """Deferred like the 8k count oracle (same 0.66 MB CTE chain +
+    vocab VALUES); see _sql_bpe_bytes_8k."""
+    return f"""
+WITH {_sql_bpe_ids_core("bytes_8192", 16, salt=True)}
 SELECT doc_id,
        CAST(len(flat) AS BIGINT) AS n_tokens,
        array_to_string(list_transform(flat, x -> CAST(x AS VARCHAR)), ',')
          AS token_ids
 FROM seq
+"""
+
+
+CONTAM_IDS_NGRAM = 6  # token-ID shingle width
+CONTAM_IDS_EVAL_MOD = 29  # eval split: doc_id % 29 == 0
+
+
+def q_contamination_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation extension] Contamination BY TOKEN IDS — the scan at
+    the granularity the model actually trains on (the r10 verdict's
+    stated use for [bpe_encode_ids]): training docs sharing ≥2 distinct
+    6-token-ID shingles with any eval-set doc (deterministic
+    doc_id % 29 == 0 — broader than [contamination]'s % 97 split
+    because token-ID runs are STRICTER than word shingles: byte-level
+    ids are case- and punctuation-exact, so the probe corpus needs a
+    bigger eval slice for the flagged set to be non-degenerate —
+    measured: the % 97 slice shares no 6-id run at sf0.01) are flagged
+    with the eval doc and the shared-shingle count. Token-level
+    matching is robust where word-level shingles miss (whitespace
+    variants tokenize identically) and strict where they over-match
+    (shared words, different subword runs). IDs come from the
+    bytes_512 table UNSALTED — contamination must see the real
+    document.
+
+    Scale shape: the ID sequences reuse the [bpe_encode_ids] plan
+    (kernel on the distinct-pretoken grain); shingling is one
+    transform lambda over each doc's array (no token-instance
+    explode until the shingle stream); the eval side is a sliver and
+    BROADCASTS into the exploded train stream (swap for a shingle-hash
+    shuffle join at a 100 TB corpus — same shape). The DuckDB oracle
+    replays the ENTIRE stack: merges, vocab, sequence reassembly, list
+    slicing into shingles, the split, and the ≥2 threshold."""
+    ids = _bpe_ids_df(spark, sf_dir, "bytes_512", salt=False)
+    n = CONTAM_IDS_NGRAM
+    sh = ids.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(flat) - {n - 1}, 0)),"
+                f" i -> array_join(transform(slice(flat, i, {n}),"
+                " x -> cast(x AS string)), ','))"
+            )
+        ).alias("shingle"),
+    )
+    ev = sh.filter(F.col("doc_id") % CONTAM_IDS_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    return (
+        sh.filter(F.col("doc_id") % CONTAM_IDS_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "shingle")
+        .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+@lru_cache(maxsize=1)
+def _sql_contamination_ids() -> str:
+    n = CONTAM_IDS_NGRAM
+    m = CONTAM_IDS_EVAL_MOD
+    return f"""
+WITH {_sql_bpe_ids_core("bytes_512", 16, salt=False)},
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(flat) - {n - 1}, 0) + 1),
+           i -> array_to_string(list_transform(
+                  flat[CAST(i AS INT):CAST(i + {n - 1} AS INT)],
+                  x -> CAST(x AS VARCHAR)), ','))) AS shingle
+  FROM seq
+),
+ev AS (
+  SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % {m} = 0
+)
+SELECT t.doc_id AS train_id, ev.eval_id,
+       count(DISTINCT t.shingle) AS n_shared
+FROM sh t JOIN ev ON t.shingle = ev.shingle
+WHERE t.doc_id % {m} <> 0
+GROUP BY 1, 2
+HAVING count(DISTINCT t.shingle) >= 2
 """
 
 
@@ -6179,6 +6284,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
     "bpe_bytes": (q_bpe_bytes, SQL_BPE_BYTES),
     "bpe_bytes_8k": (q_bpe_bytes_8k, _sql_bpe_bytes_8k),
     "bpe_encode_ids": (q_bpe_encode_ids, _sql_bpe_encode_ids),
+    "contamination_ids": (q_contamination_ids, _sql_contamination_ids),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),

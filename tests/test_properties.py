@@ -1021,3 +1021,33 @@ def test_bpe_vocab_ids_conventions():
     assert vocab["xy"] == 256  # rank 0, not the rank-2 duplicate
     assert vocab["ab"] == 257
     assert len(vocab) == 258
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word=st.text(alphabet=_PRETOK_ALPHABET + "Ã©Ġ", min_size=0, max_size=24)
+)
+def test_bpe_ids_decode_roundtrip(word):
+    """Token IDs are LOSSLESS: decoding the id sequence through the
+    inverted vocab reconstructs the byte-encoded pretoken exactly.
+    Duplicate-output merges don't break this — the duplicated STRING is
+    identical, so whichever id represents it decodes to the same
+    symbol. This is what makes [bpe_encode_ids] sequences usable for
+    packing and contamination-by-token: nothing is thrown away."""
+    from crypto_market_tracker_etl_spark.functions.bpe import (
+        _kernel_table,
+        byte_encode_py,
+        kernel_encode_tokens,
+        load_merges,
+        vocab_ids,
+    )
+
+    merges = load_merges("bytes_8192")
+    vocab = vocab_ids(merges)
+    inv = {}
+    for t, i in vocab.items():
+        inv.setdefault(i, t)
+    enc = byte_encode_py(word)
+    toks = kernel_encode_tokens(enc, _kernel_table(merges))
+    ids = [vocab[t] for t in toks]
+    assert "".join(inv[i] for i in ids) == enc, (word, toks, ids)
