@@ -1989,6 +1989,49 @@ def probe_r11(spark) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_r11b(spark) -> None:
+    """r11 additions at generated scale: token-ID SEQUENCES under the
+    8192-merge table (the count query's worst-case grain PLUS the
+    positional join and the per-doc array_sort/flatten reassembly —
+    the new heaviest stage), token-ID contamination (bytes_512
+    sequences + the shingle stream), and the perceptual-hash pair
+    (zero-shuffle hash; banded bucket join). 200k and 1M docs, same
+    synth corpus as probe_r9."""
+    import shutil
+    import tempfile
+
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_ahash_near_dup,
+        q_bpe_encode_ids,
+        q_contamination_ids,
+        q_image_ahash,
+    )
+
+    base = tempfile.mkdtemp(prefix="scale_r11b_")
+    try:
+        for n in (200_000, 1_000_000):
+            docs = synth_long_docs(spark, n, words=80).select(
+                "doc_id", "text", F.lit("s").alias("source")
+            )
+            sf = os.path.join(base, f"n{n}")
+            docs.write.mode("overwrite").parquet(
+                os.path.join(sf, "documents.parquet")
+            )
+            for name, fn in (
+                ("image_ahash", q_image_ahash),
+                ("ahash_near_dup", q_ahash_near_dup),
+                ("contamination_ids", q_contamination_ids),
+                ("bpe_encode_ids", q_bpe_encode_ids),
+            ):
+                t = force(fn(spark, sf))
+                print(
+                    f"{name} n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
+                    flush=True,
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def probe_r9(spark) -> None:
     """r9 additions at generated scale: byte-level BPE over GPT-2-class
     pretokens (the distinct-PRETOKEN grain is larger than the r8
@@ -2279,6 +2322,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_R11"):
         probe_r11(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_R11B"):
+        probe_r11b(spark)
         spark.stop()
         return
     rows = []
