@@ -4489,26 +4489,57 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-keyed shuffle, verify on the candidate sliver; at 100 TB the
     cap bounds any degenerate bucket (an all-black corpus) the way
     simhash_fast's cap does, and the threshold/band trade is the
-    standard r-band s-curve."""
+    standard r-band s-curve.
+
+    The band table is PERSISTED before the three consumers (bucket
+    count, both self-join sides) — the hash is an interpreted HOF
+    stack the optimizer happily re-plants per branch, measured 248 s
+    unpersisted vs 8.8 s persisted at 200k docs (the near_dup_pairs /
+    contamination persist rationale); the (small) pair result is
+    materialized eagerly via localCheckpoint and the cache released
+    before returning (the q_contamination cache-scope discipline; the
+    lazy plan lives in ahash_near_dup_lazy for the plan-shape test)."""
+    cand, bands = ahash_near_dup_lazy(spark, sf_dir)
+    try:
+        return cand.localCheckpoint(eager=True)
+    finally:
+        bands.unpersist()
+
+
+def ahash_near_dup_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy pairing plan: returns (pairs, bands) where ``bands`` is
+    the persisted band table all three join branches consume — the
+    caller must unpersist it once ``pairs`` is materialized
+    (q_ahash_near_dup does; so must any other consumer)."""
     ah = _ahash_df(spark, sf_dir)
     lo, hi = F.col("ahash_lo"), F.col("ahash_hi")
-    bands = ah.select(
-        "doc_id", "ahash_lo", "ahash_hi",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("idx"), (lo % 65536).alias("val")),
-                F.struct(
-                    F.lit(1).alias("idx"),
-                    F.shiftright(lo, 16).alias("val"),
-                ),
-                F.struct(F.lit(2).alias("idx"), (hi % 65536).alias("val")),
-                F.struct(
-                    F.lit(3).alias("idx"),
-                    F.shiftright(hi, 16).alias("val"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "ahash_lo", "ahash_hi", "b.idx", "b.val")
+    bands = (
+        ah.select(
+            "doc_id", "ahash_lo", "ahash_hi",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("idx"), (lo % 65536).alias("val")
+                    ),
+                    F.struct(
+                        F.lit(1).alias("idx"),
+                        F.shiftright(lo, 16).alias("val"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("idx"), (hi % 65536).alias("val")
+                    ),
+                    F.struct(
+                        F.lit(3).alias("idx"),
+                        F.shiftright(hi, 16).alias("val"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "ahash_lo", "ahash_hi", "b.idx", "b.val")
+        .persist()
+    )
     ok = (
         bands.groupBy("idx", "val")
         .count()
@@ -4538,7 +4569,7 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= AHASH_HAM_MAX)
+    return cand.filter(F.col("hamming") <= AHASH_HAM_MAX), bands
 
 
 SQL_AHASH_NEAR_DUP = f"""

@@ -736,14 +736,28 @@ def test_ahash_near_dup_banded_join_never_all_pairs(spark):
     (the 4-band explode), the band-keyed bucket join, never a
     cartesian/nested-loop product, and no Python — the
     MinHash/SimHash discipline on the visual modality."""
-    s = plan_of(spark, "ahash_near_dup")
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        ahash_near_dup_lazy,
+    )
+
+    cand, bands = ahash_near_dup_lazy(spark, SF_DIR)
+    try:
+        s = cand._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        bands.unpersist()
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
-    # the 4-band explode textualizes once per reference (cap semi-join +
-    # both self-join sides + probe) — the lsh_candidate_pairs house
-    # shape; the tile synth feeding it is pure expressions either way
+    # the 4-band explode textualizes once per consumer of the persisted
+    # band table (cap semi-join + both self-join sides) — at runtime
+    # InMemoryRelation computes it once (the persist is load-bearing:
+    # measured 248 s unpersisted vs 8.8 s persisted at 200k docs)
     assert 1 <= s.count(") Generate") <= 4
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "InMemoryTableScan" in s or "InMemoryRelation" in s
 
 
 def test_ahash_near_dup_recall_on_planted_twins(spark):
