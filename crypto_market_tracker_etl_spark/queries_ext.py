@@ -2299,17 +2299,16 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_ids) — this is what packing, contamination-by-token, and true
     sequence lengths consume downstream.
 
-    Plan: posexplode keeps each pretoken's POSITION (the count queries'
-    wc grain deliberately forgets order; sequences can't), the ids
-    kernel (one ArrowEvalPython node, jump walk) runs on the
-    DISTINCT-PRETOKEN grain only, the w-keyed join carries the per-word
-    id arrays back to the positional grain, and one doc_id shuffle
-    rebuilds the document sequence via array_sort(collect_list(struct
-    (pos, ids))) → flatten. Emitted as a comma-joined string (the
-    [collect_sorted] comparator convention) plus n_tokens. Scale shape:
-    two shuffles (distinct-w, doc_id) + one w-keyed join — at 100 TB
-    the vt side is the corpus vocabulary, orders of magnitude smaller
-    than the token instance grain the join streams.
+    Plan: ONE doc-grain Arrow kernel, ZERO shuffles (bpe_bytes_doc_ids
+    _kernel: pretokenize_py — property-pinned ≡ the JVM/RE2 regex —
+    then the jump walk per DISTINCT pretoken memoized within each
+    Arrow batch, then the vocab map). A sequence is doc-grain OUTPUT,
+    so the count queries' distinct-pretoken discipline buys nothing
+    here: the relational reassembly (posexplode → w-join →
+    collect_list(struct(pos, ids)) → flatten) is semantically
+    identical but measured-OOM'd the 1M-doc probe on per-doc
+    aggregation-state object headers. Emitted as a comma-joined string
+    (the [collect_sorted] comparator convention) plus n_tokens.
 
     The DuckDB oracle replays the ENTIRE path independently: pretoken
     regex in RE2, byte mapping re-derived in SQL, all 8192 merges as
@@ -2335,8 +2334,15 @@ def _bpe_ids_df(
     """(doc_id, flat array<int>) — each document's ordered byte-BPE
     token-ID sequence under ``table``; the shared plan of
     [bpe_encode_ids] (8192, salted) and [contamination_ids] (512,
-    unsalted — contamination must see the real document)."""
-    from .functions.bpe import bpe_bytes_ids_kernel, load_merges, pretokens
+    unsalted — contamination must see the real document). ONE
+    ArrowEvalPython node, ZERO shuffles: the doc-grain kernel
+    (functions/bpe.py::bpe_bytes_doc_ids_kernel — pretokenize_py is
+    property-pinned ≡ the JVM regex, per-word encodes memoized per
+    Arrow batch). The relational alternative (posexplode → w-join →
+    collect_list(struct(pos, ids))) is semantically identical but its
+    per-doc aggregation state is ~30 KB of JVM object headers —
+    measured OOM of the 8 GiB probe heap at 1M docs."""
+    from .functions.bpe import bpe_bytes_doc_ids_kernel, load_merges
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     if salt:
@@ -2346,17 +2352,8 @@ def _bpe_ids_df(
                 " ", F.col("text"), F.md5(F.col("text").cast("binary"))
             ).alias("text"),
         )
-    toks = docs.select(
-        "doc_id", F.posexplode(pretokens(F.col("text"))).alias("pos", "w")
-    )
-    kernel = bpe_bytes_ids_kernel(load_merges(table))
-    vt = toks.select("w").distinct().select("w", kernel(F.col("w")).alias("ids"))
-    return (
-        toks.join(vt, "w")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "ids"))).alias("seq"))
-        .select("doc_id", F.flatten(F.col("seq").getField("ids")).alias("flat"))
-    )
+    kernel = bpe_bytes_doc_ids_kernel(load_merges(table))
+    return docs.select("doc_id", kernel(F.col("text")).alias("flat"))
 
 
 def _sql_bpe_ids_core(table: str, merges_per_cte: int, salt: bool) -> str:
@@ -2443,14 +2440,18 @@ def q_contamination_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes_512 table UNSALTED — contamination must see the real
     document.
 
-    Scale shape: the ID sequences reuse the [bpe_encode_ids] plan
-    (kernel on the distinct-pretoken grain); shingling is one
-    transform lambda over each doc's array (no token-instance
-    explode until the shingle stream); the eval side is a sliver and
-    BROADCASTS into the exploded train stream (swap for a shingle-hash
-    shuffle join at a 100 TB corpus — same shape). The DuckDB oracle
-    replays the ENTIRE stack: merges, vocab, sequence reassembly, list
-    slicing into shingles, the split, and the ≥2 threshold."""
+    Scale shape: the ID sequences reuse the [bpe_encode_ids] plan (the
+    zero-shuffle doc-grain Arrow kernel); shingling is one transform
+    lambda over each doc's array (no token-instance explode until the
+    shingle stream); the join strategy is LEFT TO
+    AQE deliberately — a true-sliver eval suite broadcasts at runtime,
+    but a forced broadcast hint OOM'd the single-JVM heap at the
+    1M-doc probe, where the %29 eval slice is already ~4.8M shingles
+    (a real eval SUITE is corpus-sized in shingles too; the shingle-
+    hash shuffle join is the honest default and AQE upgrades it when
+    the stats allow). The DuckDB oracle replays the ENTIRE stack:
+    merges, vocab, sequence reassembly, list slicing into shingles,
+    the split, and the ≥2 threshold."""
     ids = _bpe_ids_df(spark, sf_dir, "bytes_512", salt=False)
     n = CONTAM_IDS_NGRAM
     sh = ids.select(
@@ -2468,7 +2469,7 @@ def q_contamination_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sh.filter(F.col("doc_id") % CONTAM_IDS_EVAL_MOD != 0)
-        .join(F.broadcast(ev), "shingle")
+        .join(ev, "shingle")
         .groupBy(F.col("doc_id").alias("train_id"), "eval_id")
         .agg(F.count_distinct("shingle").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)

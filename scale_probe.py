@@ -2023,7 +2023,13 @@ def probe_r11b(spark) -> None:
                 ("contamination_ids", q_contamination_ids),
                 ("bpe_encode_ids", q_bpe_encode_ids),
             ):
-                t = force(fn(spark, sf))
+                # time CONSTRUCTION + execution: the eager-checkpoint
+                # queries (ahash_near_dup, contamination_ids) run their
+                # real work inside fn(), so force(fn(...)) alone would
+                # time only the checkpointed-result noop write
+                t0 = time.perf_counter()
+                force(fn(spark, sf))
+                t = time.perf_counter() - t0
                 print(
                     f"{name} n={n}: {t:.1f}s ({n / t / 1e3:.0f}k docs/s)",
                     flush=True,
