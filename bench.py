@@ -108,6 +108,7 @@ HEADLINE = [
     "image_meta",
     "bpe_bytes",
     "bpe_bytes_8k",
+    "bpe_encode_ids",
     "bm25_topk",
     "collocations",
     "k_anonymity",
@@ -143,6 +144,10 @@ ITERATIVE = [
     "pagerank",
     "triangle_count",
     "setsim_join",
+    # token-exact decontamination: the 140-shingle/doc stream is
+    # enumeration-heavy by nature (SCALE.md §r11-ops), the setsim_join
+    # masking rationale
+    "contamination_ids",
 ]
 
 RUNS = 3  # min-of-3 protocol (BENCH_BASELINE.md)
