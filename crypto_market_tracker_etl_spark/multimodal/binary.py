@@ -1720,24 +1720,42 @@ MP4_MVHD_HEX = "6D766864"  # "mvhd"
 
 
 def synth_mp4(
-    brand: F.Column, timescale: F.Column, duration: F.Column, n_tracks: F.Column
+    brand: F.Column,
+    timescale: F.Column,
+    duration: F.Column,
+    n_tracks: F.Column,
+    version1: bool = False,
 ) -> F.Column:
     """A real ISO-BMFF prefix: 20-byte ftyp (major brand, minor version,
-    one compatible brand) + moov header + 108-byte version-0 mvhd carrying
-    the given timescale / duration / next_track_ID — 136 bytes, walkable
-    by any box parser (tests/test_multimodal_video.py walks it with an
-    independent pure-python reader). The payload carries no mdat samples;
-    this is the metadata slice of video ingestion, exactly like
-    synth_png / synth_wav for the other modalities."""
-    return F.unhex(
-        F.concat(
-            F.lit("00000014"),  # ftyp box size 20 (BE)
-            F.lit(MP4_FTYP_HEX),
-            F.hex(F.encode(brand, "UTF-8")),  # major brand (4 ASCII chars)
-            F.lit("00000200"),  # minor version
-            F.lit("6D703431"),  # compatible brand "mp41"
-            F.lit("00000074"),  # moov box size 116 = 8 + mvhd 108 (BE)
-            F.lit("6D6F6F76"),  # "moov"
+    one compatible brand) + moov header + mvhd carrying the given
+    timescale / duration / next_track_ID — walkable by any box parser
+    (tests/test_multimodal_video.py walks it with an independent
+    pure-python reader). The payload carries no mdat samples; this is
+    the metadata slice of video ingestion, exactly like synth_png /
+    synth_wav for the other modalities.
+
+    ``version1`` (r11): the 64-bit mvhd layout — version byte 1,
+    8-byte creation/modification times and an 8-byte duration (120-byte
+    mvhd, 148-byte file vs v0's 108/136). Long-running streams and
+    post-2040 timestamps ship v1 in the wild; duration may exceed
+    2^32 (the synth cycle alternates the boundary crossing, the FLAC
+    36-bit pattern)."""
+    be8 = lambda n: F.lpad(  # noqa: E731
+        F.conv(n.cast("string"), 10, 16), 16, "0"
+    )
+    if version1:
+        mvhd = F.concat(
+            F.lit("00000078"),  # mvhd box size 120 (BE)
+            F.lit(MP4_MVHD_HEX),
+            F.lit("01000000"),  # version 1 + flags
+            F.lit("0" * 16),  # creation_time (u64)
+            F.lit("0" * 16),  # modification_time (u64)
+            _be4_hex(timescale),
+            be8(duration),  # duration (u64)
+        )
+        moov_size, mvhd_tail_pad = "00000080", True
+    else:
+        mvhd = F.concat(
             F.lit("0000006C"),  # mvhd box size 108 (BE)
             F.lit(MP4_MVHD_HEX),
             F.lit("00000000"),  # version 0 + flags
@@ -1745,6 +1763,19 @@ def synth_mp4(
             F.lit("00000000"),  # modification_time
             _be4_hex(timescale),
             _be4_hex(duration),
+        )
+        moov_size, mvhd_tail_pad = "00000074", False
+    _ = mvhd_tail_pad  # tail below is layout-identical for both versions
+    return F.unhex(
+        F.concat(
+            F.lit("00000014"),  # ftyp box size 20 (BE)
+            F.lit(MP4_FTYP_HEX),
+            F.hex(F.encode(brand, "UTF-8")),  # major brand (4 ASCII chars)
+            F.lit("00000200"),  # minor version
+            F.lit("6D703431"),  # compatible brand "mp41"
+            F.lit(moov_size),  # moov box size = 8 + mvhd size (BE)
+            F.lit("6D6F6F76"),  # "moov"
+            mvhd,
             F.lit("00010000"),  # rate 1.0 (16.16 fixed)
             F.lit("0100"),  # volume 1.0 (8.8 fixed)
             F.lit("0000"),  # reserved
@@ -2008,12 +2039,16 @@ def video_meta(
     brand lists) cannot mislead the parse. This is still a heuristic,
     not a full box walk (expressions cannot loop over box sizes): a
     deceptive aligned 'mvhd' between the moov header and the real child
-    box would win — the version-0 guard and the timescale>0 guard then
+    box would win — the version guard and the timescale>0 guard then
     bound the damage to NULLs. Version-0 mvhd fields: timescale BE32
     @tag+16, duration BE32 @tag+20, next_track_ID BE32 @tag+100
-    (n_tracks = next_track_ID − 1). duration_ms =
+    (n_tracks = next_track_ID − 1). Version-1 (r11 — the 64-bit
+    layout long streams and post-2040 timestamps ship; previously an
+    honest NULL): timescale @tag+24, duration u64 @tag+28 (two gated
+    BE32 halves — "all ones = unknown" stays NULL instead of
+    overflowing ANSI long), next_track_ID @tag+112. duration_ms =
     floor(duration·1000/timescale) — integer-exact cross-engine.
-    Version-1 (64-bit) mvhd, missing moov/mvhd, or non-MP4 bytes yield
+    Versions ≥2, missing moov/mvhd, or non-MP4 bytes yield
     ('application/octet-stream', NULL…), never an error — the image_meta
     contract: one malformed blob cannot fail a backfill. Pass column
     NAMES to get the memoized tree (_memo_expr)."""
@@ -2031,11 +2066,25 @@ def video_meta(
     is_mp4 = _bytes_hex(payload, 5, 4) == MP4_FTYP_HEX
     if p is None:
         p = mvhd_offset(payload)
-    version_ok = (p > 0) & (_be_int_dyn(payload, p + 4, 1) == 0)
-    ok = is_mp4 & version_ok
-    timescale = _be4_int_at(payload, p + 16)
-    duration = _be4_int_at(payload, p + 20)
-    next_track = _be4_int_at(payload, p + 100)
+    ver = _be_int_dyn(payload, p + 4, 1)
+    ok = is_mp4 & (p > 0) & ((ver == 0) | (ver == 1))
+    # version-0 fields at their classic offsets; version-1 (r11 —
+    # 8-byte times and duration, shipped in the wild by long streams
+    # and post-2040 timestamps; previously an honest NULL) shifts
+    # timescale to tag+24, the 64-bit duration to tag+28 (read as two
+    # gated BE32 halves: an unguarded 8-byte read of the spec's "all
+    # ones = unknown" value would overflow ANSI long), and
+    # next_track_ID to tag+112.
+    timescale = F.when(ver == 0, _be4_int_at(payload, p + 16)).otherwise(
+        _be4_int_at(payload, p + 24)
+    )
+    d_hi = _be4_int_at(payload, p + 28)
+    d_lo = _be4_int_at(payload, p + 32)
+    dur64 = F.when(d_hi < F.lit(1048576), d_hi * F.lit(4294967296) + d_lo)
+    duration = F.when(ver == 0, _be4_int_at(payload, p + 20)).otherwise(dur64)
+    next_track = F.when(ver == 0, _be4_int_at(payload, p + 100)).otherwise(
+        _be4_int_at(payload, p + 112)
+    )
     null_l = F.lit(None).cast("long")
     return F.struct(
         F.when(is_mp4, F.lit("video/mp4"))

@@ -2476,7 +2476,9 @@ ATTESTATION_ORDER: list[str] = [
     # -- the single-aggregate box DESCENT, every other HEIC/AVIF doc
     # -- carrying the decoy-'ispe'-in-hdlr adversary; the r10 rows
     # -- attest the old outputs) -------------------------------------------
-    "sequence_packing", "audio_meta", "image_meta",
+    # -- (video_meta: r11 version-1 64-bit mvhd class added — every
+    # -- third doc, alternating 2^32-crossing durations) ------------------
+    "sequence_packing", "audio_meta", "image_meta", "video_meta",
     # -- the 37 r7-vintage queries (oldest rows; scheduled refresh) -------
     "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
@@ -2492,12 +2494,12 @@ ATTESTATION_ORDER: list[str] = [
     # -- front of the r8 window (13; window ends here) --------------------
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
     "curation_stream_eq", "gopher_rules",
-    "dedup_exact",
     # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (near_dup_pairs … text_stats displaced from positions 44-50 by the
-    # seven r11 promotions: bpe_encode_ids, contamination_ids,
+    # (dedup_exact … text_stats displaced from positions 43-50 by the
+    # eight r11 promotions: bpe_encode_ids, contamination_ids,
     # image_ahash, ahash_near_dup, sequence_packing, audio_meta,
-    # image_meta)
+    # image_meta, video_meta)
+    "dedup_exact",
     "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
     "embedding_near_dup", "minhash_bands", "text_stats",
@@ -2527,7 +2529,7 @@ ATTESTATION_ORDER: list[str] = [
     "k_anonymity",
     "bm25_topk", "collocations",
     "cms_heavy_hitters",
-    "curation_pipeline", "video_meta", "vocab_stats",
+    "curation_pipeline", "vocab_stats",
     "tokenize_count", "epoch_shuffle",
     "lang_id", "url_normalize",
     # ==== r10 window (freshest rows, green in CORRECTNESS_r10.json) ======

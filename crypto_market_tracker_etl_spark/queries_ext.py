@@ -4720,11 +4720,15 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata triad, covering the container-inspection backfill every
     video pipeline runs before any frame is decoded.
 
-    Payloads are genuine 136-byte MP4 prefixes (ftyp + moov/mvhd)
-    synthesized per doc, walkable by an independent box parser
+    Payloads are genuine MP4 prefixes (ftyp + moov/mvhd) synthesized
+    per doc, walkable by an independent box parser
     (tests/test_multimodal_video.py); every seventh doc carries a WAV
     header instead so the parser's unknown-format path (octet-stream +
-    NULLs, never an error) runs in the same plan. Unlike the fixed-layout
+    NULLs, never an error) runs in the same plan; every third doc
+    (r11) carries the VERSION-1 mvhd — 8-byte times, u64 duration,
+    148-byte file — with every other v1 doc's duration crossing 2^32
+    (the FLAC 36-bit pattern), closing what was previously an honest
+    NULL. Unlike the fixed-layout
     WAV parser, mvhd is LOCATED AT RUNTIME (byte-aligned instr scan), so
     the box walk itself is exercised, not a fixed offset table. The
     oracle knows the synthesis formulas and checks the parse analytically
@@ -4735,18 +4739,26 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .multimodal.binary import synth_mp4, synth_wav, video_meta
 
     docs = _documents(spark, sf_dir)
+    d = F.col("doc_id")
     ts = F.element_at(
         F.array(F.lit(600), F.lit(1000), F.lit(30000), F.lit(90000)),
-        (F.col("doc_id") % 4 + 1).cast("int"),
+        (d % 4 + 1).cast("int"),
     ).cast("int")
-    dur = (F.lit(1000) + (F.col("doc_id") * 53) % 900000).cast("int")
-    tracks = (F.col("doc_id") % 3 + 1).cast("int")
-    brand = F.when(F.col("doc_id") % 2 == 0, F.lit("isom")).otherwise(F.lit("mp42"))
-    is_wav_row = F.col("doc_id") % 7 == 6
-    payload = F.when(
-        is_wav_row,
-        synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)),
-    ).otherwise(synth_mp4(brand, ts, dur, tracks))
+    dur = (F.lit(1000) + (d * 53) % 900000).cast("int")
+    dur64 = (dur + (d % 2) * F.lit(2**33)).cast("long")
+    tracks = (d % 3 + 1).cast("int")
+    brand = F.when(d % 2 == 0, F.lit("isom")).otherwise(F.lit("mp42"))
+    is_wav_row = d % 7 == 6
+    payload = (
+        F.when(
+            is_wav_row,
+            synth_wav(
+                F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)
+            ),
+        )
+        .when(d % 3 == 1, synth_mp4(brand, ts, dur64, tracks, version1=True))
+        .otherwise(synth_mp4(brand, ts, dur, tracks))
+    )
     # THREE-step select: the audio_meta alias barrier for the payload,
     # plus a second barrier for the mvhd OFFSET — the moov-anchored scan
     # (spaced-hex locate) is the expensive part of the parse tree, and
@@ -4781,14 +4793,18 @@ SQL_VIDEO_META = """
 WITH p AS (
   SELECT doc_id,
          doc_id % 7 = 6 AS is_wav,
+         doc_id % 3 = 1 AS is_v1,
          CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
                          WHEN 2 THEN 30000 ELSE 90000 END AS ts,
-         1000 + (doc_id * 53) % 900000 AS dur,
+         1000 + (doc_id * 53) % 900000
+           + CASE WHEN doc_id % 3 = 1 AND doc_id % 2 = 1
+                  THEN 8589934592 ELSE 0 END AS dur,
          CAST(doc_id % 3 + 1 AS INT) AS tracks
   FROM documents
 )
 SELECT doc_id,
-       CAST(CASE WHEN is_wav THEN 44 ELSE 136 END AS INT) AS n_bytes,
+       CAST(CASE WHEN is_wav THEN 44 WHEN is_v1 THEN 148
+                 ELSE 136 END AS INT) AS n_bytes,
        CASE WHEN is_wav THEN 'application/octet-stream'
             ELSE 'video/mp4' END AS mime_type,
        CASE WHEN is_wav THEN NULL

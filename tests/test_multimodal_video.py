@@ -37,6 +37,77 @@ def parse_mvhd_v0(body: bytes):
     return timescale, duration, next_track
 
 
+def parse_mvhd(body: bytes):
+    """Version-dispatching mvhd parse (r11): v0 as above; v1 has u64
+    creation/modification/duration — timescale at +20, duration u64 at
+    +24, next_track at +108 (body offsets exclude the 8-byte box
+    header the Spark parser's tag-relative offsets include)."""
+    version = body[0]
+    if version == 0:
+        return parse_mvhd_v0(body)
+    assert version == 1
+    (timescale,) = struct.unpack_from(">I", body, 20)
+    (duration,) = struct.unpack_from(">Q", body, 24)
+    (next_track,) = struct.unpack_from(">I", body, 108)
+    return timescale, duration, next_track
+
+
+def test_synth_mp4_v1_walks_and_parses(spark):
+    """r11 version-1 mvhd: the 64-bit layout must walk with the
+    independent parser (which validates the box sizes structurally)
+    and the Spark parse must agree on every field — including
+    durations PAST 2^32, where the v0 read would be meaningless."""
+    big = F.when(F.col("id") % 2 == 1, F.lit(2**33)).otherwise(F.lit(0))
+    df = spark.range(10).select(
+        "id",
+        synth_mp4(
+            F.lit("isom"),
+            F.lit(90000),
+            (F.lit(7000) + F.col("id").cast("long") * 4391 + big),
+            (F.col("id") % 4 + 1).cast("int"),
+            version1=True,
+        ).alias("payload"),
+    )
+    got = df.select("id", video_meta(F.col("payload")).alias("m"), "payload").collect()
+    for r in got:
+        blob = bytes(r.payload)
+        assert len(blob) == 148
+        boxes = dict(walk_boxes(blob))
+        assert set(boxes) == {"ftyp", "moov"}
+        moov_children = dict(walk_boxes(blob, start=28))
+        ts, dur, next_track = parse_mvhd(moov_children["mvhd"])
+        want_dur = 7000 + r.id * 4391 + (2**33 if r.id % 2 == 1 else 0)
+        assert dur == want_dur
+        assert r.m.mime_type == "video/mp4"
+        assert r.m.timescale == ts == 90000
+        assert r.m.duration_ms == dur * 1000 // ts
+        assert r.m.n_tracks == next_track - 1 == r.id % 4 + 1
+
+
+def test_video_meta_v1_unknown_duration_stays_null(spark):
+    """The spec's 'all ones = unknown duration' v1 sentinel must stay
+    NULL (the gated two-halves read) — an unguarded 8-byte read would
+    overflow ANSI long and fail the whole backfill row."""
+    df = spark.range(1).select(
+        synth_mp4(
+            F.lit("isom"), F.lit(600), F.lit(0), F.lit(1).cast("int"),
+            version1=True,
+        ).alias("p0")
+    )
+    blob = bytearray(bytes(df.collect()[0]["p0"]))
+    # duration u64 lives at moov(28)+8(box hdr)+24 = byte 60..67
+    blob[60:68] = b"\xff" * 8
+    got = (
+        spark.createDataFrame([(bytes(blob),)], "payload binary")
+        .select(video_meta(F.col("payload")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got["mime_type"] == "video/mp4"
+    assert got["timescale"] == 600
+    assert got["duration_ms"] is None
+    assert got["n_tracks"] == 1
+
+
 def test_synth_mp4_walks_with_independent_parser(spark):
     rows = (
         spark.range(8)
