@@ -2477,8 +2477,11 @@ ATTESTATION_ORDER: list[str] = [
     # -- carrying the decoy-'ispe'-in-hdlr adversary; the r10 rows
     # -- attest the old outputs) -------------------------------------------
     # -- (video_meta: r11 version-1 64-bit mvhd class added — every
-    # -- third doc, alternating 2^32-crossing durations) ------------------
+    # -- third doc, alternating 2^32-crossing durations; media_catalog:
+    # -- class 16 alternates header/full Ogg, duration through the
+    # -- unified schema) ---------------------------------------------------
     "sequence_packing", "audio_meta", "image_meta", "video_meta",
+    "media_catalog",
     # -- the 37 r7-vintage queries (oldest rows; scheduled refresh) -------
     "twap",
     "heavy_hitters", "histogram", "unpivot", "grouping_sets",
@@ -2493,12 +2496,13 @@ ATTESTATION_ORDER: list[str] = [
     "approx_distinct",
     # -- front of the r8 window (13; window ends here) --------------------
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
-    "curation_stream_eq", "gopher_rules",
+    "curation_stream_eq",
     # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (dedup_exact … text_stats displaced from positions 43-50 by the
-    # eight r11 promotions: bpe_encode_ids, contamination_ids,
+    # (gopher_rules … text_stats displaced from positions 42-50 by the
+    # nine r11 promotions: bpe_encode_ids, contamination_ids,
     # image_ahash, ahash_near_dup, sequence_packing, audio_meta,
-    # image_meta, video_meta)
+    # image_meta, video_meta, media_catalog)
+    "gopher_rules",
     "dedup_exact",
     "near_dup_pairs",
     "simhash", "cosine_topk", "knn_lsh",
@@ -2534,7 +2538,7 @@ ATTESTATION_ORDER: list[str] = [
     "lang_id", "url_normalize",
     # ==== r10 window (freshest rows, green in CORRECTNESS_r10.json) ======
     "bpe_bytes_8k",
-    "media_catalog", "mime_sniff",
+    "mime_sniff",
     "link_graph", "c4_filters", "lm_perplexity", "ppl_buckets_approx",
     "quality_logit", "gram_novelty", "html_strip", "winnowing",
     "doc_repetition", "dup_spans", "semdedup", "dsir_weights",

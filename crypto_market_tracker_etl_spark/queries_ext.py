@@ -4840,6 +4840,7 @@ def _media_payload_expr() -> F.Column:
         synth_png,
         synth_tiff,
         synth_ogg,
+        synth_ogg_full,
         synth_wav,
         synth_webp_vp8,
         synth_webp_vp8x_wrapped,
@@ -4884,11 +4885,25 @@ def _media_payload_expr() -> F.Column:
         )
         .when(m == 15, synth_bmp(w, h))
         .when(
-            m == 16,  # Ogg Vorbis id header, varying nominal rate
-            synth_ogg(
-                F.lit(48000).cast("int"),
-                F.lit(2).cast("int"),
-                (F.lit(64) + (d * 7) % 256).cast("int"),
+            m == 16,  # Ogg Vorbis, varying nominal rate — r11: every
+            # other doc of the class is a FULL file whose EOS granule
+            # carries duration through the unified schema; the even-k
+            # half keeps the header-only honest NULL in the same plan
+            F.when(
+                F.floor(d / 18) % 2 == 0,
+                synth_ogg(
+                    F.lit(48000).cast("int"),
+                    F.lit(2).cast("int"),
+                    (F.lit(64) + (d * 7) % 256).cast("int"),
+                ),
+            ).otherwise(
+                synth_ogg_full(
+                    F.lit(48000).cast("int"),
+                    F.lit(2).cast("int"),
+                    (F.lit(64) + (d * 7) % 256).cast("int"),
+                    (F.lit(48000) * (F.lit(2) + F.floor(d / 18) % 15)
+                     + d % 997).cast("long"),
+                )
             ),
         )
         .otherwise(synth_heic(F.lit("heic"), w, h))
@@ -5012,7 +5027,9 @@ WITH p AS (
          CAST(doc_id % 2 + 1 AS INT) AS tracks,
          100 + doc_id % 300 AS pad,
          20 + (doc_id * 13) % 80 AS nf,
-         (144 * 128000) // 44100 AS fs  -- MPEG1 L-III idx9 @44100: 417
+         (144 * 128000) // 44100 AS fs,  -- MPEG1 L-III idx9 @44100: 417
+         (doc_id // 18) % 2 = 1 AS ogg_full,
+         48000 * (2 + (doc_id // 18) % 15) + doc_id % 997 AS ogran
   FROM documents
 )
 SELECT doc_id,
@@ -5021,7 +5038,8 @@ SELECT doc_id,
             WHEN 6 THEN 6 WHEN 7 THEN 6 WHEN 8 THEN 30
             WHEN 9 THEN 38 WHEN 10 THEN 42 WHEN 11 THEN 14 + pad
             WHEN 12 THEN 68 WHEN 13 THEN 55 WHEN 14 THEN nf * fs
-            WHEN 15 THEN 54 WHEN 16 THEN 58
+            WHEN 15 THEN 54
+            WHEN 16 THEN CASE WHEN ogg_full THEN 134 ELSE 58 END
             ELSE 101 END AS INT) AS n_bytes,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
             WHEN 2 THEN 'audio/x-wav' WHEN 3 THEN 'video/mp4'
@@ -5050,6 +5068,7 @@ SELECT doc_id,
                  WHEN m = 3 THEN (dur * 1000) // 1000
                  WHEN m = 10 THEN (frames * 1000) // 22050
                  WHEN m = 14 THEN (nf * fs * 8) // 128
+                 WHEN m = 16 AND ogg_full THEN (ogran * 1000) // 48000
             END AS BIGINT) AS duration_ms,
        CASE WHEN m = 3 THEN tracks END AS n_tracks
 FROM p
