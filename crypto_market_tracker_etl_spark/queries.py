@@ -2467,7 +2467,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
 ATTESTATION_ORDER: list[str] = [
     # ==== r11 window: positions 1-50 =====================================
     # -- new this round (never attested; front of window by policy) -------
-    "bpe_encode_ids", "contamination_ids", "image_ahash", "ahash_near_dup",
+    "bpe_encode_ids", "contamination_ids", "image_ahash", "image_dhash",
+    "ahash_near_dup",
     # -- output changed this round (sequence_packing: packs REAL
     # -- byte-BPE token lengths under the bytes_512 table instead of
     # -- whitespace proxies; audio_meta: Ogg duration from the last
@@ -2496,12 +2497,12 @@ ATTESTATION_ORDER: list[str] = [
     "approx_distinct",
     # -- front of the r8 window (13; window ends here) --------------------
     "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
-    "curation_stream_eq",
     # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (gopher_rules … text_stats displaced from positions 42-50 by the
-    # nine r11 promotions: bpe_encode_ids, contamination_ids,
-    # image_ahash, ahash_near_dup, sequence_packing, audio_meta,
-    # image_meta, video_meta, media_catalog)
+    # (curation_stream_eq … text_stats displaced from positions 41-50
+    # by the ten r11 promotions: bpe_encode_ids, contamination_ids,
+    # image_ahash, image_dhash, ahash_near_dup, sequence_packing,
+    # audio_meta, image_meta, video_meta, media_catalog)
+    "curation_stream_eq",
     "gopher_rules",
     "dedup_exact",
     "near_dup_pairs",

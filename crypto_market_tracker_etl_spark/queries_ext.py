@@ -4425,7 +4425,9 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ahash_df(spark, sf_dir)
 
 
-SQL_AHASH_CORE = """
+# hh + px: the tile-pixel CTEs shared by the aHash core and the dHash
+# oracle (the digests and the byte decode, no mean/threshold stage)
+SQL_AHASH_PX = """
 hh AS (
   SELECT doc_id,
          md5(CAST(CASE WHEN doc_id % 7 = 1 THEN doc_id - 1 ELSE doc_id END
@@ -4448,7 +4450,9 @@ px AS (
            + CASE WHEN doc_id % 7 = 1 AND i <= 3 THEN 96 ELSE 0 END
          ) % 256) AS pxs
   FROM hh
-),
+)"""
+
+SQL_AHASH_CORE = SQL_AHASH_PX + """,
 ps AS (
   SELECT doc_id, pxs,
          CAST(list_aggregate(pxs, 'sum') AS BIGINT) AS s
@@ -4472,6 +4476,54 @@ ah AS (
 SQL_IMAGE_AHASH = f"""
 WITH {SQL_AHASH_CORE}
 SELECT doc_id, brightness, ahash_lo, ahash_hi FROM ah
+"""
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal dedup] DIFFERENCE HASH (dHash) over the same decoded
+    8×8 tile as [image_ahash]: bit (r, c) = px[r,c] > px[r,c+1] for the
+    7 horizontally adjacent pairs of each of the 8 rows — 56 gradient
+    bits in one BIGINT. The gradient family is the aHash's complement:
+    an aHash bit couples EVERY pixel through the tile mean (a global
+    brightness shift or one hot pixel can flip distant bits), while a
+    dHash bit depends on exactly two neighbours, so perturbation damage
+    is LOCAL — the planted twins' 3 brightened pixels sit in exactly 3
+    comparisons (pairs (1,2), (2,3), (3,4)), so twin Hamming ≤ 3 by
+    construction, pinned by test, where the same twins' aHash flips up
+    to 3 bits PLUS whatever the mean shift drags along. Same zero-shuffle shape (staged pxs
+    column, one fold); the oracle recomputes the digests and replays
+    the comparisons."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    staged = docs.select("doc_id", _ahash_tile_expr().alias("payload"))
+    pxs = F.expr(
+        "transform(sequence(1, 64),"
+        " i -> cast(conv(hex(substring(payload, i, 1)), 16, 10) AS bigint))"
+    )
+    st2 = staged.select("doc_id", pxs.alias("pxs"))
+    # bit index b = r*7 + c for r in 0..7, c in 0..6 compares pixel
+    # r*8+c+1 (1-based) with its right neighbour
+    dh = F.expr(
+        "aggregate(transform(sequence(0, 55), b ->"
+        " if(element_at(pxs, cast(b div 7 AS int) * 8 + b % 7 + 1)"
+        "    > element_at(pxs, cast(b div 7 AS int) * 8 + b % 7 + 2),"
+        "    shiftleft(1L, cast(b AS int)), 0L)), 0L, (a, x) -> a + x)"
+    )
+    return st2.select("doc_id", dh.alias("dhash"))
+
+
+SQL_IMAGE_DHASH = f"""
+WITH {SQL_AHASH_PX},
+ds AS (
+  SELECT doc_id,
+         CAST(list_aggregate(list_transform(range(0, 56),
+           b -> CASE WHEN pxs[CAST((b // 7) * 8 + b % 7 + 1 AS INT)]
+                          > pxs[CAST((b // 7) * 8 + b % 7 + 2 AS INT)]
+                     THEN 1::BIGINT << CAST(b AS INT)
+                     ELSE 0::BIGINT END),
+           'sum') AS BIGINT) AS dhash
+  FROM px
+)
+SELECT doc_id, dhash FROM ds
 """
 
 
@@ -6337,6 +6389,7 @@ REGISTRY_EXT: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
     "audio_meta": (q_audio_meta, SQL_AUDIO_META),
     "mime_sniff": (q_mime_sniff, SQL_MIME_SNIFF),
     "image_ahash": (q_image_ahash, SQL_IMAGE_AHASH),
+    "image_dhash": (q_image_dhash, SQL_IMAGE_DHASH),
     "ahash_near_dup": (q_ahash_near_dup, SQL_AHASH_NEAR_DUP),
     "video_meta": (q_video_meta, SQL_VIDEO_META),
     "media_catalog": (q_media_catalog, SQL_MEDIA_CATALOG),

@@ -718,6 +718,20 @@ def test_audio_meta_expression_only_zero_shuffle(spark):
     assert s.count(") Project") == 3
 
 
+def test_bpe_encode_ids_single_arrow_node_zero_shuffle(spark):
+    """Token-ID sequences are doc-grain output: ONE Arrow kernel, no
+    join, no aggregate exchange — the r11 lesson that the count
+    queries' distinct-pretoken discipline does not transfer (the
+    relational reassembly OOM'd the 1M-doc probe on aggregation-state
+    object headers)."""
+    s = plan_of(spark, "bpe_encode_ids")
+    assert s.count(") ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in s
+    assert "Join" not in s
+    assert "HashAggregate" not in s and "ObjectHashAggregate" not in s
+    assert s.count(") Exchange") <= 1  # corpus spread only
+
+
 def test_image_ahash_expression_only_zero_shuffle(spark):
     """The perceptual hash is pure expressions over the tile payload —
     tile synth, byte unpack, sum and both bit folds — with pxs and s
@@ -1117,3 +1131,26 @@ def test_lm_perplexity_kn_model_tables_on_own_keys(spark):
     assert "CartesianProduct" not in s
     assert "rangepartitioning" not in s.lower()
     assert "partial_sum" in s
+
+
+def test_image_dhash_gradient_locality(spark):
+    """The dHash point: perturbation damage is LOCAL. The planted
+    twins' 3 brightened pixels sit in exactly 3 horizontal comparisons,
+    so twin dHash Hamming ≤ 3 ALWAYS — no mean coupling — while the
+    same twins' aHash can pick up extra flips from the mean shift. The
+    plan is the image_ahash zero-shuffle shape."""
+    from crypto_market_tracker_etl_spark.queries_ext import q_image_dhash
+
+    s = plan_of(spark, "image_dhash")
+    assert "Join" not in s and "Generate" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    dh = {
+        r["doc_id"]: r["dhash"]
+        for r in q_image_dhash(spark, SF_DIR).collect()
+    }
+    twin_hams = [
+        bin(dh[d] ^ dh[d - 1]).count("1")
+        for d in dh
+        if d % 7 == 1 and d - 1 in dh
+    ]
+    assert twin_hams and max(twin_hams) <= 3, max(twin_hams)
