@@ -89,6 +89,7 @@ HEADLINE = [
     "mime_sniff",
     "video_meta",
     "image_ahash",
+    "image_dhash",
     "ahash_near_dup",
     "epoch_shuffle",
     "vocab_stats",
