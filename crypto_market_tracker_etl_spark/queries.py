@@ -2452,56 +2452,34 @@ REGISTRY: dict[str, tuple[QueryFn, str | Callable[[], str] | None]] = {
 # list is the rotation schedule that decides which queries get a driver
 # oracle row. Rationale and the full 3-round schedule live in ATTESTATION.md.
 #
-# r11 window (positions 1-50, per the ATTESTATION.md schedule): the 37
-# r7-vintage queries — exactly the 3-round refresh window called out in
-# the r10 verdict (twap … approx_distinct: the 22 TPC-H, the post-r3
-# nine, approx_distinct, and the 5 displaced r6-window aggregates) + the
-# front 13 of the r8 window (dedup_keep_one_span … text_stats) to fill
-# to 50. New/output-changed r11 queries are promoted to the front as they
-# land, displacing from position 50 backwards into the r12 front. This is
-# the steady-state rolling 3-round re-attestation cycle.
-# Positions 51+ (in order): the rest of the r8 window, then the r9
-# window, then the r10 window (freshest rows, green in
-# CORRECTNESS_r10.json). The inline section markers below are
+# r12 window (positions 1-50, per the ATTESTATION.md schedule): the 45
+# r8-vintage queries — exactly the 3-round refresh window called out in
+# the r11 verdict, and they include the CORE REFERENCE-PARITY SET
+# (curation_stream_eq … upsert_assets) — + the front 5 of the r9 window
+# (bpe_bytes … schema_evolution_eq) to fill to 50. New/output-changed
+# r12 queries are promoted to the front as they land, displacing from
+# position 50 backwards into the r13 front. This is the steady-state
+# rolling 3-round re-attestation cycle.
+# Positions 51+ (in order): the rest of the r9 window, then the r10
+# window, then the r11 window (freshest rows, green in
+# CORRECTNESS_r11.json). The inline section markers below are
 # authoritative for the next rotation.
 ATTESTATION_ORDER: list[str] = [
-    # ==== r11 window: positions 1-50 =====================================
-    # -- new this round (never attested; front of window by policy) -------
-    "bpe_encode_ids", "contamination_ids", "image_ahash", "image_dhash",
-    "ahash_near_dup",
-    # -- output changed this round (sequence_packing: packs REAL
-    # -- byte-BPE token lengths under the bytes_512 table instead of
-    # -- whitespace proxies; audio_meta: Ogg duration from the last
-    # -- page's EOS granule via the bounded tail locate, class 8 now
-    # -- alternating header-slice/full-file; image_meta: HEIF dims via
-    # -- the single-aggregate box DESCENT, every other HEIC/AVIF doc
-    # -- carrying the decoy-'ispe'-in-hdlr adversary; the r10 rows
-    # -- attest the old outputs) -------------------------------------------
-    # -- (video_meta: r11 version-1 64-bit mvhd class added — every
-    # -- third doc, alternating 2^32-crossing durations; media_catalog:
-    # -- class 16 alternates header/full Ogg, duration through the
-    # -- unified schema) ---------------------------------------------------
-    "sequence_packing", "audio_meta", "image_meta", "video_meta",
-    "media_catalog",
-    # -- the 37 r7-vintage queries (oldest rows; scheduled refresh) -------
-    "twap",
-    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
-    "tpch_q14", "tpch_q4",
-    "knn_pq", "knn_ivfpq", "hash_split",
-    "domain_mix", "boilerplate_strip", "cdc_apply", "cosine_topk_filtered",
-    "weighted_median", "udtf_spans",
-    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
-    "tpch_q20", "tpch_q21",
-    "approx_distinct",
-    # -- front of the r8 window (13; window ends here) --------------------
-    "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
-    # ==== positions 51+: rest of the r8 window (r12 front) ===============
-    # (curation_stream_eq … text_stats displaced from positions 41-50
-    # by the ten r11 promotions: bpe_encode_ids, contamination_ids,
-    # image_ahash, image_dhash, ahash_near_dup, sequence_packing,
-    # audio_meta, image_meta, video_meta, media_catalog)
+    # ==== r12 window: positions 1-50 =====================================
+    # -- new/changed this round (front of window by policy): promoted
+    # -- here as they land ------------------------------------------------
+    # dhash_near_dup: NEW — combined aHash-band/dual-Hamming verify.
+    # curation_media_pipeline: NEW — the media-bearing funnel with the
+    # visual dedup stage. video_meta: OUTPUT CHANGED — EBML classes
+    # (webm / audio-first matroska) + width/height columns.
+    # media_catalog: OUTPUT CHANGED — 19-class cycle with EBML class 18
+    # (the r11 rows attest the old outputs). curation_delete_eq:
+    # BEHAVIOR CHANGED — victims now flow through the DataFrame intent
+    # path (parquet intent + anti-join purge).
+    "dhash_near_dup", "curation_media_pipeline", "video_meta",
+    "media_catalog", "curation_delete_eq",
+    # -- the 45 r8-vintage queries (oldest rows; scheduled refresh —
+    # -- the core reference-parity set) -----------------------------------
     "curation_stream_eq",
     "gopher_rules",
     "dedup_exact",
@@ -2518,8 +2496,9 @@ ATTESTATION_ORDER: list[str] = [
     "upsert_keep_latest", "tumbling_ohlc", "asof_join", "topk_per_key",
     "session_window", "json_extract", "rollup", "pivot", "semi_anti",
     "percentiles", "day_in_tz", "upsert_assets",
-    # ==== r9 window (freshest rows, green in CORRECTNESS_r09.json) =======
-    "bpe_bytes", "cdc_stream_eq", "curation_delete_eq", "encoding_quality",
+    # ==== positions 51+: rest of the r9 window (r13 front) ===============
+    "bpe_bytes", "cdc_stream_eq",
+    "encoding_quality",
     "schema_evolution_eq",
     "global_sort", "daily_ohlc_view",
     "cube", "moving_avg", "ntile_rank", "range_join",
@@ -2555,6 +2534,24 @@ ATTESTATION_ORDER: list[str] = [
     "near_dup_pairs_fast", "simhash_fast",
     "setsim_join", "triangle_count",
     "session_islands", "late_arrivals",
+    # ==== r11 window (freshest rows, green in CORRECTNESS_r11.json;
+    # video_meta/media_catalog promoted to the r12 front — output
+    # changed) ============================================================
+    "bpe_encode_ids", "contamination_ids", "image_ahash", "image_dhash",
+    "ahash_near_dup",
+    "sequence_packing", "audio_meta", "image_meta",
+    "twap",
+    "heavy_hitters", "histogram", "unpivot", "grouping_sets",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q18", "tpch_q10",
+    "tpch_q14", "tpch_q4",
+    "knn_pq", "knn_ivfpq", "hash_split",
+    "domain_mix", "boilerplate_strip", "cdc_apply", "cosine_topk_filtered",
+    "weighted_median", "udtf_spans",
+    "tpch_q12", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16",
+    "tpch_q20", "tpch_q21",
+    "approx_distinct",
+    "dedup_keep_one_span", "bpe_tokenize_kernel", "bpe_tokenize_512",
 ]
 
 
