@@ -26,6 +26,15 @@ carved out of the headline total into a separate "iterative" section —
 one 5 s query inside a 31 s total would otherwise mask smaller single-pass
 regressions. The headline "value" covers single-pass queries only; compare
 "iterative" rows separately (BENCH_BASELINE.md keeps both histories).
+
+The SWEEP section (r12, judge directive: "a plan regression on an attested
+query must not be invisible to the ledger") times every OTHER registered
+query once — no min-of-N, no warm repeats: coverage, not steady state. A
+single-run number carries the full ±30% box noise, so the ledger treats
+sweep moves as triage hints (re-run isolated before believing one), but a
+10× plan regression — the failure class the sweep exists for — clears that
+noise floor by an order of magnitude. Sweep rows live in BENCH_DETAIL.json
+and the detail line; the size-guarded FINAL line carries only sweep_total.
 """
 
 from __future__ import annotations
@@ -91,6 +100,7 @@ HEADLINE = [
     "image_ahash",
     "image_dhash",
     "ahash_near_dup",
+    "dhash_near_dup",
     "epoch_shuffle",
     "vocab_stats",
     "tokenize_count",
@@ -104,6 +114,7 @@ HEADLINE = [
     "gopher_rules",
     "encoding_quality",
     "curation_pipeline",
+    "curation_media_pipeline",
     "cms_heavy_hitters",
     "media_catalog",
     "image_meta",
@@ -177,6 +188,8 @@ def time_query(spark, registry, name) -> tuple[float, float]:
     of ALL runs; spread_pct is (max−min)/min over the WARM runs only (run 1
     pays plan compilation — including it would swamp the noise signal the
     ledger uses to tell a real regression from box variance)."""
+    print(f"[bench] {name}", file=sys.stderr, flush=True)  # progress; the
+    # driver's JSON contract covers STDOUT only — stderr is free
     samples = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
@@ -224,6 +237,21 @@ def main() -> None:
     for name in ITERATIVE:
         iterative[name], spreads[name] = time_query(spark, registry, name)
 
+    # coverage sweep: ONE timed run of every registered query not in the
+    # headline/iterative sets (the near_dup_pairs_fast/simhash_fast
+    # registry twins run both the raw and portable pipelines for their
+    # differential oracle — their raw cost is already the headline row,
+    # so the sweep times the registry versions as registered)
+    sweep: dict[str, float] = {}
+    covered = set(HEADLINE) | set(ITERATIVE)
+    for name in registry:
+        if name in covered:
+            continue
+        print(f"[bench] sweep {name}", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        force(registry[name](spark, SF_DIR))
+        sweep[name] = round(time.perf_counter() - t0, 3)
+
     # payload byte volume (outside the timing loop — one cheap aggregate
     # per multimodal query; every PAYLOAD_QUERY emits n_bytes)
     payload_mb: dict[str, float] = {}
@@ -252,6 +280,8 @@ def main() -> None:
         "queries": timings,
         "iterative": iterative,
         "iterative_total": round(sum(iterative.values()), 3),
+        "sweep": sweep,
+        "sweep_total": round(sum(sweep.values()), 3),
         "spread_pct": spreads,
         "payload_mb": payload_mb,
         "sf": sf_val,
@@ -272,14 +302,18 @@ def main() -> None:
     # set) plus an omitted count — the full map was already emitted above
     # and lives in BENCH_DETAIL.json; (3) only if even that overflows, drop
     # the map and keep the totals.
-    line = _build_summary_line(total, timings, iterative, sf_val)
+    line = _build_summary_line(
+        total, timings, iterative, sf_val, round(sum(sweep.values()), 3)
+    )
     print(line, flush=True)
 
 
 SUMMARY_TOP = 40  # per-query entries the final line keeps under pressure
 
 
-def _build_summary_line(total, timings, iterative, sf_val) -> str:
+def _build_summary_line(
+    total, timings, iterative, sf_val, sweep_total=None
+) -> str:
     summary = {
         "metric": "headline_queries_total",
         "value": total,
@@ -288,6 +322,8 @@ def _build_summary_line(total, timings, iterative, sf_val) -> str:
         "iterative_total": round(sum(iterative.values()), 3),
         "sf": sf_val,
     }
+    if sweep_total is not None:
+        summary["sweep_total"] = sweep_total
     line = json.dumps(summary)
     if len(line) > 1800:
         top = dict(

@@ -23,7 +23,8 @@ def _summary_line(per_query_sec: float = 999.999) -> str:
     timings = {name: per_query_sec for name in bench.HEADLINE}
     iterative = {name: per_query_sec for name in bench.ITERATIVE}
     return bench._build_summary_line(
-        round(sum(timings.values()), 3), timings, iterative, 0.1
+        round(sum(timings.values()), 3), timings, iterative, 0.1,
+        sweep_total=99999.999,  # worst-case width of the r12 sweep total
     )
 
 
@@ -82,6 +83,51 @@ def test_headline_sets_registered():
         if n not in registry
     ]
     assert missing == []
+
+
+def test_sweep_covers_every_registered_query():
+    """The r12 coverage sweep: every registered query must be timed by
+    SOME bench section — headline (min-of-3), iterative, or the one-run
+    sweep. The sweep is 'everything else' by construction in main(), so
+    the pin here is that the construction inputs stay consistent: the
+    headline/iterative names are registry names (test above) and no
+    registry name is silently excluded."""
+    import __spark_entry__ as entry
+
+    registry = set(entry.queries())
+    covered = set(bench.HEADLINE) | set(bench.ITERATIVE)
+    # main() sweeps registry − covered: nothing can be left out
+    assert covered <= registry
+    assert registry - covered  # the sweep section is non-empty
+
+
+def test_bench_diff_sweep_movers_separate_floor(tmp_path):
+    """Sweep rows (single-run) are compared with the wider 50%/0.15s
+    floor and never fold into the shared-set totals."""
+    import json as _json
+    import subprocess
+    import sys
+
+    old = {
+        "queries": {"a": 1.00},
+        "sweep": {"s_noise": 1.00, "s_regress": 0.50, "s_tiny": 0.05},
+    }
+    new = {
+        "queries": {"a": 1.00},
+        "sweep": {"s_noise": 1.40, "s_regress": 5.00, "s_tiny": 0.14},
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(_json.dumps(old))
+    pn.write_text(_json.dumps(new))
+    out = subprocess.check_output(
+        [sys.executable, "tools/bench_diff.py", "--json", str(po), str(pn)],
+        text=True,
+    )
+    rec = _json.loads(out)
+    got = {m["query"] for m in rec["sweep_movers"]}
+    assert got == {"s_regress"}  # +40% noise and +180%-of-90ms both pass
+    assert rec["n_shared"] == 1  # sweep rows not folded into shared set
+    assert rec["n_sweep_shared"] == 3
 
 
 def test_bench_diff_flags_movers_and_unwraps_driver_record(tmp_path):

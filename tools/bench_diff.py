@@ -40,6 +40,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REL_FLOOR_PCT = 10.0
 ABS_FLOOR_SEC = 0.05
+# sweep rows are SINGLE-run (bench.py's coverage section, r12): no warm
+# spread exists and one sample carries the full documented ±30% box
+# noise, so the mover floor sits above it — the sweep exists to catch
+# order-of-magnitude plan regressions, not 20% drifts
+SWEEP_REL_FLOOR_PCT = 50.0
+SWEEP_ABS_FLOOR_SEC = 0.15
 
 
 def _load(path: str) -> dict:
@@ -84,14 +90,15 @@ def _load(path: str) -> dict:
             if not qs:
                 raise SystemExit(f"{path}: no per-query timings found")
             return {"queries": qs, "spread": spread, "path": path,
-                    "payload_mb": {}, "partial": True}
+                    "payload_mb": {}, "sweep": {}, "partial": True}
         d = d["parsed"]
     qs = dict(d.get("queries", {}))
     qs.update(d.get("iterative", {}))
     if not qs:
         raise SystemExit(f"{path}: no per-query timings found")
     return {"queries": qs, "spread": d.get("spread_pct", {}), "path": path,
-            "payload_mb": d.get("payload_mb", {}), "partial": partial}
+            "payload_mb": d.get("payload_mb", {}),
+            "sweep": d.get("sweep", {}), "partial": partial}
 
 
 def _default_old() -> str:
@@ -179,6 +186,25 @@ def diff_record(old_path: str, new_path: str) -> dict:
                 m["corpus_growth"] = abs(bn["norm_move_pct"]) <= tol
             movers.append(m)
     movers.sort(key=lambda m: -abs(m["move_pct"]))
+
+    # sweep section (single-run coverage rows): separate comparison with
+    # the wider single-sample floor; never folded into the shared-set
+    # totals so ledger rows stay comparable across rounds
+    sweep_shared = sorted(set(old["sweep"]) & set(new["sweep"]))
+    sweep_movers = []
+    for q in sweep_shared:
+        a, b = old["sweep"][q], new["sweep"][q]
+        delta = b - a
+        rel = delta / a * 100 if a else 0.0
+        if abs(rel) > SWEEP_REL_FLOOR_PCT and abs(delta) > SWEEP_ABS_FLOOR_SEC:
+            sweep_movers.append({
+                "query": q,
+                "old_s": round(a, 3),
+                "new_s": round(b, 3),
+                "delta_s": round(delta, 3),
+                "move_pct": round(rel, 1),
+            })
+    sweep_movers.sort(key=lambda m: -abs(m["move_pct"]))
     return {
         "old": old["path"],
         "new": new["path"],
@@ -194,6 +220,11 @@ def diff_record(old_path: str, new_path: str) -> dict:
         ),
         "removed": removed,
         "movers": movers,
+        **(
+            {"n_sweep_shared": len(sweep_shared), "sweep_movers": sweep_movers}
+            if sweep_shared
+            else {}
+        ),
         **({"bytes_norm": bytes_norm} if bytes_norm else {}),
         **(
             {"partial": True}
@@ -233,6 +264,16 @@ def _print_prose(rec: dict) -> None:
             f"| {m['delta_s']:+.2f} | {m['move_pct']:+.1f}% "
             f"| {m['tol_pct']:.0f}% | {note} |"
         )
+    if rec.get("sweep_movers"):
+        print(
+            f"\nsweep movers (single-run rows, {SWEEP_REL_FLOOR_PCT:.0f}% "
+            "floor — re-run isolated before believing one):"
+        )
+        for m in rec["sweep_movers"]:
+            print(
+                f"  {m['query']}: {m['old_s']:.2f} -> {m['new_s']:.2f}s "
+                f"({m['move_pct']:+.1f}%)"
+            )
     bn = rec.get("bytes_norm")
     if bn:
         print("\npayload throughput (s/GB, bytes-normalized):")
