@@ -116,9 +116,12 @@ class MinHashSignatureStore:
     def delete_docs(self, ids) -> int:
         """PHYSICALLY erase the signature rows of ``ids`` (GDPR-class
         erasure — signatures are content-derived, so tombstone filtering
-        alone would retain derived personal data). ``ids`` is a bounded
-        driver-side list (erasure requests are operationally small;
-        isin() compiles them into the scan filter).
+        alone would retain derived personal data). ``ids`` is either a
+        bounded driver-side list (operational erasure requests; isin()
+        compiles them into the scan filter) or a DataFrame whose first
+        column is the ids (r12 — scan-derived victim sets stay
+        distributed: containment probe via left_semi, purge via
+        left_anti, no driver materialization).
 
         Per-batch staged swap: only partitions containing a deleted id
         are rewritten, and BATCH IDENTITY IS PRESERVED — a caller keying
@@ -130,8 +133,31 @@ class MinHashSignatureStore:
         a crash BETWEEN batch rewrites also converges. Same
         single-writer contract as upsert_batch/compact. Returns the
         number of partitions rewritten."""
+        from pyspark.sql import DataFrame
+
         from .storeutil import staged_swap
 
+        if isinstance(ids, DataFrame):
+            vid = ids.select(
+                F.col(ids.columns[0]).cast("long").alias(self.id_col)
+            ).distinct()
+            if vid.isEmpty():
+                return 0
+            rewritten = 0
+            for b in self._batches():
+                rows = self.batch_rows(b)
+                if rows.join(vid, self.id_col, "left_semi").isEmpty():
+                    continue
+                live = os.path.join(self.path, f"batch={b}")
+                kept = rows.join(vid, self.id_col, "left_anti")
+                staged_swap(
+                    live,
+                    lambda staged, kept=kept: kept.write.mode(
+                        "overwrite"
+                    ).parquet(staged),
+                )
+                rewritten += 1
+            return rewritten
         ids = sorted({int(i) for i in ids})
         if not ids:
             return 0

@@ -303,6 +303,127 @@ def test_delete_docs_stream_equals_batch_minus_deleted(spark, tmp_path):
     }
 
 
+def test_curation_stream_visual_tier_equals_batch(spark, tmp_path):
+    """r12 (judge directive): a MEDIA-BEARING stream (visual_col set,
+    batches carrying a decoded-tile column) must resolve to the batch
+    text funnel minus the visually-dropped docs — the combined
+    aHash/dHash near-dup tier — independent of arrival order; the
+    result must be compaction-invariant, funnel()'s clean count must
+    reflect the visual stage, and erasure must purge the vhash store
+    (perceptual hashes are content-derived data)."""
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        _ahash_tile_expr,
+        visual_band_pairs,
+        visual_hash_pair,
+    )
+
+    corpus = _corpus(spark)
+    media = corpus.select(
+        "doc_id", "source", "text", _ahash_tile_expr().alias("tile")
+    )
+    cs = CurationStream(spark, str(tmp_path / "store"), visual_col="tile")
+    for rem in (2, 1, 0):
+        cs.process_batch(media.filter(F.col("doc_id") % 3 == rem))
+
+    # batch oracle: the text funnel's clean set, then the SAME visual
+    # tier over those survivors' tiles
+    batch_clean = run_curation(spark, corpus).clean
+    pairs, bands = visual_band_pairs(
+        visual_hash_pair(batch_clean.select("doc_id"), _ahash_tile_expr())
+    )
+    try:
+        drop = {r.doc_b for r in pairs.collect()}
+    finally:
+        bands.unpersist()
+    assert drop  # the stage must have real work (planted twins survive)
+    want = _clean_ids(batch_clean) - drop
+
+    assert _clean_ids(cs.clean()) == want
+    assert cs.funnel()["clean"] == len(want)
+    cs.compact()
+    assert _clean_ids(cs.clean()) == want
+
+    # erasure purges the vhash store on both intent paths
+    victims = sorted(want)[:2]
+    cs.delete_docs([victims[0]])
+    cs.delete_docs(
+        spark.createDataFrame([(victims[1],)], "doc_id long")
+    )
+    vh_ids = {r.doc_id for r in spark.read.parquet(cs.vhash_path).collect()}
+    assert not set(victims) & vh_ids
+    survivors = _clean_ids(cs.clean())
+    assert not set(victims) & survivors
+
+
+def test_delete_docs_dataframe_path_equals_list_path(spark, tmp_path):
+    """r12 (judge directive): delete_docs accepts a DataFrame of ids —
+    intent written as parquet, purge via anti-joins, nothing
+    driver-side. The DF path must land the exact store state the
+    bounded-list path lands; a committed ``.df`` intent found pending
+    applies on a fresh object's recovery; an uncommitted ``.df.tmp``
+    dir is discarded (the promise was never made)."""
+    import os
+
+    corpus = _corpus(spark)
+    cs_a = _feed(spark, str(tmp_path / "a"), corpus)
+    cs_b = _feed(spark, str(tmp_path / "b"), corpus)
+    originals = sorted(i for i in _clean_ids(cs_a.clean()) if i < 100000)
+    deleted = [originals[0], originals[1], originals[1] + 200000]
+    vdf = spark.createDataFrame([(i,) for i in deleted], "doc_id long")
+
+    res_a = cs_a.delete_docs(deleted)
+    res_b = cs_b.delete_docs(vdf)
+    assert res_a == res_b == {"deleted": 3, "applied": 1}
+    assert _clean_ids(cs_a.clean()) == _clean_ids(cs_b.clean())
+    # physical erasure through the anti-join path too
+    assert not set(deleted) & {
+        r.doc_id for r in cs_b.sigs.read().select("doc_id").collect()
+    }
+    pair_ids = {
+        x
+        for r in spark.read.parquet(cs_b.pairs_path).collect()
+        for x in (r.id_a, r.id_b)
+    }
+    assert not set(deleted) & pair_ids
+    assert not os.listdir(cs_b.deletes_path)
+
+    # committed .df intent pending → a fresh object applies it
+    want = _oracle_minus(spark, corpus, set(deleted))
+    store_c = str(tmp_path / "c")
+    cs_c = _feed(spark, store_c, corpus)
+    os.makedirs(cs_c.deletes_path, exist_ok=True)
+    vdf.write.mode("overwrite").parquet(
+        os.path.join(cs_c.deletes_path, "0.df")
+    )
+    cs_c2 = CurationStream(spark, store_c)
+    assert _clean_ids(cs_c2.clean()) == want
+    assert not cs_c2._pending_deletes()
+
+    # uncommitted .df.tmp dir → discarded, nothing deleted
+    store_d = str(tmp_path / "d")
+    cs_d = _feed(spark, store_d, corpus)
+    base_ids = _clean_ids(cs_d.clean())
+    os.makedirs(cs_d.deletes_path, exist_ok=True)
+    vdf.write.mode("overwrite").parquet(
+        os.path.join(cs_d.deletes_path, "0.df.tmp")
+    )
+    cs_d2 = CurationStream(spark, store_d)
+    assert _clean_ids(cs_d2.clean()) == base_ids
+    assert not os.listdir(cs_d2.deletes_path)
+
+    # mixed sequence: a list intent then a DF intent share the integer
+    # sequence and apply oldest-first
+    store_e = str(tmp_path / "e")
+    cs_e = _feed(spark, store_e, corpus)
+    cs_e.delete_docs([deleted[0]])
+    res = cs_e.delete_docs(
+        spark.createDataFrame([(deleted[1],)], "doc_id long")
+    )
+    assert res["deleted"] == 1
+    survivors = _clean_ids(cs_e.clean())
+    assert deleted[0] not in survivors and deleted[1] not in survivors
+
+
 def test_delete_docs_crash_matrix(spark, tmp_path):
     """The erasure protocol claims ANY single-point crash converges on
     replay: intent-written (nothing applied), sigs-purged (corpus/pairs
