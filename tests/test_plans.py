@@ -799,6 +799,62 @@ def test_ahash_near_dup_recall_on_planted_twins(spark):
     assert all(0 <= h <= 8 for h in got.values())
 
 
+def test_dhash_near_dup_banded_join_never_all_pairs(spark):
+    """The combined-verify tier keeps the ahash_near_dup plan shape:
+    banded bucket join over the persisted hash table (which now carries
+    the dHash alongside — no second decode pass, no extra join), never
+    a cartesian/nested-loop product, no Python."""
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        dhash_near_dup_lazy,
+    )
+
+    cand, bands = dhash_near_dup_lazy(spark, SF_DIR)
+    try:
+        s = cand._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        bands.unpersist()
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert 1 <= s.count(") Generate") <= 4
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "InMemoryTableScan" in s or "InMemoryRelation" in s
+
+
+def test_dhash_near_dup_recall_and_strictness(spark):
+    """The combined verify must (a) keep EVERY planted twin — twin
+    dHash Hamming ≤ 3 by construction (3 brightened pixels sit in
+    exactly 3 horizontal comparisons), the recall pin — and (b) be a
+    SUBSET of the aHash-only tier with both distances reported: same
+    banding, strictly stronger verification."""
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        q_ahash_near_dup,
+        q_dhash_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    combined = {
+        (r["doc_a"], r["doc_b"]): (r["hamming"], r["dhash_hamming"])
+        for r in q_dhash_near_dup(spark, sf).collect()
+    }
+    ahash_only = {
+        (r["doc_a"], r["doc_b"]) for r in q_ahash_near_dup(spark, sf).collect()
+    }
+    assert set(combined) <= ahash_only
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    want = {(d - 1, d) for d in docs if d % 7 == 1 and d - 1 in docs}
+    assert set(combined) == want  # every twin survives the dual gate
+    assert all(ah <= 8 and dh <= 3 for ah, dh in combined.values())
+
+
 def test_mime_sniff_expression_only_zero_shuffle(spark):
     """Magic-byte MIME routing is one codegen'd projection -- the
     signature dispatch is a CASE chain over byte slices, so the
