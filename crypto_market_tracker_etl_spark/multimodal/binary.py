@@ -1666,41 +1666,93 @@ def audio_meta(payload: F.Column | str) -> F.Column:
             F.floor(o_gran * 1000 / ogg_sr),
         ).cast("long")
         null_i = F.lit(None).cast("int")
-        return F.struct(
-            F.when(is_wav, F.lit("audio/x-wav"))
-            .when(is_flac, F.lit("audio/flac"))
-            .when(is_ogg, F.lit("audio/ogg"))
-            .when(is_mp3, F.lit("audio/mpeg"))
-            .otherwise(F.lit("application/octet-stream"))
-            .alias("mime_type"),
-            F.when(is_wav, _le2_int(payload, 23))
-            .when(flac_si, fl["ch"])
-            .when(is_vorbis, ogg_ch)
-            .when(is_mp3, F.when(sync, mp3_ch).cast("int"))
-            .otherwise(null_i)
-            .alias("channels"),
-            F.when(is_wav, _le4_int(payload, 25).cast("int"))
-            .when(flac_si, fl["sr"])
-            .when(is_vorbis, ogg_sr)
-            .when(is_mp3, F.when(sync, mp3_sr))
-            .otherwise(null_i)
-            .alias("sample_rate_hz"),
-            F.when(is_wav, _le2_int(payload, 35))
-            .when(flac_si, fl["bps"])
-            .otherwise(null_i)
-            .alias("bits_per_sample"),
-            F.when(is_wav, F.floor(data_size * 1000 / byte_rate).cast("long"))
-            .when(flac_si, fl["dur"])
-            .when(is_vorbis, ogg_dur)
-            .when(is_mp3, mp3_dur.cast("long"))
-            .otherwise(F.lit(None).cast("long"))
-            .alias("duration_ms"),
-            F.when(is_wav, F.floor(byte_rate * 8 / 1000).cast("int"))
-            .when(is_vorbis, ogg_kbps)  # declared nominal rate, if set
-            .when(is_mp3, F.when(~is_vbr, kbps).cast("int"))
-            .otherwise(null_i)
-            .alias("bitrate_kbps"),
+        # (r12) every per-format value is LET-BOUND once and the output
+        # struct built from lambda-variable references: the flat struct
+        # re-embedded the deep MP3 chains (mp3_dur alone carries the
+        # sr-table + Xing-tag + frame-size trees) per consuming field —
+        # ~590 KB of serialized plan for this one column, a third of the
+        # task-binary budget that OOM'd media_catalog's 32-way
+        # deserialization on the vanilla 1 GB driver (_ebml_let note).
+        # each format's values stay GATED by its own format flag inside
+        # the binding: the struct's fields evaluate on EVERY row (unlike
+        # the old per-output-field CASE branches), and e.g. the FLAC
+        # 36-bit sample-count read int-casts a 4-byte slice — on an MP3
+        # row those are arbitrary bytes and the ANSI cast throws (caught
+        # by the vanilla-driver probe; "never an error" is the contract)
+        binding = F.struct(
+            is_wav.alias("is_wav"),
+            flac_si.alias("flac_si"),
+            is_ogg.alias("is_ogg"),
+            is_mp3.alias("is_mp3"),
+            is_vorbis.alias("is_vorbis"),
+            sync.alias("sync"),
+            is_vbr.alias("is_vbr"),
+            F.when(flac_si, fl["ch"]).alias("fl_ch"),
+            F.when(flac_si, fl["sr"]).alias("fl_sr"),
+            F.when(flac_si, fl["bps"]).alias("fl_bps"),
+            F.when(flac_si, fl["dur"]).alias("fl_dur"),
+            F.when(is_wav, byte_rate).alias("byte_rate"),
+            F.when(is_wav, data_size).alias("data_size"),
+            F.when(sync, mp3_sr).alias("mp3_sr"),
+            F.when(sync, mp3_ch).alias("mp3_ch"),
+            F.when(sync, kbps).alias("kbps"),
+            F.when(sync, mp3_dur).alias("mp3_dur"),
+            F.when(is_vorbis, ogg_ch).alias("ogg_ch"),
+            F.when(is_vorbis, ogg_sr).alias("ogg_sr"),
+            F.when(is_vorbis, ogg_kbps).alias("ogg_kbps"),
+            F.when(is_vorbis, ogg_dur).alias("ogg_dur"),
         )
+
+        def out(v: F.Column) -> F.Column:
+            g = v.getField
+            return F.struct(
+                F.when(g("is_wav"), F.lit("audio/x-wav"))
+                .when(is_flac, F.lit("audio/flac"))
+                .when(g("is_ogg"), F.lit("audio/ogg"))
+                .when(g("is_mp3"), F.lit("audio/mpeg"))
+                .otherwise(F.lit("application/octet-stream"))
+                .alias("mime_type"),
+                F.when(g("is_wav"), _le2_int(payload, 23))
+                .when(g("flac_si"), g("fl_ch"))
+                .when(g("is_vorbis"), g("ogg_ch"))
+                .when(g("is_mp3"), F.when(g("sync"), g("mp3_ch")).cast("int"))
+                .otherwise(null_i)
+                .alias("channels"),
+                F.when(g("is_wav"), _le4_int(payload, 25).cast("int"))
+                .when(g("flac_si"), g("fl_sr"))
+                .when(g("is_vorbis"), g("ogg_sr"))
+                .when(g("is_mp3"), F.when(g("sync"), g("mp3_sr")))
+                .otherwise(null_i)
+                .alias("sample_rate_hz"),
+                F.when(g("is_wav"), _le2_int(payload, 35))
+                .when(g("flac_si"), g("fl_bps"))
+                .otherwise(null_i)
+                .alias("bits_per_sample"),
+                F.when(
+                    g("is_wav"),
+                    F.floor(g("data_size") * 1000 / g("byte_rate")).cast(
+                        "long"
+                    ),
+                )
+                .when(g("flac_si"), g("fl_dur"))
+                .when(g("is_vorbis"), g("ogg_dur"))
+                .when(g("is_mp3"), g("mp3_dur").cast("long"))
+                .otherwise(F.lit(None).cast("long"))
+                .alias("duration_ms"),
+                F.when(
+                    g("is_wav"),
+                    F.floor(g("byte_rate") * 8 / 1000).cast("int"),
+                )
+                .when(g("is_vorbis"), g("ogg_kbps"))  # declared nominal rate
+                .when(
+                    g("is_mp3"),
+                    F.when(~g("is_vbr"), g("kbps")).cast("int"),
+                )
+                .otherwise(null_i)
+                .alias("bitrate_kbps"),
+            )
+
+        return _ebml_let(binding, out)
 
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(1)), init, lambda s, _x: s, fin
@@ -2230,6 +2282,20 @@ EBML_PIXELH_HEX = "BA"
 EBML_DOCTYPE_HEX = "4282"
 
 
+def _ebml_let(binding: F.Column, body) -> F.Column:
+    """LET-BINDING for expression trees: evaluate ``binding`` (a struct
+    of per-step derived values) ONCE and hand it to ``body`` as a
+    lambda variable — via a 1-element ``transform``. Catalyst trees
+    have no sharing: every Column reuse re-embeds the whole subtree,
+    and the serialized TASK BINARY carries the expansion (measured:
+    the walks' struct-per-action steps without this binding shipped a
+    1.9 MB task binary for video_meta alone, and 32 concurrent task
+    deserializations OOM'd the vanilla 1 GB driver on media_catalog —
+    the round's second tree-size lesson). A lambda variable reference
+    is ~3 nodes regardless of what it binds."""
+    return F.element_at(F.transform(F.array(binding), body), 1)
+
+
 def _ebml_vlen(fb: F.Column) -> F.Column:
     """VINT length from its first byte: 9 − bit_length(fb) (0x80.. → 1
     … 0x01 → 8). CLOSED FORM, not an 8-branch CASE — every use site
@@ -2303,26 +2369,40 @@ def _ieee_floor_units(bits: F.Column, n: F.Column) -> F.Column:
     the long cast to NULL — a negative duration is invalid anyway.
     Exponents past the shiftleft bound (value ≥ 2^63) → NULL, honest."""
     def for_width(frac_bits: int, unbiased_top: int) -> F.Column:
-        e = F.floor(bits / F.lit(2**frac_bits)).cast("long")
-        m = bits % F.lit(2**frac_bits)
-        frac = m + F.lit(2**frac_bits)
-        # shift = (bias + frac_bits) - e; right shift when value < 2^frac
+        # (e, frac) let-bound: each is referenced by several branches,
+        # and each embeds the caller's whole `bits` tree (_ebml_let)
         pivot = unbiased_top  # e value where the float is exactly integral
-        rs = (F.lit(pivot) - e).cast("int")
-        ls = (e - F.lit(pivot)).cast("int")
-        return (
-            F.when(bits == 0, F.lit(0).cast("long"))
-            .when(
-                (e >= F.lit(pivot - frac_bits)) & (e <= F.lit(pivot)),
-                F.call_function("shiftright", frac, rs),
-            )
-            .when(
-                (e > F.lit(pivot)) & (e <= F.lit(pivot + 62 - frac_bits)),
-                F.call_function("shiftleft", frac, ls),
-            )
-            .when((e > 0) & (e < F.lit(pivot - frac_bits)), F.lit(0).cast("long"))
-            .otherwise(F.lit(None).cast("long"))
+        binding = F.struct(
+            F.floor(bits / F.lit(2**frac_bits)).cast("long").alias("e"),
+            (bits % F.lit(2**frac_bits) + F.lit(2**frac_bits)).alias("frac"),
+            (bits == 0).alias("zero"),
         )
+
+        def decode(p: F.Column) -> F.Column:
+            e = p.getField("e")
+            frac = p.getField("frac")
+            return (
+                F.when(p.getField("zero"), F.lit(0).cast("long"))
+                .when(
+                    (e >= F.lit(pivot - frac_bits)) & (e <= F.lit(pivot)),
+                    F.call_function(
+                        "shiftright", frac, (F.lit(pivot) - e).cast("int")
+                    ),
+                )
+                .when(
+                    (e > F.lit(pivot)) & (e <= F.lit(pivot + 62 - frac_bits)),
+                    F.call_function(
+                        "shiftleft", frac, (e - F.lit(pivot)).cast("int")
+                    ),
+                )
+                .when(
+                    (e > 0) & (e < F.lit(pivot - frac_bits)),
+                    F.lit(0).cast("long"),
+                )
+                .otherwise(F.lit(None).cast("long"))
+            )
+
+        return _ebml_let(binding, decode)
 
     # f64: bias 1023, 52 mantissa bits → integral at e = 1075;
     # f32: bias 127, 23 mantissa bits → integral at e = 150
@@ -2485,8 +2565,14 @@ def ebml_info(payload: F.Column | str) -> F.Column:
         done = (ts_q > 0) & (du_q > 0)
         viable = ~done & (q <= end) & (idlen <= 4) & (sval >= 0)
         fits = ~unknown & (nxt - 1 <= end)
-        is_seg = (stage == 0) & (tag == EBML_SEGMENT_HEX) & (unknown | fits)
-        is_info = (stage == 1) & (tag == EBML_INFO_HEX) & fits
+        # every derived value is computed ONCE into the let-struct; the
+        # action CASE below references lambda-variable fields (_ebml_let
+        # note: the expanded-reuse tree shipped MB-scale task binaries)
+        parse = F.struct(
+            tag.alias("tag"), sval.alias("sval"), unknown.alias("unknown"),
+            data_q.alias("data_q"), nxt.alias("nxt"),
+            viable.alias("viable"), fits.alias("fits"),
+        )
 
         def mk(stage2, q2, end2, ts_q2, ts_n2, du_q2, du_n2) -> F.Column:
             return F.struct(
@@ -2495,29 +2581,46 @@ def ebml_info(payload: F.Column | str) -> F.Column:
                 du_q2.alias("du_q"), du_n2.alias("du_n"),
             )
 
-        return (
-            F.when(
-                viable & (is_seg | is_info),
-                mk(
-                    stage + 1,
-                    data_q,
-                    F.when(unknown, end).otherwise(F.least(nxt - 1, end)),
-                    ts_q, ts_n, du_q, du_n,
-                ),
+        def act(p: F.Column) -> F.Column:
+            tag = p.getField("tag")
+            sval = p.getField("sval")
+            unknown = p.getField("unknown")
+            data_q = p.getField("data_q")
+            nxt = p.getField("nxt")
+            viable = p.getField("viable")
+            fits = p.getField("fits")
+            is_seg = (
+                (stage == 0) & (tag == EBML_SEGMENT_HEX) & (unknown | fits)
             )
-            .when(
-                viable & (stage == 2) & (tag == EBML_TSCALE_HEX) & fits
-                & (sval >= 1) & (sval <= 8) & (ts_q == 0),
-                mk(stage, nxt, end, data_q, sval, du_q, du_n),
+            is_info = (stage == 1) & (tag == EBML_INFO_HEX) & fits
+            return (
+                F.when(
+                    viable & (is_seg | is_info),
+                    mk(
+                        stage + 1,
+                        data_q,
+                        F.when(unknown, end).otherwise(F.least(nxt - 1, end)),
+                        ts_q, ts_n, du_q, du_n,
+                    ),
+                )
+                .when(
+                    viable & (stage == 2) & (tag == EBML_TSCALE_HEX) & fits
+                    & (sval >= 1) & (sval <= 8) & (ts_q == 0),
+                    mk(stage, nxt, end, data_q, sval, du_q, du_n),
+                )
+                .when(
+                    viable & (stage == 2) & (tag == EBML_DURATION_HEX) & fits
+                    & ((sval == 4) | (sval == 8)) & (du_q == 0),
+                    mk(stage, nxt, end, ts_q, ts_n, data_q, sval),
+                )
+                .when(
+                    viable & fits,
+                    mk(stage, nxt, end, ts_q, ts_n, du_q, du_n),
+                )
+                .otherwise(st)  # park: done, malformed, or past the extent
             )
-            .when(
-                viable & (stage == 2) & (tag == EBML_DURATION_HEX) & fits
-                & ((sval == 4) | (sval == 8)) & (du_q == 0),
-                mk(stage, nxt, end, ts_q, ts_n, data_q, sval),
-            )
-            .when(viable & fits, mk(stage, nxt, end, ts_q, ts_n, du_q, du_n))
-            .otherwise(st)  # park: done, malformed, or past the extent
-        )
+
+        return _ebml_let(parse, act)
 
     zero = F.lit(0).cast("long")
     init = F.struct(
@@ -2535,20 +2638,37 @@ def ebml_info(payload: F.Column | str) -> F.Column:
         ts_q, ts_n = st.getField("ts_q"), st.getField("ts_n")
         du_q, du_n = st.getField("du_q"), st.getField("du_n")
         ts = F.when(ts_q > 0, _uint_at_dyn_sized(payload, ts_q, ts_n))
-        ts_eff = F.when(du_q > 0, F.coalesce(ts, F.lit(1000000).cast("long"))).otherwise(ts)
+        ts_eff = F.when(
+            du_q > 0, F.coalesce(ts, F.lit(1000000).cast("long"))
+        ).otherwise(ts)
         bits = F.when(du_q > 0, _uint_at_dyn_sized(payload, du_q, du_n))
-        units = _ieee_floor_units(bits, du_n)
-        ok_mul = (ts_eff > 0) & (
-            units <= F.floor(F.lit(2**63 - 1) / ts_eff)
+        # (ts, ts_eff, units) let-bound: units is the whole float-decode
+        # tree and each is referenced several times below (_ebml_let)
+        binding = F.struct(
+            ts.alias("ts"),
+            ts_eff.alias("ts_eff"),
+            _ieee_floor_units(bits, du_n).alias("units"),
         )
-        ms = F.when(
-            units.isNotNull() & ok_mul,
-            F.call_function("div", units * ts_eff, F.lit(1000000).cast("long")),
-        ).otherwise(null_l)
-        return F.struct(
-            F.coalesce(ts, null_l).alias("timescale_ns"),
-            ms.alias("duration_ms"),
-        )
+
+        def out(p: F.Column) -> F.Column:
+            ts = p.getField("ts")
+            ts_eff = p.getField("ts_eff")
+            units = p.getField("units")
+            ok_mul = (ts_eff > 0) & (
+                units <= F.floor(F.lit(2**63 - 1) / ts_eff)
+            )
+            ms = F.when(
+                units.isNotNull() & ok_mul,
+                F.call_function(
+                    "div", units * ts_eff, F.lit(1000000).cast("long")
+                ),
+            ).otherwise(null_l)
+            return F.struct(
+                F.coalesce(ts, null_l).alias("timescale_ns"),
+                ms.alias("duration_ms"),
+            )
+
+        return _ebml_let(binding, out)
 
     nulls = F.struct(
         null_l.alias("timescale_ns"), null_l.alias("duration_ms")
@@ -2579,8 +2699,8 @@ def ebml_video_dims(payload: F.Column | str) -> F.Column:
         )
     total = F.octet_length(payload).cast("long")
 
-    # struct-per-action CASE (see the ebml_info step note: the
-    # per-field formulation OOM'd on tree size)
+    # struct-per-action CASE with the parse let-binding (see the
+    # ebml_info step and _ebml_let notes: both tree-size lessons)
     def step(st: F.Column, _x: F.Column) -> F.Column:
         stage = st.getField("stage")
         q = st.getField("q")
@@ -2600,10 +2720,11 @@ def ebml_video_dims(payload: F.Column | str) -> F.Column:
         pop = ~done & (stage == 3) & (q > end) & (q <= p_end)
         viable = ~done & ~pop & (q <= end) & (idlen <= 4) & (sval >= 0)
         fits = ~unknown & (nxt - 1 <= end)
-        is_seg = (stage == 0) & (tag == EBML_SEGMENT_HEX) & (unknown | fits)
-        is_tracks = (stage == 1) & (tag == EBML_TRACKS_HEX) & fits
-        is_te = (stage == 2) & (tag == EBML_TRACKENTRY_HEX) & fits
-        is_video = (stage == 3) & (tag == EBML_VIDEO_HEX) & fits
+        parse = F.struct(
+            tag.alias("tag"), sval.alias("sval"), unknown.alias("unknown"),
+            data_q.alias("data_q"), nxt.alias("nxt"), pop.alias("pop"),
+            viable.alias("viable"), fits.alias("fits"),
+        )
 
         def mk(stage2, q2, end2, p_end2, w_q2, w_n2, h_q2, h_n2) -> F.Column:
             return F.struct(
@@ -2613,33 +2734,51 @@ def ebml_video_dims(payload: F.Column | str) -> F.Column:
             )
 
         keep = (w_q, w_n, h_q, h_n)
-        return (
-            F.when(pop, mk(F.lit(2), q, p_end, p_end, *keep))
-            .when(
-                viable & (is_seg | is_tracks | is_te | is_video),
-                mk(
-                    stage + 1,
-                    data_q,
-                    F.when(unknown, end).otherwise(F.least(nxt - 1, end)),
-                    # entering a TrackEntry records the Tracks extent so
-                    # a video-less (audio) track can pop back out
-                    F.when(is_te, end).otherwise(p_end),
-                    *keep,
-                ),
+
+        def act(p: F.Column) -> F.Column:
+            tag = p.getField("tag")
+            sval = p.getField("sval")
+            unknown = p.getField("unknown")
+            data_q = p.getField("data_q")
+            nxt = p.getField("nxt")
+            pop = p.getField("pop")
+            viable = p.getField("viable")
+            fits = p.getField("fits")
+            is_seg = (
+                (stage == 0) & (tag == EBML_SEGMENT_HEX) & (unknown | fits)
             )
-            .when(
-                viable & (stage == 4) & (tag == EBML_PIXELW_HEX) & fits
-                & (sval >= 1) & (sval <= 4) & (w_q == 0),
-                mk(stage, nxt, end, p_end, data_q, sval, h_q, h_n),
+            is_tracks = (stage == 1) & (tag == EBML_TRACKS_HEX) & fits
+            is_te = (stage == 2) & (tag == EBML_TRACKENTRY_HEX) & fits
+            is_video = (stage == 3) & (tag == EBML_VIDEO_HEX) & fits
+            return (
+                F.when(pop, mk(F.lit(2), q, p_end, p_end, *keep))
+                .when(
+                    viable & (is_seg | is_tracks | is_te | is_video),
+                    mk(
+                        stage + 1,
+                        data_q,
+                        F.when(unknown, end).otherwise(F.least(nxt - 1, end)),
+                        # entering a TrackEntry records the Tracks extent
+                        # so a video-less (audio) track can pop back out
+                        F.when(is_te, end).otherwise(p_end),
+                        *keep,
+                    ),
+                )
+                .when(
+                    viable & (stage == 4) & (tag == EBML_PIXELW_HEX) & fits
+                    & (sval >= 1) & (sval <= 4) & (w_q == 0),
+                    mk(stage, nxt, end, p_end, data_q, sval, h_q, h_n),
+                )
+                .when(
+                    viable & (stage == 4) & (tag == EBML_PIXELH_HEX) & fits
+                    & (sval >= 1) & (sval <= 4) & (h_q == 0),
+                    mk(stage, nxt, end, p_end, w_q, w_n, data_q, sval),
+                )
+                .when(viable & fits, mk(stage, nxt, end, p_end, *keep))
+                .otherwise(st)  # park
             )
-            .when(
-                viable & (stage == 4) & (tag == EBML_PIXELH_HEX) & fits
-                & (sval >= 1) & (sval <= 4) & (h_q == 0),
-                mk(stage, nxt, end, p_end, w_q, w_n, data_q, sval),
-            )
-            .when(viable & fits, mk(stage, nxt, end, p_end, *keep))
-            .otherwise(st)  # park
-        )
+
+        return _ebml_let(parse, act)
 
     zero = F.lit(0).cast("long")
     init = F.struct(
@@ -2657,13 +2796,19 @@ def ebml_video_dims(payload: F.Column | str) -> F.Column:
     def fin(st: F.Column) -> F.Column:
         w_q, w_n = st.getField("w_q"), st.getField("w_n")
         h_q, h_n = st.getField("h_q"), st.getField("h_n")
+
+        def dim(q_f: F.Column, n_f: F.Column) -> F.Column:
+            # range-gate before the int cast: a crafted 4-byte
+            # PixelWidth ≥ 2^31 must yield NULL, not an ANSI cast
+            # error ("never an error" is the contract)
+            v = _uint_at_dyn_sized(payload, q_f, n_f)
+            return (
+                F.when((q_f > 0) & (v <= F.lit(2147483647)), v.cast("int"))
+                .otherwise(null_i)
+            )
+
         return F.struct(
-            F.when(w_q > 0, _uint_at_dyn_sized(payload, w_q, w_n).cast("int"))
-            .otherwise(null_i)
-            .alias("width"),
-            F.when(h_q > 0, _uint_at_dyn_sized(payload, h_q, h_n).cast("int"))
-            .otherwise(null_i)
-            .alias("height"),
+            dim(w_q, w_n).alias("width"), dim(h_q, h_n).alias("height")
         )
 
     nulls = F.struct(null_i.alias("width"), null_i.alias("height"))
@@ -2686,7 +2831,8 @@ def _ebml_doctype_walk(payload: F.Column, fin) -> F.Column:
     start = F.lit(5).cast("long") + vlen5
     hend = F.least(F.lit(4).cast("long") + vlen5 + sval5, total)
 
-    # struct-per-action CASE (see the ebml_info step note)
+    # struct-per-action CASE with the parse let-binding (see the
+    # ebml_info step and _ebml_let notes)
     def step(st: F.Column, _x: F.Column) -> F.Column:
         q = st.getField("q")
         end = st.getField("end")
@@ -2700,6 +2846,10 @@ def _ebml_doctype_walk(payload: F.Column, fin) -> F.Column:
         nxt = data_q + sval
         viable = (dt_q == 0) & (q <= end) & (idlen <= 4) & (sval >= 0)
         fits = ~unknown & (nxt - 1 <= end)
+        parse = F.struct(
+            tag.alias("tag"), sval.alias("sval"), data_q.alias("data_q"),
+            nxt.alias("nxt"), viable.alias("viable"), fits.alias("fits"),
+        )
 
         def mk(q2, dt_q2, dt_n2) -> F.Column:
             return F.struct(
@@ -2707,15 +2857,24 @@ def _ebml_doctype_walk(payload: F.Column, fin) -> F.Column:
                 dt_q2.alias("dt_q"), dt_n2.alias("dt_n"),
             )
 
-        return (
-            F.when(
-                viable & (tag == EBML_DOCTYPE_HEX) & fits
-                & (sval >= 1) & (sval <= 32),
-                mk(nxt, data_q, sval),
+        def act(p: F.Column) -> F.Column:
+            tag = p.getField("tag")
+            sval = p.getField("sval")
+            data_q = p.getField("data_q")
+            nxt = p.getField("nxt")
+            viable = p.getField("viable")
+            fits = p.getField("fits")
+            return (
+                F.when(
+                    viable & (tag == EBML_DOCTYPE_HEX) & fits
+                    & (sval >= 1) & (sval <= 32),
+                    mk(nxt, data_q, sval),
+                )
+                .when(viable & fits, mk(nxt, dt_q, dt_n))
+                .otherwise(st)  # park: found, malformed, or past extent
             )
-            .when(viable & fits, mk(nxt, dt_q, dt_n))
-            .otherwise(st)  # park: found, malformed, or past the extent
-        )
+
+        return _ebml_let(parse, act)
 
     zero = F.lit(0).cast("long")
     init = F.struct(

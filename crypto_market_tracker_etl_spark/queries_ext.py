@@ -5436,12 +5436,18 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     p = F.col("payload")
     mime = sniff_mime("payload")
+    # modality derives from the mime_type COLUMN (next stage), not the
+    # sniff expression: its six branches would otherwise re-embed the
+    # whole router tree — measured ~0.8 MB of the serialized task
+    # binary, the single biggest slice of the 1 GB-driver OOM
+    # (multimodal/binary.py::_ebml_let)
+    mt = F.col("mime_type")
     modality = (
-        F.when(mime.startswith("image/"), F.lit("image"))
-        .when(mime.startswith("audio/"), F.lit("audio"))
-        .when(mime.startswith("video/"), F.lit("video"))
-        .when(mime == "application/pdf", F.lit("document"))
-        .when(mime.isin("application/zip", "application/gzip"), F.lit("archive"))
+        F.when(mt.startswith("image/"), F.lit("image"))
+        .when(mt.startswith("audio/"), F.lit("audio"))
+        .when(mt.startswith("video/"), F.lit("video"))
+        .when(mt == "application/pdf", F.lit("document"))
+        .when(mt.isin("application/zip", "application/gzip"), F.lit("archive"))
         .otherwise(F.lit("other"))
     )
     null_i = F.lit(None).cast("int")
@@ -5470,11 +5476,11 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         webp_stream_dims,
     )
 
-    img = image_meta("payload", jpeg="jd", tiff="td", webpx="wx", ispe="sd")
-    vid = video_meta("payload", "mp")
     am = F.col("am")
     ei = F.col("ei")
     ed = F.col("ed")
+    im = F.col("im")
+    vm = F.col("vm")
     return (
         docs.select("doc_id", _media_payload_expr().alias("payload"))
         .select(
@@ -5494,18 +5500,37 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             ebml_video_dims("payload").alias("ed"),
             F.octet_length(p).alias("n_bytes"),
             mime.alias("mime_type"),
+        )
+        # a FOURTH stage (r12): the image_meta / video_meta WRAPPER
+        # structs staged too — the final select consumes 2 fields of
+        # each, and an inline wrapper is re-embedded per field (its
+        # PNG/GIF/BMP reads + routing CASE are a measurable slice of
+        # the serialized task binary — the 1 GB-driver OOM lesson,
+        # see multimodal/binary.py::_ebml_let); modality computed here
+        # from the mime_type column for the same reason
+        .select(
+            "doc_id",
+            "n_bytes",
+            "mime_type",
             modality.alias("modality"),
+            "am",
+            "ei",
+            "ed",
+            image_meta(
+                "payload", jpeg="jd", tiff="td", webpx="wx", ispe="sd"
+            ).alias("im"),
+            video_meta("payload", "mp").alias("vm"),
         )
         .select(
             "doc_id",
             "n_bytes",
             "mime_type",
             "modality",
-            F.when(is_img, img.getField("width"))
+            F.when(is_img, im.getField("width"))
             .when(is_ebml, ed.getField("width"))
             .otherwise(null_i)
             .alias("width"),
-            F.when(is_img, img.getField("height"))
+            F.when(is_img, im.getField("height"))
             .when(is_ebml, ed.getField("height"))
             .otherwise(null_i)
             .alias("height"),
@@ -5513,11 +5538,11 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(null_i)
             .alias("sample_rate_hz"),
             F.when(is_aud, am.getField("duration_ms"))
-            .when(is_vid, vid.getField("duration_ms"))
+            .when(is_vid, vm.getField("duration_ms"))
             .when(is_ebml, ei.getField("duration_ms"))
             .otherwise(F.lit(None).cast("long"))
             .alias("duration_ms"),
-            F.when(is_vid, vid.getField("n_tracks"))
+            F.when(is_vid, vm.getField("n_tracks"))
             .otherwise(null_i)
             .alias("n_tracks"),
         )

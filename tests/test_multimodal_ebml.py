@@ -290,6 +290,23 @@ def test_ebml_malformed_never_errors(spark):
             assert v is None or isinstance(v, int)
 
 
+def test_ebml_oversized_pixel_dims_stay_null(spark):
+    """A crafted 4-byte PixelWidth ≥ 2^31 must yield NULL dims, not an
+    ANSI cast error — one malformed blob cannot fail a backfill."""
+    video_te = elt(
+        "AE",
+        elt("83", b"\x01")
+        + elt("E0", elt("B0", (2**31 + 5).to_bytes(4, "big"))
+              + elt("BA", (1080).to_bytes(2, "big"))),
+    )
+    payload = elt("1A45DFA3", elt("4282", b"webm")) + elt(
+        "18538067", elt("1654AE6B", video_te)
+    )
+    r = spark_parse(spark, [payload])[0]
+    assert r.dims.width is None
+    assert r.dims.height == 1080
+
+
 def test_ebml_audio_first_pops_to_video_track(spark):
     """The dims walk must skip a whole audio TrackEntry (descend, reach
     its end without a Video child, pop up) and read dims from the NEXT
