@@ -945,8 +945,10 @@ def test_media_catalog_expression_only_zero_shuffle(spark):
     assert "Join" not in s
     assert "Generate" not in s
     assert s.count(") Exchange") <= 1
-    # payload barrier + parsed-struct barrier + catalog row
-    assert s.count(") Project") == 3
+    # payload barrier + parsed-struct barrier + wrapper-struct barrier
+    # (r12: image_meta/video_meta structs staged so per-field consumers
+    # don't re-embed them — the task-binary OOM lesson) + catalog row
+    assert s.count(") Project") == 4
 
 
 def test_setsim_join_prefix_filter_no_cartesian(spark):
