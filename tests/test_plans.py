@@ -951,6 +951,33 @@ def test_media_catalog_expression_only_zero_shuffle(spark):
     assert s.count(") Project") == 4
 
 
+def test_multimodal_task_binaries_stay_bounded(spark):
+    """The serialized physical plan IS (the bulk of) the task binary
+    every executor core deserializes per task — r12 lesson: expression
+    reuse expanded media_catalog's to 3.3 MB and 32 concurrent
+    deserializations OOM'd the vanilla 1 GB driver the external
+    verifier uses. The let-binding/staging fixes brought it to ~2.0 MB
+    (multimodal/binary.py::_ebml_let); this budget pin catches the next
+    silent tree blow-up mechanically, before any OOM."""
+    from crypto_market_tracker_etl_spark import queries as qmod
+
+    ser = spark._jvm.org.apache.spark.SparkEnv.get().closureSerializer()
+    inst = ser.newInstance()
+    tag = spark._jvm.scala.reflect.ClassTag.AnyRef()
+    reg = qmod.queries()
+    budget = {
+        "media_catalog": 2_500_000,
+        "image_meta": 1_500_000,
+        "audio_meta": 1_500_000,
+        "video_meta": 1_500_000,
+        "mime_sniff": 1_500_000,
+    }
+    for name, cap in budget.items():
+        plan = reg[name](spark, SF_DIR)._jdf.queryExecution().executedPlan()
+        size = inst.serialize(plan, tag).limit()
+        assert size < cap, f"{name} task binary {size}B > {cap}B budget"
+
+
 def test_setsim_join_prefix_filter_no_cartesian(spark):
     """The exact similarity join must stay prefix-filtered: candidates
     come from equi-joins (hash) on the shingle key, the per-doc prefix
