@@ -2223,6 +2223,87 @@ def probe_bpe(spark) -> None:
     vocab.unpersist()
 
 
+
+
+def probe_r12(spark) -> None:
+    """r12 additions at generated scale: the EBML element walks at 1M
+    payloads (4 walks/doc — info, dims, doctype, router) and the
+    combined aHash+dHash visual tier at 200k / 1M docs (hash + band +
+    dual-Hamming verify, planted twins every 7th doc). Run:
+    ``SCALE_R12=1 python scale_probe.py``; numbers recorded in SCALE.md
+    §r12-ops."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_market_tracker_etl_spark.multimodal.binary import (
+        ebml_doctype,
+        ebml_info,
+        ebml_video_dims,
+        sniff_mime,
+        synth_mkv,
+    )
+    from crypto_market_tracker_etl_spark.queries_ext import (
+        visual_band_pairs,
+        visual_hash_pair,
+    )
+
+    n = 1_000_000
+    d = F.col("id")
+    payload = F.when(
+        d % 2 == 0,
+        synth_mkv(
+            "webm", F.lit(1000000),
+            (F.lit(1000) + d % 900000).cast("long"),
+            (F.lit(320) + d % 1600).cast("int"),
+            (F.lit(240) + d % 840).cast("int"),
+        ),
+    ).otherwise(
+        synth_mkv(
+            "matroska", F.lit(500000),
+            (F.lit(1000) + d % 900000).cast("long"),
+            (F.lit(320) + d % 1600).cast("int"),
+            (F.lit(240) + d % 840).cast("int"),
+            audio_first=True,
+        )
+    )
+    docs = spark.range(n, numPartitions=64).select(
+        "id", payload.alias("payload")
+    )
+    parsed = docs.select(
+        "id",
+        ebml_info("payload").alias("ei"),
+        ebml_video_dims("payload").alias("ed"),
+        ebml_doctype("payload").alias("dt"),
+        sniff_mime("payload").alias("mime"),
+    ).select("id", "ei.*", "ed.*", "dt", "mime")
+    t = force(parsed)
+    print(f"ebml_parse_1M: {t:.1f}s ({n / t / 1000:.0f}k docs/s)", flush=True)
+
+    for m in (200_000, 1_000_000):
+        ids = spark.range(m, numPartitions=64).select(
+            F.col("id").alias("doc_id")
+        )
+        tile = F.unhex(F.concat(*[
+            F.md5(F.concat(
+                F.when(F.col("doc_id") % 7 == 1, F.col("doc_id") - 1)
+                .otherwise(F.col("doc_id"))
+                .cast("string"),
+                F.lit(f"#{k}"),
+            ))
+            for k in range(4)
+        ]))
+        t0 = time.perf_counter()
+        pairs, bands = visual_band_pairs(visual_hash_pair(ids, tile))
+        n_pairs = pairs.count()
+        t = time.perf_counter() - t0
+        bands.unpersist()
+        print(
+            f"dhash_combined_{m // 1000}k: {t:.1f}s, {n_pairs} pairs",
+            flush=True,
+        )
+
+
 def main() -> None:
     # single-JVM local mode: the driver heap IS executor memory — size it
     # for the 50M-row sweep (must be set before the JVM starts)
@@ -2332,6 +2413,10 @@ def main() -> None:
         return
     if os.environ.get("SCALE_R11B"):
         probe_r11b(spark)
+        spark.stop()
+        return
+    if os.environ.get("SCALE_R12"):
+        probe_r12(spark)
         spark.stop()
         return
     rows = []
