@@ -201,9 +201,24 @@ class MinHashSignatureStore:
         )
         return latest_per_key(df, [self.id_col], [F.col("batch")])
 
+    def read_or_none(self) -> DataFrame | None:
+        """``read()`` or None for a store with no committed batch yet —
+        the shape a caller wanting ONE shared store scan per batch needs
+        (r12 opt round: process_batch feeds the same pre-append view to
+        ``upsert_batch(known=...)`` and ``incremental_pairs(base=...)``,
+        halving the per-batch store scans; persist the result across
+        those two consumers)."""
+        return self.read() if self._batches() else None
+
     # ------------------------------------------------------------- signing
 
     def _fingerprinted(self, docs: DataFrame) -> DataFrame:
+        # reuse a caller-supplied fingerprint column (CurationStream's
+        # per-batch stats already md5'd the normalized text — recomputing
+        # here was one full md5 pass per batch, r12 opt round); the
+        # column is definitionally the same expression either way
+        if "content_fp" in docs.columns:
+            return docs
         return docs.withColumn(
             "content_fp", F.md5(normalize_ws(F.col(self.text_col)))
         )
@@ -224,18 +239,30 @@ class MinHashSignatureStore:
             bands.alias("bands"),
         )
 
-    def upsert_batch(self, docs: DataFrame) -> DataFrame:
+    def upsert_batch(self, docs: DataFrame, known: DataFrame | None = None) -> DataFrame:
         """Sign the batch's new/changed docs, append them as the next
         ``batch=N`` partition, and return the newly signed rows (the input
         to ``incremental_pairs``). Unchanged docs cost one anti-join probe.
         The committed partition number is left on ``self.last_seq`` so a
         caller tracking per-batch pair completeness (CurationStream) can
-        key its marker by the same id."""
+        key its marker by the same id.
+
+        ``known`` (optional): a pre-read latest-per-doc store view (from
+        ``read_or_none``) to anti-join against instead of re-scanning the
+        store — pass it when the caller also needs the same view for
+        ``incremental_pairs`` (one scan, two consumers)."""
         incoming = self._fingerprinted(docs)
-        batches = self._batches()
-        if batches:
-            known = self.read().select(self.id_col, "content_fp")
-            todo = incoming.join(known, [self.id_col, "content_fp"], "left_anti")
+        if known is not None:
+            todo = incoming.join(
+                known.select(self.id_col, "content_fp"),
+                [self.id_col, "content_fp"],
+                "left_anti",
+            )
+        elif self._batches():
+            known_read = self.read().select(self.id_col, "content_fp")
+            todo = incoming.join(
+                known_read, [self.id_col, "content_fp"], "left_anti"
+            )
         else:
             todo = incoming
         seq = self._next_seq()
@@ -313,14 +340,32 @@ class MinHashSignatureStore:
 
     # ------------------------------------------------------ pair search
 
-    def incremental_pairs(self, new_sigs: DataFrame) -> DataFrame:
+    def incremental_pairs(
+        self, new_sigs: DataFrame, base: DataFrame | None = None
+    ) -> DataFrame:
         """Candidate pairs (id_a < id_b) that involve ≥1 doc from
         ``new_sigs``, via band-key equi-join of the (broadcast) new side
         against the accumulated band index. The union of this output over
         all batches equals the from-scratch ``lsh_candidate_pairs`` of the
-        full corpus."""
+        full corpus.
+
+        ``base`` (optional): the PRE-append latest-per-doc view (from
+        ``read_or_none`` taken before ``upsert_batch``). When given, the
+        post-append store view is reconstructed as
+        ``new_sigs ∪ (base minus new doc ids)`` — identical to a fresh
+        ``read()``, because a batch shadows exactly its own doc ids —
+        avoiding a second full store scan + window collapse per batch
+        (r12 opt round)."""
         idc = self.id_col
-        store = self.read().select(
+        if base is not None:
+            latest = new_sigs.select(idc, "bands").unionByName(
+                base.select(idc, "bands").join(
+                    new_sigs.select(idc), idc, "left_anti"
+                )
+            )
+        else:
+            latest = self.read()
+        store = latest.select(
             F.col(idc).alias("id_b"), F.explode("bands").alias("band_key")
         )
         new = new_sigs.select(

@@ -225,6 +225,7 @@ def embedding_near_dup_pairs(
     round_scale: int = 4,
     multiprobe: bool = True,
     bucket_cap: int | None = None,
+    scoped: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucket blocking.
 
@@ -236,6 +237,14 @@ def embedding_near_dup_pairs(
     candidates only. Recall < 100% by construction (pairs split by ≥2
     hyperplanes are missed) — the documented LSH trade; raise probes, not
     the pair space.
+
+    ``scoped=True`` (r12 opt round) eagerly materializes the (small)
+    pair result and releases the internal bucket-index cache before
+    returning — the leak-proof form for session-embedded callers (the
+    bare return otherwise leaves one persisted bucket index per
+    invocation in the CacheManager). Default False keeps the lazy plan
+    for plan-shape inspection and warehouse use (where the bucket index
+    is a real table).
     """
     planes = hyperplanes(dim, num_planes)
     # consumed by BOTH join sides: persist so bucketing/cap/norm run once
@@ -264,7 +273,7 @@ def embedding_near_dup_pairs(
         cosine_with_norms(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")),
         round_scale,
     )
-    return (
+    out = (
         a.join(b, "bucket")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -274,3 +283,9 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if scoped:
+        try:
+            return out.localCheckpoint(eager=True)
+        finally:
+            base.unpersist()
+    return out

@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 from ..functions.textstats import lang_id, n_tokens, normalize_ws, quality_score
 from ..operators.dedup import exact_dedup, ngram_jaccard, word_shingles
 from ..operators.incremental_dedup import MinHashSignatureStore
+from ..operators.latest import latest_per_key
 
 
 def _recover_swap(path: str) -> None:
@@ -97,11 +98,13 @@ def _recover_swap(path: str) -> None:
 def _latest_per_doc(corpus: DataFrame) -> DataFrame:
     """Merge-on-read collapse of the corpus store: the highest-bkey
     delivery of each doc wins (ties on bkey are a retry's identical
-    rows, broken arbitrarily by the max_by struct — content equal)."""
-    latest = corpus.groupBy("doc_id").agg(F.max("bkey").alias("bkey"))
-    return corpus.join(latest, ["doc_id", "bkey"], "left_semi").dropDuplicates(
-        ["doc_id"]
-    )
+    rows, broken arbitrarily — content equal). One windowed top-1
+    (WindowGroupLimit runs the partial top-1 per map partition BEFORE
+    the shuffle), replacing the r11 groupBy-max + semi-join +
+    dropDuplicates form: 3 exchanges → 1 on every store read (r12 opt
+    round; this collapse runs on each corpus/vhash read, several times
+    per clean())."""
+    return latest_per_key(corpus, ["doc_id"], [F.col("bkey")])
 
 
 def _ledger_collapsed(ledger: DataFrame) -> DataFrame:
@@ -440,6 +443,7 @@ class CurationStream:
             n_tokens(t).alias("n_tok"),
             F.md5(normalize_ws(t)).alias("content_fp"),
         ).persist()
+        batch_kept = None
         try:
             counts = stats.agg(
                 F.count(F.lit(1)).alias("raw"),
@@ -450,10 +454,15 @@ class CurationStream:
             n_raw, n_gated = int(counts["raw"]), int(counts["quality"] or 0)
             gated = stats.filter(F.col("quality") >= F.lit(self.quality_min))
             # within-batch exact dedup — the batch funnel's own operator;
-            # cross-batch resolution is merge-on-read at clean() time
+            # cross-batch resolution is merge-on-read at clean() time.
+            # Persisted (scoped to this batch): the kept rows feed the
+            # corpus append, the visual hash write, and the signature
+            # upsert — without the cache each consumer re-runs the
+            # exact-dedup shuffle (r12 opt round, guide §5 cache-when-
+            # reused; measured in OPTIMIZATION_r12.md).
             batch_kept = gated.join(
                 exact_dedup(gated).select("doc_id"), "doc_id", "left_semi"
-            )
+            ).persist()
             # bkey rides every corpus row: merge-on-read picks the LATEST
             # delivery of a doc (matching the signature store's
             # latest-per-key), not an arbitrary one — without it a
@@ -479,11 +488,33 @@ class CurationStream:
             # close any pair-emission gap from a previously crashed batch
             # BEFORE committing new signatures (see protocol note above)
             self._recover_pairs()
-            new_sigs = self.sigs.upsert_batch(batch_kept.select("doc_id", "text"))
-            pairs = self.sigs.incremental_pairs(new_sigs)
-            pairs.write.mode("append").parquet(self.pairs_path)
-            self._mark_pairs_done(self.sigs.last_seq)
+            # ONE store read per batch (r12 opt round): the pre-append
+            # latest-per-doc view feeds BOTH the upsert's changed-doc
+            # anti-join and the pair search's band index (as
+            # pre ∪ new-batch rows — identical to re-reading the store
+            # post-append, since the new batch shadows exactly its own
+            # doc ids), where r11 scanned + window-collapsed the whole
+            # store twice per batch.
+            pre = self.sigs.read_or_none()
+            if pre is not None:
+                pre = pre.persist()
+            try:
+                new_sigs = self.sigs.upsert_batch(
+                    # content_fp rides along: the store reuses it instead
+                    # of re-hashing the batch (same md5-of-normalized
+                    # expression, computed once in stats above)
+                    batch_kept.select("doc_id", "text", "content_fp"),
+                    known=pre,
+                )
+                pairs = self.sigs.incremental_pairs(new_sigs, base=pre)
+                pairs.write.mode("append").parquet(self.pairs_path)
+                self._mark_pairs_done(self.sigs.last_seq)
+            finally:
+                if pre is not None:
+                    pre.unpersist()
         finally:
+            if batch_kept is not None:
+                batch_kept.unpersist()
             stats.unpersist()
         self._seq = max(self._seq, bkey) + 1
         self.spark.createDataFrame(
@@ -597,8 +628,20 @@ class CurationStream:
     def clean(self) -> DataFrame:
         """The survivor set ≡ run_curation(union of batches).clean
         (plus the visual near-dup stage when the stream is
-        media-bearing — see _visual_from)."""
-        return self._visual_from(self._clean_from(self.exact_survivors()))
+        media-bearing — see _visual_from).
+
+        The exact-survivor view is materialized ONCE (eager
+        localCheckpoint): _clean_from consumes it five ways (pair meta
+        ×2, candidate-doc shingles, length table, final anti-join) and
+        each consumer would otherwise re-run the corpus read + window
+        collapse + fingerprint groupBy from parquet (r12 opt round —
+        clean() was the largest phase of the stream-eq queries,
+        OPTIMIZATION_r12.md has the numbers). localCheckpoint rather
+        than persist: the returned frame stays lazy for the caller, and
+        the checkpoint blocks are released by the ContextCleaner when
+        the frame is dropped — no CacheManager entry to leak."""
+        surv = self.exact_survivors().localCheckpoint(eager=True)
+        return self._visual_from(self._clean_from(surv))
 
     def _visual_from(self, surv: DataFrame) -> DataFrame:
         """Visual near-dup stage (r12), merge-on-read: latest hash per
@@ -639,10 +682,16 @@ class CurationStream:
         cand = _read_or_none(self.spark, self.pairs_path)
         if cand is None:
             return surv
-        cand = cand.distinct()
         meta = surv.select("doc_id", "source")
+        # scoped cache: the blocked candidate set feeds BOTH the
+        # touched-doc sliver and the Jaccard verify join; without it the
+        # pair-store read + distinct + two meta joins re-run per
+        # consumer (r12 opt round). Unpersisted after the component
+        # labels are materialized inside keep_best_losers — nothing in
+        # the returned plan references it.
         cand = (
-            cand.join(
+            cand.distinct()
+            .join(
                 meta.select(
                     F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
                 ),
@@ -656,27 +705,43 @@ class CurationStream:
             )
             .filter(F.col("src_a") == F.col("src_b"))  # re-apply blocking
             .select("id_a", "id_b")
+            .persist()
         )
-        # verify on candidate docs only: shingles, not minhash — the
-        # verify stage never consumes the permutations
-        touched = (
-            cand.select(F.col("id_a").alias("doc_id"))
-            .union(cand.select("id_b"))
-            .distinct()
-        )
-        sh = surv.join(touched, "doc_id", "left_semi").select(
-            "doc_id", word_shingles(F.col("text")).alias("shingles")
-        )
-        nd = (
-            ngram_jaccard(cand, sh)
-            .filter(F.col("jaccard") >= self.jaccard_threshold)
-            .select("id_a", "id_b")
-        )
-        lens = surv.select(
-            F.col("doc_id").alias("node"),
-            F.length(normalize_ws(F.col("text"))).alias("len"),
-        )
-        losers = keep_best_losers(nd, lens)
+        try:
+            # verify on candidate docs only: shingles, not minhash — the
+            # verify stage never consumes the permutations. The shingle
+            # sliver is persisted across the verify join's two sides
+            # (id_a and id_b both probe it) — one shingling pass, not two.
+            touched = (
+                cand.select(F.col("id_a").alias("doc_id"))
+                .union(cand.select("id_b"))
+                .distinct()
+            )
+            sh = (
+                surv.join(touched, "doc_id", "left_semi")
+                .select("doc_id", word_shingles(F.col("text")).alias("shingles"))
+                .persist()
+            )
+            try:
+                nd = (
+                    ngram_jaccard(cand, sh)
+                    .filter(F.col("jaccard") >= self.jaccard_threshold)
+                    .select("id_a", "id_b")
+                )
+                lens = surv.select(
+                    F.col("doc_id").alias("node"),
+                    F.length(normalize_ws(F.col("text"))).alias("len"),
+                )
+                # keep_best_losers materializes the pair graph eagerly
+                # (connected_components checkpoints each label round), so
+                # the caches above are drained by the time it returns;
+                # the surviving references (component labels, lens) do
+                # not touch cand/sh.
+                losers = keep_best_losers(nd, lens)
+            finally:
+                sh.unpersist()
+        finally:
+            cand.unpersist()
         return surv.join(F.broadcast(losers), "doc_id", "left_anti")
 
     def funnel(self) -> dict[str, int]:

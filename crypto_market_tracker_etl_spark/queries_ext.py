@@ -182,12 +182,32 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the Jaccard verification consume them — at 100 TB this is the
     'write the signature table once' step.
     """
+    pairs, sigs = near_dup_pairs_lazy(spark, sf_dir)
+    try:
+        # eager-materialize the (duplicate-bounded) pair result and
+        # release the signature cache before returning — the
+        # q_contamination cache-scope discipline (r12 opt round: the
+        # lazily returned persist leaked one cached signature table per
+        # invocation into the session; the lazy plan lives in
+        # near_dup_pairs_lazy for the plan-shape test)
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sigs.unpersist()
+
+
+def near_dup_pairs_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy pairing plan: (pairs, sigs) where ``sigs`` is the
+    persisted signature table both the band join and the Jaccard verify
+    consume — the caller must unpersist it once ``pairs`` is
+    materialized (q_near_dup_pairs does; so must any other consumer)."""
     corpus = _augmented_corpus(spark, sf_dir)  # already spread by _documents
     sigs = minhash_signatures(corpus, num_hashes=12).persist()
     pairs = lsh_candidate_pairs(
         sigs, num_hashes=12, band_size=4, blocking_cols=["source"]
     )
-    return ngram_jaccard(pairs, sigs).filter(F.col("jaccard") >= 0.5)
+    return ngram_jaccard(pairs, sigs).filter(F.col("jaccard") >= 0.5), sigs
 
 
 _SQL_ND_CTES = f"""{SQL_AUG},
@@ -594,10 +614,19 @@ def near_dup_pairs_fast_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_near_dup_pairs_fast wraps it in the differential oracle."""
     corpus = _augmented_corpus(spark, sf_dir)
     sigs = minhash_signatures(corpus, num_hashes=12, portable=False).persist()
-    pairs = lsh_candidate_pairs(
-        sigs, num_hashes=12, band_size=4, blocking_cols=["source"]
-    )
-    return ngram_jaccard(pairs, sigs).filter(F.col("jaccard") >= 0.5)
+    try:
+        pairs = lsh_candidate_pairs(
+            sigs, num_hashes=12, band_size=4, blocking_cols=["source"]
+        )
+        # scoped cache (r12 opt round): materialize the small pair set,
+        # drop the signature cache before returning
+        return (
+            ngram_jaccard(pairs, sigs)
+            .filter(F.col("jaccard") >= 0.5)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sigs.unpersist()
 
 
 def simhash_fast_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1626,6 +1655,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         multiprobe=True,
         bucket_cap=ANN_BUCKET_CAP,
+        scoped=True,  # r12 opt round: release the bucket-index cache
     )
 
 
@@ -1855,13 +1885,34 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation with no prefix filter), so hash parity is a differential
     proof that the filter loses no pairs — the filter's correctness
     argument, machine-checked at every attestation."""
+    # scoped membership cache (r12 opt round): the context-manager form
+    # persists the four-consumer token table on entry and releases it on
+    # exit — the bare persist=True default leaked one cached membership
+    # table per invocation into the session (the exact footgun the r7
+    # ADVICE called out; set_similarity_join_scoped is its leak-proof
+    # twin). The pair result is materialized inside the scope; the lazy
+    # plan lives in setsim_join_lazy for the plan-shape test.
+    pairs, _tokens = setsim_join_lazy(spark, sf_dir, persist=True)
+    try:
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        _tokens.unpersist()
+
+
+def setsim_join_lazy(
+    spark: SparkSession, sf_dir: str, persist: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The lazy PPJoin plan: (pairs, tokens); when ``persist`` the
+    caller owns unpersisting ``tokens`` after materializing pairs."""
     from .operators.dedup import set_similarity_join, word_shingles
 
     docs = _augmented_corpus(spark, sf_dir)
     tokens = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("w")
     )
-    return set_similarity_join(tokens, SETSIM_TAU)
+    if persist:
+        tokens = tokens.persist()
+    return set_similarity_join(tokens, SETSIM_TAU, persist=False), tokens
 
 
 SQL_SETSIM_JOIN = f"""

@@ -205,7 +205,7 @@ def test_curation_stream_pair_emission_crash_recovery(spark, tmp_path):
     # pair append — the exact window the protocol exists for
     orig = cs.sigs.incremental_pairs
 
-    def boom(new_sigs):
+    def boom(new_sigs, base=None):
         raise RuntimeError("injected crash before pair append")
 
     cs.sigs.incremental_pairs = boom

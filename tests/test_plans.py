@@ -10,12 +10,15 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF_DIR
 
 
-def plan_of(spark, name: str) -> str:
-    df = entrymod.queries()[name](spark, SF_DIR)
+def explain_formatted(spark, df) -> str:
     jvm = spark._jvm
     return df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def plan_of(spark, name: str) -> str:
+    return explain_formatted(spark, entrymod.queries()[name](spark, SF_DIR))
 
 
 def test_dim_join_broadcasts_all_dims(spark):
@@ -506,8 +509,16 @@ def test_near_dup_pairs_banded_join_never_all_pairs(spark):
     key -- never a cartesian or nested-loop all-pairs product -- and the
     Jaccard verify (array_intersect/array_union) rides a hash-join
     condition over those candidates only, after a distinct-pair
-    aggregate."""
-    s = plan_of(spark, "near_dup_pairs")
+    aggregate. (r12: the registry fn materializes eagerly to release
+    its signature cache — inspect the lazy plan, the contamination
+    pattern.)"""
+    from crypto_market_tracker_etl_spark.queries_ext import near_dup_pairs_lazy
+
+    pairs, sigs = near_dup_pairs_lazy(spark, SF_DIR)
+    try:
+        s = explain_formatted(spark, pairs)
+    finally:
+        sigs.unpersist()
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "SortMergeJoin" not in s
@@ -982,8 +993,13 @@ def test_setsim_join_prefix_filter_no_cartesian(spark):
     """The exact similarity join must stay prefix-filtered: candidates
     come from equi-joins (hash) on the shingle key, the per-doc prefix
     rank is a window riding the doc grain (no global rangepartitioning
-    rank), and nothing may produce a cartesian corpus-squared product."""
-    s = plan_of(spark, "setsim_join")
+    rank), and nothing may produce a cartesian corpus-squared product.
+    (r12: the registry fn materializes eagerly inside its cache scope —
+    inspect the lazy plan.)"""
+    from crypto_market_tracker_etl_spark.queries_ext import setsim_join_lazy
+
+    pairs, _ = setsim_join_lazy(spark, SF_DIR)
+    s = explain_formatted(spark, pairs)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s  # no unconditioned join
     assert "rangepartitioning" not in s.lower()
