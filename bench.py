@@ -310,6 +310,30 @@ def main() -> None:
 
 SUMMARY_TOP = 40  # per-query entries the final line keeps under pressure
 
+# r13 (verdict #8 — harden the final line against top-N eviction): when the
+# size guard must trim the per-query map, it keeps a STABLE set — the
+# previous driver round's final-line names (the basis of PERF's common-set
+# comparison) PLUS the current top-SUMMARY_TOP by time — instead of the raw
+# top-N. In r12 one contaminated newcomer (dim_join 28.66 s) evicted eight
+# stable sub-second queries from the parsed window and shrank PERF's common
+# set; with the pinned set a noisy newcomer can no longer push a
+# previously-reported query out. Additions-only: nothing that would have
+# been reported before is dropped (trimming under the byte cap sheds the
+# smallest NON-pinned entries first, pinned entries only as a last resort).
+PREV_SUMMARY = [
+    # BENCH_r12.json parsed final-line names (r12 driver run)
+    "dim_join", "asof_lookup", "gram_novelty", "media_catalog",
+    "curation_media_pipeline", "latest_per_key", "near_dup_pairs",
+    "near_dup_pairs_fast", "rrf_fusion", "curation_pipeline", "mime_sniff",
+    "dedup_keep_one_span", "image_meta", "embedding_near_dup", "knn_lsh",
+    "semdedup", "audio_meta", "video_meta", "bpe_bytes_8k", "collocations",
+    "knn_pq", "knn_ivf", "lm_perplexity_kn", "tpch_q1", "contamination",
+    "knn_ivfpq", "pct_change_24h", "ppl_buckets_approx", "tpch_q18",
+    "sequence_packing", "cluster_profile", "cms_heavy_hitters",
+    "ahash_near_dup", "bm25_topk", "knn_ivfadc", "bpe_bytes",
+    "dedup_cut_spans", "dhash_near_dup", "tpch_q7", "lm_perplexity",
+]
+
 
 def _build_summary_line(
     total, timings, iterative, sf_val, sweep_total=None
@@ -326,15 +350,30 @@ def _build_summary_line(
         summary["sweep_total"] = sweep_total
     line = json.dumps(summary)
     if len(line) > 1800:
-        top = dict(
-            sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:SUMMARY_TOP]
-        )
-        summary["queries"] = {k: round(v, 2) for k, v in top.items()}
-        summary["queries_omitted"] = len(timings) - len(top)
-        summary["detail"] = "BENCH_DETAIL.json"
-        line = json.dumps(summary)
+        pinned = [n for n in PREV_SUMMARY if n in timings]
+        pinned_set = set(pinned)
+        by_time = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+        fill = [k for k, _ in by_time if k not in pinned_set][:SUMMARY_TOP]
+        # trim order under the byte cap: smallest non-pinned first, pinned
+        # last (and within each tier smallest-time first) — the stable set
+        # survives unless even it alone cannot fit
+        fill_by_size = sorted(fill, key=lambda k: (timings[k], k))
+        pinned_by_size = sorted(pinned, key=lambda k: (timings[k], k))
+        keep = set(pinned) | set(fill)
+        trim_queue = fill_by_size + pinned_by_size
+        while trim_queue:
+            kept = {
+                k: round(v, 2) for k, v in by_time if k in keep
+            }  # heaviest-first rendering, like the old top-N line
+            summary["queries"] = kept
+            summary["queries_omitted"] = len(timings) - len(kept)
+            summary["detail"] = "BENCH_DETAIL.json"
+            line = json.dumps(summary)
+            if len(line) <= 1800:
+                break
+            keep.discard(trim_queue.pop(0))
     if len(line) > 1800:
-        summary.pop("queries")
+        summary.pop("queries", None)
         summary["queries_omitted"] = len(timings)  # ALL dropped, not N-40
         line = json.dumps(summary)
     return line

@@ -72,6 +72,35 @@ def test_size_guard_bounds_map_keeps_totals():
     assert b.RUNS >= 3  # min-of-N protocol stays
 
 
+def test_summary_guard_pins_prev_round_names():
+    """r13 (verdict #8): a noisy newcomer cannot evict previously-reported
+    queries from the parsed window — every PREV_SUMMARY name present in
+    the timings survives the size guard, so PERF's common set can only
+    grow round-over-round."""
+    import bench as b
+
+    timings = {name: 0.5 for name in b.PREV_SUMMARY}
+    # 60 slow newcomers that would fill a raw top-40 entirely
+    timings.update({f"noisy{i:02d}_{'y' * 20}": 500.0 + i for i in range(60)})
+    line = b._build_summary_line(1.0, timings, {"pagerank": 2.0}, 0.1)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    present = set(parsed["queries"])
+    assert set(b.PREV_SUMMARY) <= present, (
+        "size guard evicted pinned prev-round names: "
+        f"{sorted(set(b.PREV_SUMMARY) - present)}"
+    )
+    assert parsed["queries_omitted"] == len(timings) - len(present)
+    assert parsed["detail"] == "BENCH_DETAIL.json"
+
+
+def test_summary_prev_names_are_registered():
+    """PREV_SUMMARY must stay a subset of the benched sets — a typo'd or
+    renamed name would silently stop pinning that query."""
+    covered = set(bench.HEADLINE) | set(bench.ITERATIVE)
+    assert set(bench.PREV_SUMMARY) <= covered
+
+
 def test_headline_sets_registered():
     """Every benched name must exist in the query registry — a renamed
     query would otherwise only fail at driver bench time."""
