@@ -61,7 +61,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .upsert import dedup_keep_latest, merge_upsert
+from .upsert import dedup_keep_latest, merge_upsert, merge_upsert_partitioned
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
@@ -1234,7 +1234,7 @@ class ManifestParquetSink:
 
     def _commit_rewrite(
         self, base: int, manifest: dict[str, str], merged: DataFrame,
-        drop_days, op: str,
+        drop_days, op: str, pre_partitioned: bool = False,
     ) -> bool:
         """Write ``merged`` as a fresh immutable commit and CAS it in as
         v{base+1}. Manifest AND zone-map entries for ``drop_days`` ∪ the
@@ -1243,15 +1243,19 @@ class ManifestParquetSink:
         never describe pre-rewrite data or name file-grain files under a
         superseded commit dir (even for writers with stats_cols=[]).
         Shared by upsert and delete: one place keeps the commit protocol
-        and the stats lifecycle in lockstep."""
+        and the stats lifecycle in lockstep.
+
+        ``pre_partitioned=True`` (r13, guide §2.4): the caller's plan is
+        already hash-partitioned by ``dt`` (merge_upsert_partitioned), so
+        the pre-write repartition — whose only job is one-writer-task-
+        per-day file sizing — would be a redundant second exchange of
+        the whole commit; skip it."""
         commit_id = uuid.uuid4().hex
         commit_dir = os.path.join(self._data_dir, commit_id)
-        (
-            merged.withColumn("dt_part", F.col("dt"))
-            .repartition("dt_part")
-            .write.partitionBy("dt_part")
-            .parquet(commit_dir)
-        )
+        staged = merged.withColumn("dt_part", F.col("dt"))
+        if not pre_partitioned:
+            staged = staged.repartition("dt_part")
+        staged.write.partitionBy("dt_part").parquet(commit_dir)
         written = [
             name[len("dt_part="):]
             for name in os.listdir(commit_dir)
@@ -1297,18 +1301,31 @@ class ManifestParquetSink:
             )
             manifest = self._load_manifest(base)
             touched = {d: manifest[d] for d in days if d in manifest}
+            # single-exchange MERGE when dt is a merge key (r13, guide
+            # §2.4): the union is partitioned by dt once and the window
+            # dedup + partitioned write both reuse it (the day-stable-key
+            # contract this sink already documents)
+            day_keyed = "dt" in self.keys
             if touched:
                 # no dt filter needed: each manifest entry is one day's
                 # leaf dir, so the scan reads exactly these days.
                 # DV-applied (_scan_live): merging against suppressed rows
                 # would resurrect them into the rewritten day
-                merged = merge_upsert(
-                    self._scan_live(touched, self._load_dvs(base)),
-                    pbatch, self.keys, self.order,
+                old = self._scan_live(touched, self._load_dvs(base))
+                merged = (
+                    merge_upsert_partitioned(old, pbatch, self.keys, self.order)
+                    if day_keyed
+                    else merge_upsert(old, pbatch, self.keys, self.order)
                 )
             else:
-                merged = dedup_keep_latest(pbatch, self.keys, self.order)
-            if self._commit_rewrite(base, manifest, merged, drop_days=(), op="upsert"):
+                merged = dedup_keep_latest(
+                    pbatch.repartition("dt") if day_keyed else pbatch,
+                    self.keys, self.order,
+                )
+            if self._commit_rewrite(
+                base, manifest, merged, drop_days=(), op="upsert",
+                pre_partitioned=day_keyed,
+            ):
                 return base + 1
         raise CommitConflictError(
             f"upsert lost the manifest CAS {max_retries + 1} times at {self.path}"

@@ -63,6 +63,45 @@ def merge_upsert(
     return dedup_keep_latest(tagged, keys, [*(order or []), "__src"]).drop("__src")
 
 
+def merge_upsert_partitioned(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str | Column] | None = None,
+    part_col: str = "dt",
+) -> DataFrame:
+    """``merge_upsert`` whose output is already hash-partitioned by
+    ``part_col`` — ONE exchange instead of two (r13, guide §2.4).
+
+    The plain form shuffles twice per commit: once on ``keys`` for the
+    keep-latest window, then again on the partition column for the
+    date-partitioned write. When ``part_col`` is one of the merge keys
+    (the day-stable-key contract both sinks document), the union can be
+    repartitioned by ``part_col`` FIRST and the window then runs without
+    its own exchange: hashpartitioning(part_col) satisfies the window's
+    ClusteredDistribution(keys) because part_col ∈ keys — every row of a
+    key group is already in one partition. Same winner per key (the sort
+    inside each partition is unchanged), so results are identical; only
+    the exchange count drops. Callers must check ``part_col in keys``:
+    with a non-key partition column this would dedup per (day, key) and
+    CHANGE semantics for day-straddling keys.
+
+    Parallelism note: the merge work becomes day-parallel (one task per
+    touched day) — exactly the parallelism the partitioned write stage
+    already had, so the job's widest stage is unchanged at any scale.
+    """
+    if part_col not in keys:
+        raise ValueError(
+            f"merge_upsert_partitioned requires {part_col!r} in keys"
+        )
+    tagged = old.withColumn("__src", F.lit(0)).unionByName(
+        new.withColumn("__src", F.lit(1)), allowMissingColumns=True
+    )
+    return dedup_keep_latest(
+        tagged.repartition(part_col), keys, [*(order or []), "__src"]
+    ).drop("__src")
+
+
 def merge_upsert_with_changes(
     old: DataFrame,
     new: DataFrame,
@@ -172,8 +211,24 @@ class ParquetUpsertSink:
             # table scan reads only those dt= directories.
             touched = F.broadcast(batch.select("dt").distinct())
             old = self.read().join(touched, "dt", "left_semi")
+            if "dt" in self.keys:
+                # single-exchange MERGE (r13, guide §2.4): the union is
+                # partitioned by dt once — the window dedup AND the
+                # partitioned write both reuse it (see
+                # merge_upsert_partitioned; only valid with dt in keys)
+                merged = merge_upsert_partitioned(
+                    old, batch, self.keys, self.order
+                )
+                self._stage_and_swap_writer(merged.write)
+                return
             merged = merge_upsert(old, batch, self.keys, self.order)
         else:
+            if "dt" in self.keys:
+                merged = dedup_keep_latest(
+                    batch.repartition("dt"), self.keys, self.order
+                )
+                self._stage_and_swap_writer(merged.write)
+                return
             merged = dedup_keep_latest(batch, self.keys, self.order)
         self._stage_and_swap(merged)
 
