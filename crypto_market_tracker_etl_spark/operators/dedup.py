@@ -108,14 +108,29 @@ def minhash_signatures(
         )
     out = out.withColumn("__h", base)
 
-    def perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
-    mins = [
-        F.array_min(F.transform(F.col("__h"), perm(a, b))).cast("long")
-        for a, b in minhash_perm_constants(num_hashes)
-    ]
-    return out.withColumn("minhash", F.array(*mins)).drop("__h")
+    # All k permutation minima in ONE pass over __h (r13, guide §1.2
+    # per-task work): the previous form ran k× transform+array_min,
+    # materializing k intermediate arrays per row. The aggregate carries a
+    # k-slot running-minimum state instead. Values are identical: the same
+    # (A_i·h + B_i) mod P arithmetic, and since every permuted value is
+    # strictly < P, the P sentinel can only survive when the row has no
+    # non-null hash — exactly the case where array_min returned NULL, which
+    # the finish lambda reproduces.
+    consts = minhash_perm_constants(num_hashes)
+    p = F.lit(MINHASH_P)
+    init = F.array(*[p.cast("long") for _ in consts])
+    mins = F.aggregate(
+        F.col("__h"),
+        init,
+        lambda acc, h: F.array(*[
+            F.least(
+                F.element_at(acc, i + 1), (h * F.lit(a) + F.lit(b)) % p
+            )
+            for i, (a, b) in enumerate(consts)
+        ]),
+        lambda acc: F.transform(acc, lambda m: F.when(m < p, m)),
+    )
+    return out.withColumn("minhash", mins).drop("__h")
 
 
 def lsh_band_keys(num_hashes: int, band_size: int) -> list[Column]:

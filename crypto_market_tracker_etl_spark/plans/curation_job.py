@@ -148,9 +148,17 @@ def run_curation(
     kept_exact = exact_dedup(gated).select("doc_id")
     survivors_exact = gated.join(kept_exact, "doc_id", "left_semi")
 
-    sigs = minhash_signatures(
-        survivors_exact, num_hashes=num_hashes, portable=portable
-    ).persist()
+    # project to what the two consumers read before caching — the band
+    # join needs (doc_id, source, minhash), the Jaccard verify needs
+    # shingles; text/quality/lang/n_tok are dead weight in the cache
+    # (r13, guide §2.3/§5)
+    sigs = (
+        minhash_signatures(
+            survivors_exact, num_hashes=num_hashes, portable=portable
+        )
+        .select("doc_id", "source", "shingles", "minhash")
+        .persist()
+    )
     try:
         pairs = lsh_candidate_pairs(
             sigs,

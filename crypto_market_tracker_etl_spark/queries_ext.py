@@ -203,7 +203,13 @@ def near_dup_pairs_lazy(
     consume — the caller must unpersist it once ``pairs`` is
     materialized (q_near_dup_pairs does; so must any other consumer)."""
     corpus = _augmented_corpus(spark, sf_dir)  # already spread by _documents
-    sigs = minhash_signatures(corpus, num_hashes=12).persist()
+    # drop text before the persist: the band join reads (doc_id, source,
+    # minhash) and the verify reads shingles — the raw text column is dead
+    # weight in the cached signature table (r13, guide §2.3/§5: don't
+    # cache bytes no consumer reads)
+    sigs = (
+        minhash_signatures(corpus, num_hashes=12).drop("text").persist()
+    )
     pairs = lsh_candidate_pairs(
         sigs, num_hashes=12, band_size=4, blocking_cols=["source"]
     )
@@ -613,7 +619,12 @@ def near_dup_pairs_fast_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable-hash tax against [near_dup_pairs]); the registry twin
     q_near_dup_pairs_fast wraps it in the differential oracle."""
     corpus = _augmented_corpus(spark, sf_dir)
-    sigs = minhash_signatures(corpus, num_hashes=12, portable=False).persist()
+    # same dead-text-column rule as near_dup_pairs_lazy (guide §2.3/§5)
+    sigs = (
+        minhash_signatures(corpus, num_hashes=12, portable=False)
+        .drop("text")
+        .persist()
+    )
     try:
         pairs = lsh_candidate_pairs(
             sigs, num_hashes=12, band_size=4, blocking_cols=["source"]

@@ -61,6 +61,11 @@ def main() -> int:
     print(f"entry() smoke: {len(rows)} rows OK", flush=True)
 
     qs, osql = m.queries(), m.oracle_sql()
+    if len(sys.argv) > 1:  # subset mode: names on the command line
+        want = set(sys.argv[1:])
+        missing = want - set(qs)
+        assert not missing, f"unknown queries: {sorted(missing)}"
+        qs = {k: v for k, v in qs.items() if k in want}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
