@@ -6,6 +6,10 @@ must produce the same state as direct process_batch calls."""
 from __future__ import annotations
 
 import pytest
+
+# every test here drives multi-batch streaming store workloads —
+# seconds to minutes each (r13, verdict #1: driver pytest budget)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from crypto_market_tracker_etl_spark.plans.curation_job import run_curation
