@@ -4075,42 +4075,23 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Independent pure-Python parsers validate synth_jpeg, all the
     synth_webp variants, synth_tiff in both layouts, synth_bmp in both
     DIB layouts, and synth_heic's box nesting in tests (the synth_mp4
-    pattern)."""
-    from .multimodal.binary import (
-        image_meta,
-        ispe_dims,
-        jpeg_dims,
-        tiff_dims,
-        webp_stream_dims,
-    )
+    pattern).
+
+    r13 (optimization round; guide §4): the synth+parse pipeline runs
+    as ONE mapInArrow stage (multimodal/pymedia.py) — the same payload
+    bytes synthesized and the same bounded walks parsed in the worker,
+    byte/row-identical to the expression path kept in
+    multimodal/binary.py (differential-pinned in
+    tests/test_pymedia_differential.py). The expression form paid
+    1-4 s per QUERY BUILD in py4j tree assembly + JVM analysis +
+    codegen of the giant projection (guide §7.3's driver-side planning
+    class) against sub-second execution; the Arrow plan is constant
+    size. Only doc_id crosses the Python boundary inward (§4.1)."""
+    from .multimodal import pymedia
 
     docs = _documents(spark, sf_dir)
-    # alias barriers (r9 perf pin): the synthesized payload is built
-    # once, and the JPEG/TIFF/VP8X walks — HOFs, exempt from
-    # subexpression elimination, so each inline reference would
-    # re-execute them — run once per row; the final extracts are cheap
-    # column-ref subtrees. Name-keyed parser calls reuse the
-    # per-process memoized trees (binary.py::_memo_expr): constructing
-    # these trees costs hundreds of py4j round-trips, which at test
-    # scale dwarfed execution.
-    p = F.col("payload")
-    meta = image_meta("payload", jpeg="jd", tiff="td", webpx="wx", ispe="sd")
-    return (
-        docs.select("doc_id", _image_payload_expr().alias("payload"))
-        .select(
-            "doc_id", "payload",
-            jpeg_dims("payload").alias("jd"),
-            tiff_dims("payload").alias("td"),
-            webp_stream_dims("payload").alias("wx"),
-            ispe_dims("payload").alias("sd"),
-        )
-        .select(
-            "doc_id",
-            F.octet_length(p).alias("n_bytes"),
-            meta.getField("mime_type").alias("mime_type"),
-            meta.getField("width").alias("width"),
-            meta.getField("height").alias("height"),
-        )
+    return docs.select("doc_id").mapInArrow(
+        pymedia.image_meta_batches, pymedia.IMAGE_META_DDL
     )
 
 
@@ -4270,36 +4251,16 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate). The oracle
     knows the synthesis formulas — including the MP3 bitrate table and
     frame-size arithmetic — and checks the parse analytically. Integer
-    arithmetic only; one zero-shuffle projection (plan-asserted)."""
-    from .multimodal.binary import audio_meta
+    arithmetic only.
+
+    r13 (optimization round; guide §4): synth+parse as ONE mapInArrow
+    stage (multimodal/pymedia.py), byte/row-identical to the expression
+    path kept in multimodal/binary.py — see q_image_meta."""
+    from .multimodal import pymedia
 
     docs = _documents(spark, sf_dir)
-    # THREE-step select on purpose: aliasing the payload keeps
-    # CollapseProject from inlining the (expensive, multiply-referenced)
-    # synthesis tree into every parsed column — measured 583→37
-    # expression nodes and ~7× less driver planning + codegen time,
-    # identical results. r10: the audio_meta struct is staged behind its
-    # OWN alias too — the parse is now a single state-anchored aggregate
-    # (a HOF, exempt from subexpression elimination), and six inline
-    # per-field references would each re-carry and re-run it; staged,
-    # every extract below is a cheap struct-field read of a column.
-    return (
-        docs.select("doc_id", _audio_payload_expr().alias("payload"))
-        .select(
-            "doc_id",
-            F.octet_length("payload").alias("n_bytes"),
-            audio_meta("payload").alias("am"),
-        )
-        .select(
-            "doc_id",
-            "n_bytes",
-            F.col("am.mime_type").alias("mime_type"),
-            F.col("am.channels").alias("channels"),
-            F.col("am.sample_rate_hz").alias("sample_rate_hz"),
-            F.col("am.bits_per_sample").alias("bits_per_sample"),
-            F.col("am.duration_ms").alias("duration_ms"),
-            F.col("am.bitrate_kbps").alias("bitrate_kbps"),
-        )
+    return docs.select("doc_id").mapInArrow(
+        pymedia.audio_meta_batches, pymedia.AUDIO_META_DDL
     )
 
 
@@ -5074,77 +5035,17 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r9 four attest the WebP RIFF-tenant split (image, not audio),
     the TIFF endian signature, and the tightened MP3 sync (reserved
     fields rejected). The oracle knows the cycle and checks the routing
-    analytically. One zero-shuffle projection (plan-asserted); blobs
-    never enter Python."""
-    from .multimodal.binary import (
-        sniff_mime,
-        synth_bmp,
-        synth_flac,
-        synth_gif,
-        synth_mp3,
-        synth_mp4,
-        synth_ogg,
-        synth_png,
-        synth_tiff,
-        synth_wav,
-        synth_webp_vp8,
-    )
+    analytically.
+
+    r13 (optimization round; guide §4): synth+route as ONE mapInArrow
+    stage (multimodal/pymedia.py), byte/row-identical to the expression
+    path kept in multimodal/binary.py — see q_image_meta. The payload
+    cycle lives in pymedia.mime_payload."""
+    from .multimodal import pymedia
 
     docs = _documents(spark, sf_dir)
-    m = F.col("doc_id") % 16
-    w = (F.lit(100) + F.col("doc_id") % 800).cast("int")
-    h = (F.lit(100) + (F.col("doc_id") * 7) % 800).cast("int")
-    payload = (
-        F.when(m == 0, synth_png(w, h))
-        .when(m == 1, synth_gif(w, h))
-        .when(
-            m == 2,
-            synth_wav(F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)),
-        )
-        .when(
-            m == 3,
-            synth_mp4(F.lit("isom"), F.lit(600), F.lit(6000), F.lit(1).cast("int")),
-        )
-        .when(m == 4, F.unhex(F.lit("FFD8FFE000104A464946")))  # JFIF prefix
-        .when(m == 5, F.unhex(F.lit("255044462D312E34")))  # "%PDF-1.4"
-        .when(m == 6, F.unhex(F.lit("504B03041400")))  # ZIP local header
-        .when(m == 7, F.unhex(F.lit("1F8B08000000")))  # gzip deflate
-        .when(
-            m == 8,  # genuine BMFF, HEIC major brand → image pipeline
-            synth_mp4(F.lit("heic"), F.lit(600), F.lit(6000), F.lit(1).cast("int")),
-        )
-        .when(
-            m == 9,  # genuine BMFF, M4A major brand → audio pipeline
-            synth_mp4(F.lit("M4A "), F.lit(600), F.lit(6000), F.lit(1).cast("int")),
-        )
-        .when(m == 10, synth_webp_vp8(w, h))  # RIFF tenant → image
-        .when(m == 11, synth_tiff(w, h, little_endian=False))
-        .when(
-            m == 12,
-            synth_flac(F.lit(44100), F.lit(2).cast("int"), F.lit(16), F.lit(44100)),
-        )
-        .when(
-            m == 13,  # bare MPEG1 Layer-III header, valid fields
-            synth_mp3(F.lit(3), F.lit(0), F.lit(False)),
-        )
-        .when(m == 14, synth_bmp(w, h))
-        .otherwise(  # Ogg page + Vorbis id header → audio/ogg
-            synth_ogg(F.lit(48000).cast("int"), F.lit(2).cast("int"),
-                      F.lit(160).cast("int"))
-        )
-    )
-    # two-step select: the audio_meta alias barrier (see its comment)
-    mime = sniff_mime("payload")
-    return docs.select("doc_id", payload.alias("payload")).select(
-        "doc_id",
-        F.octet_length("payload").alias("n_bytes"),
-        mime.alias("mime_type"),
-        mime.startswith("image/").alias("is_image"),
-        (
-            mime.startswith("image/")
-            | mime.startswith("audio/")
-            | mime.startswith("video/")
-        ).alias("is_media"),
+    return docs.select("doc_id").mapInArrow(
+        pymedia.mime_sniff_batches, pymedia.MIME_SNIFF_DDL
     )
 
 
@@ -5206,106 +5107,18 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle knows the synthesis formulas and checks the parse analytically
     — a differential test of the parser. Integer arithmetic only
     (duration_ms = floor(duration·1000/timescale)); bit-identical in any
-    engine. One zero-shuffle projection (plan-asserted); blobs never
-    enter Python."""
-    from .multimodal.binary import synth_mkv, synth_mp4, synth_wav, video_meta
+    engine.
+
+    r13 (optimization round; guide §4): synth+parse as ONE mapInArrow
+    stage (multimodal/pymedia.py), byte/row-identical to the expression
+    path kept in multimodal/binary.py — see q_image_meta. The payload
+    cycle lives in pymedia.video_payload; the EBML walks and the
+    moov-anchored mvhd locate are ported 1:1 (pop-up included)."""
+    from .multimodal import pymedia
 
     docs = _documents(spark, sf_dir)
-    d = F.col("doc_id")
-    ts = F.element_at(
-        F.array(F.lit(600), F.lit(1000), F.lit(30000), F.lit(90000)),
-        (d % 4 + 1).cast("int"),
-    ).cast("int")
-    dur = (F.lit(1000) + (d * 53) % 900000).cast("int")
-    dur64 = (dur + (d % 2) * F.lit(2**33)).cast("long")
-    edur = (dur + (F.floor(d / 10) % 2) * F.lit(2**33)).cast("long")
-    tracks = (d % 3 + 1).cast("int")
-    brand = F.when(d % 2 == 0, F.lit("isom")).otherwise(F.lit("mp42"))
-    ew = (F.lit(320) + (d * 3) % 1600).cast("int")
-    eh = (F.lit(240) + (d * 7) % 840).cast("int")
-    is_wav_row = d % 7 == 6
-    is_ebml_row = (d % 5 == 2) & ~is_wav_row
-    payload = (
-        F.when(
-            is_wav_row,
-            synth_wav(
-                F.lit(16000), F.lit(1).cast("int"), F.lit(16), F.lit(16000)
-            ),
-        )
-        .when(
-            is_ebml_row & (d % 2 == 0),
-            synth_mkv("webm", F.lit(1000000), edur, ew, eh),
-        )
-        .when(
-            is_ebml_row,
-            synth_mkv(
-                "matroska", F.lit(500000), edur, ew, eh, audio_first=True
-            ),
-        )
-        .when(d % 3 == 1, synth_mp4(brand, ts, dur64, tracks, version1=True))
-        .otherwise(synth_mp4(brand, ts, dur, tracks))
-    )
-    # THREE-step select: the audio_meta alias barrier for the payload,
-    # plus a second barrier for the mvhd OFFSET — the moov-anchored scan
-    # (spaced-hex locate) is the expensive part of the parse tree, and
-    # without its own alias it is re-derived inside every output column
-    # (measured ~5s of per-build planning+codegen at the bench's
-    # fresh-DataFrame-per-rep protocol; staged, the field extracts are
-    # cheap subtrees over two column refs). The EBML walks (info, dims,
-    # doctype) stage the same way — HOF aggregates are exempt from
-    # subexpression elimination (the r9 lesson).
-    from .multimodal.binary import (
-        EBML_SIG_HEX,
-        _bytes_hex,
-        ebml_doctype,
-        ebml_info,
-        ebml_video_dims,
-        mvhd_offset,
-    )
-
-    meta = video_meta(F.col("payload"), F.col("p"))
-    e = F.col("is_ebml")
-    dt = F.col("dt")
-    ei = F.col("ei")
-    ed = F.col("ed")
-    null_i = F.lit(None).cast("int")
-    return (
-        docs.select("doc_id", payload.alias("payload"))
-        .select(
-            "doc_id",
-            "payload",
-            F.octet_length("payload").alias("n_bytes"),
-            mvhd_offset(F.col("payload")).alias("p"),
-            (_bytes_hex(F.col("payload"), 1, 4) == EBML_SIG_HEX).alias(
-                "is_ebml"
-            ),
-            ebml_doctype("payload").alias("dt"),
-            ebml_info("payload").alias("ei"),
-            ebml_video_dims("payload").alias("ed"),
-        )
-        .select(
-            "doc_id",
-            "n_bytes",
-            F.when(e & (dt == "webm"), F.lit("video/webm"))
-            .when(e & (dt == "matroska"), F.lit("video/x-matroska"))
-            .when(e, F.lit("application/octet-stream"))
-            .otherwise(meta.getField("mime_type"))
-            .alias("mime_type"),
-            F.when(e, dt).otherwise(meta.getField("brand")).alias("brand"),
-            F.when(e, ei.getField("timescale_ns"))
-            .otherwise(meta.getField("timescale"))
-            .alias("timescale"),
-            F.when(e, ei.getField("duration_ms"))
-            .otherwise(meta.getField("duration_ms"))
-            .alias("duration_ms"),
-            F.when(e, null_i)
-            .otherwise(meta.getField("n_tracks"))
-            .alias("n_tracks"),
-            F.when(e, ed.getField("width")).otherwise(null_i).alias("width"),
-            F.when(e, ed.getField("height"))
-            .otherwise(null_i)
-            .alias("height"),
-        )
+    return docs.select("doc_id").mapInArrow(
+        pymedia.video_meta_batches, pymedia.VIDEO_META_DDL
     )
 
 
@@ -5473,10 +5286,9 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     (image_meta / audio_meta / video_meta), and emit ONE unified row per
     blob with the union schema (modality, dims, sample rate, duration)
     — the media-catalog table every multimodal pipeline materializes
-    before any decode job runs. All three parsers + the router fuse into
-    a single codegen'd projection over the scan (zero shuffles,
-    plan-asserted); blobs never enter Python; the payload synthesis sits
-    behind the alias barrier (the audio_meta planning-cost lesson).
+    before any decode job runs. All three parsers + the router run in a
+    single constant-size stage over the scan (zero shuffles,
+    plan-asserted).
 
     Payloads cycle PNG, GIF, WAV, MP4, JPEG, PDF, ZIP, GZIP, WebP, TIFF,
     FLAC, ID3-tagged MP3, multi-IFD TIFF, VP8X-wrapped VP8L, CBR-body
@@ -5492,122 +5304,21 @@ def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     no duration from a shorter-than-one-frame stream, while the
     CBR-body class carries one) are exercised in one plan. The oracle
     knows the synthesis formulas and checks routing + parsing
-    analytically."""
-    from .multimodal.binary import audio_meta, image_meta, sniff_mime, video_meta
+    analytically.
+
+    r13 (optimization round; guide §4): the whole router+parsers
+    pipeline runs as ONE mapInArrow stage (multimodal/pymedia.py),
+    byte/row-identical to the expression path kept in
+    multimodal/binary.py — see q_image_meta. This was the heaviest
+    non-composite headline query almost entirely through per-BUILD
+    planning/codegen of the fused 19-class projection (and its
+    serialized-task-binary bulk — the r12 1 GB-driver OOM class); the
+    Arrow plan is constant-size."""
+    from .multimodal import pymedia
 
     docs = _documents(spark, sf_dir)
-    p = F.col("payload")
-    mime = sniff_mime("payload")
-    # modality derives from the mime_type COLUMN (next stage), not the
-    # sniff expression: its six branches would otherwise re-embed the
-    # whole router tree — measured ~0.8 MB of the serialized task
-    # binary, the single biggest slice of the 1 GB-driver OOM
-    # (multimodal/binary.py::_ebml_let)
-    mt = F.col("mime_type")
-    modality = (
-        F.when(mt.startswith("image/"), F.lit("image"))
-        .when(mt.startswith("audio/"), F.lit("audio"))
-        .when(mt.startswith("video/"), F.lit("video"))
-        .when(mt == "application/pdf", F.lit("document"))
-        .when(mt.isin("application/zip", "application/gzip"), F.lit("archive"))
-        .otherwise(F.lit("other"))
-    )
-    null_i = F.lit(None).cast("int")
-    is_img = F.col("mime_type").isin(
-        "image/png", "image/gif", "image/jpeg", "image/webp", "image/tiff",
-        "image/bmp", "image/heic",
-    )  # parseable
-    is_aud = F.col("mime_type").isin(
-        "audio/x-wav", "audio/flac", "audio/mpeg", "audio/ogg"
-    )
-    is_vid = F.col("mime_type") == "video/mp4"
-    is_ebml = F.col("mime_type").isin("video/webm", "video/x-matroska")
-    # THREE-step select: payload alias barrier, then the mvhd OFFSET as
-    # its own alias (the moov-anchored locate is the one expensive parse
-    # subtree — inlined per field it costs seconds of per-build planning,
-    # the q_video_meta lesson), then the unified catalog row: with the
-    # offset staged, every parser's per-field extract is a cheap subtree
-    # over column refs. The EBML walks (r12) stage the same way.
-    from .multimodal.binary import (
-        ebml_info,
-        ebml_video_dims,
-        ispe_dims,
-        jpeg_dims,
-        mvhd_offset,
-        tiff_dims,
-        webp_stream_dims,
-    )
-
-    am = F.col("am")
-    ei = F.col("ei")
-    ed = F.col("ed")
-    im = F.col("im")
-    vm = F.col("vm")
-    return (
-        docs.select("doc_id", _media_payload_expr().alias("payload"))
-        .select(
-            "doc_id",
-            "payload",
-            mvhd_offset("payload").alias("mp"),
-            # the JPEG/TIFF/VP8X walks and the audio_meta aggregate
-            # staged like the mvhd offset: HOFs are exempt from
-            # subexpression elimination, so the multi-field getFields
-            # below would otherwise re-run them (r9/r10 perf pin)
-            jpeg_dims("payload").alias("jd"),
-            tiff_dims("payload").alias("td"),
-            webp_stream_dims("payload").alias("wx"),
-            ispe_dims("payload").alias("sd"),
-            audio_meta("payload").alias("am"),
-            ebml_info("payload").alias("ei"),
-            ebml_video_dims("payload").alias("ed"),
-            F.octet_length(p).alias("n_bytes"),
-            mime.alias("mime_type"),
-        )
-        # a FOURTH stage (r12): the image_meta / video_meta WRAPPER
-        # structs staged too — the final select consumes 2 fields of
-        # each, and an inline wrapper is re-embedded per field (its
-        # PNG/GIF/BMP reads + routing CASE are a measurable slice of
-        # the serialized task binary — the 1 GB-driver OOM lesson,
-        # see multimodal/binary.py::_ebml_let); modality computed here
-        # from the mime_type column for the same reason
-        .select(
-            "doc_id",
-            "n_bytes",
-            "mime_type",
-            modality.alias("modality"),
-            "am",
-            "ei",
-            "ed",
-            image_meta(
-                "payload", jpeg="jd", tiff="td", webpx="wx", ispe="sd"
-            ).alias("im"),
-            video_meta("payload", "mp").alias("vm"),
-        )
-        .select(
-            "doc_id",
-            "n_bytes",
-            "mime_type",
-            "modality",
-            F.when(is_img, im.getField("width"))
-            .when(is_ebml, ed.getField("width"))
-            .otherwise(null_i)
-            .alias("width"),
-            F.when(is_img, im.getField("height"))
-            .when(is_ebml, ed.getField("height"))
-            .otherwise(null_i)
-            .alias("height"),
-            F.when(is_aud, am.getField("sample_rate_hz"))
-            .otherwise(null_i)
-            .alias("sample_rate_hz"),
-            F.when(is_aud, am.getField("duration_ms"))
-            .when(is_vid, vm.getField("duration_ms"))
-            .when(is_ebml, ei.getField("duration_ms"))
-            .otherwise(F.lit(None).cast("long"))
-            .alias("duration_ms"),
-            F.when(is_vid, vm.getField("n_tracks"))
-            .otherwise(null_i)
-            .alias("n_tracks"),
-        )
+    return docs.select("doc_id").mapInArrow(
+        pymedia.media_catalog_batches, pymedia.MEDIA_CATALOG_DDL
     )
 
 

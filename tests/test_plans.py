@@ -709,24 +709,20 @@ def test_c4_filters_expression_only_no_nested_hof_regression(spark):
     assert s.count(") Project") >= 2
 
 
-def test_audio_meta_expression_only_zero_shuffle(spark):
-    """RIFF/WAV header parsing is ONE codegen'd projection over the scan
-    (synthesis + parse + unknown-format dispatch all fold into the
-    expression tree): no joins, no explode, no exchange beyond the
-    corpus spread -- metadata backfill at scan speed, blobs never in
-    Python."""
+def test_audio_meta_single_arrow_stage_zero_shuffle(spark):
+    """r13: synth+parse run as ONE mapInArrow stage over the doc_id-only
+    scan (multimodal/pymedia.py — the expression path's per-build
+    planning/codegen cost removed): exactly one MapInArrow node, no
+    row-at-a-time Python, no joins, no exchange beyond the corpus
+    spread, and the scan reads ONLY doc_id (column pruning intact —
+    opaque functions defeat pruning unless the select precedes them)."""
     s = plan_of(spark, "audio_meta")
+    assert s.count(") MapInArrow") == 1
+    assert "BatchEvalPython" not in s
     assert "Join" not in s
     assert "Generate" not in s
     assert s.count(") Exchange") <= 1
-    # exactly THREE projects: the payload synthesis alias barrier
-    # (CollapseProject would otherwise inline the expensive synthesis
-    # tree into every parsed column — 583 vs 37 expression nodes, ~7x
-    # the planning+codegen time) + the r10 audio_meta struct barrier
-    # (the parse is one state-anchored aggregate, a HOF exempt from
-    # subexpression elimination; six inline per-field references would
-    # each re-carry and re-run it) + the field extract
-    assert s.count(") Project") == 3
+    assert "ReadSchema: struct<doc_id:bigint>" in s
 
 
 def test_bpe_encode_ids_single_arrow_node_zero_shuffle(spark):
@@ -866,31 +862,28 @@ def test_dhash_near_dup_recall_and_strictness(spark):
     assert all(ah <= 8 and dh <= 3 for ah, dh in combined.values())
 
 
-def test_mime_sniff_expression_only_zero_shuffle(spark):
-    """Magic-byte MIME routing is one codegen'd projection -- the
-    signature dispatch is a CASE chain over byte slices, so the
-    ingestion router costs one scan."""
+def test_mime_sniff_single_arrow_stage_zero_shuffle(spark):
+    """r13: the router runs as ONE mapInArrow stage (see
+    test_audio_meta_single_arrow_stage_zero_shuffle)."""
     s = plan_of(spark, "mime_sniff")
+    assert s.count(") MapInArrow") == 1
+    assert "BatchEvalPython" not in s
     assert "Join" not in s
     assert "Generate" not in s
     assert s.count(") Exchange") <= 1
-    assert s.count(") Project") == 2  # payload alias barrier (audio_meta)
+    assert "ReadSchema: struct<doc_id:bigint>" in s
 
 
-def test_video_meta_expression_only_zero_shuffle(spark):
-    """ISO-BMFF/MP4 box parsing is ONE codegen'd projection over the scan
-    (synthesis + the runtime mvhd box scan + unknown-format dispatch all
-    fold into the expression tree): no joins, no explode, no exchange
-    beyond the corpus spread -- container inspection at scan speed, blobs
-    never in Python."""
+def test_video_meta_single_arrow_stage_zero_shuffle(spark):
+    """r13: synth + the mvhd locate + the EBML walks run as ONE
+    mapInArrow stage (see test_audio_meta_single_arrow_stage_zero_shuffle)."""
     s = plan_of(spark, "video_meta")
+    assert s.count(") MapInArrow") == 1
+    assert "BatchEvalPython" not in s
     assert "Join" not in s
     assert "Generate" not in s
     assert s.count(") Exchange") <= 1
-    # exactly THREE projects: payload alias barrier (audio_meta) + the
-    # mvhd-offset barrier (the moov-anchored locate is the expensive
-    # subtree; inlined per field it costs seconds of planning/codegen)
-    assert s.count(") Project") == 3
+    assert "ReadSchema: struct<doc_id:bigint>" in s
 
 
 def test_vocab_stats_bounded_zipf_head_no_global_sort(spark):
@@ -947,19 +940,19 @@ def test_collocations_bigram_grain_no_global_sort(spark):
     assert "CartesianProduct" not in s
 
 
-def test_media_catalog_expression_only_zero_shuffle(spark):
-    """Routing + all three modality parsers fuse into one codegen'd
-    projection behind the payload alias barrier: no joins, no explode,
-    no exchange beyond the corpus spread -- the whole-catalog backfill
-    runs at scan speed and blobs never enter Python."""
+def test_media_catalog_single_arrow_stage_zero_shuffle(spark):
+    """r13: router + all three modality parsers run as ONE mapInArrow
+    stage (see test_audio_meta_single_arrow_stage_zero_shuffle) — the
+    r12 task-binary OOM class is structurally gone (the plan no longer
+    carries the fused 19-class expression tree at all; the budget pin
+    below still guards it)."""
     s = plan_of(spark, "media_catalog")
+    assert s.count(") MapInArrow") == 1
+    assert "BatchEvalPython" not in s
     assert "Join" not in s
     assert "Generate" not in s
     assert s.count(") Exchange") <= 1
-    # payload barrier + parsed-struct barrier + wrapper-struct barrier
-    # (r12: image_meta/video_meta structs staged so per-field consumers
-    # don't re-embed them — the task-binary OOM lesson) + catalog row
-    assert s.count(") Project") == 4
+    assert "ReadSchema: struct<doc_id:bigint>" in s
 
 
 def test_multimodal_task_binaries_stay_bounded(spark):
