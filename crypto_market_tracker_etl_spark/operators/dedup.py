@@ -403,7 +403,10 @@ def simhash_near_dups(
 
 
 def set_similarity_join(
-    tokens: DataFrame, tau: float, persist: bool = True
+    tokens: DataFrame,
+    tau: float,
+    persist: bool = True,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs set-similarity join, Jaccard ≥ ``tau``, via
     PPJoin-style PREFIX FILTERING (Xiao, Wang, Lin & Yu) — the exact
@@ -455,10 +458,27 @@ def set_similarity_join(
     For session-embedded use, ``set_similarity_join_scoped`` is the
     leak-proof form (context manager: persists on entry, unpersists on
     exit). At warehouse scale pass ``persist=False`` and materialize
-    ``tokens`` as a table instead."""
+    ``tokens`` as a table instead.
+
+    ``sets`` (r13, guide §2.3): optionally the per-doc element ARRAYS
+    (doc_id, ws) the caller already has (e.g. the un-exploded
+    word_shingles column) — sizes then cost ``size(ws)`` instead of a
+    count shuffle, and verification reads one array row per pair side.
+    When absent, the arrays are grouped back from ``tokens`` (one
+    shuffle, replacing the former sizes count shuffle). VERIFY SHAPE
+    (r13): the old verify expanded every candidate pair by ALL of
+    doc_a's tokens before the doc_b equi-join could cut it — measured
+    33.5M intermediate rows for 481k candidates / 6k true pairs at
+    sf0.1 — then paid a pair-grain aggregate; the exact overlap is now
+    ``size(array_intersect(ws_a, ws_b))`` over two array lookups per
+    pair (same J by construction: membership rows are distinct, so the
+    grouped arrays are sets). At 100 TB the verify joins shuffle one
+    array row per doc side instead of |doc| token rows."""
     if persist:
         tokens = tokens.persist()
-    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if sets is None:
+        sets = tokens.groupBy("doc_id").agg(F.collect_list("w").alias("ws"))
+    sizes = sets.select("doc_id", F.size("ws").alias("sz"))
     freq = tokens.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     ordered = tokens.join(freq, "w")
     rn = F.row_number().over(
@@ -500,13 +520,12 @@ def set_similarity_join(
         )
         .distinct()
     )
-    ta = tokens.select(F.col("doc_id").alias("doc_a"), "w")
-    tb = tokens.select(F.col("doc_id").alias("doc_b"), "w")
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
     overlap = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "w"])
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("o"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("o", F.size(F.array_intersect("wsa", "wsb")))
     )
     return (
         overlap.where(

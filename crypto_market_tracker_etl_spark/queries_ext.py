@@ -1913,17 +1913,25 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setsim_join_lazy(
     spark: SparkSession, sf_dir: str, persist: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """The lazy PPJoin plan: (pairs, tokens); when ``persist`` the
-    caller owns unpersisting ``tokens`` after materializing pairs."""
+    """The lazy PPJoin plan: (pairs, cached); when ``persist`` the
+    caller owns unpersisting ``cached`` after materializing pairs.
+
+    r13 (guide §2.3/§2.4): the cached table is the per-doc shingle-ARRAY
+    view (doc_id, ws) — word_shingles already yields the distinct set,
+    so sizes cost ``size(ws)`` with NO count shuffle, the verify stage
+    reads one array row per pair side (set_similarity_join ``sets=``),
+    and the exploded membership rows are derived from the cache."""
     from .operators.dedup import set_similarity_join, word_shingles
 
     docs = _augmented_corpus(spark, sf_dir)
-    tokens = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("w")
-    )
+    sets = docs.select("doc_id", word_shingles(F.col("text")).alias("ws"))
     if persist:
-        tokens = tokens.persist()
-    return set_similarity_join(tokens, SETSIM_TAU, persist=False), tokens
+        sets = sets.persist()
+    tokens = sets.select("doc_id", F.explode("ws").alias("w"))
+    return (
+        set_similarity_join(tokens, SETSIM_TAU, persist=False, sets=sets),
+        sets,
+    )
 
 
 SQL_SETSIM_JOIN = f"""
