@@ -250,7 +250,15 @@ class MinHashSignatureStore:
         ``known`` (optional): a pre-read latest-per-doc store view (from
         ``read_or_none``) to anti-join against instead of re-scanning the
         store — pass it when the caller also needs the same view for
-        ``incremental_pairs`` (one scan, two consumers)."""
+        ``incremental_pairs`` (one scan, two consumers). CONTRACTS
+        (ADVICE r12): ``known`` must be the latest-per-doc view of ALL
+        committed batches as of this call — a stale view silently
+        re-signs unchanged docs or skips changed ones; and if ``docs``
+        already carries a ``content_fp`` column it MUST equal
+        ``md5(normalize_ws(text_col))`` — ``_fingerprinted`` trusts a
+        caller-supplied column (the one-md5-pass-per-batch optimization)
+        and a differently derived fingerprint would corrupt change
+        detection with no error."""
         incoming = self._fingerprinted(docs)
         if known is not None:
             todo = incoming.join(
@@ -355,7 +363,12 @@ class MinHashSignatureStore:
         ``new_sigs ∪ (base minus new doc ids)`` — identical to a fresh
         ``read()``, because a batch shadows exactly its own doc ids —
         avoiding a second full store scan + window collapse per batch
-        (r12 opt round)."""
+        (r12 opt round). FRESHNESS CONTRACT (ADVICE r12): ``base`` must
+        cover every batch committed before ``new_sigs``' own — i.e. be
+        taken immediately before the ``upsert_batch`` that produced
+        ``new_sigs``, in the same single-writer sequence (process_batch's
+        usage). A stale base silently drops candidate pairs against the
+        batches it is missing."""
         idc = self.id_col
         if base is not None:
             latest = new_sigs.select(idc, "bands").unionByName(

@@ -527,6 +527,34 @@ def test_near_dup_pairs_banded_join_never_all_pairs(spark):
     assert "doc_id" in s and "array_intersect" in s
 
 
+def test_registered_fns_route_through_lazy_helpers(spark, monkeypatch):
+    """ADVICE r12: the plan-shape guards above inspect the LAZY helpers,
+    so nothing pinned that the registered queries actually delegate to
+    them — a future edit to the eager wrappers could reintroduce an
+    unguarded all-pairs plan. Assert the delegation itself."""
+    import crypto_market_tracker_etl_spark.queries_ext as qe
+
+    calls = []
+
+    def fake_ndp(spark_, sf_dir, *a, **k):
+        calls.append("ndp")
+        raise RuntimeError("routed")
+
+    def fake_ssj(spark_, sf_dir, *a, **k):
+        calls.append("ssj")
+        raise RuntimeError("routed")
+
+    monkeypatch.setattr(qe, "near_dup_pairs_lazy", fake_ndp)
+    monkeypatch.setattr(qe, "setsim_join_lazy", fake_ssj)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="routed"):
+        qe.q_near_dup_pairs(spark, SF_DIR)
+    with _pytest.raises(RuntimeError, match="routed"):
+        qe.q_setsim_join(spark, SF_DIR)
+    assert calls == ["ndp", "ssj"]
+
+
 def test_doc_repetition_gram_aggregate_shape(spark):
     """Gopher repetition filters: gram projections are expression-only
     over the scan (union of 3 n-gram arms), counting runs with a map-side
